@@ -1,0 +1,80 @@
+"""Storage IO (SURVEY §2.1 S6-S7 + the Parquet canonical cache).
+
+The reference's store is a CSV cache re-read seven times per run plus a
+JSON mirror (fetch_pages.py:596-620; analyze_pages.py:37;
+generate_reports.py:137). Here the canonical store is Parquet — real array
+columns, column pruning, predicate pushdown — and CSV/JSON are export
+sinks kept for format parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from notion_spark.schema import CANONICAL_TO_DISPLAY, COLUMN_ALIASES, TASKS_SCHEMA
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic test table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_tasks_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TASKS_SCHEMA).parquet(path)
+
+
+def write_tasks_parquet(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Canonical cache write. Small task tables stay single-partition; at
+    scale callers pass ``partitions`` or pre-repartition by key."""
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 64, path: str | None = None
+) -> None:
+    """Bucketed save for shuffle-free upsert/join on ``key`` (the M2 merge
+    and J-series joins co-locate when both sides are bucketed)."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+# --------------------------------------------------------------- S6 (CSV)
+def export_tasks_csv(df: DataFrame, path: str) -> None:
+    """CSV export in the reference's on-disk dialect: display headers and
+    Python-repr'd list columns (fetch_pages.py:601-603)."""
+    out = df
+    for c in ("files_media", "children_uids", "children_nids", "active_tags"):
+        if c in out.columns:
+            quoted = F.transform(F.col(c), lambda x: F.concat(F.lit("'"), x.cast("string"), F.lit("'")))
+            out = out.withColumn(c, F.concat(F.lit("["), F.concat_ws(", ", quoted), F.lit("]")))
+    out = out.select([F.col(c).alias(CANONICAL_TO_DISPLAY.get(c, c)) for c in out.columns])
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_tasks_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest the reference CSV dialect back to canonical form (P8
+    rehydration happens in normalize.rehydrate_list_column)."""
+    from notion_spark.normalize import rehydrate_list_column
+
+    df = spark.read.option("header", True).csv(path)
+    df = df.toDF(*[COLUMN_ALIASES.get(c.strip(), c.strip()) for c in df.columns])
+    for c, t in (
+        ("files_media", "string"),
+        ("children_uids", "string"),
+        ("children_nids", "long"),
+        ("active_tags", "string"),
+    ):
+        if c in df.columns:
+            df = rehydrate_list_column(df, c, t)
+    return df
+
+
+# --------------------------------------------------------------- S7 (JSON)
+def export_tasks_json(df: DataFrame, path: str) -> None:
+    """JSON-lines export (`to_json(orient='records')`,
+    fetch_pages.py:620)."""
+    df.write.mode("overwrite").json(path)
