@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- `brute_force_topk` — exact cosine top-k per query. The query set is
+  broadcast (it is small by definition); the corpus streams through one
+  narrow stage and each partition keeps only its local top-k before the
+  final merge (TakeOrderedAndProject via window row_number + filter with
+  partial aggregation pushed down). Cost: O(corpus × queries), the right
+  baseline and the recall oracle.
+- `random_hyperplane_bucket` + `lsh_topk` — approximate path: sign-LSH
+  (random hyperplanes derived deterministically from xxhash64 of the
+  dimension index) buckets the corpus; queries probe only their bucket.
+  At 100 TB the bucket join replaces the full scan per query.
+
+Vector math uses zip_with/aggregate (JVM, codegen) on double-cast values;
+no Python in the scan path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------ vector algebra
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision (deterministic
+    element order — reproducible across partitionings)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ------------------------------------------------------------ brute force
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × streamed corpus.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id ascending for determinism. Self-matches are not excluded —
+    callers filter if the queries come from the corpus.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(q).select(
+        F.col("qid"), F.col("vid"), F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------ sign-LSH
+def random_hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
+    """Deterministic sign-LSH bucket id in [0, 2^n_planes).
+
+    Plane p's coefficient for dimension d is a pseudo-random ±1/±2/...
+    derived from xxhash64(seed, p, d) — no stored model, identical on
+    every executor, no broadcast needed.
+    """
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            # deterministic pseudo-random coefficient in [-4, 4]; the
+            # xxhash64-of-literals subexpression is constant-folded by
+            # Catalyst, so runtime cost is one multiply-add per dim.
+            h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(d))
+            coeff = (F.pmod(h, F.lit(9)) - 4).cast("double")
+            proj = proj + F.coalesce(vec[d].cast("double"), F.lit(0.0)) * coeff
+        bit = (proj > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    Same output shape as `brute_force_topk`; recall < 1 by design (single
+    probe). Multi-probe: union over bit-flipped buckets — future work.
+    """
+    bucket = lambda v: random_hyperplane_bucket(v, n_planes, seed, dim)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"), bucket(F.col(vec_col)).alias("bkt")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"), bucket(F.col(vec_col)).alias("bkt")
+        )
+    )
+    scored = c.join(q, "bkt").select(
+        "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, query_id_col: str = "query_id", id_col: str = "vec_id") -> float:
+    """Mean fraction of exact top-k recovered by the approximate result."""
+    e = exact.select(query_id_col, id_col)
+    hits = e.join(approx.select(query_id_col, id_col), on=[query_id_col, id_col], how="inner").count()
+    total = e.count()
+    return hits / total if total else math.nan

@@ -1,0 +1,132 @@
+"""Text-analysis operators over a documents table.
+
+All native column expressions (regexp/length/split/aggregate) — the whole
+feature block is a single codegen'd Project per document, no Python in the
+hot path, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ------------------------------------------------------------ tokenization
+# Whitespace tokens, and a BPE-ish regex token stream (word pieces, numbers,
+# punctuation runs — a cheap proxy for subword token counts).
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Non-empty whitespace-delimited tokens."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens — ~approximates subword token counts
+    without a tokenizer dependency."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(_BPE_ISH), 0))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+# ------------------------------------------------------------ quality score
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token counts, mean word
+    length, punctuation/digit/uppercase ratios, stopword ratio. Ratios are
+    exact rational values rounded to 6 places for cross-engine parity."""
+    c = _c(text_col)
+    n_chars = F.length(c)
+    toks = ws_tokens(text_col)
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    safe = lambda num, den: F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        safe(n_chars, n_tok).alias("mean_token_len"),
+        safe(n_punct, n_chars).alias("punct_ratio"),
+        safe(n_digit, n_chars).alias("digit_ratio"),
+        safe(n_stop, n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards prose-like token lengths and
+    stopword presence, penalizes punctuation/digit noise (a Gopher-rules
+    style heuristic compressed to one expression)."""
+    feats = quality_features(df, text_col)
+    len_ok = F.when(F.col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.5)
+    stop_ok = F.when(F.col("stopword_ratio") > 0.05, 1.0).otherwise(0.6)
+    noise = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 2 - F.col("digit_ratio"))
+    return feats.withColumn(out, F.round(len_ok * stop_ok * noise, 6))
+
+
+_EN_STOPWORDS = (
+    "the a an and or of to in is are was for with on at by this that it as be".split()
+)
+
+# ------------------------------------------------------------ language ID
+# Marker-word n-gram heuristic: score = number of language-marker hits;
+# highest score wins, ties broken by language code order. Deterministic and
+# SQL-expressible (the oracle mirrors the same CASE logic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    toks = F.transform(ws_tokens(col), lambda t: F.lower(t))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
+    return out
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """argmax over marker-hit counts; 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[F.struct(v.alias("score"), F.lit(k).alias("lang")) for k, v in sorted(scores.items())]
+    )
+    # array_max on struct(score, lang) = argmax by score; equal scores break
+    # toward the lexicographically larger lang code. The documented
+    # tie-break rule — the oracle SQL mirrors it exactly.
+    best = F.array_max(pairs)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out, pred)
+
+
+# ------------------------------------------------------------ fingerprinting
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized token stream (lowercase,
+    punctuation stripped, whitespace collapsed). Two documents differing
+    only in case/punct/spacing share a fingerprint — the standard
+    canonicalization step before exact dedup."""
+    c = _c(col)
+    norm = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out, fingerprint(text_col))

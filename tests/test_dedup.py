@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from notion_spark.pipeline import dedup as D
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (4, "completely different content about spark distributed query engines and shuffles"),
+        (5, "yet another unrelated document mentioning databases and storage formats here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    out = df.select(D.token_shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == ["a b c", "b c d"]
+    assert out[1].sh == []
+
+
+def test_exact_dedup(spark):
+    groups = D.exact_dedup(_docs(spark)).collect()
+    by_canon = {r.canonical_id: r.n_dups for r in groups}
+    assert by_canon[1] == 2  # docs 1+2 collapse
+    assert len(groups) == 4
+    kept = D.drop_exact_dups(_docs(spark))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_jaccard_pairs_blocked(spark):
+    pairs = D.jaccard_pairs(_docs(spark), block_key=F.lit(1), threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = D.minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # exact duplicates always collide in every band; near-dup should too
+    assert (1, 2) in found and found[(1, 2)] == 1.0
+    assert (1, 3) in found
+    # verified jaccard means no false positives above threshold
+    assert all(j >= 0.5 for j in found.values())
+
+
+def test_simhash_near_dups(spark):
+    sig = _docs(spark).select(D.simhash64("text").alias("s")).collect()
+    assert len({r.s for r in sig}) >= 3  # distinct docs -> distinct signatures
+    cands = D.simhash_candidates(_docs(spark)).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in cands}
+    assert found[(1, 2)] == 0  # identical text -> identical simhash
+    assert (1, 3) in found and found[(1, 3)] <= 16
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = D.embedding_dup_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
