@@ -38,9 +38,13 @@ def iso_week_label(col: Column | str) -> Column:
     """'YYYY-Www' ISO week label (generate_reports.py:372, 376 via
     isocalendar)."""
     c = _c(col)
+    # ISO week-numbering year = calendar year of that week's Thursday
+    # (Spark bans the 'Y' week-year pattern under the modern formatter, so
+    # derive it: Monday week start + 3 days).
+    week_year = F.year(F.date_add(F.to_date(F.date_trunc("week", c)), 3))
     return F.concat_ws(
         "-W",
-        F.date_format(c, "YYYY"),  # ISO week-year pattern
+        week_year.cast("string"),
         F.lpad(F.weekofyear(c).cast("string"), 2, "0"),
     )
 

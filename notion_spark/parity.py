@@ -1,0 +1,974 @@
+"""Oracle-parity query registry.
+
+Every operator family from SURVEY.md §2 is expressed here as a named query
+over the driver's synthetic TPC-H-ish tables, together with an equivalent
+DuckDB SQL oracle. The driver runs both at sf0.01 and hash-compares
+(row-count + schema + order-insensitive value hash) — see
+__spark_entry__.py, which re-exports this registry.
+
+Cross-engine determinism rules used throughout (SURVEY §5):
+
+- NO floating-point summation: every SUM/AVG over a double column routes
+  through DECIMAL(18,2) (exact, order-independent) and is cast to double
+  only at the end. Raw doubles pass through untouched (bit-identical) and
+  min/max are order-independent, so those are fine.
+- Every top-k carries a unique-key tiebreaker.
+- Timestamps in outputs are formatted to strings (engine-neutral).
+- Computed columns are aliased identically on both sides.
+
+Queries whose semantics are not reasonably SQL-expressible (MinHash/LSH
+banding, SimHash, hyperplane-LSH ANN) are registered without an oracle —
+the driver records a weaker rows-only check, and their correctness is
+covered by unit tests against exact counterparts (tests/test_dedup.py,
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from notion_spark.operators.aggregates import conditional_counts, value_counts
+from notion_spark.operators.filters import (
+    anti_members,
+    not_in_filter,
+    overflow_policy_filter,
+    substring_filter,
+)
+from notion_spark.operators.incremental import changed_rows, latest_per_key
+from notion_spark.operators.joins import broadcast_lookup, semi_members
+from notion_spark.operators.sorts import top_k
+from notion_spark.operators.windows import partitioned_group_boundaries
+from notion_spark.pipeline import dedup as DD
+from notion_spark.pipeline import similarity as SIM
+from notion_spark.pipeline import text_analysis as TA
+from notion_spark.sources.io import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+DEC = "decimal(18,2)"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, alias: str):
+    """Exact decimal sum surfaced as double (order-independent)."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+
+def _fmt_d(col) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.6)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — the A1/A2 conditional
+    aggregate pattern at scale. Single scan, map-side partial agg, shuffle
+    only carries (flag,status) partials."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_conditional_counts",
+    """
+    SELECT COUNT(*) AS total,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS n_urgent,
+           COALESCE(SUM(CASE WHEN o_totalprice > 100000 THEN 1 END), 0) AS n_large
+    FROM orders
+    """,
+)
+def agg_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's four boolean-filter len() passes
+    (analyze_pages.py:358-379) as ONE aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    return conditional_counts(
+        o,
+        {
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_finished": F.col("o_orderstatus") == "F",
+            "n_urgent": F.col("o_orderpriority") == "1-URGENT",
+            "n_large": F.col("o_totalprice") > 100000,
+        },
+    ).select(
+        F.col("total").cast("long"),
+        F.col("n_open").cast("long"),
+        F.col("n_finished").cast("long"),
+        F.col("n_urgent").cast("long"),
+        F.col("n_large").cast("long"),
+    )
+
+
+@register(
+    "agg_status_counts",
+    "SELECT o_orderstatus, COUNT(*) AS count FROM orders GROUP BY o_orderstatus",
+)
+def agg_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: value_counts (analyze_pages.py:466)."""
+    return value_counts(read_table(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+@register(
+    "agg_weekly_velocity",
+    """
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1 ORDER BY week_start DESC LIMIT 12
+    """,
+)
+def agg_weekly_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: weekly completion-velocity resample + tail(12)
+    (analyze_pages.py:438-439), ISO-Monday weeks."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_fmt_d(F.date_trunc("week", F.col("ts"))).alias("week_start"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("week_start"))
+        .limit(12)
+    )
+
+
+@register(
+    "agg_created_per_week",
+    """
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           COUNT(*) AS count
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_created_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: created-per-week histogram (golden sample lines 73-77)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(_fmt_d(F.date_trunc("week", F.col("o_orderdate"))).alias("week_start")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@register(
+    "agg_avg_completion_days",
+    """
+    SELECT CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_days,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def agg_avg_completion_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: average order→ship latency in days
+    (sample_analysis_output.txt:18). Exact integer-day sum / count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            (F.sum(dd).cast("double") / F.count(F.lit(1))).alias("avg_days"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = ["p_urgent", "p_high", "p_medium", "p_unspecified", "p_low"]
+
+
+@register(
+    "agg_crosstab_status_priority",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"COALESCE(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 END), 0) AS {a}"
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIAS)
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+def agg_crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: Status × Priority crosstab (sample_analysis_output.txt:56-65).
+    Explicit conditional sums (= pivot with fixed values) so column names
+    are stable for the oracle."""
+    o = read_table(spark, sf_dir, "orders")
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("o_orderpriority") == p, 1)), F.lit(0)).cast("long").alias(a)
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIAS)
+    ]
+    return o.groupBy("o_orderstatus").agg(*aggs)
+
+
+@register(
+    "agg_union_pie",
+    """
+    SELECT section, COUNT(*) AS count FROM (
+        SELECT 'goals' AS section FROM orders WHERE o_orderstatus = 'P'
+        UNION ALL
+        SELECT 'completed' AS section FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        UNION ALL
+        SELECT 'in_progress' AS section FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY section
+    """,
+)
+def agg_union_pie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + §2.8: union of three section frames then value_counts
+    (generate_reports.py:226-234)."""
+    o = read_table(spark, sf_dir, "orders")
+    goals = o.filter(F.col("o_orderstatus") == "P").select(F.lit("goals").alias("section"))
+    completed = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    ).select(F.lit("completed").alias("section"))
+    in_prog = o.filter(F.col("o_orderstatus") == "O").select(F.lit("in_progress").alias("section"))
+    return (
+        goals.unionByName(completed)
+        .unionByName(in_prog)
+        .groupBy("section")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# =====================================================================
+# Filters (SURVEY §2.4)
+# =====================================================================
+
+
+@register(
+    "filter_tag_overlap",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE list_has_any(str_split(text, ' '), ['spark', 'query'])
+    """,
+)
+def filter_tag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: array-overlap tag filter (analyze_pages.py:95-108) — tokens
+    standing in for tags."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.arrays_overlap(F.split(F.col("text"), " "), F.array(F.lit("spark"), F.lit("query")))
+    ).select("doc_id", "lang")
+
+
+@register(
+    "filter_active_items",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_active_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: active-item predicate (status ∈ set, analyze_pages.py:289-293)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "filter_immediate_action",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderstatus = 'O'
+      AND (o_orderdate < TIMESTAMP '1996-06-01 00:00:00' OR o_orderpriority = '1-URGENT')
+    """,
+)
+def filter_immediate_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: overdue-or-in-flight filter (analyze_pages.py:296-302):
+    active ∧ (past-due ∨ doing)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (
+            (F.col("o_orderdate") < F.lit("1996-06-01 00:00:00").cast("timestamp"))
+            | (F.col("o_orderpriority") == "1-URGENT")
+        )
+    ).select("o_orderkey")
+
+
+@register(
+    "filter_window_anti",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+      AND o_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def filter_window_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F10: range window minus members of an earlier section
+    (due-this-week excludes immediate NIDs, analyze_pages.py:311-315) —
+    the isin-exclusion as a left-anti join."""
+    o = read_table(spark, sf_dir, "orders")
+    in_window = o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    urgent_1995 = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return anti_members(in_window, urgent_1995, "o_custkey").select("o_orderkey", "o_custkey")
+
+
+@register(
+    "filter_backlog_topk",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderpriority ASC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 15
+    """,
+)
+def filter_backlog_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+O3: backlog sort (priority, date) + head(15)
+    (analyze_pages.py:324-341), unique-key tiebreak for determinism."""
+    o = read_table(spark, sf_dir, "orders")
+    backlog = o.filter(F.col("o_orderstatus") == "P")
+    return top_k(
+        backlog,
+        [F.asc("o_orderpriority"), F.asc("o_orderdate")],
+        15,
+        tiebreaker=F.asc("o_orderkey"),
+    ).select("o_orderkey", _fmt_d(F.col("o_orderdate")).alias("orderdate"), "o_orderpriority")
+
+
+@register(
+    "filter_not_in",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE lower(event_type) NOT IN ('click', 'view', 'purchase')
+    """,
+)
+def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: uncategorized bucket — NOT IN known vocabulary
+    (analyze_pages.py:230-243)."""
+    ev = read_table(spark, sf_dir, "events")
+    return not_in_filter(ev, "event_type", ["click", "view", "purchase"]).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "filter_substring_count",
+    """
+    SELECT lang, COUNT(*) AS count FROM documents
+    WHERE contains(lower(text), 'join') GROUP BY lang
+    """,
+)
+def filter_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: case-insensitive substring containment counts
+    (analyze_pages.py:360-374)."""
+    d = read_table(spark, sf_dir, "documents")
+    return substring_filter(d, "text", "join").groupBy("lang").agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "filter_goals_overflow",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderstatus = 'P' AND (
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P') <= 15
+        OR o_orderpriority IN ('1-URGENT', '2-HIGH')
+        OR o_orderdate <= TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def filter_goals_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: quantity-gated plan switch (generate_reports.py:447-466): when
+    goals overflow the page budget keep only urgent-or-imminent rows.
+    Driver-side count() decides between two lazy plans, like the
+    reference's `if len(goals) > 15`."""
+    o = read_table(spark, sf_dir, "orders")
+    goals = o.filter(F.col("o_orderstatus") == "P")
+    keep = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") | (
+        F.col("o_orderdate") <= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return overflow_policy_filter(goals, 15, keep).select("o_orderkey")
+
+
+# =====================================================================
+# Joins (SURVEY §2.5) + incremental merge (§2.2)
+# =====================================================================
+
+
+@register(
+    "join_parent_name",
+    """
+    SELECT c_custkey, COALESCE(n_name, 'General / No Project') AS parent_name
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_parent_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the parent-name dict-map (generate_reports.py:320) as an
+    explicit broadcast lookup with fill default."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return broadcast_lookup(
+        c, n, "c_nationkey", "n_nationkey", "n_name", "parent_name",
+        default="General / No Project",
+    ).select("c_custkey", "parent_name")
+
+
+@register(
+    "join_multi_hop_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multi_hop_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 generalized: bulk FK resolution chain lineitem→orders→customer→
+    nation→region. The dims broadcast (AQE); the single real shuffle is the
+    lineitem⋈orders join key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "join_semi_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 semi: customers holding an open order (isin → left_semi)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return semi_members(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F10 anti: customers with no orders at all (~isin → left_anti)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return anti_members(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey")
+
+
+@register(
+    "merge_keep_last",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def merge_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: keep-last upsert semantics (drop_duplicates keep='last',
+    fetch_pages.py:595-603) — latest event per user via one row_number
+    window, single shuffle on the key."""
+    ev = read_table(spark, sf_dir, "events")
+    latest = latest_per_key(ev, "user_id", [F.desc("ts"), F.desc("event_id")])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+@register(
+    "incr_changed_rows",
+    """
+    SELECT event_id, user_id FROM events e1
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      AND NOT EXISTS (
+          SELECT 1 FROM events e2
+          WHERE e2.ts < TIMESTAMP '2024-01-25 00:00:00'
+            AND e2.event_id = e1.event_id AND e2.ts = e1.ts)
+    """,
+)
+def incr_changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: watermark change detection (fetch_pages.py:570-577) — rows of
+    the new batch with no cache entry at the same (key, watermark), as a
+    left-anti join."""
+    ev = read_table(spark, sf_dir, "events")
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    cache = ev.filter(F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    return changed_rows(new, cache, "event_id", "ts").select("event_id", "user_id")
+
+
+# =====================================================================
+# Sorts / top-k (§2.7) + windows (§2.9)
+# =====================================================================
+
+
+@register(
+    "topk_oldest_pending",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 5
+    """,
+)
+def topk_oldest_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: nsmallest(5, Created) (analyze_pages.py:412). Compiles to
+    TakeOrderedAndProject — no global sort."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return top_k(o, [F.asc("o_orderdate")], 5, tiebreaker=F.asc("o_orderkey")).select(
+        "o_orderkey", _fmt_d(F.col("o_orderdate")).alias("orderdate")
+    )
+
+
+@register(
+    "window_group_boundaries",
+    """
+    SELECT user_id, COUNT(*) AS n_runs FROM (
+        SELECT user_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE is_start = 1 GROUP BY user_id
+    """,
+)
+def window_group_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: group-change section headers (generate_reports.py:527-546) —
+    lag() boundary marking, partitioned by user so no global window."""
+    ev = read_table(spark, sf_dir, "events")
+    marked = partitioned_group_boundaries(
+        ev, "user_id", "event_type", [F.asc("ts"), F.asc("event_id")]
+    )
+    return (
+        marked.filter(F.col("is_group_start"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+    )
+
+
+# =====================================================================
+# Projection / derivation (§2.3) and string/date functions (§2.10)
+# =====================================================================
+
+
+@register(
+    "proj_status_priority_scores",
+    """
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                              ELSE lower(o_orderstatus) END AS status_norm,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+                WHEN '5-LOW' THEN 4 ELSE 5 END AS priority_score,
+           COUNT(*) AS count
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def proj_status_priority_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: status normalization map + priority scoring ladder
+    (analyze_pages.py:154-180) applied to the orders vocabulary."""
+    o = read_table(spark, sf_dir, "orders")
+    status_map = F.create_map(F.lit("O"), F.lit("open"), F.lit("F"), F.lit("finished"))
+    prio_pairs = [
+        x
+        for i, p in enumerate(_PRIORITIES)
+        for x in (F.lit(p), F.lit(i))
+    ]
+    prio_map = F.create_map(*prio_pairs)
+    return (
+        o.select(
+            F.coalesce(status_map[F.col("o_orderstatus")], F.lower("o_orderstatus")).alias("status_norm"),
+            F.coalesce(prio_map[F.col("o_orderpriority")], F.lit(5)).cast("int").alias("priority_score"),
+        )
+        .groupBy("status_norm", "priority_score")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@register(
+    "proj_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def proj_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 analog: null-safe nested access — JSON property extraction from
+    the events props payload, aggregated exactly (integer sum)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "text_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 60 THEN substr(text, 1, 57) || '...' ELSE text END AS name_trunc
+    FROM documents
+    """,
+)
+def text_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: truncate_text(60) (text_style.py:142-149)."""
+    from notion_spark.functions.text import truncate_text
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", truncate_text("text", 60).alias("name_trunc"))
+
+
+@register(
+    "text_sanitize_filename",
+    """
+    SELECT doc_id,
+           translate(source || ':' || CAST(doc_id AS VARCHAR) || '?v<1>.txt',
+                     '<>:"/\\|?*', '_________') AS filename
+    FROM documents
+    """,
+)
+def text_sanitize_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: sanitize_filename (fetch_pages.py:462-467) over a synthesized
+    hostile filename."""
+    from notion_spark.functions.text import sanitize_filename
+
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"), F.lit("?v<1>.txt"))
+    return d.select("doc_id", sanitize_filename(raw).alias("filename"))
+
+
+@register(
+    "text_line_slice",
+    """
+    SELECT doc_id,
+           array_to_string(list_slice(str_split(text, ' '), 1, 5), ' ') AS head5
+    FROM documents
+    """,
+)
+def text_line_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: body truncation to N units via slice(split(...)) —
+    (generate_reports.py:97-102), tokens standing in for lines."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("head5")
+    )
+
+
+@register(
+    "text_week_label",
+    """
+    SELECT CAST(isoyear(o_orderdate) AS VARCHAR) || '-W' ||
+           lpad(CAST(week(o_orderdate) AS VARCHAR), 2, '0') AS week_label,
+           COUNT(*) AS count
+    FROM orders GROUP BY 1
+    """,
+)
+def text_week_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: ISO week labels (generate_reports.py:372, 376)."""
+    from notion_spark.functions.dates import iso_week_label
+
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(iso_week_label("o_orderdate").alias("week_label")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text analysis
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash; min-id canonical."""
+    return DD.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized fingerprint dedup (case/punct/whitespace-insensitive)."""
+    d = TA.with_fingerprint(read_table(spark, sf_dir, "documents"))
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH docs AS (
+        SELECT doc_id, source,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, greatest(len(toks) - 1, 1))]) AS sh
+        FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+    FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source (pairwise
+    similarity REQUIRES a blocking key at scale)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(d, block_key=F.col("source"), n=3, threshold=0.2)
+
+
+@register("dedup_minhash_lsh")  # rows-only: banding hash not SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard.
+    Oracle-free (xxhash64 banding has no DuckDB equivalent); recall vs the
+    exact blocked query is unit-tested (tests/test_dedup.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(d, threshold=0.2)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 bit algebra not SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 banded near-dup candidates with Hamming distance."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.simhash_candidates(d)
+
+
+_COS = (
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) / "
+    "(sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) * "
+    "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])))"
+)
+
+
+@register(
+    "sim_topk_cosine",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           round({_COS}, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS INT) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id < 3
+    QUALIFY rank <= 5
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × streamed corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+@register("sim_ann_lsh")  # rows-only: hyperplane hashing not SQL-expressible
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (single probe); recall measured against
+    brute force in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_embedding_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           round(MIN(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                    for i in range(1, 65)]))), 6) AS min_norm,
+           round(MAX(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                    for i in range(1, 65)]))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm profile per label (min/max are order-independent;
+    deliberately no floating-point SUM across rows)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    nrm = SIM.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(nrm), 6).alias("min_norm"),
+        F.round(F.max(nrm), 6).alias("max_norm"),
+    )
+
+
+def _lang_case_sql() -> str:
+    toks = (
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+    )
+    scores = []
+    for lang, markers in sorted(TA.LANG_MARKERS.items()):
+        ors = " OR ".join(f"t = '{m}'" for m in markers)
+        scores.append(f"len(list_filter({toks}, t -> {ors})) AS s_{lang}")
+    # tie-break toward the lexicographically LARGER code (mirrors Spark's
+    # array_max over struct(score, lang)) — check codes in reverse order.
+    langs_desc = sorted(TA.LANG_MARKERS, reverse=True)
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs_desc
+    ) + " END"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(TA.LANG_MARKERS)) + ")"
+    return f"""
+    SELECT lang, lang_pred, COUNT(*) AS count FROM (
+        SELECT lang, {case} AS lang_pred FROM (
+            SELECT lang, {best} AS best, * FROM (
+                SELECT lang, text, {', '.join(scores)} FROM documents)))
+    GROUP BY lang, lang_pred
+    """
+
+
+@register("text_lang_confusion", _lang_case_sql())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        TA.detect_language(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+_STOP_ORS = " OR ".join(f"t = '{s}'" for s in TA._EN_STOPWORDS)
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, stopword_ratio,
+           round(
+             (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) *
+             (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.6 END) *
+             greatest(0.0, 1.0 - punct_ratio * 2 - digit_ratio), 6) AS quality
+    FROM (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               round(CAST(length(text) AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS mean_token_len,
+               round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS digit_ratio,
+               round(CAST(len(list_filter({_TOKS}, t -> {_STOP_ORS})) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1), 6) AS stopword_ratio
+        FROM (SELECT doc_id, lower(text) AS text FROM documents))
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features + scalar score per document."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    return TA.quality_score(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "quality",
+    )
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+           CAST(length(text) AS INT) AS chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.ws_token_count("text").cast("int").alias("ws_tokens"),
+        TA.regex_token_count("text").cast("int").alias("bpe_ish_tokens"),
+        TA.char_count("text").cast("int").alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship for the driver smoke check."""
+    return q1_pricing_summary(spark, sf_dir)

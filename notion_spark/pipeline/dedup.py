@@ -98,15 +98,32 @@ def jaccard_pairs(
 
 
 # ------------------------------------------------------------ MinHash + LSH
+def _affine_consts(i: int) -> tuple[int, int]:
+    """Deterministic odd multiplier + offset for permutation i (splitmix64
+    golden-ratio constants), wrapped to signed 64-bit."""
+
+    def signed(x: int) -> int:
+        x &= 0xFFFFFFFFFFFFFFFF
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    a = signed(0x9E3779B97F4A7C15 * (2 * i + 1))
+    b = signed(0xBF58476D1CE4E5B9 * (i + 1))
+    return a | 1, b
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 64, ngram: int = 3) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, seed=i). Empty shingle sets get null mins — callers
-    filter empties first. Entirely JVM-side (higher-order functions over
-    the shingle array); no UDF, no shuffle."""
+    """MinHash signature via the one-hash + affine-permutation scheme:
+    each shingle is xxhash64'd ONCE, then permutation i is the wrap-around
+    affine map h*a_i + b_i (odd a_i ⇒ bijective mod 2^64). 64× cheaper
+    than re-hashing strings per permutation, identical collision
+    statistics. Entirely JVM-side; no UDF, no shuffle."""
     sh = token_shingles(col, ngram)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
-    )
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine_consts(i)
+        mins.append(F.array_min(F.transform(base, lambda h: h * F.lit(a) + F.lit(b))))
+    return F.array(*mins)
 
 
 def minhash_lsh_candidates(
@@ -127,9 +144,21 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = df.filter(F.size(ws_tokens(text_col)) >= ngram).select(
-        F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, ngram).alias("sig")
+    # Explode shingles to rows, hash each ONCE, then build the signature as
+    # 64 min-aggregates over affine permutations — a single map-side
+    # combined shuffle on the doc id. (The all-in-one-expression variant
+    # blows past the codegen method-size limit and falls back to
+    # interpreted eval — ~50× slower.)
+    exploded = (
+        df.filter(F.size(ws_tokens(text_col)) >= ngram)
+        .select(F.col(id_col).alias("id"), F.explode(token_shingles(text_col, ngram)).alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
     )
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine_consts(i)
+        mins.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+    sig = exploded.groupBy("id").agg(*mins)
     banded = sig.select(
         "id",
         F.explode(
@@ -137,7 +166,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bucket"),
+                        F.xxhash64(F.concat_ws(",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

@@ -78,23 +78,35 @@ def brute_force_topk(
 
 
 # ------------------------------------------------------------ sign-LSH
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _plane_coeffs(p: int, seed: int, dim: int) -> list[float]:
+    """Plane p's coefficients: pseudo-random in [-4, 4], generated
+    driver-side (identical everywhere — no model to broadcast)."""
+    return [float(_splitmix64(seed * 1_000_003 + p * dim + d) % 9 - 4) for d in range(dim)]
+
+
 def random_hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
     """Deterministic sign-LSH bucket id in [0, 2^n_planes).
 
-    Plane p's coefficient for dimension d is a pseudo-random ±1/±2/...
-    derived from xxhash64(seed, p, d) — no stored model, identical on
-    every executor, no broadcast needed.
+    Coefficients ship as literal arrays; each plane's projection is a
+    sequential zip_with/aggregate fold — deterministic element order and a
+    compact expression tree that stays inside codegen limits.
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            # deterministic pseudo-random coefficient in [-4, 4]; the
-            # xxhash64-of-literals subexpression is constant-folded by
-            # Catalyst, so runtime cost is one multiply-add per dim.
-            h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(d))
-            coeff = (F.pmod(h, F.lit(9)) - 4).cast("double")
-            proj = proj + F.coalesce(vec[d].cast("double"), F.lit(0.0)) * coeff
+        coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(p, seed, dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: F.coalesce(x.cast("double"), F.lit(0.0)) * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         bit = (proj > 0).cast("int")
         bucket = bucket + F.shiftleft(bit, p)
     return bucket

@@ -16,8 +16,17 @@ from notion_spark.schema import CANONICAL_TO_DISPLAY, COLUMN_ALIASES, TASKS_SCHE
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic test table (TESTDATA.md layout)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one synthetic test table (TESTDATA.md layout).
+
+    The events table carries TIMESTAMP(NANOS), which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL): read nanos as long and truncate to microsecond
+    timestamps — integer division, matching DuckDB's ns→us truncation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_tasks_parquet(spark: SparkSession, path: str) -> DataFrame:
