@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan; the
+driver-side result sizes are tiny so collect overhead is noise). A warmup
+run of the flagship amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # scan + agg heavy
+    "q1_pricing_summary",
+    "agg_conditional_counts",
+    "agg_crosstab_status_priority",
+    "agg_created_per_week",
+    # joins
+    "join_multi_hop_revenue",
+    "join_parent_name",
+    "filter_window_anti",
+    # windows / merge
+    "merge_keep_last",
+    "window_group_boundaries",
+    # top-k
+    "filter_backlog_topk",
+    # pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from notion_spark import parity
+    from notion_spark.session import get_spark
+
+    spark = get_spark(app_name="notion-spark-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    # Warmup: JVM JIT + codegen + parquet footer caches.
+    parity.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = parity.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "notion-spark headline queries wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
