@@ -1,0 +1,146 @@
+"""The report query suite (EP3 parity — reference backend/
+generate_reports.py). Period-windowed section frames with parent-name
+broadcast join, grouped sorts and the goals overflow policy; the PDF
+assembly itself is a driver-side render over these already-sorted frames
+(sinks/pdf_report.py holds the stub — fpdf is not in this container).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from notion_spark.config import KNOWN_STATUSES, REPORT_PERIOD_DAYS, EngineConfig
+from notion_spark.operators.filters import array_overlap_filter, overflow_policy_filter
+from notion_spark.operators.joins import broadcast_lookup
+
+NO_PROJECT = "General / No Project"
+
+
+def resolve_period(
+    period: str, now: datetime, custom: tuple[datetime, datetime] | None = None
+) -> tuple[datetime, datetime]:
+    """F11 window resolution (generate_reports.py:336-388): period end =
+    now, start = end − period days; custom passes explicit bounds."""
+    if period == "custom":
+        if custom is None:
+            raise ValueError("custom period requires explicit (start, end)")
+        return custom
+    days = REPORT_PERIOD_DAYS[period]
+    return now - timedelta(days=days), now
+
+
+def _ts(dt: datetime) -> Column:
+    return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+
+
+def with_parent_name(df: DataFrame) -> DataFrame:
+    """J1 (generate_reports.py:320): NID→Name broadcast self-join, missing
+    parents → 'General / No Project'."""
+    parents = df.filter(F.col("nid") != 0).select("nid", "name")
+    return broadcast_lookup(
+        df, parents, "parent_nid", "nid", "name", "parent_name", default=NO_PROJECT
+    )
+
+
+def clean_task_list(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """F13 (generate_reports.py:424-440): drop container rows (nid appears
+    as some row's parent_nid) whose body is empty — body is always treated
+    as empty when include_body_content is off, matching the reference."""
+    parents = df.filter(F.col("parent_nid") != 0).select(
+        F.col("parent_nid").alias("nid")
+    ).distinct()
+    body_empty = (
+        F.lit(True)
+        if not cfg.include_body_content
+        else F.coalesce(F.length(F.trim("body_content")), F.lit(0)) == 0
+    )
+    is_container = F.col("__is_container").isNotNull()
+    flagged = df.join(
+        F.broadcast(parents.withColumn("__is_container", F.lit(1))), on="nid", how="left"
+    )
+    return flagged.filter(~(is_container & body_empty)).drop("__is_container")
+
+
+def goals(df: DataFrame, start: datetime, end: datetime, cfg: EngineConfig) -> DataFrame:
+    """F12+O6 (generate_reports.py:393-405, 444-470): status='to do';
+    dated goals kept only if due ≤ period end; overflow policy keeps
+    urgent-or-imminent when > threshold; grouped sort (parent, priority,
+    due)."""
+    todo = df.filter(F.lower("status") == "to do")
+    dated = todo.filter(F.col("due").isNotNull() & (F.col("due") <= _ts(end)))
+    undated = todo.filter(F.col("due").isNull())
+    pool = dated.unionByName(undated)
+    keep = (F.col("priority_score") <= 1) | (
+        F.col("due").isNotNull() & (F.col("due") <= _ts(end + timedelta(days=14)))
+    )
+    selected = overflow_policy_filter(pool, cfg.goals_overflow_threshold, keep)
+    return with_parent_name(selected).orderBy(
+        "parent_name", "priority_score", F.asc_nulls_last("due"), "nid"
+    )
+
+
+def completed_in_period(df: DataFrame, start: datetime, end: datetime) -> DataFrame:
+    """F11+O7 (generate_reports.py:407-412, 483-485): done within the
+    window, sorted (parent asc, completed desc)."""
+    done = df.filter(
+        F.lower("status").contains("done")
+        & F.col("completed").between(_ts(start), _ts(end))
+    )
+    return with_parent_name(done).orderBy(
+        "parent_name", F.desc("completed"), "nid"
+    )
+
+
+def in_progress(df: DataFrame) -> DataFrame:
+    """O8 (generate_reports.py:489-496): doing rows, (parent, priority)."""
+    doing = df.filter(F.lower("status") == "doing")
+    return with_parent_name(doing).orderBy("parent_name", "priority_score", "nid")
+
+
+def uncategorized_report(df: DataFrame) -> DataFrame:
+    """F8 reports variant (generate_reports.py:417-421, 499-503)."""
+    return df.filter(~F.lower("status").isin(list(KNOWN_STATUSES))).orderBy("nid")
+
+
+def section_pie_counts(
+    goals_df: DataFrame, completed_df: DataFrame, in_progress_df: DataFrame
+) -> DataFrame:
+    """A5 (generate_reports.py:226-234): union of the three section frames
+    → status frequency for the pie chart."""
+    unioned = (
+        goals_df.select("status")
+        .unionByName(completed_df.select("status"))
+        .unionByName(in_progress_df.select("status"))
+    )
+    return unioned.groupBy("status").agg(F.count(F.lit(1)).alias("count")).orderBy(
+        F.desc("count"), "status"
+    )
+
+
+def report_frames(
+    df: DataFrame,
+    period: str,
+    now: datetime,
+    cfg: EngineConfig,
+    custom: tuple[datetime, datetime] | None = None,
+) -> dict[str, DataFrame]:
+    """EP3 section map (generate_reports.py:390-503). ``df`` must be
+    normalize_for_reports output; tag filter applies first
+    (generate_reports.py:177-192)."""
+    start, end = resolve_period(period, now, custom)
+    base = clean_task_list(array_overlap_filter(df, "active_tags", cfg.filter_tags), cfg)
+    g = goals(base, start, end, cfg)
+    c = completed_in_period(base, start, end)
+    p = in_progress(base)
+    out = {
+        "goals": g,
+        "completed": c,
+        "in_progress": p,
+        "pie_counts": section_pie_counts(g, c, p),
+    }
+    if cfg.include_uncategorized:
+        out["uncategorized"] = uncategorized_report(base)
+    return out

@@ -1,0 +1,65 @@
+"""PDF report sink (S10 — reference generate_reports.py:28-123, 505-600:
+fpdf document with watermark, chapters, grouped task lists, markdown
+rendering, embedded charts).
+
+fpdf is not in this container, so the RENDER is stubbed behind
+`pdf_available()`; the testable artifact is `report_payload` — the fully
+sorted/grouped/truncated row stream the renderer would consume
+(FIXTURES.md §6: "the PDF is a render concern; its input frames are the
+testable artifact").
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from notion_spark.config import EngineConfig
+from notion_spark.functions.text import truncate_lines
+
+
+def pdf_available() -> bool:
+    try:
+        import fpdf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def report_payload(
+    frames: dict[str, DataFrame], period: str, now: datetime, cfg: EngineConfig
+) -> dict:
+    """Collect the report sections as render-ready rows: body truncated to
+    cfg.body_content_max_lines (X11, generate_reports.py:97-102), grouped
+    by parent_name in section sort order (W1 boundaries implicit in the
+    ordering)."""
+    def rows(df: DataFrame) -> list[dict]:
+        cols = ["nid", "name", "status", "priority", "parent_name"]
+        present = [c for c in cols if c in df.columns]
+        out = df
+        if cfg.include_body_content and "body_content" in df.columns:
+            out = out.withColumn(
+                "body_content", truncate_lines("body_content", cfg.body_content_max_lines)
+            )
+            present.append("body_content")
+        return [r.asDict() for r in out.select(*present).collect()]
+
+    return {
+        "period": period,
+        "generated_at": now.isoformat(),
+        "sections": {name: rows(df) for name, df in frames.items() if name != "pie_counts"},
+        "pie_counts": [tuple(r) for r in frames["pie_counts"].collect()],
+    }
+
+
+def render_pdf(payload: dict, path: str) -> str:
+    """Assemble the PDF (driver-side, over the collected payload)."""
+    if not pdf_available():
+        raise NotImplementedError(
+            "fpdf not installed in this container; consume report_payload() "
+            "— the sorted section rows — directly"
+        )
+    raise NotImplementedError("PDF assembly pending a render dependency")
