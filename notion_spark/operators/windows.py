@@ -23,8 +23,10 @@ def mark_group_boundaries(
     the given total order (generate_reports.py:527-546 header emission)."""
     w = Window.orderBy(*order_by)
     prev = F.lag(F.col(group_col)).over(w)
+    # row 1 is always a boundary; after that, null-SAFE inequality so a
+    # null group key forms its own run rather than restarting every row.
     return df.withColumn(
-        out, prev.isNull() | ~(prev.eqNullSafe(F.col(group_col)))
+        out, (F.row_number().over(w) == 1) | ~(prev.eqNullSafe(F.col(group_col)))
     )
 
 
@@ -39,4 +41,6 @@ def partitioned_group_boundaries(
     single-partition window)."""
     w = Window.partitionBy(partition_col).orderBy(*order_by)
     prev = F.lag(F.col(group_col)).over(w)
-    return df.withColumn(out, prev.isNull() | ~(prev.eqNullSafe(F.col(group_col))))
+    return df.withColumn(
+        out, (F.row_number().over(w) == 1) | ~(prev.eqNullSafe(F.col(group_col)))
+    )

@@ -56,12 +56,17 @@ def export_tasks_csv(df: DataFrame, path: str) -> None:
     """CSV export in the reference's on-disk dialect: display headers and
     Python-repr'd list columns (fetch_pages.py:601-603)."""
     out = df
+    dtypes = dict(df.dtypes)
     for c in ("files_media", "children_uids", "children_nids", "active_tags"):
         if c in out.columns:
-            quoted = F.transform(F.col(c), lambda x: F.concat(F.lit("'"), x.cast("string"), F.lit("'")))
-            out = out.withColumn(c, F.concat(F.lit("["), F.concat_ws(", ", quoted), F.lit("]")))
+            if dtypes[c] == "array<string>":
+                # Python-repr style: string elements quoted, ints bare
+                elems = F.transform(F.col(c), lambda x: F.concat(F.lit("'"), x, F.lit("'")))
+            else:
+                elems = F.transform(F.col(c), lambda x: x.cast("string"))
+            out = out.withColumn(c, F.concat(F.lit("["), F.concat_ws(", ", elems), F.lit("]")))
     out = out.select([F.col(c).alias(CANONICAL_TO_DISPLAY.get(c, c)) for c in out.columns])
-    out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    out.coalesce(1).write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
 
 
 def read_tasks_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -69,7 +74,7 @@ def read_tasks_csv(spark: SparkSession, path: str) -> DataFrame:
     rehydration happens in normalize.rehydrate_list_column)."""
     from notion_spark.normalize import rehydrate_list_column
 
-    df = spark.read.option("header", True).csv(path)
+    df = spark.read.option("header", True).option("multiLine", True).option("escape", '"').csv(path)
     df = df.toDF(*[COLUMN_ALIASES.get(c.strip(), c.strip()) for c in df.columns])
     for c, t in (
         ("files_media", "string"),

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import json
+
+from notion_spark.schema import BLOCKS_SCHEMA
+from notion_spark.sources.blocks import flatten_body
+from notion_spark.sources.io import export_tasks_csv, read_tasks_csv
+from notion_spark.sources.notion import FixtureClient, blocks_df, comments_df
+from tests.fixtures import make_tasks
+
+
+def test_csv_round_trip(spark, tmp_path):
+    path = str(tmp_path / "tasks_csv")
+    df = make_tasks(spark, n=50)
+    export_tasks_csv(df, path)
+    back = read_tasks_csv(spark, path)
+    assert back.count() == 50
+    orig = {r.uid: r for r in df.collect()}
+    got = {r.uid: r for r in back.collect()}
+    for uid, r in got.items():
+        assert sorted(r.active_tags) == sorted(orig[uid].active_tags)
+        assert [int(x) for x in (r.children_nids or [])] == orig[uid].children_nids
+
+
+def test_flatten_body_ordering_and_rendering(spark):
+    def payload(text, **kw):
+        d = {
+            "rich_text": [
+                {
+                    "plain_text": text,
+                    "href": None,
+                    "annotations": {
+                        "bold": False, "italic": False, "underline": False,
+                        "strikethrough": False, "code": False,
+                    },
+                }
+            ]
+        }
+        d.update(kw)
+        return json.dumps(d)
+
+    rows = [
+        ("p1", "b1", None, 0, "heading_1", payload("Title")),
+        ("p1", "b2", None, 1, "bulleted_list_item", payload("item one")),
+        ("p1", "b3", "b2", 0, "paragraph", payload("nested")),
+        ("p1", "b4", None, 2, "to_do", payload("task", checked=True)),
+        ("p1", "b5", None, 3, "divider", json.dumps({})),
+        ("p2", "c1", None, 0, "paragraph", payload("other page")),
+    ]
+    blocks = spark.createDataFrame(rows, BLOCKS_SCHEMA)
+    out = {r.page_uid: r.body_content for r in flatten_body(blocks).collect()}
+    assert out["p1"] == "# Title\n- item one\n  nested\n[x] task\n---"
+    assert out["p2"] == "other page"
+
+
+def test_fixture_client_crawl(spark):
+    pages = [{"id": "p1"}, {"id": "p2"}]
+    blocks = {
+        "p1": [
+            {"id": "b1", "type": "paragraph", "has_children": True, "paragraph": {"rich_text": []}},
+        ],
+        "b1": [{"id": "b2", "type": "paragraph", "has_children": False, "paragraph": {}}],
+    }
+    comments = {"p1": [{"rich_text": [{"plain_text": "hello"}]}]}
+    client = FixtureClient(pages, blocks, comments)
+    bdf = blocks_df(spark, client, ["p1", "p2"])
+    rows = {r.block_id: r for r in bdf.collect()}
+    assert rows["b1"].parent_block_id is None
+    assert rows["b2"].parent_block_id == "b1"
+    cdf = comments_df(spark, client, ["p1", "p2"])
+    assert [(r.page_uid, r.text) for r in cdf.collect()] == [("p1", "hello")]
+
+
+def test_multimodal_feature_plumbing(spark):
+    from notion_spark.pipeline.multimodal import FEATURE_DIM, extract_image_features, sample_frames
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "image", b"\x89PNGfake", "image/png", {"w": "100"}),
+            ("a2", "image", b"other-bytes", "image/png", {}),
+            ("v1", "video", None, "video/mp4", {"n_frames": "100"}),
+        ],
+        "asset_id string, modality string, payload binary, mime string, meta map<string,string>",
+    )
+    feats = {r.asset_id: r for r in extract_image_features(assets).collect()}
+    assert len(feats["a1"].features) == FEATURE_DIM
+    assert feats["a1"].features != feats["a2"].features  # payload-derived
+    assert feats["a1"].width >= 64
+
+    frames = sample_frames(assets, every_n=10, max_frames=8)
+    idx = sorted(r.frame_idx for r in frames.collect())
+    assert idx == [0, 10, 20, 30, 40, 50, 60, 70]

@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from notion_spark.operators import (
+    anti_members,
+    array_overlap_filter,
+    broadcast_lookup,
+    changed_rows,
+    conditional_counts,
+    keep_last_upsert,
+    not_in_filter,
+    semi_members,
+    substring_filter,
+    top_k,
+    value_counts,
+    weekly_counts,
+)
+from notion_spark.operators.windows import mark_group_boundaries
+
+
+def test_array_overlap_filter(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, []), (4, None)], "id int, tags array<string>"
+    )
+    got = [r.id for r in array_overlap_filter(df, "tags", ["b", "z"]).collect()]
+    assert got == [1]
+    assert array_overlap_filter(df, "tags", []).count() == 4  # inactive filter = no-op
+
+
+def test_not_in_keeps_nulls(spark):
+    df = spark.createDataFrame([("Done",), ("Weird",), (None,)], "status string")
+    got = {r.status for r in not_in_filter(df, "status", ["done"]).collect()}
+    assert got == {"Weird", None}
+
+
+def test_substring_filter_null_safe(spark):
+    df = spark.createDataFrame([("All DONE here",), ("nope",), (None,)], "s string")
+    assert substring_filter(df, "s", "done").count() == 1
+
+
+def test_semi_anti_members(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    other = spark.createDataFrame([(2,), (2,), (4,)], "k int")
+    assert [r.k for r in semi_members(df, other, "k").collect()] == [2]
+    assert sorted(r.k for r in anti_members(df, other, "k").collect()) == [1, 3]
+
+
+def test_broadcast_lookup_default(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id int, fk int")
+    dim = spark.createDataFrame([(10, "ten")], "k int, v string")
+    rows = {r.id: r.nm for r in broadcast_lookup(fact, dim, "fk", "k", "v", "nm", default="none").collect()}
+    assert rows == {1: "ten", 2: "none"}
+
+
+def test_conditional_counts_single_pass(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    row = conditional_counts(df, {"evens": F.col("x") % 2 == 0, "big": F.col("x") > 7}).collect()[0]
+    assert (row.total, row.evens, row.big) == (10, 5, 2)
+
+
+def test_value_counts_order(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",), (None,)], "s string")
+    rows = [(r.s, r["count"]) for r in value_counts(df, "s").collect()]
+    assert rows[0] == ("b", 2)
+    assert len(rows) == 3
+
+
+def test_weekly_counts_anchors(spark):
+    # pandas resample('W-MON') labels Jan 1 2026 (Thu) with Mon Jan 5
+    df = spark.createDataFrame([(dt.datetime(2026, 1, 1),), (dt.datetime(2026, 1, 5),)], "ts timestamp")
+    rows = [(r.week_ending, r["count"]) for r in weekly_counts(df, "ts", "MON").collect()]
+    assert rows == [(dt.date(2026, 1, 5), 2)]
+    rows = [(r.week_ending, r["count"]) for r in weekly_counts(df, "ts", "SUN").collect()]
+    assert rows == [(dt.date(2026, 1, 4), 1), (dt.date(2026, 1, 11), 1)]
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y"), (0, "z")], "p int, id string")
+    rows = top_k(df, [F.asc("p")], 2, tiebreaker=F.asc("id")).collect()
+    assert [(r.p, r.id) for r in rows] == [(0, "z"), (1, "x")]
+
+
+def test_keep_last_upsert(spark):
+    old = spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int")
+    new = spark.createDataFrame([("b", 2), ("c", 2)], "k string, v int")
+    rows = {r.k: r.v for r in keep_last_upsert(old, new, "k").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 2}
+
+
+def test_changed_rows_watermark(spark):
+    t1, t2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    cache = spark.createDataFrame([("a", t1), ("b", t1)], "uid string, wm timestamp")
+    fetched = spark.createDataFrame([("a", t1), ("b", t2), ("c", t1)], "uid string, wm timestamp")
+    got = sorted(r.uid for r in changed_rows(fetched, cache, "uid", "wm").collect())
+    assert got == ["b", "c"]  # unchanged 'a' skipped, modified 'b' + new 'c' fetched
+
+
+def test_mark_group_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "p1"), (2, "p1"), (3, "p2"), (4, None), (5, None)], "ord int, grp string"
+    )
+    rows = mark_group_boundaries(df, "grp", [F.asc("ord")]).orderBy("ord").collect()
+    assert [r.is_group_start for r in rows] == [True, False, True, True, False]
