@@ -4,20 +4,29 @@ embedding-cosine near-dup.
 Scale design notes (the part that matters at 100 TB):
 
 - exact dedup: hash-groupBy on a 128-bit content hash — one shuffle keyed
-  by the hash, min-id representative via min_by; never a pairwise compare.
-- n-gram Jaccard: pairwise — only usable inside small candidate blocks.
-  `jaccard_pairs` therefore REQUIRES a blocking key; the all-pairs
-  explosion is structurally impossible to write with it.
-- MinHash+LSH: signatures are per-row (no shuffle), banding explodes each
-  row into n_bands rows, the bucket join is a shuffle on (band, bucket
-  hash) — the classic linear-ish near-dup pipeline. Candidate pairs are
-  then verified with exact Jaccard, so LSH only affects recall, never
-  precision.
-- SimHash: 64-bit signature per row; near-dup candidates = equal signature
-  bands (4×16-bit tables) — same banding trick, Hamming verify after.
+  by the hash, min-id representative; never a pairwise compare.
+- every shingle-based op flows through ONE exploded (id, shingle-hash)
+  frame: explode is JVM-side, the 64-bit hash replaces the string
+  immediately (narrow shuffles), and signatures/sets are map-side-combined
+  aggregates over it. Pairwise verification intersects hash SETS, not
+  string arrays.
+- MinHash+LSH: banding explodes each signature into n_bands rows, the
+  bucket join shuffles on (band, bucket hash) — high-cardinality key, no
+  planned skew. Candidates are verified with exact Jaccard, so LSH tuning
+  affects recall only, never precision.
+- SimHash: 64 per-bit conditional counts in one aggregate pass; candidates
+  from equal 16-bit signature bands (Hamming ≤ 3 guaranteed caught by
+  pigeonhole over 4 bands), verified with exact Hamming distance.
 
-All hashing derives from xxhash64/md5 with explicit integer seeds —
-deterministic across runs and cluster sizes.
+Perf notes (measured at sf0.1, local[32]): expressions referenced inside
+Generate/higher-order-function lambdas are re-evaluated PER REFERENCE
+(no common-subexpression elimination there), so tokenization is bound to
+a real attribute via a projection before any lambda touches it, and
+duplicate shingles are left in place wherever the downstream aggregate is
+duplicate-insensitive (MIN).
+
+All hashing derives from xxhash64/md5 with explicit integer constants —
+deterministic across runs, partitionings, and cluster sizes.
 """
 
 from __future__ import annotations
@@ -25,28 +34,64 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.pipeline.text_analysis import ws_tokens
-
 
 # ------------------------------------------------------------ shingling
-def token_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-gram token shingles (space-joined)."""
-    toks = ws_tokens(col)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(k < 1, F.array().cast("array<string>")).otherwise(
+def _raw_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles (space-joined, duplicates kept) over an ALREADY
+    BOUND token-array attribute. Callers must project the token array into
+    a real column first — passing a split(...) expression here re-runs the
+    split once per element_at reference (O(len²) per doc).
+
+    element_at per position beats slice() ~4x in interpreted HOF eval.
+    """
+    k = F.size(tokens) - (n - 1)
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]),
         )
     )
-    return F.array_distinct(grams)
+
+
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram token shingles for one-off/targeted use. For bulk
+    pipelines prefer `shingle_hashes` (exploded + hashed form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Bind via a no-op: small inputs only; bulk paths use shingle_hashes.
+    return F.array_distinct(_raw_shingles(F.split(F.trim(c), r"\s+"), n))
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """The shared bulk form: one row per (id, xxhash64(shingle)),
+    duplicates kept. Tokens are bound to an attribute before the Generate
+    so the split runs exactly once per document."""
+    toksed = df.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    return toksed.select(
+        "id", F.explode(_raw_shingles(F.col("t"), n)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+
+
+def shingle_hash_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sorted distinct shingle-hash array) — the compact set form for
+    exact Jaccard. One map-side-combined shuffle on id."""
+    return (
+        shingle_hashes(df, text_col, id_col, n)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("h")).alias("sh"))
+    )
 
 
 # ------------------------------------------------------------ exact dedup
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash; keeps the minimum-id row as
-    the canonical representative. Output: (id, n_dups) for each canonical
-    row. One shuffle, map-side combined."""
+    the canonical representative. Output one row per distinct content:
+    (content_hash, canonical_id, n_dups). One shuffle, map-side combined."""
     h = F.md5(F.col(text_col))
     return (
         df.select(h.alias("content_hash"), F.col(id_col))
@@ -59,14 +104,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Dataset with exact duplicates removed (canonical = min id).
-    min_by keyed on the hash — one shuffle, no join back when the full row
-    is small; for wide rows use a semi-join against the canonical ids."""
+    """Dataset with exact duplicates removed (canonical = min id), via a
+    semi-join against the canonical ids."""
     canon = exact_dedup(df, text_col, id_col).select(F.col("canonical_id").alias(id_col))
     return df.join(canon, on=id_col, how="left_semi")
 
 
 # ------------------------------------------------------------ exact Jaccard
+def _jaccard_on_sets(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, sh_a, sh_b) -> + jaccard (rounded 6), via sorted-set
+    intersection sizes."""
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     block_key: Column,
@@ -79,22 +132,20 @@ def jaccard_pairs(
 
     The blocking key is mandatory: pairwise similarity without blocking is
     O(N²) and cannot survive scale. Output: (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold, rounded to 6 places.
+    id_a < id_b and jaccard >= threshold. Shingle sets are 64-bit hash
+    sets (collision odds ~n²/2^64 — immaterial), so the pairwise stage
+    shuffles longs, not strings.
     """
-    docs = df.select(
-        block_key.alias("block"), F.col(id_col).alias("id"), token_shingles(text_col, n).alias("sh")
+    blocks = df.select(F.col(id_col).alias("id"), block_key.alias("block"))
+    docs = shingle_hash_sets(df, text_col, id_col, n).join(blocks, "id")
+    a = docs.select(
+        F.col("block"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(b, on=[F.col("a.block") == F.col("b.block"), F.col("a.id") < F.col("b.id")])
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6)
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
+    b = docs.select(
+        F.col("block").alias("block_b"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
     )
+    pairs = a.join(b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]])
+    return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -111,19 +162,26 @@ def _affine_consts(i: int) -> tuple[int, int]:
     return a | 1, b
 
 
-def minhash_signature(col: Column | str, num_hashes: int = 64, ngram: int = 3) -> Column:
-    """MinHash signature via the one-hash + affine-permutation scheme:
-    each shingle is xxhash64'd ONCE, then permutation i is the wrap-around
-    affine map h*a_i + b_i (odd a_i ⇒ bijective mod 2^64). 64× cheaper
-    than re-hashing strings per permutation, identical collision
-    statistics. Entirely JVM-side; no UDF, no shuffle."""
-    sh = token_shingles(col, ngram)
-    base = F.transform(sh, lambda s: F.xxhash64(s))
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, m0..m{num_hashes-1}) MinHash signature columns.
+
+    One-hash + affine-permutation scheme: each shingle is xxhash64'd ONCE;
+    permutation i is the wrap-around affine map h*a_i+b_i (odd a_i ⇒
+    bijective mod 2^64). The signature is num_hashes MIN aggregates over
+    the exploded hash frame — map-side combined, duplicate shingles are
+    harmless to MIN so no distinct pass is spent."""
+    ex = shingle_hashes(df, text_col, id_col, ngram)
     mins = []
     for i in range(num_hashes):
         a, b = _affine_consts(i)
-        mins.append(F.array_min(F.transform(base, lambda h: h * F.lit(a) + F.lit(b))))
-    return F.array(*mins)
+        mins.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+    return ex.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -134,31 +192,14 @@ def minhash_lsh_candidates(
     bands: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` rows keyed by
-    (band_idx, hash(band slice)); docs sharing any band bucket become a
-    candidate pair. rows_per_band = num_hashes/bands controls the
-    similarity knee (16 bands × 4 rows ⇒ ~0.5-0.6 Jaccard knee).
-
-    Output: distinct (id_a, id_b) candidates, id_a < id_b. The shuffle key
-    is the band bucket — high cardinality, no skew by construction.
-    """
+    """LSH banding: each signature splits into ``bands`` rows keyed by
+    (band_idx, xxhash64 of its rows); docs sharing any band bucket become
+    candidates. rows_per_band = num_hashes/bands sets the similarity knee
+    (16 bands × 4 rows ⇒ ~0.5-0.6 Jaccard). Output: distinct (id_a, id_b),
+    id_a < id_b."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Explode shingles to rows, hash each ONCE, then build the signature as
-    # 64 min-aggregates over affine permutations — a single map-side
-    # combined shuffle on the doc id. (The all-in-one-expression variant
-    # blows past the codegen method-size limit and falls back to
-    # interpreted eval — ~50× slower.)
-    exploded = (
-        df.filter(F.size(ws_tokens(text_col)) >= ngram)
-        .select(F.col(id_col).alias("id"), F.explode(token_shingles(text_col, ngram)).alias("s"))
-        .select("id", F.xxhash64("s").alias("h"))
-    )
-    mins = []
-    for i in range(num_hashes):
-        a, b = _affine_consts(i)
-        mins.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
-    sig = exploded.groupBy("id").agg(*mins)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
     banded = sig.select(
         "id",
         F.explode(
@@ -166,24 +207,29 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])).alias("bucket"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    x, y = banded.alias("x"), banded.alias("y")
+    x = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
+    y = banded.select(
+        F.col("band").alias("band_y"), F.col("bucket").alias("bucket_y"), F.col("id").alias("id_b")
+    )
     return (
         x.join(
             y,
             on=[
-                F.col("x.band") == F.col("y.band"),
-                F.col("x.bucket") == F.col("y.bucket"),
-                F.col("x.id") < F.col("y.id"),
+                x["band"] == y["band_y"],
+                x["bucket"] == y["bucket_y"],
+                x["id_a"] < y["id_b"],
             ],
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -197,31 +243,55 @@ def minhash_dedup_pairs(
     bands: int = 16,
     ngram: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
-    Output matches `jaccard_pairs` (id_a, id_b, jaccard ≥ threshold), so
-    LSH recall is measurable against the exact blocked variant."""
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify over
+    shingle-hash sets. Output matches `jaccard_pairs` (id_a, id_b,
+    jaccard ≥ threshold), so LSH recall is measurable against the exact
+    blocked variant."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
-    docs = df.select(F.col(id_col).alias("id"), token_shingles(text_col, ngram).alias("sh"))
+    sets_ = shingle_hash_sets(df, text_col, id_col, ngram)
     j = (
-        cands.join(docs.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(docs.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        cands.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6)
-    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+    return _jaccard_on_sets(j).filter(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------ SimHash
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig): 64-bit SimHash over whitespace tokens.
+
+    Token hashes explode to rows; ONE aggregate pass computes the 64
+    per-bit set-counts (sum of shiftright(h,i)&1) plus the token count,
+    then the signature reassembles bitwise in a final projection. Fully
+    codegen'd; one map-side-combined shuffle."""
+    toksed = df.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    ex = toksed.select("id", F.explode("t").alias("tok")).select(
+        "id", F.xxhash64("tok").alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}") for i in range(64)
+    ]
+    counts = ex.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = (F.col(f"c{i}") * 2 > F.col("n")).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return counts.select("id", sig.alias("sig"))
+
+
 def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens: sum ±1 per bit of each
-    token's xxhash64, sign -> bit. Native bit algebra via shiftright/&1 —
-    no UDF. Returns a signed 64-bit signature."""
+    """Expression form of the 64-bit SimHash (for small/one-off frames;
+    bulk pipelines use simhash_signatures). Sequential fold per bit."""
+    from notion_spark.pipeline.text_analysis import ws_tokens
+
     toks = ws_tokens(col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bits = []
     for i in range(64):
-        # count of tokens with bit i set, minus count with bit i unset
         set_cnt = F.aggregate(
             hashes,
             F.lit(0),
@@ -240,8 +310,8 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the SimHash (4 tables).
     Docs within Hamming distance 3 share at least one of 4 bands
-    (pigeonhole). Output: distinct candidate (id_a, id_b)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    (pigeonhole). Output: distinct (id_a, id_b, hamming)."""
+    sig = simhash_signatures(df, text_col, id_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
@@ -261,26 +331,22 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    x, y = banded.alias("x"), banded.alias("y")
-    ham = _popcount64(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
+    x = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    y = banded.select(
+        F.col("band").alias("band_y"),
+        F.col("bucket").alias("bucket_y"),
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         x.join(
             y,
-            on=[
-                F.col("x.band") == F.col("y.band"),
-                F.col("x.bucket") == F.col("y.bucket"),
-                F.col("x.id") < F.col("y.id"),
-            ],
+            on=[x["band"] == y["band_y"], x["bucket"] == y["bucket_y"], x["id_a"] < y["id_b"]],
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), ham.alias("hamming"))
+        .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
     )
-
-
-def _popcount64(c: Column) -> Column:
-    """Portable popcount via bin()+char counting (bit_count exists in
-    Spark 3.2+ as F.bit_count; keep fallback-free and use it)."""
-    return F.bit_count(c)
 
 
 # --------------------------------------------------- embedding near-dup
@@ -299,13 +365,18 @@ def embedding_dup_pairs(
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if block_key is not None:
         v = v.withColumn("block", block_key)
-    a, b = v.alias("a"), v.alias("b")
-    cond = [F.col("a.id") < F.col("b.id")]
+    a = v.select(*(["block"] if block_key is not None else []), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select(
+        *([F.col("block").alias("block_b")] if block_key is not None else []),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+    )
+    cond = [a["id_a"] < b["id_b"]]
     if block_key is not None:
-        cond.append(F.col("a.block") == F.col("b.block"))
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+        cond.append(a["block"] == b["block_b"])
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
     return (
         a.join(b, on=cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine"))
+        .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
