@@ -968,6 +968,127 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_weekly_velocity_wmon",
+    """
+    SELECT * FROM (
+        SELECT strftime(CAST(date_trunc('week', ts - INTERVAL 1 DAY) + INTERVAL 7 DAY AS DATE),
+                        '%Y-%m-%d') AS week_ending,
+               COUNT(*) AS count
+        FROM events GROUP BY 1 ORDER BY week_ending DESC LIMIT 12)
+    ORDER BY week_ending
+    """,
+)
+def agg_weekly_velocity_wmon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with the reference's EXACT pandas anchoring: resample('W-MON')
+    labels each bucket by the Monday that CLOSES it (analyze_pages.py:438),
+    tail(12) re-sorted ascending."""
+    from notion_spark.operators.aggregates import weekly_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    out = weekly_counts(ev, "ts", anchor="MON", last_n=12)
+    return out.select(_fmt_d(F.col("week_ending")).alias("week_ending"), "count")
+
+
+@register(
+    "agg_created_per_week_wsun",
+    """
+    SELECT strftime(CAST(date_trunc('week', ts) + INTERVAL 6 DAY AS DATE), '%Y-%m-%d') AS week_ending,
+           COUNT(*) AS count
+    FROM events GROUP BY 1
+    """,
+)
+def agg_created_per_week_wsun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 with the golden sample's W-SUN anchoring (line 77): buckets
+    labeled by the Sunday that closes them."""
+    from notion_spark.operators.aggregates import weekly_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    out = weekly_counts(ev, "ts", anchor="SUN")
+    return out.select(_fmt_d(F.col("week_ending")).alias("week_ending"), "count")
+
+
+@register(
+    "agg_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (two-phase partial distinct at scale)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "filter_pushdown_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%PROMO%'
+    ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+    """,
+)
+def filter_pushdown_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown showcase: both filters reach the parquet scan
+    (PushedFilters: size range + string contains), then top-k."""
+    p = read_table(spark, sf_dir, "part")
+    return top_k(
+        p.filter(F.col("p_size").between(10, 20) & F.col("p_type").contains("PROMO")),
+        [F.desc("p_retailprice")],
+        20,
+        tiebreaker=F.asc("p_partkey"),
+    ).select("p_partkey", "p_name", "p_retailprice")
+
+
+@register(
+    "join_supplier_nation",
+    """
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + order-independent extremes (no double sums)."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min("s_acctbal").alias("min_bal"),
+            F.max("s_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "proj_timestamp_roundtrip",
+    """
+    SELECT CAST(hour(strptime(s, '%Y-%m-%d %H:%M:%S')) AS INT) AS hr, COUNT(*) AS count
+    FROM (SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS s FROM events)
+    GROUP BY 1
+    """,
+)
+def proj_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: string→timestamp parsing (format + reparse round trip), hourly
+    histogram. Offset-bearing input parity is unit-tested
+    (tests/test_normalize.py::test_parse_mixed_timestamps)."""
+    from notion_spark.normalize import parse_mixed_timestamps
+
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("due"))
+    parsed = parse_mixed_timestamps(s, "due")
+    return parsed.groupBy(F.hour("due").cast("int").alias("hr")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
