@@ -1,0 +1,113 @@
+"""End-to-end pipeline orchestration (EP1 parity — reference app.py:23-108).
+
+The reference runs fetch → cache-upsert → analyze → 6 report invocations
+serially, re-reading its CSV cache at every step. Here the pipeline is:
+
+1. ingest (connector → assemble_tasks, set-at-a-time)
+2. incremental merge into the Parquet canonical store (M1 + M2)
+3. ONE cached normalized frame feeding every analysis/report query lazily
+   (the reference re-reads + re-normalizes 7×, SURVEY §4)
+4. sinks: golden text report, chart data, report payloads, CSV/JSON export
+
+Everything takes an injected ``now`` — no wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from notion_spark.config import EngineConfig
+from notion_spark.normalize import normalize_for_analysis, normalize_for_reports
+from notion_spark.operators.incremental import changed_rows, keep_last_upsert
+from notion_spark.queries import analysis as analysis_q
+from notion_spark.queries import reports as reports_q
+from notion_spark.sinks.pdf_report import report_payload
+from notion_spark.sinks.text_report import render_analysis
+from notion_spark.sources.io import export_tasks_csv, export_tasks_json
+
+
+@dataclass
+class PipelineResult:
+    n_fetched: int
+    n_changed: int
+    n_cached: int
+    analysis_text: str | None = None
+    report_payloads: dict[str, dict] = field(default_factory=dict)
+
+
+def refresh_cache(
+    spark: SparkSession, fetched: DataFrame, cache_path: str
+) -> tuple[DataFrame, int]:
+    """M1+M2: skip unchanged rows by (uid, updated_time) watermark, merge
+    the rest keep-last into the canonical Parquet store. Returns (merged
+    frame, n_changed)."""
+    if os.path.exists(cache_path):
+        cache = spark.read.parquet(cache_path)
+        delta = changed_rows(fetched, cache, "uid", "updated_time")
+        n_changed = delta.count()
+        merged = keep_last_upsert(cache, delta, "uid")
+    else:
+        delta = fetched
+        n_changed = fetched.count()
+        merged = fetched
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(cache_path + ".tmp")
+    merged.unpersist()
+    # atomic-ish swap (single-writer local store; real deployments use a
+    # table format with transactional MERGE instead)
+    import shutil
+
+    if os.path.exists(cache_path):
+        shutil.rmtree(cache_path)
+    os.rename(cache_path + ".tmp", cache_path)
+    return spark.read.parquet(cache_path), n_changed
+
+
+def run_pipeline(
+    spark: SparkSession,
+    fetched_tasks: DataFrame,
+    cache_dir: str,
+    now: datetime,
+    cfg: EngineConfig = EngineConfig(),
+    periods: tuple[str, ...] = ("daily", "weekly", "biweekly", "monthly", "yearly"),
+    export: bool = True,
+) -> PipelineResult:
+    """The full EP1 step list (app.py:23-99) over an already-fetched
+    tasks frame (the connector is injected upstream — tests use fixtures,
+    production passes assemble_tasks output)."""
+    cache_path = os.path.join(cache_dir, "tasks.parquet")
+    n_fetched = fetched_tasks.count()
+    merged, n_changed = refresh_cache(spark, fetched_tasks, cache_path)
+
+    if export:
+        export_tasks_csv(merged, os.path.join(cache_dir, "tasks_csv"))
+        export_tasks_json(merged, os.path.join(cache_dir, "tasks_json"))
+
+    # EP2: analysis over ONE cached normalized frame
+    analyzed = normalize_for_analysis(merged).cache()
+    sections = analysis_q.run_all(analyzed, now, cfg)
+    text = render_analysis(sections, now, cfg)
+    with open(os.path.join(cache_dir, "analysis_output.txt"), "w") as f:
+        f.write(text)
+
+    # EP3: one report per period (app.py:72-99)
+    reported = normalize_for_reports(merged).cache()
+    payloads = {}
+    for period in periods:
+        frames = reports_q.report_frames(reported, period, now, cfg)
+        payloads[period] = report_payload(frames, period, now, cfg)
+    analyzed.unpersist()
+    reported.unpersist()
+
+    return PipelineResult(
+        n_fetched=n_fetched,
+        n_changed=n_changed,
+        n_cached=merged.count(),
+        analysis_text=text,
+        report_payloads=payloads,
+    )
