@@ -1,0 +1,97 @@
+"""Sessionization — gap-based session assignment over an event stream.
+
+Two implementations with identical semantics (gap > timeout ⇒ new
+session):
+
+- `sessionize_batch`: native window functions — lag + cumulative sum of
+  boundary flags per user. One shuffle; the batch/backfill path.
+- `sessionize_stream`: applyInPandasWithState — the custom stateful
+  streaming operator (SURVEY §2.12 stretch surface; the reference has no
+  streaming at all). Keeps (last_ts, session_seq) per user between
+  micro-batches, emits rows as they arrive with their session ids.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+SESSION_SCHEMA = "user_id long, ts timestamp, session_id string"
+_STATE_SCHEMA = "last_ts double, seq int"
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Batch sessionization: session boundary where the gap to the
+    previous event exceeds ``gap_minutes``; session_id =
+    '<user>-<seq>'. One shuffle (the per-user window)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    is_start = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    seq = F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        "session_id", F.concat_ws("-", F.col(user_col).cast("string"), seq.cast("string"))
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState: per-user state
+    carries (last event time, session counter) across micro-batches.
+
+    State is two scalars per user — memory-bounded regardless of stream
+    length; a processing-time timeout would evict idle users in a
+    long-running deployment (kept NoTimeout here for determinism)."""
+    gap_s = gap_minutes * 60.0
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        # One event-time sort across the whole micro-batch (chunks of the
+        # iterator arrive in arbitrary order); ordering ACROSS batches is
+        # arrival order, as for any append-mode stateful op.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            state.update((last_ts, seq))
+            return
+        pdf = pd.concat(chunks).sort_values(ts_col)
+        ids = []
+        for ts in pdf[ts_col]:
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_s:
+                seq += 1
+            last_ts = t
+            ids.append(f"{user}-{seq}")
+        state.update((last_ts, seq))
+        yield pd.DataFrame({"user_id": pdf[user_col], "ts": pdf[ts_col], "session_id": ids})
+
+    return (
+        stream.groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from notion_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _events(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=10)),   # same session
+        (1, T0 + dt.timedelta(minutes=50)),   # gap 40m -> new session
+        (2, T0),
+        (2, T0 + dt.timedelta(hours=2)),      # new session
+        (2, T0 + dt.timedelta(hours=2, minutes=5)),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+EXPECTED = {
+    (1, T0): "1-1",
+    (1, T0 + dt.timedelta(minutes=10)): "1-1",
+    (1, T0 + dt.timedelta(minutes=50)): "1-2",
+    (2, T0): "2-1",
+    (2, T0 + dt.timedelta(hours=2)): "2-2",
+    (2, T0 + dt.timedelta(hours=2, minutes=5)): "2-2",
+}
+
+
+def test_sessionize_batch(spark):
+    got = {(r.user_id, r.ts): r.session_id for r in sessionize_batch(_events(spark)).collect()}
+    assert got == EXPECTED
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    # two micro-batch files split mid-session: state must carry across
+    ev = _events(spark).orderBy("user_id", "ts").collect()
+    # single-part files: multi-part writes would stream as separate,
+    # arbitrarily-ordered micro-batches (out-of-order event time)
+    spark.createDataFrame(ev[:3], "user_id long, ts timestamp").coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(ev[3:], "user_id long, ts timestamp").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.ts): r.session_id
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == EXPECTED
+
+
+def test_skew_joins(spark):
+    from notion_spark.operators.skew import hot_key_split_join, salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range({"hot": 500, "cold": 5}[k])],
+        "k string, v int",
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("orphan", "O")], "k string, name string")
+
+    plain = left.join(right, "k").count()
+    assert salted_join(left, right, "k", salts=8).count() == plain
+    assert hot_key_split_join(left, right, "k", top_n=1).count() == plain
+    # left join keeps unmatched left rows exactly once
+    lonly = spark.createDataFrame([("nomatch", 1)], "k string, v int")
+    assert salted_join(lonly, right, "k", salts=4, how="left").count() == 1
