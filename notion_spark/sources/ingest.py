@@ -57,9 +57,20 @@ def parse_pages(raw_df: DataFrame, props: dict[str, str] | None = None) -> DataF
     p = {**DEFAULT_PROPS, **(props or {})}
     raw = F.col("raw")
 
-    title_parts = F.from_json(
-        F.get_json_object(raw, f"$.properties['{p['name']}'].title[*].plain_text"),
-        "array<string>",
+    def str_array(jsonpath_result: Column) -> Column:
+        """get_json_object's [*] yields a JSON array for 2+ matches but a
+        BARE SCALAR for exactly one — parse the array form, fall back to
+        wrapping the scalar."""
+        return F.coalesce(
+            F.from_json(jsonpath_result, "array<string>"),
+            # single match is a quoted JSON scalar ('"Solo"') — wrap it in
+            # brackets and parse as a one-element array to unquote
+            F.from_json(F.concat(F.lit("["), jsonpath_result, F.lit("]")), "array<string>"),
+            F.array().cast("array<string>"),
+        )
+
+    title_parts = str_array(
+        F.get_json_object(raw, f"$.properties['{p['name']}'].title[*].plain_text")
     )
     title = F.concat_ws("", title_parts)
 
@@ -69,12 +80,8 @@ def parse_pages(raw_df: DataFrame, props: dict[str, str] | None = None) -> DataF
     )
     file_names = F.transform(files, lambda f: sanitize_filename(f["name"]))
 
-    children = F.coalesce(
-        F.from_json(
-            F.get_json_object(raw, f"$.properties['{p['children']}'].relation[*].id"),
-            "array<string>",
-        ),
-        F.array().cast("array<string>"),
+    children = str_array(
+        F.get_json_object(raw, f"$.properties['{p['children']}'].relation[*].id")
     )
 
     out = raw_df.select(

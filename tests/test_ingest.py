@@ -86,3 +86,16 @@ def test_property_remapping(spark):
     page["properties"]["My Status"] = page["properties"].pop("Status")
     row = assemble_tasks(spark, [page], props={"status": "My Status"}).collect()[0]
     assert row.status == "Doing"
+
+
+def test_single_element_title_and_child(spark):
+    # get_json_object returns a bare scalar for single-element [*] matches —
+    # regression for titles/relations silently becoming empty
+    pages = [
+        _page("pg-1", 1, ["Solo"], children=("pg-2",)),
+        _page("pg-2", 2, ["Kid"], parent="pg-1"),
+    ]
+    tasks = {r.uid: r for r in assemble_tasks(spark, pages).collect()}
+    assert tasks["pg-1"].name == "Solo"
+    assert tasks["pg-1"].children_uids == ["pg-2"]
+    assert tasks["pg-1"].children_nids == [2]
