@@ -844,6 +844,29 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
+@register("dedup_cluster_collapse")  # rows-only: iterative fixpoint not SQL-expressible
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → collapse to canonical rows
+    (the standard MinHash-dedup last mile; unit-tested in
+    tests/test_dedup.py against known cluster shapes)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, threshold=0.2)
+    return DD.dedup_clusters(d, pairs).select("doc_id", "source", "lang")
+
+
+@register("sim_ann_ivf")  # rows-only: iterative centroid training not SQL-expressible
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic codebook, nprobe=2 cell probes per
+    query; recall vs brute force covered in tests/test_similarity.py
+    (nprobe=K recovers exact top-k)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 @register("sim_ann_lsh")  # rows-only: hyperplane hashing not SQL-expressible
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-k (single probe); recall measured against

@@ -349,6 +349,76 @@ def simhash_candidates(
     )
 
 
+# --------------------------------------------- dup-cluster resolution
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (id, component) where
+    component is the MINIMUM id reachable through the pair graph — the
+    canonical representative each duplicate collapses to.
+
+    Min-label propagation to fixpoint: each round joins every node's
+    current label against its neighbors' and keeps the smaller; rounds
+    needed = graph diameter (near-dup clusters are shallow — a handful).
+    The loop is driver-side over lazy plans with a convergence check per
+    round; each round is one shuffle join. Label frames are cached and
+    materialized per round so plan depth stays constant-ish.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # neighbor's label, propagated across each edge
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full collapse: given near-dup pairs, keep one canonical row (the
+    minimum id) per connected cluster; singletons (no pair) survive
+    untouched. The standard last step of a MinHash dedup pipeline."""
+    comp = connected_components(pairs)
+    dupes = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dupes, id_col, "left_anti")
+
+
 # --------------------------------------------------- embedding near-dup
 def embedding_dup_pairs(
     df: DataFrame,

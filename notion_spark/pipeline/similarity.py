@@ -148,6 +148,116 @@ def lsh_topk(
     )
 
 
+# ------------------------------------------------------------ IVF-flat
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seed centroids from the ``n_centroids``
+    lowest-id vectors, refine with a few Lloyd iterations computed IN
+    SPARK (assignment via broadcast argmin, means via groupBy+per-dim
+    avg). Driver only ever holds the K×dim codebook.
+
+    float→double averaging is not cross-engine reproducible, which is fine
+    here: the codebook only shapes recall, exactness lives in the scoring.
+    """
+    seeds = [
+        [float(x) for x in r.v]
+        for r in corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    ]
+    centroids = seeds
+    dim = len(seeds[0])
+    for _ in range(iterations):
+        assigned = corpus.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+            *[F.element_at(F.col(vec_col), d + 1).cast("double").alias(f"d{d}") for d in range(dim)],
+        )
+        rows = (
+            assigned.groupBy("c")
+            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        new = {r["c"]: [r[f"d{d}"] for d in range(dim)] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance to each literal centroid; the
+    centroid loop unrolls into the plan (K small by design)."""
+    best = None
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pair = F.struct(d2.alias("d"), F.lit(ci).alias("i"))
+        best = pair if best is None else F.least(best, pair)
+    return best["i"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat search: corpus rows hold their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells only. Same output shape
+    as brute_force_topk; recall grows with nprobe (nprobe=K is exact).
+
+    At scale the corpus side is written partitioned by cell, so a probe
+    is a partition-pruned scan rather than a full pass."""
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    )
+    # query-side: nprobe nearest cells via posexplode of distances
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(float(x)) for x in cen]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cen in centroids
+        ]
+    )
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    q_cells = (
+        q.select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+    scored = c.join(F.broadcast(q_cells), "cell").select(
+        "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, query_id_col: str = "query_id", id_col: str = "vec_id") -> float:
     """Mean fraction of exact top-k recovered by the approximate result."""
     e = exact.select(query_id_col, id_col)

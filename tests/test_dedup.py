@@ -67,3 +67,27 @@ def test_embedding_dup_pairs(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = D.embedding_dup_pairs(df, threshold=0.95).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_connected_components_chains_and_clusters(spark):
+    # chain 1-2-3, pair 10-11, star 20-(21,22); 3 components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_keeps_canonical_and_singletons(spark):
+    df = spark.createDataFrame([(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in D.dedup_clusters(df, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
+def test_end_to_end_minhash_collapse(spark):
+    docs = _docs(spark)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    kept = sorted(r.doc_id for r in D.dedup_clusters(docs, pairs).collect())
+    # 1,2 exact dups and 3 near-dup of 1 -> all collapse to 1; 4,5 survive
+    assert kept == [1, 4, 5]

@@ -45,3 +45,21 @@ def test_lsh_topk_recall(spark, sf_dir):
     # the query itself always lands in its own bucket -> rank-1 self hit
     self_hits = approx.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count()
     assert self_hits == 5
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = S.train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    r2 = S.recall_at_k(exact, approx)
+    assert r2 > 0.3
+    # nprobe = K is exhaustive -> exact recall
+    full = S.ivf_topk(emb, queries, centroids, k=5, nprobe=8)
+    assert S.recall_at_k(exact, full) == 1.0
+    # self-hit at rank 1 in every probe setting
+    assert approx.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count() == 5
