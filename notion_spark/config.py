@@ -69,6 +69,29 @@ class EngineConfig:
 
         return replace(self, filter_tags=tuple(tags))
 
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "EngineConfig":
+        """Build from the reference's .env knobs (globals.py:86-104):
+        NOTION_TAGS_LIST (comma-separated), INCLUDE_BODY_CONTENT,
+        INCLUDE_UNCATEGORIZED, BODY_CONTENT_MAX_LINES."""
+        import os
+
+        e = os.environ if env is None else env
+
+        def flag(name: str, default: bool) -> bool:
+            v = e.get(name)
+            return default if v is None else v.strip().lower() in ("1", "true", "yes")
+
+        tags = tuple(
+            t.strip() for t in e.get("NOTION_TAGS_LIST", "").split(",") if t.strip()
+        )
+        return cls(
+            filter_tags=tags,
+            include_body_content=flag("INCLUDE_BODY_CONTENT", False),
+            include_uncategorized=flag("INCLUDE_UNCATEGORIZED", True),
+            body_content_max_lines=int(e.get("BODY_CONTENT_MAX_LINES", "3")),
+        )
+
 
 # A fixed reference clock for tests/fixtures (FIXTURES.md: "Fixed clock").
 FIXED_NOW = datetime(2026, 1, 15, 0, 0, 0, tzinfo=timezone.utc)
