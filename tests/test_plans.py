@@ -1,0 +1,58 @@
+"""Physical-plan regression guards.
+
+The scale story (SCALE.md) rests on specific plan shapes: pushdown into
+the parquet scan, map-side partial aggregation, broadcast joins for dims,
+TakeOrderedAndProject for top-k, single-shuffle windows. These tests pin
+those properties so a refactor that silently degrades a plan (e.g. a
+filter that stops pushing, a join that goes cartesian) fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from notion_spark import parity
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pushdown_and_topk_shape(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["filter_pushdown_parts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan          # no global sort for top-k
+    assert "PushedFilters: [IsNotNull(p_size)" in plan or "PushedFilters: [IsNotNull(p_type)" in plan
+    # column pruning: only the needed columns in the scan
+    assert "ReadSchema" in plan and "p_brand" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in plan                     # map-side combine
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_multi_hop_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["join_multi_hop_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3      # dims broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_merge_keep_last_single_shuffle(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["merge_keep_last"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["sim_topk_cosine"](spark, sf_dir))
+    # broadcast nested-loop over the tiny query set, never a cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_window_anti_pushes_range(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["filter_window_anti"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the date-range predicate reaches the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
