@@ -1223,6 +1223,102 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_rollup_counts",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS count
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (A7 generalized): per (status,
+    priority), per status, and grand total in ONE pass — Spark expands to
+    a single aggregate over grouping sets, not three scans."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "count",
+        )
+    )
+
+
+@register(
+    "agg_price_histogram",
+    """
+    SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS count,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via exact decimal bucketing (floor division
+    on doubles is not cross-engine stable at bucket edges; on decimals it
+    is)."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice").cast(DEC) / 50000).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "window_running_count",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+    FROM events
+    """,
+)
+def window_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event count — the cumulative analytic window the
+    reference lacks (SURVEY §2.9 notes none exist); partitioned by user so
+    no global window."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", F.count(F.lit(1)).over(w).alias("running_n")
+    )
+
+
+@register(
+    "text_clean",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                   text || ' “quoted” – dash… café',
+                   '‘', ''''), '’', ''''), '“', '"'), '”', '"'), '–', '-'), '—', '-'), '…', '...'),
+               '[^\\x20-\\x7E\\t\\n\\r]', '', 'g') AS cleaned
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 clean_text (text_style.py:109-140) — smart quotes/dashes to
+    ASCII, non-printables stripped. A unicode suffix is appended to every
+    row so the normalization actually exercises (the synthetic docs are
+    pure ASCII)."""
+    from notion_spark.functions.text import clean_text
+
+    d = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" “quoted” – dash… café"))
+    return d.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
