@@ -1319,6 +1319,59 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", clean_text(dirty).alias("cleaned"))
 
 
+@register(
+    "join_asof_last_click",
+    """
+    SELECT p.event_id,
+           c.event_id AS click_event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's latest prior
+    click. Union + carry-forward window (one shuffle), vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    from notion_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_cols=["event_id"], prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        F.col("click_event_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+    )
+
+
+@register(
+    "stats_percentiles",
+    """
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont` on integer inputs — verified bit-equal).
+    For 100 TB use approx_percentile; the exact form is the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""

@@ -104,3 +104,29 @@ def test_mark_group_boundaries(spark):
     )
     rows = mark_group_boundaries(df, "grp", [F.asc("ord")]).orderBy("ord").collect()
     assert [r.is_group_start for r in rows] == [True, False, True, True, False]
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from notion_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "p1"), (1, t(30), "p2"), (2, t(5), "p3")],
+        "user long, ts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(0), "c1"), (1, t(10), "c2"), (1, t(20), "c3"), (2, t(50), "c4")],
+        "user long, ts timestamp, cid string",
+    )
+    out = {r.pid: r for r in asof_join(
+        left, right, key="user", left_ts="ts", right_ts="ts",
+        left_id="pid", right_cols=["cid"], how="left",
+    ).collect()}
+    assert out["p1"].asof_cid == "c2"   # inclusive at equal ts
+    assert out["p2"].asof_cid == "c3"   # latest prior
+    assert out["p3"].asof_cid is None   # right row is in the future
+    inner = asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
+                      left_id="pid", right_cols=["cid"], how="inner")
+    assert sorted(r.pid for r in inner.collect()) == ["p1", "p2"]
