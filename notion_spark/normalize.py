@@ -212,7 +212,10 @@ def normalize_for_reports(df: DataFrame) -> DataFrame:
     out = strip_column_names(df)
     out = coerce_long(out, "nid", "parent_nid")
     out = parse_mixed_timestamps(out, *_DATE_COLS_REPORTS)
-    out = default_nulls(out, {"status": "unknown", "name": "Untitled", "priority": "Note"})
+    # reports default the null priority to "1 Note" — NOT in the score map,
+    # so it lands at score 5, unlike the analysis default "Note" → 4
+    # (generate_reports.py:215 vs analyze_pages.py:139)
+    out = default_nulls(out, {"status": "unknown", "name": "Untitled", "priority": "1 Note"})
     out = normalize_status(out, lowercase_rest=True)
     out = completed_fallback(out)
     out = with_priority_score(out)

@@ -69,35 +69,39 @@ def due_this_week(df: DataFrame, now: datetime) -> DataFrame:
     )
 
 
-def backlog(df: DataFrame, now: datetime, cfg: EngineConfig) -> tuple[DataFrame, DataFrame]:
+def backlog(df: DataFrame, now: datetime, cfg: EngineConfig) -> DataFrame:
     """F5+O3 (analyze_pages.py:324-341): active minus (immediate ∪
-    due-week); dated branch sorts (due, priority), undated (priority,
-    created); each head(15)."""
+    due-week), then ONE list: the dated remainder sorted (due, priority)
+    when any exists, ELSE the undated remainder sorted (priority,
+    created); head(15). The dated/undated branch is a driver-side
+    emptiness check, mirroring the reference's `if not
+    dated_backlog.empty`."""
     rest = anti_members(
         anti_members(df.filter(active_pred()), immediate_action(df, now), "nid"),
         due_this_week(df, now),
         "nid",
     )
-    dated = top_k(
-        rest.filter(F.col("due").isNotNull()),
+    dated = rest.filter(F.col("due").isNotNull())
+    if dated.isEmpty():
+        return top_k(
+            rest.filter(F.col("due").isNull()),
+            [F.asc("priority_score"), F.asc("created")],
+            cfg.backlog_limit,
+            tiebreaker=F.asc("nid"),
+        )
+    return top_k(
+        dated,
         [F.asc("due"), F.asc("priority_score")],
         cfg.backlog_limit,
         tiebreaker=F.asc("nid"),
     )
-    undated = top_k(
-        rest.filter(F.col("due").isNull()),
-        [F.asc("priority_score"), F.asc("created")],
-        cfg.backlog_limit,
-        tiebreaker=F.asc("nid"),
-    )
-    return dated, undated
 
 
 def active_projects(df: DataFrame) -> DataFrame:
-    """(analyze_pages.py:344-355): projects not done/canceled, by
-    priority."""
+    """(analyze_pages.py:344-355): ACTIVE containers only — status in
+    {to do, doing} — by priority."""
     return df.filter(
-        F.col("is_project") & ~F.lower("status").isin("done", "canceled", "duplicate")
+        F.col("is_project") & F.lower("status").isin("to do", "doing")
     ).orderBy("priority_score", "nid")
 
 
@@ -164,8 +168,10 @@ def status_priority_crosstab(df: DataFrame) -> DataFrame:
 
 
 def completion_velocity(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """A4 (analyze_pages.py:438-439): W-MON weekly completions, last 12."""
-    done = df.filter(F.lower("status").contains("done") & F.col("completed").isNotNull())
+    """A4 (analyze_pages.py:430-439): W-MON weekly completions, last 12.
+    Exact status equality 'done' (the chart filter at :431), unlike the
+    summary's substring counts (F9)."""
+    done = df.filter((F.lower("status") == "done") & F.col("completed").isNotNull())
     return weekly_counts(done, "completed", anchor="MON", last_n=cfg.velocity_weeks)
 
 
@@ -186,13 +192,11 @@ def run_all(df: DataFrame, now: datetime, cfg: EngineConfig) -> dict[str, DataFr
     already be normalized; callers should .cache() it — ~12 sections reuse
     it (the reference instead re-reads its CSV every time, SURVEY §4)."""
     filtered = apply_tag_filter(df, cfg)
-    dated, undated = backlog(filtered, now, cfg)
     out = {
         "task_summary": task_summary(filtered),
         "immediate_action": immediate_action(filtered, now),
         "due_this_week": due_this_week(filtered, now),
-        "backlog_dated": dated,
-        "backlog_undated": undated,
+        "backlog": backlog(filtered, now, cfg),
         "active_projects": active_projects(filtered),
         "overdue": overdue(filtered, now),
         "critical_high": critical_high(filtered),

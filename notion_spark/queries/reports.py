@@ -36,12 +36,15 @@ def _ts(dt: datetime) -> Column:
     return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
 
-def with_parent_name(df: DataFrame) -> DataFrame:
-    """J1 (generate_reports.py:320): NID→Name broadcast self-join, missing
-    parents → 'General / No Project'."""
+def with_parent_name(df: DataFrame, default: str = NO_PROJECT) -> DataFrame:
+    """J1 (generate_reports.py:320): NID→Name broadcast self-join. The
+    reference fills missing parents differently per section — '' for
+    goals/completed (:469, :482), 'General / No Project' for in_progress
+    (:493-495) — and the fill value participates in the grouped SORT, so
+    it must be faithful."""
     parents = df.filter(F.col("nid") != 0).select("nid", "name")
     return broadcast_lookup(
-        df, parents, "parent_nid", "nid", "name", "parent_name", default=NO_PROJECT
+        df, parents, "parent_nid", "nid", "name", "parent_name", default=default
     )
 
 
@@ -65,19 +68,19 @@ def clean_task_list(df: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def goals(df: DataFrame, start: datetime, end: datetime, cfg: EngineConfig) -> DataFrame:
-    """F12+O6 (generate_reports.py:393-405, 444-470): status='to do';
-    dated goals kept only if due ≤ period end; overflow policy keeps
-    urgent-or-imminent when > threshold; grouped sort (parent, priority,
-    due)."""
+    """F12+O6 (generate_reports.py:444-470): ALL 'to do' rows; when they
+    overflow the page budget (>15) keep only due-within-14d-of-period-end
+    OR priority ≤ High; grouped sort (parent, priority, due), parent fill
+    '' (:469 — the fill value sorts first, deliberately).
+
+    (The dated/undated pre-filter at :393-405 is dead code — its `goals`
+    is overwritten by this path before any use.)"""
     todo = df.filter(F.lower("status") == "to do")
-    dated = todo.filter(F.col("due").isNotNull() & (F.col("due") <= _ts(end)))
-    undated = todo.filter(F.col("due").isNull())
-    pool = dated.unionByName(undated)
     keep = (F.col("priority_score") <= 1) | (
         F.col("due").isNotNull() & (F.col("due") <= _ts(end + timedelta(days=14)))
     )
-    selected = overflow_policy_filter(pool, cfg.goals_overflow_threshold, keep)
-    return with_parent_name(selected).orderBy(
+    selected = overflow_policy_filter(todo, cfg.goals_overflow_threshold, keep)
+    return with_parent_name(selected, default="").orderBy(
         "parent_name", "priority_score", F.asc_nulls_last("due"), "nid"
     )
 
@@ -86,10 +89,10 @@ def completed_in_period(df: DataFrame, start: datetime, end: datetime) -> DataFr
     """F11+O7 (generate_reports.py:407-412, 483-485): done within the
     window, sorted (parent asc, completed desc)."""
     done = df.filter(
-        F.lower("status").contains("done")
+        (F.lower("status") == "done")
         & F.col("completed").between(_ts(start), _ts(end))
     )
-    return with_parent_name(done).orderBy(
+    return with_parent_name(done, default="").orderBy(
         "parent_name", F.desc("completed"), "nid"
     )
 
@@ -131,7 +134,8 @@ def report_frames(
     normalize_for_reports output; tag filter applies first
     (generate_reports.py:177-192)."""
     start, end = resolve_period(period, now, custom)
-    base = clean_task_list(array_overlap_filter(df, "active_tags", cfg.filter_tags), cfg)
+    tagged = array_overlap_filter(df, "active_tags", cfg.filter_tags)
+    base = clean_task_list(tagged, cfg)
     g = goals(base, start, end, cfg)
     c = completed_in_period(base, start, end)
     p = in_progress(base)
@@ -142,5 +146,7 @@ def report_frames(
         "pie_counts": section_pie_counts(g, c, p),
     }
     if cfg.include_uncategorized:
-        out["uncategorized"] = uncategorized_report(base)
+        # the reference does NOT clean_task_list the catch-all section
+        # (generate_reports.py:499-503 filters the raw frame)
+        out["uncategorized"] = uncategorized_report(tagged)
     return out

@@ -51,15 +51,21 @@ def test_due_week_excludes_immediate(tasks):
     assert not (imm & week)
 
 
-def test_backlog_disjoint_and_limited(tasks):
-    dated, undated = A.backlog(tasks, FIXED_NOW, CFG)
-    d, u = dated.collect(), undated.collect()
-    assert len(d) <= CFG.backlog_limit and len(u) <= CFG.backlog_limit
-    assert all(r.due is not None for r in d) and all(r.due is None for r in u)
+def test_backlog_conditional_branch_and_disjoint(tasks):
+    rows = A.backlog(tasks, FIXED_NOW, CFG).collect()
+    assert 0 < len(rows) <= CFG.backlog_limit
+    # fixture has dated far-future actives -> the dated branch is taken
+    assert all(r.due is not None for r in rows)
+    dues = [r.due for r in rows]
+    assert dues == sorted(dues)
     imm = {r.nid for r in A.immediate_action(tasks, FIXED_NOW).collect()}
     week = {r.nid for r in A.due_this_week(tasks, FIXED_NOW).collect()}
-    ids = {r.nid for r in d} | {r.nid for r in u}
+    ids = {r.nid for r in rows}
     assert not (ids & imm) and not (ids & week)
+    # undated branch: drop every dated candidate -> falls back to undated
+    undated_only = tasks.filter(F.col("due").isNull() | (F.col("due") < F.lit("2000-01-01")))
+    urows = A.backlog(undated_only, FIXED_NOW, CFG).collect()
+    assert urows and all(r.due is None for r in urows)
 
 
 def test_overdue_sorted(tasks):

@@ -64,10 +64,11 @@ def test_goals_overflow_policy(tasks):
         horizon = end + timedelta(days=14)
         for r in rows:
             assert r.priority_score <= 1 or (r.due is not None and r.due <= horizon)
-    # dated goals never exceed the period end
-    for r in rows:
-        if r.due is not None:
-            assert r.due <= end + timedelta(days=14)
+    # grouped sort: parent asc ('' fill sorts first), priority within parent
+    for a, b in zip(rows, rows[1:]):
+        assert a.parent_name <= b.parent_name
+        if a.parent_name == b.parent_name:
+            assert a.priority_score <= b.priority_score
 
 
 def test_clean_task_list_drops_empty_containers(tasks):
