@@ -1351,6 +1351,35 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_orderstatus = 'O')
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group (the golden sample's next-by-priority
+    sections, lines 29-55): one shuffle on the group key, no per-group
+    driver loop."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            _fmt_d(F.col("o_orderdate")).alias("orderdate"), "rank",
+        )
+    )
+
+
+@register(
     "stats_percentiles",
     """
     SELECT lang,

@@ -180,6 +180,33 @@ def created_per_week(df: DataFrame) -> DataFrame:
     return weekly_counts(df, "created", anchor="SUN")
 
 
+def next_by_priority(df: DataFrame, per_bucket: int = 5) -> DataFrame:
+    """'Tasks to work on next based on priority' (golden sample lines
+    29-55): for each priority label, the first ``per_bucket`` active tasks
+    by due date — a windowed top-k PER GROUP, one shuffle."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("priority").orderBy(
+        F.asc_nulls_last("due"), F.asc("nid")
+    )
+    return (
+        df.filter(active_pred())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_bucket)
+        .orderBy("priority_score", "rank")
+    )
+
+
+def overdue_top_by_priority(df: DataFrame, now: datetime, limit: int = 30) -> DataFrame:
+    """'Top 30 overdue tasks by priority' (golden sample lines 12-16)."""
+    return top_k(
+        df.filter(active_pred() & (F.col("due") < _now_lit(now))),
+        [F.asc("priority_score"), F.asc("due")],
+        limit,
+        tiebreaker=F.asc("nid"),
+    )
+
+
 def avg_completion_days(df: DataFrame) -> DataFrame:
     """A6 (golden sample line 18): mean(created → completed) days for done
     rows."""
@@ -199,6 +226,8 @@ def run_all(df: DataFrame, now: datetime, cfg: EngineConfig) -> dict[str, DataFr
         "backlog": backlog(filtered, now, cfg),
         "active_projects": active_projects(filtered),
         "overdue": overdue(filtered, now),
+        "overdue_top_by_priority": overdue_top_by_priority(filtered, now),
+        "next_by_priority": next_by_priority(filtered),
         "critical_high": critical_high(filtered),
         "oldest_pending": oldest_pending(filtered, cfg),
         "status_counts": status_counts(filtered),

@@ -113,3 +113,27 @@ def test_text_report_renders(spark, tasks):
     assert "Total number of tasks:" in text
     assert "Overdue tasks:" in text
     assert "Tasks created per week:" in text
+
+
+def test_next_by_priority_buckets(tasks):
+    rows = A.next_by_priority(tasks, per_bucket=3).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r.priority, []).append(r)
+    for p, rs in by_p.items():
+        assert len(rs) <= 3
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dated = [r.due for r in rs if r.due is not None]
+        assert dated == sorted(dated)
+
+
+def test_golden_style_render(spark, tasks):
+    from notion_spark.sinks.golden_report import render_golden_style
+
+    text = render_golden_style(A.run_all(tasks, FIXED_NOW, CFG), FIXED_NOW, CFG)
+    assert "Percentage of tasks completed:" in text
+    assert "Top 30 overdue tasks by priority:" in text
+    assert "Tasks to work on next based on priority:" in text
+    assert "Breakdown of tasks by Status and Priority:" in text
+    assert "Freq: W-SUN" in text
+    assert "/" in text.split("Tasks created per week:")[1]
