@@ -242,13 +242,32 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    verify_scope: str = "all",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify over
     shingle-hash sets. Output matches `jaccard_pairs` (id_a, id_b,
     jaccard ≥ threshold), so LSH recall is measurable against the exact
-    blocked variant."""
+    blocked variant.
+
+    ``verify_scope``: 'all' builds verify-sets for the whole corpus in one
+    streaming pass (fewest stages — fastest when the corpus scan is
+    cheap); 'candidates' persists the candidate pairs and builds sets only
+    for docs appearing in one (3 extra small shuffles, but the second
+    shingle pass becomes proportional to candidates — the right choice
+    when the corpus is huge relative to the near-dup population)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
-    sets_ = shingle_hash_sets(df, text_col, id_col, ngram)
+    if verify_scope == "candidates":
+        cands = cands.persist()
+        cands.count()
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        scope = df.join(cand_ids, id_col, "left_semi")
+    else:
+        scope = df
+    sets_ = shingle_hash_sets(scope, text_col, id_col, ngram)
     j = (
         cands.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
