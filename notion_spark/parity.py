@@ -1380,6 +1380,29 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_words",
+    """
+    SELECT w AS word, COUNT(*) AS count FROM (
+        SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w ORDER BY count DESC, word ASC LIMIT 25
+    """,
+)
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequencies, top 25 — explode + count, the canonical
+    map-side-combined token aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(25)
+    )
+
+
+@register(
     "stats_percentiles",
     """
     SELECT lang,

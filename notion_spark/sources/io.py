@@ -40,6 +40,16 @@ def write_tasks_parquet(df: DataFrame, path: str, partitions: int | None = None)
     out.write.mode("overwrite").parquet(path)
 
 
+def write_partitioned_by_day(df: DataFrame, ts_col: str, path: str) -> None:
+    """Date-partitioned layout (hive-style `event_date=.../`): time-range
+    queries then PRUNE partitions at plan time instead of scanning —
+    the storage layout half of predicate pushdown. Daily granularity keeps
+    file counts sane at 100 TB (one directory per day, sized by
+    maxRecordsPerFile if needed)."""
+    out = df.withColumn("event_date", F.to_date(F.col(ts_col)))
+    out.write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 64, path: str | None = None
 ) -> None:
