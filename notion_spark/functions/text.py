@@ -18,8 +18,9 @@ def _c(col: Column | str) -> Column:
 # ---------------------------------------------------------------- X3
 # Smart-quote / dash / ellipsis normalization + control-char strip
 # (reference backend/text_style.py:109-140).
+# position-aligned 7-char strings: ‘ ’ “ ” – — NBSP -> ' ' " " - - space
 _SMART_SRC = "‘’“”–— "
-_SMART_DST = "''\"\"--- "
+_SMART_DST = "''\"\"-- "
 
 
 def clean_text(col: Column | str) -> Column:

@@ -110,16 +110,38 @@ def with_priority_score(df: DataFrame, col: str = "priority", out: str = "priori
 
 # ---------------------------------------------------------------- P8
 def rehydrate_list_column(df: DataFrame, col: str, element_type: str = "string") -> DataFrame:
-    """Parse Python-repr'd list strings from the reference's CSV format
-    ("['a', 'b']") into real arrays (ast.literal_eval at
-    analyze_pages.py:81-89; generate_reports.py:179-183).
-
-    Native-Spark equivalent: swap quotes and `from_json`. Unparseable input
-    becomes null -> empty array, matching the reference's except-branch.
+    """Parse stringified lists from CSV into real arrays — faithful to the
+    reference's ast.literal_eval (analyze_pages.py:81-89;
+    generate_reports.py:179-183), which must accept BOTH dialects on disk:
+    Python repr (single quotes, repr quote-switching around apostrophes)
+    and our JSON export. A naive quote-swap + from_json corrupts elements
+    containing quotes, so this cold ingest path uses an Arrow-batched
+    pandas UDF running literal_eval itself; unparseable input -> empty
+    list (the reference's except-branch).
     """
-    jsonish = F.regexp_replace(F.col(col), "'", '"')
-    parsed = F.from_json(jsonish, f"array<{element_type}>")
-    return df.withColumn(col, F.coalesce(parsed, F.array().cast(f"array<{element_type}>")))
+    import ast
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cast = int if element_type in ("long", "int", "bigint") else str
+
+    @pandas_udf(f"array<{element_type}>")
+    def parse(s):
+        def one(v):
+            if v is None:
+                return []
+            try:
+                out = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                return []
+            if not isinstance(out, list):
+                return []
+            return [None if x is None else cast(x) for x in out]
+
+        return s.map(one)
+
+    return df.withColumn(col, parse(F.col(col)))
 
 
 # ---------------------------------------------------------------- P9

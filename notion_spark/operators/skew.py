@@ -54,7 +54,13 @@ def hot_key_split_join(
     """Split-path join: hot keys (detected by a cheap count, either above
     ``hot_threshold`` rows or the ``top_n`` heaviest) join via broadcast;
     the remainder joins normally. One extra count pass over the left key
-    column (column-pruned scan) buys an even shuffle."""
+    column (column-pruned scan) buys an even shuffle.
+
+    Only inner/left are supported: right/full-outer would emit hot-key
+    right rows twice (matched in the hot path AND null-padded in the cold
+    path, whose left side had the hot keys anti-joined away)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_split_join supports inner/left, not {how!r}")
     counts = left.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.orderBy(F.desc("__n")).limit(top_n)
     if hot_threshold is not None:

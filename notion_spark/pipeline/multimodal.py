@@ -90,9 +90,12 @@ def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 8) -> 
     explode happens JVM-side so a 2-hour video row fans out without
     touching Python."""
     n_frames = F.coalesce(F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0))
-    idx = F.sequence(F.lit(0), F.greatest(F.least((n_frames - 1) / every_n, F.lit(max_frames - 1)).cast("int"), F.lit(-1)))
+    last = F.least(F.floor((n_frames - 1) / every_n).cast("int"), F.lit(max_frames - 1))
+    idx = F.sequence(F.lit(0), last)
     return (
-        assets.filter(F.col("modality") == "video")
+        # videos with zero/unknown frame counts emit nothing (Spark's
+        # sequence(0,-1) would yield [0,-1], not an empty array)
+        assets.filter((F.col("modality") == "video") & (n_frames > 0))
         .select("asset_id", F.explode(F.transform(idx, lambda i: i * every_n)).alias("frame_idx"))
     )
 

@@ -45,6 +45,8 @@ def refresh_cache(
     """M1+M2: skip unchanged rows by (uid, updated_time) watermark, merge
     the rest keep-last into the canonical Parquet store. Returns (merged
     frame, n_changed)."""
+    from notion_spark.sources.io import overwrite_store
+
     if os.path.exists(cache_path):
         cache = spark.read.parquet(cache_path)
         delta = changed_rows(fetched, cache, "uid", "updated_time")
@@ -54,17 +56,7 @@ def refresh_cache(
         delta = fetched
         n_changed = fetched.count()
         merged = fetched
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(cache_path + ".tmp")
-    merged.unpersist()
-    # atomic-ish swap (single-writer local store; real deployments use a
-    # table format with transactional MERGE instead)
-    import shutil
-
-    if os.path.exists(cache_path):
-        shutil.rmtree(cache_path)
-    os.rename(cache_path + ".tmp", cache_path)
+    overwrite_store(merged, cache_path)
     return spark.read.parquet(cache_path), n_changed
 
 

@@ -16,7 +16,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.config import KNOWN_STATUSES, EngineConfig
+from notion_spark.config import EngineConfig
 from notion_spark.operators.aggregates import (
     avg_days_between,
     conditional_counts,
@@ -73,27 +73,40 @@ def backlog(df: DataFrame, now: datetime, cfg: EngineConfig) -> DataFrame:
     """F5+O3 (analyze_pages.py:324-341): active minus (immediate ∪
     due-week), then ONE list: the dated remainder sorted (due, priority)
     when any exists, ELSE the undated remainder sorted (priority,
-    created); head(15). The dated/undated branch is a driver-side
-    emptiness check, mirroring the reference's `if not
-    dated_backlog.empty`."""
+    created); head(15).
+
+    The reference's `if not dated_backlog.empty` branch is encoded
+    LAZILY: both branch top-15s union (≤ 30 rows) and a window count of
+    dated rows picks the branch — no eager driver-side job, so building
+    the section map stays free until a sink collects it."""
     rest = anti_members(
         anti_members(df.filter(active_pred()), immediate_action(df, now), "nid"),
         due_this_week(df, now),
         "nid",
     )
-    dated = rest.filter(F.col("due").isNotNull())
-    if dated.isEmpty():
-        return top_k(
-            rest.filter(F.col("due").isNull()),
-            [F.asc("priority_score"), F.asc("created")],
-            cfg.backlog_limit,
-            tiebreaker=F.asc("nid"),
-        )
-    return top_k(
-        dated,
+    dated15 = top_k(
+        rest.filter(F.col("due").isNotNull()),
         [F.asc("due"), F.asc("priority_score")],
         cfg.backlog_limit,
         tiebreaker=F.asc("nid"),
+    ).withColumn("__dated", F.lit(1))
+    undated15 = top_k(
+        rest.filter(F.col("due").isNull()),
+        [F.asc("priority_score"), F.asc("created")],
+        cfg.backlog_limit,
+        tiebreaker=F.asc("nid"),
+    ).withColumn("__dated", F.lit(0))
+    from pyspark.sql.window import Window
+
+    unioned = dated15.unionByName(undated15)
+    n_dated = F.sum("__dated").over(Window.partitionBy())  # ≤30-row window
+    return (
+        unioned.withColumn("__n_dated", n_dated)
+        .filter(
+            ((F.col("__n_dated") > 0) & (F.col("__dated") == 1))
+            | ((F.col("__n_dated") == 0) & (F.col("__dated") == 0))
+        )
+        .drop("__dated", "__n_dated")
     )
 
 
@@ -147,7 +160,9 @@ def oldest_pending(df: DataFrame, cfg: EngineConfig) -> DataFrame:
 def uncategorized(df: DataFrame) -> DataFrame:
     """F8 (analyze_pages.py:230-243): status outside the known vocabulary
     (nulls were already defaulted to 'unknown' by normalization)."""
-    return df.filter(~F.lower("status").isin(list(KNOWN_STATUSES))).orderBy("nid")
+    from notion_spark.operators.filters import uncategorized_filter
+
+    return uncategorized_filter(df).orderBy("nid")
 
 
 def status_counts(df: DataFrame) -> DataFrame:

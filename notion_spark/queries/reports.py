@@ -12,7 +12,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.config import KNOWN_STATUSES, REPORT_PERIOD_DAYS, EngineConfig
+from notion_spark.config import REPORT_PERIOD_DAYS, EngineConfig
 from notion_spark.operators.filters import array_overlap_filter, overflow_policy_filter
 from notion_spark.operators.joins import broadcast_lookup
 
@@ -105,7 +105,9 @@ def in_progress(df: DataFrame) -> DataFrame:
 
 def uncategorized_report(df: DataFrame) -> DataFrame:
     """F8 reports variant (generate_reports.py:417-421, 499-503)."""
-    return df.filter(~F.lower("status").isin(list(KNOWN_STATUSES))).orderBy("nid")
+    from notion_spark.operators.filters import uncategorized_filter
+
+    return uncategorized_filter(df).orderBy("nid")
 
 
 def section_pie_counts(

@@ -107,7 +107,12 @@ def parse_pages(raw_df: DataFrame, props: dict[str, str] | None = None) -> DataF
 def resolve_relation_nids(tasks: DataFrame) -> DataFrame:
     """Bulk parent/children NID resolution (replaces fetch_page_nid's
     per-row RPC + memo dict, fetch_pages.py:38-64): one broadcast
-    self-join for parents; children via explode + join + re-group."""
+    self-join for parents; children via posexplode + join + re-group.
+
+    Faithful to the reference (fetch_pages.py:378-382): children keep
+    their RELATION ORDER, and a child UID absent from the dataset yields a
+    NULL entry (not silently dropped) — `len > 0` still classifies such a
+    row as a Project (analyze_pages.py:184-190)."""
     lut = F.broadcast(tasks.select(F.col("uid").alias("__u"), F.col("nid").alias("__n")))
     with_parent = (
         tasks.join(lut, tasks["parent_uid"] == lut["__u"], "left")
@@ -115,10 +120,21 @@ def resolve_relation_nids(tasks: DataFrame) -> DataFrame:
         .drop("__u", "__n")
     )
     exploded = with_parent.select(
-        "uid", F.explode_outer("children_uids").alias("__cu")
+        "uid", F.posexplode_outer("children_uids").alias("__pos", "__cu")
     ).join(lut, F.col("__cu") == lut["__u"], "left")
-    child_nids = exploded.groupBy("uid").agg(
-        F.array_sort(F.collect_list("__n")).alias("children_nids")
+    # collect (pos, nid) structs — struct is non-null even when nid is
+    # null, so unresolved children survive; sort by pos restores relation
+    # order; rows from explode_outer's empty-array placeholder (__pos
+    # null) are filtered out.
+    child_nids = (
+        exploded.filter(F.col("__pos").isNotNull())
+        .groupBy("uid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__n").alias("n")))),
+                lambda s: s["n"],
+            ).alias("children_nids")
+        )
     )
     return with_parent.join(child_nids, "uid", "left").withColumn(
         "children_nids", F.coalesce("children_nids", F.array().cast("array<long>"))
@@ -144,10 +160,22 @@ def assemble_tasks(
         tasks = tasks.withColumn("body_content", F.lit(None).cast("string"))
     tasks = tasks.withColumn("body_content", F.coalesce("body_content", F.lit("")))
     if comments is not None:
+        # collect_list order is NOT preserved across the aggregation
+        # shuffle — collect (ord, text) structs and sort post-agg, like
+        # flatten_body does.
         agg = (
-            comments.orderBy("comment_ord")
-            .groupBy("page_uid")
-            .agg(F.concat_ws("\n", F.collect_list("text")).alias("comments"))
+            comments.groupBy("page_uid")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("comment_ord").alias("o"), F.col("text").alias("t")))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                ).alias("comments")
+            )
             .withColumnRenamed("page_uid", "uid")
         )
         tasks = tasks.join(agg, "uid", "left")

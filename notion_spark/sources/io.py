@@ -40,6 +40,23 @@ def write_tasks_parquet(df: DataFrame, path: str, partitions: int | None = None)
     out.write.mode("overwrite").parquet(path)
 
 
+def overwrite_store(df: DataFrame, path: str) -> None:
+    """Safely replace a parquet store that ``df``'s lineage may READ:
+    write to a sibling .tmp dir first, then swap. A plain
+    mode('overwrite') deletes the input files before the job finishes —
+    any recomputation (cache eviction, task retry, executor loss) would
+    then read a destroyed store. Local-FS stand-in for a transactional
+    table format's MERGE/replace."""
+    import os
+    import shutil
+
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
 def write_partitioned_by_day(df: DataFrame, ts_col: str, path: str) -> None:
     """Date-partitioned layout (hive-style `event_date=.../`): time-range
     queries then PRUNE partitions at plan time instead of scanning —
@@ -66,15 +83,14 @@ def export_tasks_csv(df: DataFrame, path: str) -> None:
     """CSV export in the reference's on-disk dialect: display headers and
     Python-repr'd list columns (fetch_pages.py:601-603)."""
     out = df
-    dtypes = dict(df.dtypes)
     for c in ("files_media", "children_uids", "children_nids", "active_tags"):
         if c in out.columns:
-            if dtypes[c] == "array<string>":
-                # Python-repr style: string elements quoted, ints bare
-                elems = F.transform(F.col(c), lambda x: F.concat(F.lit("'"), x, F.lit("'")))
-            else:
-                elems = F.transform(F.col(c), lambda x: x.cast("string"))
-            out = out.withColumn(c, F.concat(F.lit("["), F.concat_ws(", ", elems), F.lit("]")))
+            # JSON list serialization: double-quoted with proper escaping.
+            # A JSON array is ALSO a valid Python literal, so the
+            # reference's ast.literal_eval reader (analyze_pages.py:81-89)
+            # parses it — unlike hand-rolled single-quoting, which breaks
+            # on elements containing quotes.
+            out = out.withColumn(c, F.to_json(F.col(c)))
     out = out.select([F.col(c).alias(CANONICAL_TO_DISPLAY.get(c, c)) for c in out.columns])
     out.coalesce(1).write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
 

@@ -33,18 +33,17 @@ def merge_batch(
 ) -> None:
     """One micro-batch merge: reduce the batch keep-last per key, then
     keep-last against the store (incoming wins ties)."""
+    from notion_spark.sources.io import overwrite_store
+
     reduced = latest_per_key(batch, key, order_by)
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
         merged = keep_last_upsert(existing, reduced, key)
     else:
         merged = reduced
-    # Write-then-swap would be atomic on a real table format; plain
-    # overwrite is fine for the local store (single writer).
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(store_path)
-    merged.unpersist()
+    # write-to-tmp-then-swap: merged's lineage READS store_path, so an
+    # in-place overwrite could destroy the store on recomputation
+    overwrite_store(merged, store_path)
 
 
 def stream_upsert(
