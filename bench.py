@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "window_group_boundaries",
     # top-k
     "filter_backlog_topk",
+    # task-domain suite over relational-scale input
+    "tasks_adapter_summary",
+    "tasks_adapter_immediate",
     # pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",

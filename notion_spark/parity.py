@@ -1424,6 +1424,69 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tasks_adapter_summary",
+    """
+    SELECT COUNT(*) AS total,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS completed,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS doing,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS todo,
+           round(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) * 100.0
+                 / greatest(COUNT(*), 1), 2) AS pct_complete
+    FROM orders
+    """,
+)
+def tasks_adapter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP2 task-summary query (A1) executed over the orders table via
+    the tasks schema adapter — the operator library running unmodified on
+    an arbitrary relational table."""
+    from notion_spark.adapters import tasks_from_orders
+    from notion_spark.normalize import normalize_for_analysis
+    from notion_spark.queries.analysis import task_summary
+
+    tasks = normalize_for_analysis(tasks_from_orders(spark, sf_dir))
+    out = task_summary(tasks)
+    return out.select(
+        F.col("total").cast("long"),
+        F.col("completed").cast("long"),
+        F.col("doing").cast("long"),
+        F.col("todo").cast("long"),
+        "pct_complete",
+    )
+
+
+@register(
+    "tasks_adapter_immediate",
+    """
+    SELECT o_orderkey AS nid,
+           CASE o_orderstatus WHEN 'O' THEN 'doing' ELSE 'to do' END AS status,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                WHEN '3-MEDIUM' THEN 2 WHEN '5-LOW' THEN 3
+                WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END AS priority_score,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+      AND (o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1998-01-01 00:00:00'
+           OR o_orderstatus = 'O')
+    """,
+)
+def tasks_adapter_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP2 immediate-action section (F3) over adapter-mapped orders at
+    relational scale — fixed clock mid-dataset so both branches populate;
+    the oracle re-derives the adapter mapping in SQL."""
+    from datetime import datetime
+
+    from notion_spark.adapters import tasks_from_orders
+    from notion_spark.normalize import normalize_for_analysis
+    from notion_spark.queries.analysis import immediate_action
+
+    tasks = normalize_for_analysis(tasks_from_orders(spark, sf_dir))
+    now = datetime(1998, 1, 1)
+    return immediate_action(tasks, now).select(
+        "nid", "status", "priority_score", _fmt_d(F.col("due")).alias("due")
+    )
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
