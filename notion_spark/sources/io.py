@@ -23,6 +23,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — integer division, matching DuckDB's ns→us truncation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone even when the caller built its own session
+    # (the driver harness does): timestamp→string formatting must be UTC
+    # to match the DuckDB oracle's naive-UTC reading.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
