@@ -30,3 +30,26 @@ def test_analysis_output_matches_golden(spark):
     with open(GOLDEN) as f:
         expected = f.read()
     assert text == expected
+
+
+def test_report_payloads_match_golden(spark):
+    """EP3 determinism gate: weekly+yearly report payloads on the fixture
+    at the fixed clock, compared structurally to the stored golden."""
+    import json
+
+    from notion_spark.normalize import normalize_for_reports
+    from notion_spark.queries.reports import report_frames
+    from notion_spark.sinks.pdf_report import report_payload
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "report_payloads.json")
+    cfg = EngineConfig()
+    df = normalize_for_reports(make_tasks(spark)).cache()
+    got = {
+        p: report_payload(report_frames(df, p, FIXED_NOW, cfg), p, FIXED_NOW, cfg)
+        for p in ("weekly", "yearly")
+    }
+    df.unpersist()
+    got = json.loads(json.dumps(got, sort_keys=True, default=str))
+    with open(path) as f:
+        expected = json.load(f)
+    assert got == expected
