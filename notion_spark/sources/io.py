@@ -71,6 +71,18 @@ def write_partitioned_by_day(df: DataFrame, ts_col: str, path: str) -> None:
     out.write.mode("overwrite").partitionBy("event_date").parquet(path)
 
 
+def compact_store(spark: SparkSession, path: str, target_records_per_file: int = 500_000) -> int:
+    """Small-files compaction: rewrite a parquet store into evenly sized
+    files (incremental upserts and streaming micro-batches accumulate
+    small files; at 100 TB unbounded file counts kill scan planning).
+    Returns the row count. Uses the safe tmp+swap overwrite."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_records_per_file))  # ceil
+    overwrite_store(df.repartition(n_files), path)
+    return n
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 64, path: str | None = None
 ) -> None:

@@ -90,3 +90,18 @@ def test_multimodal_feature_plumbing(spark):
     frames = sample_frames(assets, every_n=10, max_frames=8)
     idx = sorted(r.frame_idx for r in frames.collect())
     assert idx == [0, 10, 20, 30, 40, 50, 60, 70]
+
+
+def test_compact_store(spark, tmp_path):
+    from notion_spark.sources.io import compact_store
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    df.repartition(20).write.parquet(path)  # 20 small files
+    import glob
+
+    assert len(glob.glob(path + "/part-*")) == 20
+    n = compact_store(spark, path, target_records_per_file=500)
+    assert n == 1000
+    assert len(glob.glob(path + "/part-*")) == 2
+    assert spark.read.parquet(path).count() == 1000
