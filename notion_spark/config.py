@@ -50,6 +50,9 @@ class EngineConfig:
     filter_tags: tuple[str, ...] = ()
     # INCLUDE_BODY_CONTENT / INCLUDE_UNCATEGORIZED_TASKS_ANALYSIS etc.
     include_body_content: bool = False
+    # INCLUDE_ATTACHMENTS (globals.py:93): inline readable attachment
+    # content into report task bodies (generate_reports.py:256-305).
+    include_attachments: bool = False
     include_uncategorized: bool = True
     # BODY_CONTENT_MAX_LINES (globals.py:102; generate_reports.py:97-102).
     body_content_max_lines: int = 3

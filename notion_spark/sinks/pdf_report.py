@@ -30,12 +30,50 @@ def pdf_available() -> bool:
 
 
 def report_payload(
-    frames: dict[str, DataFrame], period: str, now: datetime, cfg: EngineConfig
+    frames: dict[str, DataFrame],
+    period: str,
+    now: datetime,
+    cfg: EngineConfig,
+    attachments: DataFrame | None = None,
 ) -> dict:
     """Collect the report sections as render-ready rows: body truncated to
     cfg.body_content_max_lines (X11, generate_reports.py:97-102), grouped
     by parent_name in section sort order (W1 boundaries implicit in the
-    ordering)."""
+    ordering). With ``attachments`` and include_attachments on, readable
+    previews join in by nid and append to the body — one join replacing
+    the reference's per-row file reads (get_smart_attachment_content,
+    generate_reports.py:256-305)."""
+    import pyspark.sql.functions as F
+
+    att_text = None
+    if attachments is not None and cfg.include_attachments:
+        from notion_spark.sources.attachments import attachment_previews
+
+        previews = attachment_previews(attachments, cfg)
+        att_text = (
+            previews.groupBy("nid")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("filename").alias("f"),
+                                    F.concat_ws(
+                                        ": ",
+                                        F.col("filename"),
+                                        F.coalesce(F.col("preview"), F.lit("(attachment)")),
+                                    ).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                ).alias("__att")
+            )
+        )
+
     def rows(df: DataFrame) -> list[dict]:
         cols = ["nid", "name", "status", "priority", "parent_name"]
         present = [c for c in cols if c in df.columns]
@@ -44,6 +82,11 @@ def report_payload(
             out = out.withColumn(
                 "body_content", truncate_lines("body_content", cfg.body_content_max_lines)
             )
+            if att_text is not None:
+                out = out.join(att_text, "nid", "left").withColumn(
+                    "body_content",
+                    F.concat_ws("\n", F.col("body_content"), F.col("__att")),
+                ).drop("__att")
             present.append("body_content")
         return [r.asDict() for r in out.select(*present).collect()]
 
