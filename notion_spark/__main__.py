@@ -41,9 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--now", default=None)
     p_an.add_argument("--golden-style", action="store_true")
 
+    from notion_spark.config import REPORT_PERIOD_DAYS
+
     p_rep = sub.add_parser("report", help="EP3 period report payload")
     p_rep.add_argument("--cache-dir", required=True)
-    p_rep.add_argument("--period", default="weekly")
+    p_rep.add_argument("--period", default="weekly", choices=list(REPORT_PERIOD_DAYS))
     p_rep.add_argument("--now", default=None)
 
     args = ap.parse_args(argv)

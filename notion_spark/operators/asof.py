@@ -45,6 +45,8 @@ def asof_join(
     highest value in STRING order wins; without it, equal-ts right rows
     are picked arbitrarily.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, not {how!r}")
     rcols = right_cols if right_cols is not None else [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -52,6 +54,9 @@ def asof_join(
     tb_r = (
         F.col(right_tiebreak).cast("string") if right_tiebreak else F.lit("")
     )
+    # null timestamps sort FIRST and would otherwise carry their payload
+    # onto every left row — they can never satisfy right_ts <= left_ts
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),

@@ -385,6 +385,7 @@ def filter_backlog_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, event_type FROM events
     WHERE lower(event_type) NOT IN ('click', 'view', 'purchase')
+       OR event_type IS NULL
     """,
 )
 def filter_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:

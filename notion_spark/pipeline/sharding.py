@@ -44,7 +44,10 @@ def write_training_shards(
     sharded = with_shard(df, id_col, n_shards, seed)
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+        # leading 'shard' satisfies the dynamic-partition writer's required
+        # ordering (otherwise it inserts a SECOND per-task sort and the
+        # intra-shard order would ride on that sort's stability)
+        .sortWithinPartitions("shard", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard")

@@ -21,10 +21,12 @@ from notion_spark.config import PRIORITY_SCORES, EngineConfig
 
 
 def _tbl(df: DataFrame, cols: list[str], max_rows: int | None = None) -> str:
+    # limit BEFORE collecting — a section frame may be unbounded (e.g.
+    # overdue), and the driver should only ever hold the displayed rows
+    if max_rows is not None:
+        df = df.limit(max_rows)
     pdf = df.toPandas()
     pdf = pdf[[c for c in cols if c in pdf.columns]]
-    if max_rows is not None:
-        pdf = pdf.head(max_rows)
     return "(none)" if pdf.empty else pdf.to_string(index=False)
 
 

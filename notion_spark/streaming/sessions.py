@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-SESSION_SCHEMA = "user_id long, ts timestamp, session_id string"
 _STATE_SCHEMA = "last_ts double, seq int"
 
 
@@ -58,6 +57,13 @@ def sessionize_stream(
     length; a processing-time timeout would evict idle users in a
     long-running deployment (kept NoTimeout here for determinism)."""
     gap_s = gap_minutes * 60.0
+    # derive the output schema from the ACTUAL key/ts columns — a
+    # hardcoded 'user_id long' would break (or silently rename) custom
+    # column names/types
+    in_fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (
+        f"{user_col} {in_fields[user_col]}, {ts_col} {in_fields[ts_col]}, session_id string"
+    )
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -83,13 +89,13 @@ def sessionize_stream(
             last_ts = t
             ids.append(f"{user}-{seq}")
         state.update((last_ts, seq))
-        yield pd.DataFrame({"user_id": pdf[user_col], "ts": pdf[ts_col], "session_id": ids})
+        yield pd.DataFrame({user_col: pdf[user_col], ts_col: pdf[ts_col], "session_id": ids})
 
     return (
         stream.groupBy(F.col(user_col))
         .applyInPandasWithState(
             fn,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

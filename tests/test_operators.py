@@ -130,3 +130,20 @@ def test_asof_join_semantics(spark):
     inner = asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
                       left_id="pid", right_cols=["cid"], how="inner")
     assert sorted(r.pid for r in inner.collect()) == ["p1", "p2"]
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    import datetime as dt
+
+    from notion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, dt.datetime(2026, 1, 1, 12), "p1")], "user long, ts timestamp, pid string")
+    right = spark.createDataFrame([(1, None, "cNULL")], "user long, ts timestamp, cid string")
+    out = asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
+                    left_id="pid", right_cols=["cid"], how="left").collect()
+    assert out[0].asof_cid is None  # null-ts right rows can never match
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
+                  left_id="pid", how="OUTER")
