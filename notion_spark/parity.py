@@ -868,6 +868,30 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
+_COS_AB = (
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) / "
+    "(sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) * "
+    "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])))"
+)
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_AB}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB}, 6) >= 0.3
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    blocking key keeps pairwise work bounded; at scale the block comes
+    from an LSH/IVF bucket instead)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return DD.embedding_dup_pairs(emb, threshold=0.3, block_key=F.col("label"))
+
+
 @register("sim_ann_lsh")  # rows-only: hyperplane hashing not SQL-expressible
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-k (single probe); recall measured against

@@ -451,9 +451,12 @@ def embedding_dup_pairs(
     pass an LSH/IVF bucket (see similarity.random_hyperplane_bucket)."""
     from notion_spark.pipeline.similarity import cosine
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # evaluate block_key against the ORIGINAL frame (it may reference
+    # columns outside id/vec), then project down
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_key is not None:
-        v = v.withColumn("block", block_key)
+        cols.append(block_key.alias("block"))
+    v = df.select(*cols)
     a = v.select(*(["block"] if block_key is not None else []), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = v.select(
         *([F.col("block").alias("block_b")] if block_key is not None else []),
