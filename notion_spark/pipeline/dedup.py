@@ -67,7 +67,15 @@ def shingle_hashes(
     """The shared bulk form: one row per (id, xxhash64(shingle)),
     duplicates kept. Tokens are bound to an attribute before the Generate
     so the split runs exactly once per document."""
-    toksed = df.select(
+    # Fan the docs out across cores BEFORE the expensive explode: a
+    # single-file corpus arrives as ONE input partition, which would pin
+    # the whole shingle pass to one task. The pre-explode shuffle moves
+    # only (id, text) — cheap relative to the work it parallelizes. On a
+    # many-file 100 TB corpus the scan already yields enough partitions
+    # and this repartition collapses into AQE-managed sizing.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    source = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+    toksed = source.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
     return toksed.select(
