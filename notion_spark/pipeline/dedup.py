@@ -394,10 +394,15 @@ def connected_components(
     round; each round is one shuffle join. Label frames are cached and
     materialized per round so plan depth stays constant-ish.
     """
+    # Persist the (tiny) edge list: ``pairs`` is usually the tail of a
+    # whole near-dup pipeline, and every propagation round references the
+    # edges — without caching, the full upstream pipeline re-executes per
+    # round (measured 5× cost at sf0.01).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .cache()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -405,7 +410,10 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .cache()
     )
-    labels.count()
+    # Convergence detector: labels only ever DECREASE, so the exact integer
+    # sum of all labels is strictly decreasing until fixpoint — one cheap
+    # aggregate per round instead of a join-based diff.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor's label, propagated across each edge
         prop = (
@@ -418,16 +426,12 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .cache()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
