@@ -892,6 +892,16 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_dup_pairs(emb, threshold=0.3, block_key=F.col("label"))
 
 
+@register("text_winnowing_overlap")  # rows-only: window-min rolling hash not SQL-expressible
+def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprint overlap pairs (position-independent
+    shared-run detection); semantics unit-tested with planted runs
+    (tests/test_text_analysis.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    fps = TA.winnowing_fingerprints(d, k=5, window=4)
+    return TA.fingerprint_overlap(fps).filter(F.col("shared_fps") >= 2)
+
+
 @register("sim_ann_lsh")  # rows-only: hyperplane hashing not SQL-expressible
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-k (single probe); recall measured against

@@ -130,3 +130,57 @@ def fingerprint(col: Column | str) -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     return df.withColumn(out, fingerprint(text_col))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing: rolling k-gram token hashes, one selected
+    fingerprint per sliding window (the window MINIMUM) — the classic
+    partial-overlap detector (two documents sharing any sufficiently long
+    run of tokens share a fingerprint, regardless of position).
+
+    Output: distinct (id, fp) rows. Pipeline: explode k-gram hashes with
+    their position, window-min over a ``window``-row frame per doc, then
+    distinct — one shuffle on the doc id, codegen throughout.
+    """
+    from pyspark.sql.window import Window
+
+    toksed = df.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    n = F.size(F.col("t"))
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)]),
+        )
+    )
+    hashed = toksed.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id", "pos", F.xxhash64("g").alias("h")
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.select("id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
+def fingerprint_overlap(
+    fps_a: DataFrame, fps_b: DataFrame | None = None
+) -> DataFrame:
+    """Pairwise shared-fingerprint counts from winnowing output — join on
+    the fingerprint value (high-cardinality key, no pairwise scan), count
+    per doc pair. Self-overlap form when fps_b is None."""
+    b = fps_a if fps_b is None else fps_b
+    x = fps_a.select(F.col("id").alias("id_a"), "fp")
+    y = b.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        x.join(y, on=[x["fp"] == y["fp_b"], x["id_a"] < y["id_b"]])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )

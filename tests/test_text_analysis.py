@@ -51,3 +51,21 @@ def test_real_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = TA.quality_score(docs)
     assert scored.filter(F.col("n_tokens") > 0).count() == docs.count()
+
+
+def test_winnowing_fingerprints_detect_shared_runs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, "intro words before " + shared + " trailing tail here"),
+        (2, shared + " completely different ending text follows now"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = TA.winnowing_fingerprints(df, k=5, window=4)
+    overlap = {(r.id_a, r.id_b): r.shared_fps for r in TA.fingerprint_overlap(fps).collect()}
+    assert overlap.get((1, 2), 0) >= 1       # shared 10-token run -> shared fingerprints
+    assert (1, 3) not in overlap and (2, 3) not in overlap
+    # position-independence: the shared run sits at different offsets
+    # determinism
+    fps2 = TA.winnowing_fingerprints(df, k=5, window=4)
+    assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, fps2.collect()))
