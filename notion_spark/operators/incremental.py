@@ -60,8 +60,9 @@ def keep_last_upsert(
 
 
 def latest_per_key(df: DataFrame, key: str | list[str], order_by: list[Column]) -> DataFrame:
-    """Generalized keep-last over one frame: highest ``order_by`` row per
-    key (the events keep-last dedup pattern). One shuffle on the key."""
+    """Generalized keep-last over one frame: the FIRST row per key under
+    ``order_by`` — pass descending columns (e.g. ``[F.desc("ts")]``) for
+    keep-latest semantics. One shuffle on the key."""
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -35,7 +35,10 @@ def salted_join(
 
     The right side is exploded ``salts``× — use only when right is much
     smaller than left (the usual skew shape: huge fact, modest dim,
-    few hot keys)."""
+    few hot keys). Only inner/left joins: right/full-outer would emit
+    each unmatched right row once per salt."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
     l = left.withColumn("__salt", salt_l)
     r = right.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))

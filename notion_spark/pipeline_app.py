@@ -73,8 +73,12 @@ def run_pipeline(
     tasks frame (the connector is injected upstream — tests use fixtures,
     production passes assemble_tasks output)."""
     cache_path = os.path.join(cache_dir, "tasks.parquet")
+    # the ingest lineage (JSON parse, joins, flattening) feeds three
+    # consumers (count, change detection, merge write) — persist once
+    fetched_tasks = fetched_tasks.cache()
     n_fetched = fetched_tasks.count()
     merged, n_changed = refresh_cache(spark, fetched_tasks, cache_path)
+    fetched_tasks.unpersist()
 
     if export:
         export_tasks_csv(merged, os.path.join(cache_dir, "tasks_csv"))

@@ -107,6 +107,10 @@ def backlog(df: DataFrame, now: datetime, cfg: EngineConfig) -> DataFrame:
             | ((F.col("__n_dated") == 0) & (F.col("__dated") == 0))
         )
         .drop("__dated", "__n_dated")
+        # one final order serving both branches: dated rows sort (due,
+        # priority) [ref :333-335]; undated rows (all-null due) fall
+        # through to (priority, created) [ref :337-339]
+        .orderBy(F.asc_nulls_last("due"), "priority_score", "created", "nid")
     )
 
 

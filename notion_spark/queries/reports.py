@@ -36,38 +36,53 @@ def _ts(dt: datetime) -> Column:
     return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
 
-def with_parent_name(df: DataFrame, default: str = NO_PROJECT) -> DataFrame:
+def with_parent_name(
+    df: DataFrame, lookup: DataFrame | None = None, default: str = NO_PROJECT
+) -> DataFrame:
     """J1 (generate_reports.py:320): NID→Name broadcast self-join. The
-    reference fills missing parents differently per section — '' for
+    reference builds nid_to_name from the FULL frame BEFORE any section
+    filtering — pass that frame as ``lookup`` (section frames have had
+    containers removed by clean_task_list, so a self-derived lookup would
+    resolve almost nothing). Fill defaults differ per section — '' for
     goals/completed (:469, :482), 'General / No Project' for in_progress
     (:493-495) — and the fill value participates in the grouped SORT, so
     it must be faithful."""
-    parents = df.filter(F.col("nid") != 0).select("nid", "name")
+    src = lookup if lookup is not None else df
+    parents = src.filter(F.col("nid") != 0).select("nid", "name")
     return broadcast_lookup(
         df, parents, "parent_nid", "nid", "name", "parent_name", default=default
     )
 
 
 def clean_task_list(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """F13 (generate_reports.py:424-440): drop container rows (nid appears
-    as some row's parent_nid) whose body is empty — body is always treated
-    as empty when include_body_content is off, matching the reference."""
-    parents = df.filter(F.col("parent_nid") != 0).select(
-        F.col("parent_nid").alias("nid")
-    ).distinct()
+    """F13 (generate_reports.py:424-440): drop container rows whose body
+    is empty — body is always treated as empty when include_body_content
+    is off, matching the reference.
+
+    'Container' = the row's OWN children list is non-empty
+    (parent_nids_set at generate_reports.py:330-332 is built from
+    `Children NIDs`), i.e. the is_project flag — NOT reverse parent_nid
+    edges, which diverge on one-way links."""
+    is_container = (
+        F.col("is_project")
+        if "is_project" in df.columns
+        else F.size("children_nids") > 0
+    )
     body_empty = (
         F.lit(True)
         if not cfg.include_body_content
         else F.coalesce(F.length(F.trim("body_content")), F.lit(0)) == 0
     )
-    is_container = F.col("__is_container").isNotNull()
-    flagged = df.join(
-        F.broadcast(parents.withColumn("__is_container", F.lit(1))), on="nid", how="left"
-    )
-    return flagged.filter(~(is_container & body_empty)).drop("__is_container")
+    return df.filter(~(is_container & body_empty))
 
 
-def goals(df: DataFrame, start: datetime, end: datetime, cfg: EngineConfig) -> DataFrame:
+def goals(
+    df: DataFrame,
+    start: datetime,
+    end: datetime,
+    cfg: EngineConfig,
+    lookup: DataFrame | None = None,
+) -> DataFrame:
     """F12+O6 (generate_reports.py:444-470): ALL 'to do' rows; when they
     overflow the page budget (>15) keep only due-within-14d-of-period-end
     OR priority ≤ High; grouped sort (parent, priority, due), parent fill
@@ -80,27 +95,29 @@ def goals(df: DataFrame, start: datetime, end: datetime, cfg: EngineConfig) -> D
         F.col("due").isNotNull() & (F.col("due") <= _ts(end + timedelta(days=14)))
     )
     selected = overflow_policy_filter(todo, cfg.goals_overflow_threshold, keep)
-    return with_parent_name(selected, default="").orderBy(
+    return with_parent_name(selected, lookup=lookup, default="").orderBy(
         "parent_name", "priority_score", F.asc_nulls_last("due"), "nid"
     )
 
 
-def completed_in_period(df: DataFrame, start: datetime, end: datetime) -> DataFrame:
+def completed_in_period(
+    df: DataFrame, start: datetime, end: datetime, lookup: DataFrame | None = None
+) -> DataFrame:
     """F11+O7 (generate_reports.py:407-412, 483-485): done within the
     window, sorted (parent asc, completed desc)."""
     done = df.filter(
         (F.lower("status") == "done")
         & F.col("completed").between(_ts(start), _ts(end))
     )
-    return with_parent_name(done, default="").orderBy(
+    return with_parent_name(done, lookup=lookup, default="").orderBy(
         "parent_name", F.desc("completed"), "nid"
     )
 
 
-def in_progress(df: DataFrame) -> DataFrame:
+def in_progress(df: DataFrame, lookup: DataFrame | None = None) -> DataFrame:
     """O8 (generate_reports.py:489-496): doing rows, (parent, priority)."""
     doing = df.filter(F.lower("status") == "doing")
-    return with_parent_name(doing).orderBy("parent_name", "priority_score", "nid")
+    return with_parent_name(doing, lookup=lookup).orderBy("parent_name", "priority_score", "nid")
 
 
 def uncategorized_report(df: DataFrame) -> DataFrame:
@@ -138,9 +155,11 @@ def report_frames(
     start, end = resolve_period(period, now, custom)
     tagged = array_overlap_filter(df, "active_tags", cfg.filter_tags)
     base = clean_task_list(tagged, cfg)
-    g = goals(base, start, end, cfg)
-    c = completed_in_period(base, start, end)
-    p = in_progress(base)
+    # parent-name lookup comes from the PRE-clean frame (the reference
+    # builds nid_to_name before dropping containers, :317-320)
+    g = goals(base, start, end, cfg, lookup=tagged)
+    c = completed_in_period(base, start, end, lookup=tagged)
+    p = in_progress(base, lookup=tagged)
     out = {
         "goals": g,
         "completed": c,

@@ -99,10 +99,13 @@ def flatten_body(blocks: DataFrame, indent: bool = True) -> DataFrame:
     path, newline-join (fetch_pages.py:303-307 joins child lines under
     their parent with two-space indent)."""
     with_paths = with_block_paths(blocks)
-    line = _rendered_line()
+    # drop empty renders BEFORE indent-prefixing (otherwise a nested
+    # no-text block would survive as a whitespace-only line)
+    rendered = with_paths.withColumn("line", _rendered_line()).filter(F.col("line") != "")
     if indent:
-        line = F.concat(F.expr("repeat('  ', depth)"), line)
-    rendered = with_paths.withColumn("line", line).filter(F.col("line") != "")
+        rendered = rendered.withColumn(
+            "line", F.concat(F.expr("repeat('  ', depth)"), F.col("line"))
+        )
     # Zero-pad each path element so lexicographic array sort == numeric order.
     sort_key = F.transform(F.col("path"), lambda x: F.lpad(x.cast("string"), 6, "0"))
     return (

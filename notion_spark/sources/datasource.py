@@ -27,9 +27,9 @@ import os
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
-class _FilePartition(InputPartition):
-    def __init__(self, path: str, cap: int):
-        self.path = path
+class _FilesPartition(InputPartition):
+    def __init__(self, paths: list[str], cap: int):
+        self.paths = paths
         self.cap = cap
 
 
@@ -51,23 +51,24 @@ class NotionPagesReader(DataSourceReader):
         if not files:
             raise FileNotFoundError(f"no page snapshot files under {self.path}")
         if self.limit is None:
-            return [_FilePartition(f, -1) for f in files]
-        # limit pushdown: cap rows per partition so no executor reads past
-        # its share; the final LIMIT still trims exactly (this prunes IO,
-        # exactness comes from the plan's own limit).
-        return [_FilePartition(f, self.limit) for f in files]
+            return [_FilesPartition([f], -1) for f in files]
+        # EXACT limit pushdown: a pushed limit implies a small read, so
+        # collapse to one sequential partition carrying the global cap
+        # (a per-file cap would return up to limit × n_files rows).
+        return [_FilesPartition(files, self.limit)]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _FilesPartition):
         n = 0
-        with open(partition.path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                if partition.cap >= 0 and n >= partition.cap:
-                    break
-                n += 1
-                yield (line,)
+        for path in partition.paths:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if partition.cap >= 0 and n >= partition.cap:
+                        return
+                    n += 1
+                    yield (line,)
 
 
 class NotionPagesDataSource(DataSource):
