@@ -108,7 +108,17 @@ def export_tasks_csv(df: DataFrame, path: str) -> None:
             # on elements containing quotes.
             out = out.withColumn(c, F.to_json(F.col(c)))
     out = out.select([F.col(c).alias(CANONICAL_TO_DISPLAY.get(c, c)) for c in out.columns])
-    out.coalesce(1).write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
+    (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        # the CSV writer trims unquoted whitespace by default; pandas
+        # to_csv (the reference dialect) does not
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
 
 
 def read_tasks_csv(spark: SparkSession, path: str) -> DataFrame:

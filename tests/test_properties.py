@@ -85,3 +85,27 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, docs):
             and len(text_of[r.id_a].split()) >= 3
         ):
             assert r.jaccard == 1.0
+
+
+@SETTINGS
+@given(
+    tags=st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"), max_size=12),
+        max_size=4,
+    ),
+    name=st.text(alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"), max_size=40),
+)
+def test_csv_roundtrip_hostile_strings(spark, tmp_path_factory, tags, name):
+    """Arrays and names survive the CSV dialect round trip for arbitrary
+    unicode including quotes, newlines, and list-syntax characters."""
+    from notion_spark.sources.io import export_tasks_csv, read_tasks_csv
+
+    path = str(tmp_path_factory.mktemp("csvrt"))
+    df = spark.createDataFrame(
+        [("u1", name, tags)], "uid string, name string, active_tags array<string>"
+    )
+    export_tasks_csv(df, path)
+    back = read_tasks_csv(spark, path).collect()[0]
+    # Spark CSV writes empty string and null identically; normalize both sides
+    assert (back.name or "") == (name or "")
+    assert [t or "" for t in (back.active_tags or [])] == [t or "" for t in tags]
