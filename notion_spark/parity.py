@@ -752,7 +752,7 @@ def text_week_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     """
     SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

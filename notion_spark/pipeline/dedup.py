@@ -73,8 +73,15 @@ def shingle_hashes(
     # only (id, text) — cheap relative to the work it parallelizes. On a
     # many-file 100 TB corpus the scan already yields enough partitions
     # and this repartition collapses into AQE-managed sizing.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    source = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+    try:
+        # classic Spark: fan out only when the scan is narrower than cores
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        source = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor .rdd — repartition
+        # to the shuffle-partition setting unconditionally (AQE coalesces)
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        source = df.repartition(n)
     toksed = source.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
@@ -102,7 +109,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (content_hash, canonical_id, n_dups). One shuffle, map-side combined."""
     h = F.md5(F.col(text_col))
     return (
-        df.select(h.alias("content_hash"), F.col(id_col))
+        # null text yields a null hash — distinct missing bodies are NOT
+        # duplicates of each other, so they stay out of the groups
+        df.filter(F.col(text_col).isNotNull())
+        .select(h.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -113,9 +123,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Dataset with exact duplicates removed (canonical = min id), via a
-    semi-join against the canonical ids."""
+    semi-join against the canonical ids. Null-text rows pass through
+    untouched (absent content is not equal content)."""
     canon = exact_dedup(df, text_col, id_col).select(F.col("canonical_id").alias(id_col))
-    return df.join(canon, on=id_col, how="left_semi")
+    kept = df.filter(F.col(text_col).isNotNull()).join(canon, on=id_col, how="left_semi")
+    return kept.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 # ------------------------------------------------------------ exact Jaccard
@@ -183,7 +195,12 @@ def minhash_signatures(
     permutation i is the wrap-around affine map h*a_i+b_i (odd a_i ⇒
     bijective mod 2^64). The signature is num_hashes MIN aggregates over
     the exploded hash frame — map-side combined, duplicate shingles are
-    harmless to MIN so no distinct pass is spent."""
+    harmless to MIN so no distinct pass is spent.
+
+    The affine maps rely on wrap-around long arithmetic; ANSI mode would
+    raise ARITHMETIC_OVERFLOW on them, so it is disabled for the session
+    (runtime-settable; get_spark already defaults it off)."""
+    df.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
     ex = shingle_hashes(df, text_col, id_col, ngram)
     mins = []
     for i in range(num_hashes):
@@ -296,8 +313,12 @@ def simhash_signatures(
     toksed = df.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    ex = toksed.select("id", F.explode("t").alias("tok")).select(
-        "id", F.xxhash64("tok").alias("h")
+    # drop empty tokens (bare split yields [''] for empty text) so the
+    # bulk form agrees with simhash64's ws_tokens on empty documents
+    ex = (
+        toksed.select("id", F.explode("t").alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("id", F.xxhash64("tok").alias("h"))
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}") for i in range(64)
@@ -414,6 +435,7 @@ def connected_components(
     # sum of all labels is strictly decreasing until fixpoint — one cheap
     # aggregate per round instead of a join-based diff.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         # neighbor's label, propagated across each edge
         prop = (
@@ -430,8 +452,17 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        # silent non-fixpoint would mean WRONG clusters (long chains keep
+        # intermediate labels and duplicates survive) — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

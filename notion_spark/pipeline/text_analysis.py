@@ -150,16 +150,12 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window
 
+    from notion_spark.pipeline.dedup import _raw_shingles
+
     toksed = df.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    n = F.size(F.col("t"))
-    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)]),
-        )
-    )
+    grams = _raw_shingles(F.col("t"), k)
     hashed = toksed.select("id", F.posexplode(grams).alias("pos", "g")).select(
         "id", "pos", F.xxhash64("g").alias("h")
     )

@@ -43,8 +43,6 @@ def report_payload(
     previews join in by nid and append to the body — one join replacing
     the reference's per-row file reads (get_smart_attachment_content,
     generate_reports.py:256-305)."""
-    import pyspark.sql.functions as F
-
     att_text = None
     if attachments is not None and cfg.include_attachments:
         from notion_spark.sources.attachments import attachment_previews

@@ -20,11 +20,13 @@ from notion_spark.functions.text import truncate_text  # noqa: F401  (API surfac
 
 
 def _table(df: DataFrame, cols: list[str] | None = None, max_rows: int | None = None) -> str:
+    # limit BEFORE collecting — sections like `overdue` are unbounded and
+    # the driver must only ever hold the displayed rows
+    if max_rows is not None:
+        df = df.limit(max_rows)
     pdf = df.toPandas()
     if cols:
         pdf = pdf[[c for c in cols if c in pdf.columns]]
-    if max_rows is not None:
-        pdf = pdf.head(max_rows)
     if pdf.empty:
         return "(none)"
     return pdf.to_string(index=False)

@@ -38,7 +38,16 @@ def merge_batch(
     reduced = latest_per_key(batch, key, order_by)
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
-        merged = keep_last_upsert(existing, reduced, key)
+        # recency-FIRST merge (incoming wins only ties): a replayed or
+        # late micro-batch whose rows are older than the store must not
+        # regress it — unlike the reference's batch M2, where incoming
+        # unconditionally wins (keep_last_upsert)
+        tagged = existing.withColumn("__src", F.lit(0)).unionByName(
+            reduced.withColumn("__src", F.lit(1))
+        )
+        merged = latest_per_key(
+            tagged, key, [*order_by, F.desc("__src")]
+        ).drop("__src")
     else:
         merged = reduced
     # write-to-tmp-then-swap: merged's lineage READS store_path, so an
