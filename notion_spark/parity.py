@@ -1591,6 +1591,57 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_top_bigrams",
+    """
+    SELECT bg, COUNT(*) AS count FROM (
+        SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                       for i in range(1, greatest(len(toks), 1))]) AS bg
+        FROM (SELECT str_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2)
+    GROUP BY bg ORDER BY count DESC, bg ASC LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies via the shared shingle machinery — the
+    n-gram construction itself oracle-checked end to end."""
+    from notion_spark.pipeline.dedup import _raw_shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    toksed = d.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    return (
+        toksed.select(F.explode(_raw_shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("bg"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS count FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (lag over the per-user
+    timeline — the Markov-matrix building block for behavioral models)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
