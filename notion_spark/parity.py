@@ -1717,6 +1717,43 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_argminmax",
+    """
+    SELECT event_type,
+           arg_min(event_id, ts) AS first_event_id,
+           arg_max(event_id, ts) AS last_event_id,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: the row-valued extremes aggregate (first/last event
+    per type by time) — no window, single map-side-combined pass."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "filter_array_exists",
+    """
+    SELECT vec_id, label FROM embeddings
+    WHERE len(list_filter(embedding, x -> x > 0.35)) > 0
+    """,
+)
+def filter_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array existential predicate (F.exists higher-order function):
+    vectors containing any extreme component."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        F.exists("embedding", lambda x: x > F.lit(0.35))
+    ).select("vec_id", "label")
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
