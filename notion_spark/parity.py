@@ -117,10 +117,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional_counts",
     """
     SELECT COUNT(*) AS total,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_finished,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS n_urgent,
-           COALESCE(SUM(CASE WHEN o_totalprice > 100000 THEN 1 END), 0) AS n_large
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_finished,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS n_urgent,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice > 100000 THEN 1 END), 0) AS BIGINT) AS n_large
     FROM orders
     """,
 )
@@ -222,7 +222,7 @@ _PRIORITY_ALIAS = ["p_urgent", "p_high", "p_medium", "p_unspecified", "p_low"]
     "agg_crosstab_status_priority",
     "SELECT o_orderstatus, "
     + ", ".join(
-        f"COALESCE(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 END), 0) AS {a}"
+        f"CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 END), 0) AS BIGINT) AS {a}"
         for p, a in zip(_PRIORITIES, _PRIORITY_ALIAS)
     )
     + " FROM orders GROUP BY o_orderstatus",
@@ -1463,9 +1463,9 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tasks_adapter_summary",
     """
     SELECT COUNT(*) AS total,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS completed,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS doing,
-           COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS todo,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS completed,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS doing,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS todo,
            round(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) * 100.0
                  / greatest(COUNT(*), 1), 2) AS pct_complete
     FROM orders
