@@ -16,23 +16,35 @@ def _c(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------- X3
-# Smart-quote / dash / ellipsis normalization + control-char strip
-# (reference backend/text_style.py:109-140).
-# position-aligned 7-char strings: ‘ ’ “ ” – — NBSP -> ' ' " " - - space
-_SMART_SRC = "‘’“”–— "
-_SMART_DST = "''\"\"-- "
+# The reference's fixed replacement map (text_style.py:121-137), in its
+# dict order. All other characters — including non-ASCII text — pass
+# through unchanged; only the listed emojis are touched.
+# position-aligned single-char maps: ‘ ’ “ ” – — -> ' ' " " - -
+_SMART_SRC = "‘’“”–—"
+_SMART_DST = "''\"\"--"
+# multi-codepoint / multi-char entries, applied as literal replaces.
+# NB ⚖️/⚠️ include U+FE0F exactly as the reference's dict keys do.
+_LITERAL_MAP = [
+    ("…", "..."),
+    ("🙌", ""),
+    ("🚀", ""),
+    ("📂", ""),
+    ("🚨", ""),
+    ("👴", ""),
+    ("⚖️", "Licensing: "),
+    ("⚠️", "Warning: "),
+]
 
 
 def clean_text(col: Column | str) -> Column:
-    """Normalize typographic characters and strip non-printable chars
-    (text_style.py:109-140: smart quotes→ASCII, en/em dash→hyphen,
-    ellipsis→'...', emoji/control chars removed)."""
+    """Apply the reference's replacement map (text_style.py:109-140):
+    smart quotes/dashes→ASCII, ellipsis→'...', five emojis dropped,
+    ⚖️→'Licensing: ', ⚠️→'Warning: '. Everything else (accents, other
+    unicode) is kept, matching the reference byte-for-byte."""
     c = _c(col)
     c = F.translate(c, _SMART_SRC, _SMART_DST)
-    c = F.regexp_replace(c, "…", "...")
-    # Strip everything outside printable ASCII + common whitespace
-    # (the reference's emoji-strip regex, text_style.py:126-139).
-    c = F.regexp_replace(c, "[^\\x20-\\x7E\\t\\n\\r]", "")
+    for src, dst in _LITERAL_MAP:
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return c
 
 
@@ -70,20 +82,24 @@ def truncate_lines(col: Column | str, max_lines: int, marker: str = "(Truncated)
 
 
 # ---------------------------------------------------------------- X1
-def render_rich_text(rich: Column | str) -> Column:
+def render_rich_text(rich: Column | str, include_code: bool = False) -> Column:
     """Rich-text array -> markdown-ish string (fetch_pages.py:216-228).
 
     Expects ``array<struct<plain_text:string, href:string,
     annotations:struct<bold:boolean,italic:boolean,underline:boolean,
     strikethrough:boolean,code:boolean>>>`` and wraps each segment in the
-    corresponding markers, concatenated in order.
+    corresponding markers, concatenated in order. The reference renderer
+    handles only bold/italic/underline/strikethrough/href; pass
+    ``include_code=True`` to additionally backtick code-annotated spans
+    (an extension, off by default to keep byte parity).
     """
     r = _c(rich)
 
     def seg(e: Column) -> Column:
         txt = e["plain_text"]
         a = e["annotations"]
-        txt = F.when(a["code"], F.concat(F.lit("`"), txt, F.lit("`"))).otherwise(txt)
+        if include_code:
+            txt = F.when(a["code"], F.concat(F.lit("`"), txt, F.lit("`"))).otherwise(txt)
         txt = F.when(a["bold"], F.concat(F.lit("**"), txt, F.lit("**"))).otherwise(txt)
         txt = F.when(a["italic"], F.concat(F.lit("*"), txt, F.lit("*"))).otherwise(txt)
         txt = F.when(a["underline"], F.concat(F.lit("__"), txt, F.lit("__"))).otherwise(txt)

@@ -1330,27 +1330,41 @@ def window_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_oracle_expr(inner: str) -> str:
+    """Build the DuckDB replace() chain from the SAME replacement map the
+    Spark implementation uses (functions/text._SMART_SRC/_LITERAL_MAP), so
+    oracle and engine can never drift."""
+    from notion_spark.functions.text import _LITERAL_MAP, _SMART_DST, _SMART_SRC
+
+    e = inner
+    for s, d in list(zip(_SMART_SRC, _SMART_DST)) + list(_LITERAL_MAP):
+        e = "replace({}, '{}', '{}')".format(e, s.replace("'", "''"), d.replace("'", "''"))
+    return e
+
+
+# exercises smart chars, ellipsis, kept unicode (café), a dropped emoji,
+# and the warning-prefix emoji (U+26A0 U+FE0F as in the reference map)
+_CLEAN_SUFFIX = " “quoted” – dash… café \U0001f680go ⚠️hot"
+
+
 @register(
     "text_clean",
-    """
-    SELECT doc_id,
-           regexp_replace(
-               replace(replace(replace(replace(replace(replace(replace(
-                   text || ' “quoted” – dash… café',
-                   '‘', ''''), '’', ''''), '“', '"'), '”', '"'), '–', '-'), '—', '-'), '…', '...'),
-               '[^\\x20-\\x7E\\t\\n\\r]', '', 'g') AS cleaned
-    FROM documents
-    """,
+    "SELECT doc_id, "
+    + _clean_oracle_expr("text || ' ' || chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8211)"
+                         " || ' dash' || chr(8230) || ' caf' || chr(233) || ' ' || chr(128640)"
+                         " || 'go ' || chr(9888) || chr(65039) || 'hot'")
+    + " AS cleaned FROM documents",
 )
 def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 clean_text (text_style.py:109-140) — smart quotes/dashes to
-    ASCII, non-printables stripped. A unicode suffix is appended to every
-    row so the normalization actually exercises (the synthetic docs are
-    pure ASCII)."""
+    """X3 clean_text (text_style.py:109-140) — the reference's fixed
+    replacement map: smart chars normalized, listed emojis dropped or
+    prefix-mapped, all other unicode KEPT. A unicode suffix is appended to
+    every row so the normalization actually exercises (the synthetic docs
+    are pure ASCII)."""
     from notion_spark.functions.text import clean_text
 
     d = read_table(spark, sf_dir, "documents")
-    dirty = F.concat(F.col("text"), F.lit(" “quoted” – dash… café"))
+    dirty = F.concat(F.col("text"), F.lit(_CLEAN_SUFFIX))
     return d.select("doc_id", clean_text(dirty).alias("cleaned"))
 
 

@@ -106,12 +106,13 @@ def flatten_body(blocks: DataFrame, indent: bool = True) -> DataFrame:
         rendered = rendered.withColumn(
             "line", F.concat(F.expr("repeat('  ', depth)"), F.col("line"))
         )
-    # Zero-pad each path element so lexicographic array sort == numeric order.
-    sort_key = F.transform(F.col("path"), lambda x: F.lpad(x.cast("string"), 6, "0"))
+    # Sort on the numeric path directly: Spark orders array<int> element-wise
+    # (prefix < extension), so parents precede children and sibling ordinals
+    # of ANY magnitude order correctly — no string padding to overflow.
     return (
         rendered.groupBy("page_uid")
         .agg(
-            F.array_sort(F.collect_list(F.struct(sort_key.alias("k"), F.col("line").alias("v")))).alias("lines")
+            F.array_sort(F.collect_list(F.struct(F.col("path").alias("k"), F.col("line").alias("v")))).alias("lines")
         )
         .select(
             "page_uid",

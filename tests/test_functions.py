@@ -20,9 +20,14 @@ def _one(spark, col, value, typ="string"):
 
 
 def test_clean_text(spark):
-    got = _one(spark, clean_text(F.col("v")), "“smart” – dash… é😀")
-    assert got == '"smart" - dash...'.rstrip() + " "  # unicode stripped, trailing space kept
-    assert "é" not in got and "😀" not in got
+    # reference map semantics: smart chars normalized, the five listed
+    # emojis dropped, warning/licensing emojis become prefixes, and ALL
+    # other unicode (accents, unlisted emoji) passes through
+    dirty = "“smart” – dash… é\U0001f600 ⚠️hot \U0001f680go"
+    got = _one(spark, clean_text(F.col("v")), dirty)
+    assert got == '"smart" - dash... é\U0001f600 Warning: hot go'
+    # bare U+26A0 (no variation selector) is NOT in the reference map
+    assert _one(spark, clean_text(F.col("v")), "⚠ plain") == "⚠ plain"
 
 
 def test_truncate_text(spark):
@@ -69,3 +74,24 @@ def test_render_rich_text(spark):
     df = spark.createDataFrame([(rich,)], schema)
     got = df.select(render_rich_text(F.col("arr")).alias("out")).collect()[0].out
     assert got == "**bold**[ link](http://x)"
+
+
+def test_render_rich_text_code_parity(spark):
+    # reference renderer (fetch_pages.py:216-228) has no code branch:
+    # code-annotated spans pass through bare by default
+    rich = [
+        {"plain_text": "x=1", "href": None,
+         "annotations": {"bold": False, "italic": False, "underline": False,
+                         "strikethrough": False, "code": True}},
+    ]
+    schema = (
+        "arr array<struct<plain_text:string,href:string,"
+        "annotations:struct<bold:boolean,italic:boolean,underline:boolean,"
+        "strikethrough:boolean,code:boolean>>>"
+    )
+    df = spark.createDataFrame([(rich,)], schema)
+    assert df.select(render_rich_text(F.col("arr")).alias("o")).collect()[0].o == "x=1"
+    assert (
+        df.select(render_rich_text(F.col("arr"), include_code=True).alias("o")).collect()[0].o
+        == "`x=1`"
+    )

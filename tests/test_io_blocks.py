@@ -53,6 +53,36 @@ def test_flatten_body_ordering_and_rendering(spark):
     assert out["p2"] == "other page"
 
 
+def test_flatten_body_large_ordinals(spark):
+    # Regression: sibling ordinals beyond any fixed pad width must still
+    # order numerically (the old lpad(...,6) key truncated >= 1e6).
+    def payload(text):
+        return json.dumps(
+            {
+                "rich_text": [
+                    {
+                        "plain_text": text,
+                        "href": None,
+                        "annotations": {
+                            "bold": False, "italic": False, "underline": False,
+                            "strikethrough": False, "code": False,
+                        },
+                    }
+                ]
+            }
+        )
+
+    rows = [
+        ("p1", "b1", None, 10_000_000, "paragraph", payload("last")),
+        ("p1", "b2", None, 2, "paragraph", payload("second")),
+        ("p1", "b3", None, 999_999, "paragraph", payload("third")),
+        ("p1", "b4", None, 1, "paragraph", payload("first")),
+    ]
+    blocks = spark.createDataFrame(rows, BLOCKS_SCHEMA)
+    out = {r.page_uid: r.body_content for r in flatten_body(blocks).collect()}
+    assert out["p1"] == "first\nsecond\nthird\nlast"
+
+
 def test_fixture_client_crawl(spark):
     pages = [{"id": "p1"}, {"id": "p2"}]
     blocks = {
