@@ -79,9 +79,10 @@ def shingle_hashes(
         source = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
     except Exception:
         # Spark Connect exposes neither sparkContext nor .rdd — repartition
-        # to the shuffle-partition setting unconditionally (AQE coalesces)
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        source = df.repartition(n)
+        # to the shuffle-partition setting unconditionally (AQE coalesces).
+        # NB: must not shadow the shingle width `n`.
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        source = df.repartition(parts)
     toksed = source.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
@@ -209,6 +210,83 @@ def minhash_signatures(
     return ex.groupBy("id").agg(*mins)
 
 
+def _banded_candidates(
+    banded: DataFrame, max_bucket: int | None, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(band, bucket, id [, extras]) rows -> candidate pairs with a
+    hot-bucket guard.
+
+    A bucket of m members emits m²/2 clique pairs — fine for the small
+    buckets genuine near-dups produce, quadratic death for the degenerate
+    buckets real corpora always have (boilerplate, empty-ish docs, hash
+    pileups). Guard: count per (band, bucket) in ONE map-side-combined
+    aggregate; buckets with more than ``max_bucket`` members are routed to
+    a STAR (bucket-min-id -> member, O(m) pairs) instead of the clique.
+    Downstream exact verification + connected-components still collapse a
+    genuinely-duplicate mass through its star center, so the guard trades
+    a bounded amount of recall on pathological buckets for a hard upper
+    bound of max_bucket·m on any bucket's pair count. The hot-bucket list
+    is at most N/max_bucket keys — always broadcastable.
+
+    ``extra_cols`` are carried through with _a/_b suffixes (e.g. simhash
+    signatures for the pairwise Hamming distance).
+    """
+    extra_cols = extra_cols or []
+    keep = ["band", "bucket", "id", *extra_cols]
+    banded = banded.select(*keep)
+
+    def _sides(src: DataFrame):
+        x = src.select(
+            "band", "bucket", F.col("id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+        )
+        y = src.select(
+            F.col("band").alias("band_y"), F.col("bucket").alias("bucket_y"),
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+        )
+        return x.join(
+            y,
+            on=[x["band"] == y["band_y"], x["bucket"] == y["bucket_y"], x["id_a"] < y["id_b"]],
+        )
+
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in extra_cols for s in ("a", "b")]
+    if max_bucket is None:
+        return _sides(banded).select(*out_cols)
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("id").alias("center_id"),
+        *[F.min_by(c, "id").alias(f"center_{c}") for c in extra_cols],
+    )
+    hot = stats.filter(F.col("cnt") > max_bucket)
+    cold = banded.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
+    clique = _sides(cold).select(*out_cols)
+    star = (
+        banded.join(
+            F.broadcast(
+                hot.select(
+                    "band", "bucket", "center_id",
+                    *[F.col(f"center_{c}") for c in extra_cols],
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id") != F.col("center_id"))
+        .select(
+            F.col("center_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[
+                col
+                for c in extra_cols
+                for col in (F.col(f"center_{c}").alias(f"{c}_a"), F.col(c).alias(f"{c}_b"))
+            ],
+        )
+    )
+    return clique.unionByName(star)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -216,12 +294,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: each signature splits into ``bands`` rows keyed by
     (band_idx, xxhash64 of its rows); docs sharing any band bucket become
     candidates. rows_per_band = num_hashes/bands sets the similarity knee
     (16 bands × 4 rows ⇒ ~0.5-0.6 Jaccard). Output: distinct (id_a, id_b),
-    id_a < id_b."""
+    id_a < id_b. Buckets larger than ``max_bucket`` fall back to a star
+    around the bucket minimum (see _banded_candidates) so a degenerate
+    bucket can never go quadratic."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
@@ -241,22 +322,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    x = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("id_a"))
-    y = banded.select(
-        F.col("band").alias("band_y"), F.col("bucket").alias("bucket_y"), F.col("id").alias("id_b")
-    )
-    return (
-        x.join(
-            y,
-            on=[
-                x["band"] == y["band_y"],
-                x["bucket"] == y["bucket_y"],
-                x["id_a"] < y["id_b"],
-            ],
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _banded_candidates(banded, max_bucket).select("id_a", "id_b").distinct()
 
 
 def minhash_dedup_pairs(
@@ -268,6 +334,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     ngram: int = 3,
     verify_scope: str = "all",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify over
     shingle-hash sets. Output matches `jaccard_pairs` (id_a, id_b,
@@ -280,7 +347,7 @@ def minhash_dedup_pairs(
     for docs appearing in one (3 extra small shuffles, but the second
     shingle pass becomes proportional to candidates — the right choice
     when the corpus is huge relative to the near-dup population)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram, max_bucket)
     if verify_scope == "candidates":
         cands = cands.persist()
         cands.count()
@@ -354,11 +421,18 @@ def simhash64(col: Column | str) -> Column:
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the SimHash (4 tables).
     Docs within Hamming distance 3 share at least one of 4 bands
-    (pigeonhole). Output: distinct (id_a, id_b, hamming)."""
+    (pigeonhole). Output: distinct (id_a, id_b, hamming). Buckets larger
+    than ``max_bucket`` fall back to a star around the bucket minimum
+    (see _banded_candidates); the signature rides along so the pairwise
+    Hamming distance is still exact on star edges."""
     sig = simhash_signatures(df, text_col, id_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -379,19 +453,9 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    x = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    y = banded.select(
-        F.col("band").alias("band_y"),
-        F.col("bucket").alias("bucket_y"),
-        F.col("id").alias("id_b"),
-        F.col("sig").alias("sig_b"),
-    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        x.join(
-            y,
-            on=[x["band"] == y["band_y"], x["bucket"] == y["bucket_y"], x["id_a"] < y["id_b"]],
-        )
+        _banded_candidates(banded, max_bucket, extra_cols=["sig"])
         .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
     )
@@ -408,12 +472,14 @@ def connected_components(
     component is the MINIMUM id reachable through the pair graph — the
     canonical representative each duplicate collapses to.
 
-    Min-label propagation to fixpoint: each round joins every node's
-    current label against its neighbors' and keeps the smaller; rounds
-    needed = graph diameter (near-dup clusters are shallow — a handful).
-    The loop is driver-side over lazy plans with a convergence check per
-    round; each round is one shuffle join. Label frames are cached and
-    materialized per round so plan depth stays constant-ish.
+    Min-label propagation + pointer doubling to fixpoint: each round
+    (a) joins every node's current label against its neighbors' and keeps
+    the smaller, then (b) adopts its label's label (component(component)),
+    which halves the remaining chain depth — so rounds needed are
+    O(log diameter), not O(diameter); a 1000-node path converges in ~10
+    rounds. The loop is driver-side over lazy plans with a convergence
+    check per round; each round is two shuffle joins. Label frames are
+    cached and materialized per round so plan depth stays constant-ish.
     """
     # Persist the (tiny) edge list: ``pairs`` is usually the tail of a
     # whole near-dup pipeline, and every propagation round references the
@@ -429,7 +495,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     # Convergence detector: labels only ever DECREASE, so the exact integer
     # sum of all labels is strictly decreasing until fixpoint — one cheap
@@ -442,14 +508,27 @@ def connected_components(
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), "component")
         )
-        new_labels = (
+        merged = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .cache()
+        )
+        # pointer doubling: component(x) <- component(component(x)).
+        # component(x) <= x invariant ⇒ every label is itself a labeled
+        # node, so the self-join always resolves; labels only decrease.
+        jump = merged.select(
+            F.col("id").alias("component"), F.col("component").alias("comp2")
+        )
+        # localCheckpoint (not cache): `merged` feeds the self-join twice,
+        # so an un-truncated lineage would DOUBLE in size every round and
+        # blow up plan generation after ~15 rounds; checkpointing cuts the
+        # plan back to a leaf each iteration.
+        new_labels = (
+            merged.join(jump, "component")
+            .select("id", F.col("comp2").alias("component"))
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -487,13 +566,31 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    block_key: Column | None = None,
+    block_key: Column | str | None = "auto",
+    dim: int = 64,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates. With no ``block_key`` this is
-    all-pairs — fine for ≤~10^5 rows per executor-memory budget; at scale
-    pass an LSH/IVF bucket (see similarity.random_hyperplane_bucket)."""
-    from notion_spark.pipeline.similarity import cosine
+    """Embedding-cosine near-duplicates WITHIN a blocking key.
 
+    The default ``block_key="auto"`` buckets by a deterministic sign-LSH
+    hyperplane hash (similarity.random_hyperplane_bucket) so the pairwise
+    join is bounded per bucket — the only shape that survives scale. Pass
+    an explicit Column to block on domain structure instead. All-pairs is
+    the one O(N²) escape hatch and must be requested twice:
+    ``block_key=None, allow_all_pairs=True``."""
+    from notion_spark.pipeline.similarity import cosine, random_hyperplane_bucket
+
+    if isinstance(block_key, str):
+        if block_key != "auto":
+            block_key = F.col(block_key)
+        else:
+            block_key = random_hyperplane_bucket(F.col(vec_col), dim=dim)
+    if block_key is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_dup_pairs without a block_key is an all-pairs O(N²) "
+            "join; pass allow_all_pairs=True to opt in explicitly, or keep "
+            "the default 'auto' hyperplane blocking"
+        )
     # evaluate block_key against the ORIGINAL frame (it may reference
     # columns outside id/vec), then project down
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]

@@ -23,6 +23,21 @@ def test_token_shingles(spark):
     assert out[1].sh == []
 
 
+def test_shingle_width_survives_partition_probe_fallback(spark, monkeypatch):
+    # Regression: the Spark-Connect fallback branch (no sparkContext/.rdd)
+    # must not leak the shuffle-partition count into the shingle width n.
+    from pyspark.sql import DataFrame
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+
+    def boom(self):
+        raise RuntimeError("no rdd on Connect")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom), raising=False)
+    out = D.shingle_hashes(df, n=3).collect()
+    assert len(out) == 3  # 5 tokens -> exactly 3 trigram shingles
+
+
 def test_exact_dedup(spark):
     groups = D.exact_dedup(_docs(spark)).collect()
     by_canon = {r.canonical_id: r.n_dups for r in groups}
@@ -58,15 +73,63 @@ def test_simhash_near_dups(spark):
     assert (1, 3) in found and found[(1, 3)] <= 16
 
 
-def test_embedding_dup_pairs(spark):
+def _emb_df(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [0.999, 0.01, 0.0, 0.0]),
         (3, [0.0, 1.0, 0.0, 0.0]),
     ]
-    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    pairs = D.embedding_dup_pairs(df, threshold=0.95).collect()
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_dup_pairs_explicit_all_pairs(spark):
+    pairs = D.embedding_dup_pairs(
+        _emb_df(spark), threshold=0.95, block_key=None, allow_all_pairs=True
+    ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_dup_pairs_auto_blocking_default(spark):
+    # identical vectors ALWAYS co-bucket under sign-LSH (auto blocking is
+    # approximate for near-identical pairs — recall < 1 by design)
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = D.embedding_dup_pairs(df, threshold=0.95, dim=4)
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+    # the default plan must NOT contain a cartesian/nested-loop join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dup_pairs_refuses_silent_all_pairs(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        D.embedding_dup_pairs(_emb_df(spark), block_key=None)
+
+
+def test_lsh_hot_bucket_guard_bounds_candidates(spark):
+    # Degenerate corpus: a large mass of identical docs used to emit a
+    # quadratic clique per band; the guard must emit a star instead.
+    rows = [(i, "the same boilerplate text repeated everywhere today") for i in range(2000)]
+    rows.append((9001, "a genuinely different document about engines and storage"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = D.minhash_lsh_candidates(df, max_bucket=100)
+    assert cands.count() == 1999  # star around min id, not ~2M clique pairs
+    # end-to-end: verify still scores star edges, clusters still collapse
+    pairs = D.minhash_dedup_pairs(df, threshold=0.8, max_bucket=100)
+    kept = sorted(r.doc_id for r in D.dedup_clusters(df, pairs).collect())
+    assert kept == [0, 9001]
+
+
+def test_simhash_hot_bucket_guard_keeps_exact_hamming(spark):
+    rows = [(i, "identical text mass for every single row here") for i in range(500)]
+    rows.append((9001, "some other unrelated wording entirely for this one"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = D.simhash_candidates(df, max_bucket=50)
+    got = cands.collect()
+    assert len(got) == 499  # star only
+    assert all(r.hamming == 0 for r in got if r.id_b != 9001)
 
 
 def test_connected_components_chains_and_clusters(spark):
@@ -76,6 +139,18 @@ def test_connected_components_chains_and_clusters(spark):
     )
     comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_deep_chain_converges_logarithmically(spark):
+    # 1000-node path graph: diameter 999. Plain min-label would need 999
+    # rounds; pointer doubling must land it well under the default 20.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs)  # default max_iter=20
+    rows = comp.collect()
+    assert len(rows) == 1000
+    assert all(r.component == 0 for r in rows)
 
 
 def test_dedup_clusters_keeps_canonical_and_singletons(spark):
