@@ -802,18 +802,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(d, block_key=F.col("source"), n=3, threshold=0.2)
 
 
-@register("dedup_minhash_lsh")  # rows-only: banding hash not SQL-expressible
+# Shared oracle fragment: distinct 3-gram shingle sets + all-pairs exact
+# Jaccard (sf0.01 is 500 docs — the oracle may all-pairs; the Spark side
+# never does). Tokenization mirrors shingle_hashes: split(trim(text),'\s+').
+_SH_JPAIRS = r"""
+    docs AS (
+        SELECT doc_id, source, lang,
+               list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                              for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+        FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    jpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / greatest(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_JPAIRS}
+    SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard.
-    Oracle-free (xxhash64 banding has no DuckDB equivalent); recall vs the
-    exact blocked query is unit-tested (tests/test_dedup.py)."""
+
+    Hash-checked against ALL-PAIRS exact Jaccard: the verified LSH output
+    must EQUAL the exact pair set at the threshold — containment holds by
+    construction (every emitted pair is exact-verified), and recall holds
+    because P(miss) = (1-j^4)^16 ≤ 3e-8 per pair at j ≥ 0.9 (the corpus's
+    near-dup pairs all sit ≥ 0.9; nothing lives in [0.1, 0.9)). The
+    oracle may all-pairs at sf0.01; the Spark side stays banded — that
+    asymmetry is the point of the check."""
     d = read_table(spark, sf_dir, "documents")
-    return DD.minhash_dedup_pairs(d, threshold=0.2)
+    return DD.minhash_dedup_pairs(d, threshold=0.5)
 
 
 @register("dedup_simhash")  # rows-only: xxhash64 bit algebra not SQL-expressible
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 banded near-dup candidates with Hamming distance."""
+    """SimHash-64 banded near-dup candidates with Hamming distance.
+
+    Rows-only by necessity: SimHash signatures are xxhash64 bit algebra
+    (no DuckDB equivalent), and unlike MinHash there is no clean
+    data-level invariant to oracle — measured on this corpus, banding
+    admits sub-threshold pairs down to hamming 2 while 2 of the 25 true
+    near-dup pairs sit at hamming 4-5 (pigeonhole only guarantees ≤ 3),
+    so no hamming cutoff reproduces an exact-Jaccard pair set. Semantics
+    are unit-tested against known bit patterns (tests/test_dedup.py)."""
     d = read_table(spark, sf_dir, "documents")
     return DD.simhash_candidates(d)
 
@@ -845,13 +886,35 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
-@register("dedup_cluster_collapse")  # rows-only: iterative fixpoint not SQL-expressible
+@register(
+    "dedup_cluster_collapse",
+    f"""
+    WITH RECURSIVE {_SH_JPAIRS},
+    prs AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    reach AS (
+        SELECT a AS id, a AS lbl FROM edges
+        UNION
+        SELECT r.id, e.b AS lbl FROM reach r JOIN edges e ON r.lbl = e.a
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR d.doc_id = c.component
+    """,
+)
 def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → collapse to canonical rows
-    (the standard MinHash-dedup last mile; unit-tested in
-    tests/test_dedup.py against known cluster shapes)."""
+    (the standard MinHash-dedup last mile).
+
+    Hash-checked: the oracle rebuilds the same edge set from all-pairs
+    exact Jaccard (valid because verified LSH output == exact pairs at
+    this threshold — see dedup_minhash_lsh) and resolves components with
+    a recursive min-label CTE, so the pointer-doubling Spark fixpoint is
+    checked against an independent transitive-closure formulation."""
     d = read_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_dedup_pairs(d, threshold=0.2)
+    pairs = DD.minhash_dedup_pairs(d, threshold=0.5)
     return DD.dedup_clusters(d, pairs).select("doc_id", "source", "lang")
 
 
@@ -892,13 +955,45 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_dup_pairs(emb, threshold=0.3, block_key=F.col("label"))
 
 
-@register("text_winnowing_overlap")  # rows-only: window-min rolling hash not SQL-expressible
+@register(
+    "text_winnowing_overlap",
+    r"""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT id, (u).p AS pos,
+               CAST(concat('0x', substr(md5((u).g), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT id,
+                     unnest([{'p': i,
+                              'g': concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])}
+                             for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS u
+              FROM toks)
+    ),
+    fps AS (
+        SELECT DISTINCT id,
+               MIN(h) OVER (PARTITION BY id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+    """,
+)
 def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprint overlap pairs (position-independent
-    shared-run detection); semantics unit-tested with planted runs
-    (tests/test_text_analysis.py)."""
+    shared-run detection).
+
+    Hash-checked end to end: both engines hash k-grams with the same
+    60-bit md5 prefix (`md5_hash60` ≡ DuckDB hex-cast of substr(md5,1,15))
+    so the window-MIN selects identical fingerprints — selection depends
+    on hash order, which is why the engine-neutral hasher (not xxhash64)
+    is required for cross-engine parity. The xxhash64 production default
+    stays unit-tested with planted runs (tests/test_text_analysis.py)."""
     d = read_table(spark, sf_dir, "documents")
-    fps = TA.winnowing_fingerprints(d, k=5, window=4)
+    fps = TA.winnowing_fingerprints(d, k=5, window=4, hasher=TA.md5_hash60)
     return TA.fingerprint_overlap(fps).filter(F.col("shared_fps") >= 2)
 
 

@@ -7,6 +7,8 @@ hot path, embarrassingly parallel at any scale.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,12 +134,21 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, fingerprint(text_col))
 
 
+def md5_hash60(col: Column | str) -> Column:
+    """Cross-engine 60-bit hash: the first 15 hex chars of md5, as a
+    bigint. Slower than xxhash64 (full md5 per gram) but identically
+    computable in DuckDB (``CAST('0x'||substr(md5(g),1,15) AS BIGINT)``),
+    which makes winnowing oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    hasher: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """MOSS-style winnowing: rolling k-gram token hashes, one selected
     fingerprint per sliding window (the window MINIMUM) — the classic
@@ -147,6 +158,11 @@ def winnowing_fingerprints(
     Output: distinct (id, fp) rows. Pipeline: explode k-gram hashes with
     their position, window-min over a ``window``-row frame per doc, then
     distinct — one shuffle on the doc id, codegen throughout.
+
+    ``hasher`` picks the k-gram hash; the xxhash64 default is the fast
+    production path, `md5_hash60` the engine-neutral one (parity oracle).
+    Selection (not just counting) depends on hash ORDER, so cross-engine
+    comparison requires the same hash function on both sides.
     """
     from pyspark.sql.window import Window
 
@@ -157,7 +173,7 @@ def winnowing_fingerprints(
     )
     grams = _raw_shingles(F.col("t"), k)
     hashed = toksed.select("id", F.posexplode(grams).alias("pos", "g")).select(
-        "id", "pos", F.xxhash64("g").alias("h")
+        "id", "pos", hasher(F.col("g")).alias("h")
     )
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     return (
