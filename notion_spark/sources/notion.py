@@ -1,19 +1,16 @@
-"""Notion REST connector (SURVEY §2.1 S1-S5), network-free by design.
+"""Notion REST connector interface (SURVEY §2.1 S1-S5).
 
 The reference fetches pages/blocks/comments with asyncio + retry/backoff
-(fetch_pages.py:67-191). Connector concurrency and rate-limit handling are
-driver-side concerns, so the connector is an interface; tests and offline
-runs use `FixtureClient` over static JSON. The fetched payloads land in the
-blocks/comments/tasks tables and everything downstream is pure DataFrame.
+(fetch_pages.py:67-191). The connector is an interface so the transport is
+injectable: `sources.http_client.HttpNotionClient` is the real HTTP
+implementation (cursor pagination with limit pushdown, 429 Retry-After +
+exponential backoff max 5 — unit-tested offline against a fake transport
+in tests/test_http_client.py); `FixtureClient` serves tests and offline
+runs from static JSON. The fetched payloads land in the blocks/comments/
+tasks tables and everything downstream is pure DataFrame.
 
-Design notes for the real client (not exercised in tests — no network in
-the harness):
-- paginated scan: POST databases/{id}/query, cursor pagination, page_size
-  = min(100, remaining limit) — limit pushdown as in fetch_pages.py:79;
-- 429 handling: honor Retry-After, exponential backoff 2^k, max 5 retries
-  (fetch_pages.py:127-138, 161-166);
-- change detection happens AFTER the cheap header scan: only pages that
-  survive operators.incremental.changed_rows get block/comment fetches.
+Change detection happens AFTER the cheap header scan: only pages that
+survive operators.incremental.changed_rows get block/comment fetches.
 """
 
 from __future__ import annotations
