@@ -25,7 +25,8 @@ from notion_spark.normalize import normalize_for_analysis, normalize_for_reports
 from notion_spark.operators.incremental import changed_rows, keep_last_upsert
 from notion_spark.queries import analysis as analysis_q
 from notion_spark.queries import reports as reports_q
-from notion_spark.sinks.pdf_report import report_payload
+from notion_spark.sinks.charts import render_chart_canvases, render_charts
+from notion_spark.sinks.pdf_report import render_pdf, report_payload
 from notion_spark.sinks.text_report import render_analysis
 from notion_spark.sources.io import export_tasks_csv, export_tasks_json
 
@@ -37,6 +38,8 @@ class PipelineResult:
     n_cached: int
     analysis_text: str | None = None
     report_payloads: dict[str, dict] = field(default_factory=dict)
+    pdf_paths: dict[str, str] = field(default_factory=dict)
+    chart_paths: list[str] = field(default_factory=list)
 
 
 def refresh_cache(
@@ -91,12 +94,23 @@ def run_pipeline(
     with open(os.path.join(cache_dir, "analysis_output.txt"), "w") as f:
         f.write(text)
 
-    # EP3: one report per period (app.py:72-99)
+    # EP3: one report per period (app.py:72-99), rendered to real PDFs
+    # with the analysis charts embedded (generate_reports.py:588-600)
+    chart_paths = render_charts(sections, cache_dir) if export else []
+    canvases = render_chart_canvases(sections)
+    chart_bufs = [(c.rgb_bytes(), c.w, c.h) for c in canvases]
     reported = normalize_for_reports(merged).cache()
     payloads = {}
+    pdf_paths = {}
     for period in periods:
         frames = reports_q.report_frames(reported, period, now, cfg)
         payloads[period] = report_payload(frames, period, now, cfg)
+        if export:
+            pdf_paths[period] = render_pdf(
+                payloads[period],
+                os.path.join(cache_dir, f"{period}_{now:%Y-%m-%d}.pdf"),
+                charts=chart_bufs,
+            )
     analyzed.unpersist()
     reported.unpersist()
 
@@ -106,4 +120,6 @@ def run_pipeline(
         n_cached=merged.count(),
         analysis_text=text,
         report_payloads=payloads,
+        pdf_paths=pdf_paths,
+        chart_paths=chart_paths,
     )

@@ -2,16 +2,23 @@
 velocity bars via matplotlib/seaborn).
 
 Aggregation happens in Spark; only the tiny aggregate result crosses to
-the driver. matplotlib is optional in this container — `charts_available`
-gates rendering, and the data-prep path (`chart_data`) is always testable.
+the driver. Rendering is dependency-free: matplotlib is used when
+present, otherwise the vendored `minipng` rasterizer produces real,
+deterministic PNGs — so `render_charts` always writes files, and
+`render_chart_canvases` feeds raw RGB buffers straight into the PDF
+sink's image XObjects.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from notion_spark.sinks import minipng
+
 
 def charts_available() -> bool:
+    """True when matplotlib can render; the minipng fallback makes
+    rendering itself unconditional."""
     try:
         import matplotlib  # noqa: F401
 
@@ -30,11 +37,32 @@ def chart_data(sections: dict[str, DataFrame]) -> dict[str, list[tuple]]:
     }
 
 
+def render_chart_canvases(sections: dict[str, DataFrame]) -> list[minipng.Canvas]:
+    """Render the reference's two report charts
+    (generate_reports.py:220-253: status pie + priority bars) as minipng
+    canvases — PNG-encodable AND embeddable in the PDF as raw RGB."""
+    data = chart_data(sections)
+    return [
+        minipng.pie_chart(data["status_pie"], "Work Distribution"),
+        minipng.bar_chart(data["priority_bars"], "Tasks by Priority"),
+        minipng.bar_chart(
+            [(str(w), n) for w, n in data["velocity"]], "Tasks Completed Over Time"
+        ),
+    ]
+
+
 def render_charts(sections: dict[str, DataFrame], out_dir: str) -> list[str]:
     """Render PNG charts like the reference (status pie, velocity bars).
-    Returns written paths; no-op (empty list) when matplotlib is absent."""
-    if not charts_available():  # pragma: no cover
-        return []
+    Always writes files: matplotlib when present, minipng otherwise."""
+    if not charts_available():
+        names = ["task_status_distribution.png", "tasks_by_priority.png", "velocity.png"]
+        paths = []
+        for canvas, name in zip(render_chart_canvases(sections), names):
+            p = f"{out_dir}/{name}"
+            with open(p, "wb") as f:
+                f.write(canvas.png_bytes())
+            paths.append(p)
+        return paths
     import matplotlib
 
     matplotlib.use("Agg")

@@ -17,6 +17,14 @@ def test_full_pipeline_and_incremental_rerun(spark, tmp_path):
     assert "Total number of tasks: 120" in r1.analysis_text
     assert set(r1.report_payloads) == {"weekly", "yearly"}
     assert r1.report_payloads["yearly"]["sections"]["completed"]
+    # real render artifacts: per-period PDFs with embedded charts + PNGs
+    assert set(r1.pdf_paths) == {"weekly", "yearly"}
+    for p in r1.pdf_paths.values():
+        data = open(p, "rb").read()
+        assert data.startswith(b"%PDF-1.4") and b"/Subtype /Image" in data
+    assert len(r1.chart_paths) == 3
+    for p in r1.chart_paths:
+        assert open(p, "rb").read().startswith(b"\x89PNG")
 
     # incremental re-run: 5 rows touched, rest skipped by the watermark
     touched = tasks.limit(5).withColumn(
