@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "text_quality",
     "text_token_counts",
+    # heavy iterative / stateful ops (added r2 per verdict: keep the set
+    # stable and growing, never shrinking, so round-over-round deltas are
+    # comparable on the shared prefix)
+    "events_sessionize",
+    "dedup_cluster_collapse",
 ]
 
 
