@@ -1863,6 +1863,160 @@ def filter_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+# =====================================================================
+# Training-data curation (decontamination, PII, sampling, repetition)
+# =====================================================================
+
+
+@register(
+    "curation_decontam",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    gr AS (SELECT doc_id,
+                  unnest(list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                                        for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS gram
+           FROM toks)
+    SELECT c.doc_id, COUNT(*) AS shared_grams
+    FROM (SELECT * FROM gr WHERE doc_id >= 20) c
+    JOIN (SELECT DISTINCT gram FROM gr WHERE doc_id < 20) b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    'benchmark' slice (doc_id < 20 stands in for a held-out eval set).
+    The real-scale shape broadcasts the tiny benchmark gram set; the
+    corpus is never pairwise-joined (pipeline/curation.py)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.contaminated_ids(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    )
+
+
+_PII_INJECT = (
+    " contact user{id}@example.com or 123-45-6789 call 555-123-4567 via 10.0.0.7 done"
+)
+
+
+@register(
+    "curation_pii_redact",
+    r"""
+    WITH inj AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 123-45-6789 call 555-123-4567 via 10.0.0.7 done' AS x
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+               '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(x, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn
+    FROM inj
+    """,
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/SSN/phone/IPv4 -> typed tokens) over text
+    with deterministically injected PII (the synthetic corpus carries
+    none, so the query plants one of each per row — both engines inject
+    identically). Patterns are RE2-compatible so Spark's Java regex and
+    DuckDB's RE2 agree byte-for-byte (pipeline/curation.py PII_PATTERNS)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 123-45-6789 call 555-123-4567 via 10.0.0.7 done"),
+    )
+    hits = CU.pii_hits(injected)
+    return d.select(
+        "doc_id",
+        CU.redact_pii(injected).alias("redacted"),
+        hits["email"].alias("n_email"),
+        hits["ssn"].alias("n_ssn"),
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000 WHEN 'zh' THEN 1000 ELSE 0 END
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (domain-mixture) sampling: keep 50% of
+    en, all of de, 10% of zh, drop the rest — reproducible row-exact via
+    the engine-neutral md5 hash bucket, zero shuffle, no RNG state
+    (pipeline/curation.py stratified_sample)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "zh": 0.1}, key_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH lined AS (
+        SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS txt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    line_m AS (
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                     / greatest(len(ls), 1), 6) AS dup_line_frac
+        FROM (SELECT doc_id,
+                     list_filter([trim(x) for x in string_split(txt, chr(10))],
+                                 x -> x <> '') AS ls
+              FROM lined)
+    ),
+    grams AS (
+        SELECT doc_id, (u) AS g
+        FROM (SELECT doc_id,
+                     unnest([concat_ws(' ', t[i], t[i+1])
+                             for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS u
+              FROM (SELECT doc_id, string_split_regex(trim(txt), '\s+') AS t FROM lined))
+    ),
+    big_m AS (
+        SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+           COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           round(CAST(COALESCE(b.top_bigram_count, 0) AS DOUBLE)
+                 / greatest(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac
+    FROM line_m l LEFT JOIN big_m b USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-line fraction, top
+    2-gram fraction) over sentence-split text (the synthetic docs are
+    single-line, so both engines split sentences to lines identically
+    first). Line metrics are shuffle-free array ops; the bigram mode is
+    explode + two map-side-combined aggregations
+    (pipeline/text_analysis.repetition_stats)."""
+    d = read_table(spark, sf_dir, "documents")
+    lined = d.withColumn("text", F.regexp_replace("text", r"\. ", ".\n"))
+    return TA.repetition_stats(lined)
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""

@@ -134,6 +134,66 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, fingerprint(text_col))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (the repetition
+    filters of the Gopher/MassiveText quality pipeline, token-based for
+    cross-engine determinism):
+
+    - n_lines / dup_line_frac: share of repeated non-empty trimmed lines
+      — computed per row with array ops (no shuffle at all);
+    - top_bigram_count / top_bigram_frac: occurrences of the most
+      frequent token 2-gram over total 2-grams — explode + two map-side-
+      combined aggregations keyed by (doc, gram-hash) then doc; keys are
+      high-cardinality so the shuffle has no hot spots at corpus scale.
+
+    Output: (doc_id, n_lines, dup_line_frac, top_bigram_count,
+    n_bigrams, top_bigram_frac); fractions rounded to 6.
+    """
+    from notion_spark.pipeline.dedup import _raw_shingles
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("txt"), "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    line_m = base.select(
+        "id",
+        F.size(lines).alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    toksed = base.select("id", F.split(F.trim(F.col("txt")), r"\s+").alias("t"))
+    grams = toksed.select("id", F.explode(_raw_shingles(F.col("t"), 2)).alias("g"))
+    big_m = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        line_m.join(big_m, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce("top_bigram_count", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def md5_hash60(col: Column | str) -> Column:
     """Cross-engine 60-bit hash: the first 15 hex chars of md5, as a
     bigint. Slower than xxhash64 (full md5 per gram) but identically

@@ -1,0 +1,118 @@
+"""Curation operators: decontamination, PII redaction, deterministic
+stratified sampling, repetition stats — planted-data semantics plus plan
+shape (the sample filter must not shuffle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from notion_spark.pipeline import curation as CU
+from notion_spark.pipeline.text_analysis import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PASSAGE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (100, "intro words " + PASSAGE + " closing words"),  # contains passage
+            (101, "completely unrelated text about spark query planning and shuffles"),
+            (102, None),
+        ],
+    )
+    bench = _docs(spark, [(1, PASSAGE)])
+    flagged = CU.contaminated_ids(corpus, bench, n=5).collect()
+    assert [r.doc_id for r in flagged] == [100]
+    assert flagged[0].shared_grams >= 10  # the shared run yields many 5-grams
+
+    kept = CU.decontaminate(corpus, bench, n=5)
+    assert sorted(r.doc_id for r in kept.collect()) == [101, 102]
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    # exactly one shared 5-gram; min_shared=2 must not flag it
+    corpus = _docs(spark, [(7, "a b c d e unrelated tail of words here")])
+    bench = _docs(spark, [(1, "a b c d e different continuation")])
+    assert CU.contaminated_ids(corpus, bench, n=5).count() == 1
+    assert CU.contaminated_ids(corpus, bench, n=5, min_shared=2).count() == 0
+
+
+def test_redact_pii_all_types_and_order(spark):
+    s = (
+        "mail bob.smith+x@corp.example.org ssn 123-45-6789 "
+        "phone 555-123-4567 ip 10.0.0.7 end"
+    )
+    out = (
+        spark.range(1).select(CU.redact_pii(F.lit(s)).alias("r")).collect()[0].r
+    )
+    assert out == "mail <EMAIL> ssn <SSN> phone <PHONE> ip <IP> end"
+
+
+def test_redact_pii_email_with_digits_not_split(spark):
+    # the email regex must consume digit-bearing locals before SSN/phone run
+    s = "user123-45-6789@example.com stays one email"
+    out = spark.range(1).select(CU.redact_pii(F.lit(s)).alias("r")).collect()[0].r
+    assert out == "<EMAIL> stays one email"
+
+
+def test_pii_hits_counts(spark):
+    s = "a@b.co and c@d.org, 123-45-6789, nothing else"
+    hits = CU.pii_hits(F.lit(s))
+    row = spark.range(1).select(
+        *(c.alias(k) for k, c in hits.items())
+    ).collect()[0]
+    assert (row.email, row.ssn, row.phone, row.ipv4) == (2, 1, 0, 0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("src"),
+    )
+    rates = {"web": 1.0, "books": 0.25}
+    s1 = CU.stratified_sample(df, "src", rates, key_col="k")
+    s2 = CU.stratified_sample(df, "src", rates, key_col="k")
+    r1 = sorted(r.k for r in s1.collect())
+    assert r1 == sorted(r.k for r in s2.collect())  # bit-deterministic
+    by_src = {r.src: r["n"] for r in s1.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src["web"] == 2000  # rate 1.0 keeps everything
+    assert by_src["books"] == pytest.approx(500, rel=0.2)  # hash uniformity
+    # stratum not in rates with default 0.0 -> dropped
+    s3 = CU.stratified_sample(df, "src", {"web": 1.0}, key_col="k")
+    assert s3.filter(F.col("src") == "books").count() == 0
+
+
+def test_stratified_sample_no_shuffle(spark):
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit("web").alias("src"))
+    plan = (
+        CU.stratified_sample(df, "src", {"web": 0.5}, key_col="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one codegen'd filter, zero shuffle
+
+
+def test_repetition_stats_planted(spark):
+    df = _docs(
+        spark,
+        [
+            # 4 lines, 'dup line' repeated once -> dup_frac 1/4; bigram
+            # 'x y' appears 3x of 4 bigrams in doc 2
+            (1, "dup line\nunique one\ndup line\nunique two"),
+            (2, "x y x y x y"),  # bigrams: x y, y x, x y, y x, x y -> top 3/5
+            (3, "single"),  # no bigrams
+            (4, None),
+        ],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {1, 2, 3}  # null text excluded
+    assert rows[1].n_lines == 4 and rows[1].dup_line_frac == pytest.approx(0.25)
+    assert rows[2].top_bigram_count == 3 and rows[2].n_bigrams == 5
+    assert rows[2].top_bigram_frac == pytest.approx(0.6)
+    assert rows[3].top_bigram_count == 0 and rows[3].top_bigram_frac == 0.0
