@@ -2017,6 +2017,64 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.repetition_stats(lined)
 
 
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic assets frame for the multimodal parity queries:
+    payload = UTF-8 bytes of the document text (both engines can sha256
+    the identical byte stream)."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    """
+    SELECT concat('img-', CAST(doc_id AS VARCHAR)) AS asset_id,
+           'image' AS modality,
+           64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) AS width,
+           64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) AS height,
+           [round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT) / 255.0, 6)
+            for i in range(1, 17)] AS features
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE text IS NOT NULL)
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode+featurize plumbing, hash-checked end to end: the
+    mapInPandas Arrow batches run the deterministic FakeCodec (sha256 of
+    the payload -> dims + feature vector) and DuckDB recomputes the same
+    arithmetic in SQL — so batch shape, schema, and codec determinism are
+    all driver-verified, not just unit-tested
+    (pipeline/multimodal.extract_image_features)."""
+    from notion_spark.pipeline.multimodal import FakeCodec, extract_image_features
+
+    return extract_image_features(_doc_assets(spark, sf_dir), codec=FakeCodec())
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    SELECT concat('img-', CAST(doc_id AS VARCHAR)) AS asset_id,
+           1000 + CAST(concat('0x', substr(h, 5, 2)) AS INT) * 100 AS duration_ms,
+           8000 + CAST(concat('0x', substr(h, 7, 2)) AS INT) * 128 AS sample_rate,
+           [round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT) / 255.0, 6)
+            for i in range(17, 33)] AS features
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE text IS NOT NULL)
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the image parity row (duration/sample-rate/features
+    from sha256 bytes 2,3,16..31), exercising the second mapInPandas
+    schema (pipeline/multimodal.extract_audio_features)."""
+    from notion_spark.pipeline.multimodal import extract_audio_features
+
+    return extract_audio_features(_doc_assets(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""

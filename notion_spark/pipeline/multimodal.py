@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from typing import Protocol
 
 import pandas as pd
 
@@ -26,9 +27,62 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 16
 
+# features are doubles: exact-decimal fakes stringify identically across
+# engines (a float32 would re-expand to 0.0470590011... garbage digits)
 IMAGE_FEATURES_SCHEMA = (
-    "asset_id string, modality string, width int, height int, features array<float>"
+    "asset_id string, modality string, width int, height int, features array<double>"
 )
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id string, duration_ms int, sample_rate int, features array<double>"
+)
+
+
+class ImageCodec(Protocol):
+    """Decode + featurize one payload. Implementations must be pure
+    functions of the payload bytes (executors re-run them on retry)."""
+
+    def decode(self, payload: bytes | None) -> tuple[int, int, list[float]]:
+        """-> (width, height, FEATURE_DIM feature vector)."""
+        ...
+
+
+class FakeCodec:
+    """Deterministic stand-in for decode+feature-extract: derives
+    (width, height) and the feature vector from the sha256 of the
+    payload. Stable across runs/executors/engines — the parity oracle
+    recomputes it in SQL (DuckDB sha256), so even the fake path is
+    hash-checked end to end."""
+
+    def decode(self, payload: bytes | None) -> tuple[int, int, list[float]]:
+        if payload is None:
+            return 0, 0, [0.0] * FEATURE_DIM
+        digest = hashlib.sha256(payload).digest()
+        return (
+            64 + digest[0],
+            64 + digest[1],
+            [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]],
+        )
+
+
+class PilCodec:
+    """Real decoder (PIL): actual width/height plus a FEATURE_DIM
+    grayscale-histogram feature vector. Code-complete but necessarily
+    untested in this container (no PIL) — the import is deferred to
+    first decode so the module always loads."""
+
+    def decode(self, payload: bytes | None) -> tuple[int, int, list[float]]:
+        import io
+
+        import PIL.Image
+
+        if payload is None:
+            return 0, 0, [0.0] * FEATURE_DIM
+        img = PIL.Image.open(io.BytesIO(payload))
+        gray = img.convert("L")
+        hist = gray.histogram()  # 256 bins
+        bins = [sum(hist[i * 16 : (i + 1) * 16]) for i in range(FEATURE_DIM)]
+        total = float(sum(bins)) or 1.0
+        return img.width, img.height, [round(b / total, 6) for b in bins]
 
 
 def decode_available() -> bool:
@@ -43,34 +97,22 @@ def decode_available() -> bool:
         return False
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for decode+feature-extract: derives a fake
-    (width, height) and a FEATURE_DIM float vector from the sha256 of the
-    payload. Stable across runs/executors; unit tests assert on it."""
-    if payload is None:
-        return 0, 0, [0.0] * FEATURE_DIM
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
-    feats = [round(b / 255.0, 6) for b in digest[:FEATURE_DIM]]
-    return width, height, feats
+def default_codec() -> ImageCodec:
+    return PilCodec() if decode_available() else FakeCodec()
 
 
-def extract_image_features(assets: DataFrame) -> DataFrame:
+def extract_image_features(assets: DataFrame, codec: ImageCodec | None = None) -> DataFrame:
     """assets (ASSETS_SCHEMA) -> per-asset feature rows via mapInPandas.
 
-    Real decode raises NotImplementedError until a decoder ships; the fake
-    path keeps batch shapes / schema / partitioning production-shaped.
+    The codec is injectable (FakeCodec in this container, PilCodec when a
+    decoder ships); the Arrow batch shape, schema, and partitioning are
+    identical either way — swapping the codec never changes the plan.
     """
-    if decode_available():  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "real decode path: plug PIL/torchvision here; the mapInPandas "
-            "harness below is decoder-agnostic"
-        )
+    chosen = codec or default_codec()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [chosen.decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -82,6 +124,34 @@ def extract_image_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Audio twin of the image path (duration/sample-rate/features).
+    No audio lib in the container -> deterministic sha256 fake, same
+    contract: pure function of payload bytes, engine-recomputable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((aid, 0, 0, [0.0] * FEATURE_DIM))
+                    continue
+                d = hashlib.sha256(bytes(p)).digest()
+                rows.append(
+                    (
+                        aid,
+                        1000 + d[2] * 100,
+                        8000 + d[3] * 128,
+                        [round(b / 255.0, 6) for b in d[16 : 16 + FEATURE_DIM]],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "duration_ms", "sample_rate", "features"]
+            )
+
+    return assets.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:

@@ -135,3 +135,38 @@ def test_compact_store(spark, tmp_path):
     assert n == 1000
     assert len(glob.glob(path + "/part-*")) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_multimodal_audio_and_codec_injection(spark):
+    from notion_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        FakeCodec,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "audio", b"pcm-bytes-1", "audio/wav", {}),
+            ("a2", "audio", None, "audio/wav", {}),
+        ],
+        "asset_id string, modality string, payload binary, mime string, meta map<string,string>",
+    )
+    audio = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert audio["a1"].duration_ms >= 1000 and audio["a1"].sample_rate >= 8000
+    assert len(audio["a1"].features) == FEATURE_DIM
+    assert audio["a2"].duration_ms == 0  # null payload -> zeros, not a crash
+    # re-run is bit-identical (pure function of payload bytes)
+    again = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert again["a1"].features == audio["a1"].features
+
+    class UpsideDown:
+        def decode(self, payload):
+            w, h, f = FakeCodec().decode(payload)
+            return h, w, f
+
+    flipped = extract_image_features(assets, codec=UpsideDown()).collect()
+    straight = extract_image_features(assets, codec=FakeCodec()).collect()
+    assert {(r.asset_id, r.width, r.height) for r in flipped} == {
+        (r.asset_id, r.height, r.width) for r in straight
+    }
