@@ -112,3 +112,134 @@ def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
     b3 = [(t0 + dt.timedelta(hours=5), "done")]
     spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
     assert run_once("wm_p3") == out2
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup across micro-batches == batch dropDuplicates
+    over the union of all input (within-batch AND cross-batch dups go)."""
+    from notion_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "deduped")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir)
+
+    b1 = [(1, "alpha text"), (2, "beta text"), (3, "alpha text")]  # in-batch dup
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    assert run_once().count() == 2
+
+    b2 = [(4, "alpha text"), (5, "gamma text")]  # cross-batch dup + new
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    got = run_once()
+    assert got.count() == 3  # only gamma appended
+
+    batch_equiv = (
+        spark.createDataFrame(b1 + b2, schema)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+    )
+    assert {r.content_hash for r in got.collect()} == {
+        r.content_hash for r in batch_equiv.collect()
+    }
+
+
+def test_stream_dedup_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving BEYOND the
+    horizon is re-emitted (state for its hash was released) — that
+    re-emission is the proof the state is bounded."""
+    import datetime as dt
+
+    from notion_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "dd_wm")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 5)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            dedup_stream(stream, event_col="ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).count()
+
+    spark.createDataFrame(
+        [(1, "same doc", t0), (2, "same doc", t0 + dt.timedelta(minutes=10))], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    assert run_once() == 1  # duplicate within horizon suppressed
+
+    # advance the watermark far past the horizon with DIFFERENT content
+    # (the watermark moves at the END of a batch, so eviction of the
+    # 'same doc' state lands after this pass)
+    spark.createDataFrame(
+        [(3, "other doc", t0 + dt.timedelta(days=3))], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    assert run_once() == 2
+
+    # same content again, far beyond the horizon: its state was released,
+    # so it re-emits — the proof that per-hash state is bounded
+    spark.createDataFrame(
+        [(4, "same doc", t0 + dt.timedelta(days=3, minutes=5))], schema
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    assert run_once() == 3
+
+
+def test_curation_transforms_are_streaming_safe(spark, tmp_path):
+    """Stateless curation ops (PII redaction, stratified sampling) apply
+    to readStream frames unchanged and match their batch output."""
+    from notion_spark.pipeline import curation as CU
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "cur_out")
+    schema = "doc_id long, text string, lang string"
+    rows = [
+        (1, "mail a@b.co now", "en"),
+        (2, "ssn 123-45-6789 here", "en"),
+        (3, "clean text", "de"),
+        (4, "call 555-123-4567", "de"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    def xform(df):
+        return CU.stratified_sample(
+            df, "lang", {"en": 1.0, "de": 1.0}, key_col="doc_id"
+        ).select("doc_id", CU.redact_pii("text").alias("clean"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        xform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.clean) for r in spark.read.parquet(out_dir).collect()}
+    want = {(r.doc_id, r.clean) for r in xform(spark.createDataFrame(rows, schema)).collect()}
+    assert got == want
+    assert (2, "ssn <SSN> here") in got
