@@ -29,18 +29,21 @@ def contaminated_ids(
     (13-gram overlap in GPT-3/PaLM data cards; ``n`` is configurable
     because short-document corpora need smaller grams).
 
-    Scale shape: both sides reduce to (id, gram-hash) streams; the join
-    key is a 64-bit gram hash (high cardinality — no hot keys), and the
-    benchmark side is distinct-ed first. A real benchmark is tiny
-    relative to the corpus, so Spark broadcasts it; the corpus is never
-    collected or pairwise-joined. Output: (doc_id, shared_grams).
+    Scale shape: both sides reduce to (id, gram-hash) streams; the
+    benchmark side is distinct-ed and tiny, so Spark broadcasts it and
+    the corpus stream never shuffles BEFORE the join — duplicate grams
+    within a doc ride through the (map-side) broadcast join and are
+    deduped by the count_distinct aggregate, whose partial aggregation
+    collapses them before the only shuffle (on doc id, post-filter-sized).
+    The corpus is never collected or pairwise-joined.
+    Output: (doc_id, shared_grams = distinct shared n-grams).
     """
-    c = shingle_hashes(corpus, text_col, id_col, n).dropDuplicates(["id", "h"])
+    c = shingle_hashes(corpus, text_col, id_col, n)
     b = shingle_hashes(benchmark, text_col, id_col, n).select("h").distinct()
     return (
         c.join(b, "h")  # benchmark side is small -> AQE broadcasts it
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .agg(F.count_distinct("h").alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
         .select(F.col("id").alias(id_col), "shared_grams")
     )

@@ -73,3 +73,22 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     # pruned scan reads only the one day's partition
     n_day = q.count()
     assert 0 < n_day < back.count()
+
+
+def test_decontam_broadcasts_benchmark_no_corpus_preshuffle(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["curation_decontam"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan      # benchmark gram set broadcast
+    assert "SortMergeJoin" not in plan      # corpus never sorted/shuffled for the join
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["curation_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan           # one codegen'd filter over the scan
+    assert "*(1) Filter" in plan            # whole-stage codegen ('*' spans)
+
+
+def test_pii_redact_single_project(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["curation_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan           # pure per-row transform
+    assert "BatchEvalPython" not in plan    # no Python in the path
