@@ -2280,6 +2280,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(_doc_assets(spark, sf_dir))
 
 
+@register(
+    "text_tfidf_top_terms",
+    r"""
+    WITH toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE text IS NOT NULL),
+    terms AS (SELECT id, unnest(t) AS term FROM toks),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks)
+    SELECT id AS doc_id, tf.term AS term,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+           CAST(row_number() OVER (
+                PARTITION BY id
+                ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                         tf.term ASC) AS INT) AS rank
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    QUALIFY rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: the canonical corpus-statistics
+    composition (per-doc TF + corpus-wide DF + scalar N broadcast + rank
+    window with WindowGroupLimit partial top-k). Deterministic (score
+    desc, term asc) ordering on the ROUNDED score so both engines rank
+    identically (pipeline/text_analysis.tfidf_top_terms)."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.tfidf_top_terms(d, k=3)
+
+
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""

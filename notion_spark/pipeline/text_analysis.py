@@ -194,6 +194,53 @@ def repetition_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf(term, doc) * ln(N / df(term)),
+    deterministic tiebreak (score desc, term asc).
+
+    Scale shape: one explode of the token stream feeds BOTH aggregates —
+    per-doc term counts (keyed (doc, term), map-side combined) and
+    document frequency (keyed term, from the distinct per-doc pairs); the
+    corpus size N is a scalar broadcast. The join back is on term — high
+    cardinality, no hot keys (stopwords are the worst case and still
+    bounded by vocabulary, not corpus). Top-k per doc via rank window,
+    which Spark pushes as WindowGroupLimit (partial top-k before the
+    shuffle). Output: (doc_id, term, tfidf, rank).
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    terms = base.select("id", F.explode("t").alias("term")).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # scalar N via a 1-row broadcast crossJoin keeps everything lazy/plan-side
+    n_frame = base.agg(F.countDistinct("id").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def md5_hash60(col: Column | str) -> Column:
     """Cross-engine 60-bit hash: the first 15 hex chars of md5, as a
     bigint. Slower than xxhash64 (full md5 per gram) but identically

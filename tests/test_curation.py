@@ -116,3 +116,28 @@ def test_repetition_stats_planted(spark):
     assert rows[2].top_bigram_count == 3 and rows[2].n_bigrams == 5
     assert rows[2].top_bigram_frac == pytest.approx(0.6)
     assert rows[3].top_bigram_count == 0 and rows[3].top_bigram_frac == 0.0
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from notion_spark.pipeline.text_analysis import tfidf_top_terms
+
+    df = _docs(
+        spark,
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common rare3"),
+        ],
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'common' is in every doc -> idf = ln(3/3) = 0 -> score 0; the unique
+    # term must rank first everywhere
+    for d, terms in by_doc.items():
+        terms.sort(key=lambda t: t.rank)
+        assert terms[0].term == f"rare{d}" and terms[0].tfidf > 0
+        assert all(t.tfidf == 0.0 for t in terms if t.term == "common")
+    # rank is dense 1..k with the deterministic tiebreak
+    assert [t.rank for t in sorted(by_doc[1], key=lambda t: t.rank)] == [1, 2]
