@@ -166,3 +166,32 @@ def test_end_to_end_minhash_collapse(spark):
     kept = sorted(r.doc_id for r in D.dedup_clusters(docs, pairs).collect())
     # 1,2 exact dups and 3 near-dup of 1 -> all collapse to 1; 4,5 survive
     assert kept == [1, 4, 5]
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    # chain + star + pair + isolated-from-edges node mix
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    from notion_spark.pipeline.dedup import connected_components
+
+    fast = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+
+
+def test_connected_components_driver_path_string_ids(spark):
+    pairs = spark.createDataFrame([("b", "a"), ("b", "c")], "id_a string, id_b string")
+    from notion_spark.pipeline.dedup import connected_components
+
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
