@@ -844,19 +844,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_dedup_pairs(d, threshold=0.5)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 bit algebra not SQL-expressible
+@register(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hs AS (
+        SELECT id, [CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) for x in t] AS hl
+        FROM toks WHERE len(t) > 0
+    ),
+    sigs AS (
+        SELECT id,
+               list_sum([CASE WHEN 2 * list_sum([(h >> i) & 1 for h in hl]) > len(hl)
+                              THEN (1::BIGINT << i) ELSE 0 END
+                         for i in range(0, 60)]) AS sig
+        FROM hs
+    ),
+    banded AS (
+        SELECT id, sig, unnest([0, 1, 2, 3]) AS band FROM sigs
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band
+     AND ((a.sig >> (a.band * 16)) & 65535) = ((b.sig >> (b.band * 16)) & 65535)
+     AND a.id < b.id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 banded near-dup candidates with Hamming distance.
-
-    Rows-only by necessity: SimHash signatures are xxhash64 bit algebra
-    (no DuckDB equivalent), and unlike MinHash there is no clean
-    data-level invariant to oracle — measured on this corpus, banding
-    admits sub-threshold pairs down to hamming 2 while 2 of the 25 true
-    near-dup pairs sit at hamming 4-5 (pigeonhole only guarantees ≤ 3),
-    so no hamming cutoff reproduces an exact-Jaccard pair set. Semantics
-    are unit-tested against known bit patterns (tests/test_dedup.py)."""
+    """SimHash-64 banded near-dup candidates with Hamming distance,
+    hash-checked end to end: both engines hash tokens with the
+    engine-neutral `md5_hash60` (bits 60-63 stay 0 consistently), DuckDB
+    rebuilds the per-bit majority signature with list algebra, bands on
+    the same 16-bit slices, and recomputes Hamming via xor+bit_count.
+    The xxhash64 production default stays unit-tested against known bit
+    patterns (tests/test_dedup.py)."""
     d = read_table(spark, sf_dir, "documents")
-    return DD.simhash_candidates(d)
+    return DD.simhash_candidates(d, hasher=TA.md5_hash60).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 _COS = (
@@ -918,11 +947,18 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(d, pairs).select("doc_id", "source", "lang")
 
 
-@register("sim_ann_ivf")  # rows-only: iterative centroid training not SQL-expressible
+@register("sim_ann_ivf")  # rows-only: see docstring
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: deterministic codebook, nprobe=2 cell probes per
     query; recall vs brute force covered in tests/test_similarity.py
-    (nprobe=K recovers exact top-k)."""
+    (nprobe=K recovers exact top-k).
+
+    The ONE remaining rows-only query, deliberately: Lloyd training
+    aggregates float means whose accumulation ORDER differs between
+    engines (and across Spark partitionings), so cross-engine equality of
+    the trained centroids is ill-defined — unlike every hash/sign-based
+    op (minhash, simhash, sign-LSH, winnowing), which round 2 upgraded to
+    full hash checks via engine-neutral constants."""
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iterations=2)
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -997,10 +1033,47 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprint_overlap(fps).filter(F.col("shared_fps") >= 2)
 
 
-@register("sim_ann_lsh")  # rows-only: hyperplane hashing not SQL-expressible
+def _lsh_bucket_sql(col: str, n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of similarity.random_hyperplane_bucket: the SAME
+    driver-side coefficient literals, the same left-to-right projection
+    fold, the same sign-bit packing — so bucket ids agree exactly."""
+    from notion_spark.pipeline.similarity import _plane_coeffs
+
+    parts = []
+    for p in range(n_planes):
+        coeffs = ", ".join(repr(c) for c in _plane_coeffs(p, seed, dim))
+        proj = (
+            f"list_sum([CAST({col}[i] AS DOUBLE) * ([{coeffs}])[i] "
+            f"for i in range(1, {dim + 1})])"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_lsh_bucket_sql('embedding')} AS bkt
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM b WHERE vec_id < 3)
+    SELECT q.qid AS query_id, b.vec_id AS vec_id,
+           round({_COS_AB.replace('a.embedding', 'q.qv').replace('b.embedding', 'b.embedding')}, 6) AS cosine,
+           CAST(row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY round({_COS_AB.replace('a.embedding', 'q.qv')}, 6) DESC,
+                         b.vec_id ASC) AS INT) AS rank
+    FROM b JOIN q ON b.bkt = q.bkt
+    QUALIFY rank <= 5
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-k (single probe); recall measured against
-    brute force in tests/test_similarity.py."""
+    """Sign-LSH bucketed ANN top-k (single probe), hash-checked end to
+    end: the hyperplane coefficients are driver-side literals, so the
+    oracle interpolates the SAME constants and replays the projection
+    fold in the same order — bucket assignment, probe membership, cosine,
+    and rank all verified. Recall vs brute force additionally measured in
+    tests/test_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -369,14 +369,23 @@ def minhash_dedup_pairs(
 
 # ------------------------------------------------------------ SimHash
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher=None,
 ) -> DataFrame:
     """(id, sig): 64-bit SimHash over whitespace tokens.
 
     Token hashes explode to rows; ONE aggregate pass computes the 64
     per-bit set-counts (sum of shiftright(h,i)&1) plus the token count,
     then the signature reassembles bitwise in a final projection. Fully
-    codegen'd; one map-side-combined shuffle."""
+    codegen'd; one map-side-combined shuffle.
+
+    ``hasher`` picks the token hash (default xxhash64 — fast path). The
+    engine-neutral `text_analysis.md5_hash60` variant makes the whole
+    signature recomputable in SQL (bits 60-63 then stay 0, which is
+    consistent on both sides) — how the parity oracle verifies it."""
+    hash_fn = hasher if hasher is not None else F.xxhash64
     toksed = df.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
@@ -385,7 +394,7 @@ def simhash_signatures(
     ex = (
         toksed.select("id", F.explode("t").alias("tok"))
         .filter(F.col("tok") != "")
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", hash_fn(F.col("tok")).alias("h"))
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}") for i in range(64)
@@ -426,6 +435,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     band_bits: int = 16,
     max_bucket: int | None = 1000,
+    hasher=None,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the SimHash (4 tables).
     Docs within Hamming distance 3 share at least one of 4 bands
@@ -433,7 +443,7 @@ def simhash_candidates(
     than ``max_bucket`` fall back to a star around the bucket minimum
     (see _banded_candidates); the signature rides along so the pairwise
     Hamming distance is still exact on star edges."""
-    sig = simhash_signatures(df, text_col, id_col)
+    sig = simhash_signatures(df, text_col, id_col, hasher=hasher)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(
