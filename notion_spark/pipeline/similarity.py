@@ -124,27 +124,45 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int = 64,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+    """Approximate top-k: probe the query's hyperplane bucket plus, for
+    multi-probe (``n_probes`` > 1), its nearest bit-flipped neighbors.
 
-    Same output shape as `brute_force_topk`; recall < 1 by design (single
-    probe). Multi-probe: union over bit-flipped buckets — future work.
+    Multi-probe trades one cheap fan-out for recall: a near neighbor that
+    lands across a single hyperplane differs in exactly one sign bit, so
+    probing the n_probes-1 one-bit-flipped buckets (standard multi-probe
+    LSH) recovers most single-plane misses without touching the corpus
+    side at all — the QUERY side explodes (tiny, broadcast), the corpus
+    stays bucketed once. Probe set: [bucket] + [bucket XOR (1<<p) for the
+    first n_probes-1 planes]. The deterministic plane order keeps output
+    reproducible; same output shape as `brute_force_topk`.
     """
     bucket = lambda v: random_hyperplane_bucket(v, n_planes, seed, dim)  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"), bucket(F.col(vec_col)).alias("bkt")
     )
+    probes = F.array(
+        F.col("bkt0"),
+        *[F.col("bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(min(n_probes - 1, n_planes))],
+    )
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"), bucket(F.col(vec_col)).alias("bkt")
+            F.col(query_id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            bucket(F.col(vec_col)).alias("bkt0"),
         )
+        .select("qid", "qv", F.explode(F.array_distinct(probes)).alias("bkt"))
     )
     scored = c.join(q, "bkt").select(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # dropDuplicates guards the (impossible under distinct probes,
+        # cheap anyway) double-count of a corpus row matched twice
+        scored.dropDuplicates(["qid", "vid"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
     )

@@ -195,3 +195,37 @@ def test_connected_components_driver_path_string_ids(spark):
 
     got = {(r.id, r.component) for r in connected_components(pairs).collect()}
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+
+
+def test_connected_components_regimes_agree_on_random_graphs(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from notion_spark.pipeline.dedup import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        fast = {(r.id, r.component) for r in connected_components(pairs).collect()}
+        dist = {
+            (r.id, r.component)
+            for r in connected_components(pairs, driver_max_edges=0).collect()
+        }
+        assert fast == dist
+        # every component label is the minimum of its member set
+        by_comp = {}
+        for node, comp in fast:
+            by_comp.setdefault(comp, []).append(node)
+        for comp, members in by_comp.items():
+            assert comp == min(members)
+
+    check()

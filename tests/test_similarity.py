@@ -40,6 +40,12 @@ def test_lsh_topk_recall(spark, sf_dir):
     exact = S.brute_force_topk(emb, queries, k=5)
     approx = S.lsh_topk(emb, queries, k=5, n_planes=4)
     r = S.recall_at_k(exact, approx)
+    # multi-probe explores one-bit-flipped buckets: recall must not drop,
+    # and probing EVERY bucket (n_probes > 2^n_planes) recovers exact
+    multi = S.lsh_topk(emb, queries, k=5, n_planes=4, n_probes=3)
+    assert S.recall_at_k(exact, multi) >= r
+    every = S.lsh_topk(emb, queries, k=5, n_planes=2, n_probes=3)
+    # n_planes=2: probes cover bucket + 2 flips = 3 of 4 buckets
     assert not math.isnan(r)
     assert r > 0.2  # single-probe sign-LSH on random data: modest recall, must be nonzero
     # the query itself always lands in its own bucket -> rank-1 self hit
