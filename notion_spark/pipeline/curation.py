@@ -96,16 +96,16 @@ def pii_hits(col: Column | str) -> dict[str, Column]:
 
 # ------------------------------------------------- deterministic sampling
 def hash_bucket(col: Column | str, buckets: int = 10_000) -> Column:
-    """Engine-neutral deterministic bucket in [0, buckets): 60-bit md5
-    prefix mod buckets. Stable across runs, partitionings, and engines
-    (DuckDB twin: CAST('0x'||substr(md5(x),1,15) AS BIGINT) % buckets) —
-    the property that makes sampling reproducible and joinable: the same
-    row lands in the same bucket on every cluster."""
+    """Engine-neutral deterministic bucket in [0, buckets): the shared
+    60-bit md5 prefix hash (`text_analysis.md5_hash60` — ONE definition of
+    the cross-engine contract, reused rather than re-derived) mod buckets.
+    Stable across runs, partitionings, and engines — the property that
+    makes sampling reproducible and joinable: the same row lands in the
+    same bucket on every cluster."""
+    from notion_spark.pipeline.text_analysis import md5_hash60
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.pmod(
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint"),
-        F.lit(buckets),
-    )
+    return F.pmod(md5_hash60(c.cast("string")), F.lit(buckets))
 
 
 def stratified_sample(

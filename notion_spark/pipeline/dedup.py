@@ -472,13 +472,15 @@ def simhash_candidates(
 
 
 # --------------------------------------------- dup-cluster resolution
-# Below this edge count the component graph fits comfortably on the
-# driver (~16 B/edge -> ~32 MB at the threshold) and union-find resolves
-# it in milliseconds; the distributed loop's per-round job overhead
-# (measured ~2 s/round for a 256-edge graph at sf0.1) would dominate.
-# Production near-dup runs on clean corpora land far under this; a 100 TB
-# crawl with billions of pairs takes the distributed path.
-DRIVER_CC_MAX_EDGES = 2_000_000
+# Below this edge count the component graph resolves on the driver in
+# milliseconds via union-find; the distributed loop's per-round job
+# overhead (measured ~2 s/round for a 256-edge graph at sf0.1) would
+# dominate. Budget honestly: collect() materializes PySpark Row objects
+# (~150 B each incl. the transient union-find dicts), so 500k symmetric
+# edges is roughly 150 MB peak on the driver — safe on any real driver,
+# an order of magnitude under typical 4 GB+ driver heaps. Corpora whose
+# verified near-dup graphs exceed this take the distributed path.
+DRIVER_CC_MAX_EDGES = 500_000
 
 
 def _driver_union_find(edge_rows, id_type) -> list[tuple]:
@@ -561,10 +563,25 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    # Convergence detector: labels only ever DECREASE, so the exact integer
-    # sum of all labels is strictly decreasing until fixpoint — one cheap
-    # aggregate per round instead of a join-based diff.
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # Convergence detector: one cheap aggregate per round instead of a
+    # join-based diff. The fingerprint hashes (id, component) pairs and
+    # sums the hashes — type-agnostic (a plain SUM over STRING ids would
+    # be NULL with ANSI off, making None == None declare false
+    # convergence after round one). Labels only decrease, so an unchanged
+    # fingerprint means an unchanged assignment up to a 2^-64-ish hash
+    # collision; a collision would only end the loop early, never corrupt
+    # a converged state that the invariant hasn't reached — and the odds
+    # are ignorable against max_iter rounds.
+    def _fingerprint(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(
+                F.xxhash64(
+                    F.col("id").cast("string"), F.col("component").cast("string")
+                )
+            )
+        ).collect()[0][0]
+
+    prev_sum = _fingerprint(labels)
     converged = False
     for _ in range(max_iter):
         # neighbor's label, propagated across each edge
@@ -592,7 +609,7 @@ def connected_components(
             .select("id", F.col("comp2").alias("component"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = _fingerprint(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -633,27 +650,68 @@ def embedding_dup_pairs(
     block_key: Column | str | None = "auto",
     dim: int = 64,
     allow_all_pairs: bool = False,
+    n_tables: int = 8,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates WITHIN a blocking key.
 
-    The default ``block_key="auto"`` buckets by a deterministic sign-LSH
-    hyperplane hash (similarity.random_hyperplane_bucket) so the pairwise
-    join is bounded per bucket — the only shape that survives scale. Pass
-    an explicit Column to block on domain structure instead. All-pairs is
-    the one O(N²) escape hatch and must be requested twice:
-    ``block_key=None, allow_all_pairs=True``."""
+    The default ``block_key="auto"`` blocks by ``n_tables`` independent
+    sign-LSH hyperplane tables OR'd together (a pair is compared when it
+    collides in ANY table — the same amplification minhash banding uses).
+    One 8-plane table alone agrees on a cosine-0.95 pair only ~43% of the
+    time ((1 - θ/π)^8); eight independent tables push recall to ~0.99
+    while the per-table bucket join stays bounded. Cost: the frame
+    explodes ×n_tables on the (id, vector) projection, and colliding
+    pairs are deduped before the cosine (so each pair's cosine computes
+    once). Pass an explicit Column to block on domain structure instead
+    (single-table path, no explode). All-pairs is the one O(N²) escape
+    hatch and must be requested twice: ``block_key=None,
+    allow_all_pairs=True``."""
     from notion_spark.pipeline.similarity import cosine, random_hyperplane_bucket
 
+    multi_table = False
     if isinstance(block_key, str):
         if block_key != "auto":
             block_key = F.col(block_key)
         else:
-            block_key = random_hyperplane_bucket(F.col(vec_col), dim=dim)
+            multi_table = True
     if block_key is None and not allow_all_pairs:
         raise ValueError(
             "embedding_dup_pairs without a block_key is an all-pairs O(N²) "
             "join; pass allow_all_pairs=True to opt in explicitly, or keep "
             "the default 'auto' hyperplane blocking"
+        )
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    if multi_table:
+        # (table, bucket) rows per vector; pairs collide in >= 1 table.
+        # Seeds differ per table -> independent hyperplane sets.
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    random_hyperplane_bucket(
+                        F.col(vec_col), n_planes=n_planes, seed=42 + 7 * t, dim=dim
+                    ).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        v = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("tb")
+        ).select("id", "v", "tb.tbl", "tb.bkt")
+        a = v.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = v.select(
+            F.col("tbl").alias("tbl_b"), F.col("bkt").alias("bkt_b"),
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        )
+        cand = (
+            a.join(b, on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]])
+            # OR-semantics: a pair colliding in several tables scores once
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.select("id_a", "id_b", sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
         )
     # evaluate block_key against the ORIGINAL frame (it may reference
     # columns outside id/vec), then project down
@@ -670,7 +728,6 @@ def embedding_dup_pairs(
     cond = [a["id_a"] < b["id_b"]]
     if block_key is not None:
         cond.append(a["block"] == b["block_b"])
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
     return (
         a.join(b, on=cond)
         .select("id_a", "id_b", sim.alias("cosine"))

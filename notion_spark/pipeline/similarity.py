@@ -101,6 +101,11 @@ def random_hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim
     sequential zip_with/aggregate fold — deterministic element order and a
     compact expression tree that stays inside codegen limits.
     """
+    # slice to the coefficient length: a LONGER vector would zip_with
+    # NULL coefficients past `dim` and poison the projection to NULL
+    # (bucket NULL -> every join silently empty); a shorter one is safe
+    # (the vector side is coalesced)
+    vec = F.slice(vec, 1, dim)
     bucket = F.lit(0)
     for p in range(n_planes):
         coeffs = F.array(*[F.lit(c) for c in _plane_coeffs(p, seed, dim)])
@@ -158,11 +163,11 @@ def lsh_topk(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    # no dedup needed: array_distinct guarantees each (qid, vid) matches
+    # at most one probe bucket, so adding a dropDuplicates here would
+    # only buy an extra full shuffle of the scored stream
     return (
-        # dropDuplicates guards the (impossible under distinct probes,
-        # cheap anyway) double-count of a corpus row matched twice
-        scored.dropDuplicates(["qid", "vid"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
     )

@@ -95,10 +95,28 @@ def run_pipeline(
         f.write(text)
 
     # EP3: one report per period (app.py:72-99), rendered to real PDFs
-    # with the analysis charts embedded (generate_reports.py:588-600)
-    chart_paths = render_charts(sections, cache_dir) if export else []
-    canvases = render_chart_canvases(sections)
-    chart_bufs = [(c.rgb_bytes(), c.w, c.h) for c in canvases]
+    # with the analysis charts embedded (generate_reports.py:588-600).
+    # Canvases render ONCE (three collects + rasterization) and feed both
+    # the PNG files and every PDF; with export off nothing renders.
+    chart_paths: list[str] = []
+    chart_bufs: list[tuple[bytes, int, int]] = []
+    if export:
+        from notion_spark.sinks.charts import charts_available
+
+        if charts_available():  # pragma: no cover - matplotlib absent here
+            chart_paths = render_charts(sections, cache_dir)
+            canvases = render_chart_canvases(sections)
+        else:
+            canvases = render_chart_canvases(sections)
+            names = [
+                "task_status_distribution.png", "tasks_by_priority.png", "velocity.png"
+            ]
+            for canvas, name in zip(canvases, names):
+                p = os.path.join(cache_dir, name)
+                with open(p, "wb") as f:
+                    f.write(canvas.png_bytes())
+                chart_paths.append(p)
+        chart_bufs = [(c.rgb_bytes(), c.w, c.h) for c in canvases]
     reported = normalize_for_reports(merged).cache()
     payloads = {}
     pdf_paths = {}

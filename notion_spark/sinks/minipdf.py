@@ -80,11 +80,32 @@ class MiniPDF:
         pass
 
     # ------------------------------------------------------------ state
+    def _preserving_state(self, fn) -> None:
+        """Run a header/footer hook with the caller's text state saved and
+        restored (fpdf does the same): a mid-cell auto page break must not
+        leave the watermark's 20pt bold font active for the remaining
+        body lines."""
+        keep = (
+            self.font_style,
+            self.font_size,
+            self.text_color,
+            self.fill_color,
+            self._last_h,
+        )
+        fn()
+        (
+            self.font_style,
+            self.font_size,
+            self.text_color,
+            self.fill_color,
+            self._last_h,
+        ) = keep
+
     def _run_footer(self) -> None:
         # footer writes below the break trigger; suppress auto page break
         # while inside it (fpdf's in_footer flag)
         self._in_footer = True
-        self.footer()
+        self._preserving_state(self.footer)
         self._in_footer = False
 
     def add_page(self) -> None:
@@ -93,7 +114,7 @@ class MiniPDF:
         self.pages.append([])
         self._page_images.append([])
         self.x, self.y = self.l_margin, self.t_margin
-        self.header()
+        self._preserving_state(self.header)
 
     def page_no(self) -> int:
         return len(self.pages)

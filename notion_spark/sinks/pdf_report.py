@@ -237,6 +237,8 @@ def render_pdf(
 
     if charts:
         pdf.add_page()
+        # the reference passes the string "Analysis" as the chapter number
+        # (generate_reports.py:592) — kept verbatim for artifact parity
         pdf.chapter_title("Analysis", "Work Distribution & Productivity Trends")
         y = pdf.get_y()
         for rgb, w_px, h_px in charts:

@@ -141,7 +141,13 @@ class HttpNotionClient:
                 return resp
             if resp.status == 429 and attempt < MAX_RETRIES:
                 attempt += 1
-                self._sleep(float(resp.header("Retry-After", "1") or "1"))
+                # Retry-After may be an HTTP-date (RFC 7231) rather than
+                # seconds; fall back to the 1 s default instead of dying
+                try:
+                    delay = float(resp.header("Retry-After", "1") or "1")
+                except ValueError:
+                    delay = 1.0
+                self._sleep(delay)
                 continue
             if resp.status >= 500 and attempt < MAX_RETRIES:
                 attempt += 1

@@ -229,3 +229,69 @@ def test_connected_components_regimes_agree_on_random_graphs(spark):
             assert comp == min(members)
 
     check()
+
+
+def test_connected_components_distributed_path_string_ids(spark):
+    """Regression: the distributed loop's convergence fingerprint must
+    work for STRING ids (a plain SUM would be NULL -> false convergence
+    after one round on a long chain)."""
+    from notion_spark.pipeline.dedup import connected_components
+
+    chain = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert got == {(f"d{i:03d}", "d000") for i in range(13)}
+
+
+def test_embedding_dup_pairs_multitable_recall(spark):
+    """Default 'auto' blocking is n_tables OR'd sign-LSH tables: recall
+    vs all-pairs on planted cosine~0.95 near-dups must be high (a single
+    8-plane table catches only ~43% of such pairs)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    dim = 64
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in base))
+        base = [x / norm for x in base]
+        noisy = [x + rng.gauss(0, 0.045) for x in base]  # cosine ~0.95
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, noisy))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from notion_spark.pipeline.dedup import embedding_dup_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            df, threshold=0.9, block_key=None, allow_all_pairs=True
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert auto <= exact  # blocking only prunes, never invents
+    assert len(exact) >= 30  # the planted pairs are really there
+    assert len(auto) / len(exact) >= 0.85  # OR-amplified recall
+
+
+def test_hyperplane_bucket_handles_oversized_vectors(spark):
+    """Regression: vectors LONGER than `dim` must not produce NULL
+    buckets (zip_with pads coefficients with NULL past dim)."""
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.similarity import random_hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 128)], "vec_id long, embedding array<double>"
+    )
+    got = df.select(
+        random_hyperplane_bucket(F.col("embedding"), dim=64).alias("b")
+    ).collect()[0].b
+    assert got is not None and 0 <= got < 256

@@ -218,3 +218,14 @@ def test_sanitize_py_matches_column_version(spark):
         .s
     )
     assert got == sanitize_filename_py(hostile)
+
+
+def test_429_http_date_retry_after_falls_back(spark):
+    c, _, sleeps = _client(
+        [
+            Response(429, headers={"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"}),
+            _pages_resp([1]),
+        ]
+    )
+    assert len(list(c.query_database("db"))) == 1
+    assert sleeps == [1.0]  # HTTP-date form -> default delay, not a crash

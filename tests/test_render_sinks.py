@@ -238,3 +238,25 @@ def test_render_charts_writes_pngs_without_matplotlib(tmp_path, spark):
     assert len(paths) == 3
     for p in paths:
         assert open(p, "rb").read().startswith(b"\x89PNG")
+
+
+def test_auto_page_break_restores_font():
+    """A mid-body page break runs header() (bold 20pt watermark); the
+    continuation lines must come back in the body font."""
+
+    class WithHeader(MiniPDF):
+        def header(self):
+            self.set_font("Arial", "B", 20)
+            self.set_text_color(245, 245, 245)
+            self.text(10, 10, "WM")
+
+    pdf = WithHeader()
+    pdf.add_page()
+    pdf.set_font("Arial", "", 9)
+    for i in range(100):  # spans >1 page
+        pdf.cell(0, 6, f"body {i}", 0, 1)
+    data = pdf.output()
+    assert pdf_page_count(data) >= 2
+    # every body run on every page must be set at 9pt regular
+    for m in re.finditer(rb"/([\w-]+) ([\d.]+) Tf [^(]*\((body \d+)\)", data):
+        assert m.group(1) == b"Helvetica" and m.group(2) == b"9.00", m.group(3)
