@@ -1081,6 +1081,70 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=5)
 
 
+def _ivf_static_codebook(k: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic literal codebook for the probe-path parity query
+    (reuses the hyperplane coefficient generator with disjoint indices).
+    Training is deliberately NOT part of this check — see sim_ann_ivf."""
+    from notion_spark.pipeline.similarity import _plane_coeffs
+
+    return [_plane_coeffs(100 + j, 7, dim) for j in range(k)]
+
+
+def _ivf_probe_oracle(k: int = 4, dim: int = 64) -> str:
+    cb = _ivf_static_codebook(k, dim)
+
+    def dist(col: str, cen: list[float]) -> str:
+        lits = ", ".join(repr(float(x)) for x in cen)
+        return (
+            f"list_sum([(CAST({col}[i] AS DOUBLE) - ([{lits}])[i])"
+            f" * (CAST({col}[i] AS DOUBLE) - ([{lits}])[i])"
+            f" for i in range(1, {dim + 1})])"
+        )
+
+    corpus_dists = ", ".join(f"{dist('embedding', c)} AS d{j}" for j, c in enumerate(cb))
+    dl = "[" + ", ".join(f"d{j}" for j in range(k)) + "]"
+    probes = ", ".join("{'c': %d, 'd': d%d}" % (j, j) for j in range(k))
+    cos = (
+        "list_sum([CAST(qc.qv[i] AS DOUBLE) * CAST(corpus.embedding[i] AS DOUBLE) for i in range(1, 65)]) / "
+        "(sqrt(list_sum([CAST(qc.qv[i] AS DOUBLE) * CAST(qc.qv[i] AS DOUBLE) for i in range(1, 65)])) * "
+        "sqrt(list_sum([CAST(corpus.embedding[i] AS DOUBLE) * CAST(corpus.embedding[i] AS DOUBLE) for i in range(1, 65)])))"
+    )
+    return f"""
+    WITH cd AS (SELECT vec_id, embedding, {corpus_dists} FROM embeddings),
+    corpus AS (SELECT vec_id, embedding,
+                      list_indexof({dl}, list_min({dl})) - 1 AS cell
+               FROM cd),
+    qd AS (SELECT vec_id AS qid, embedding AS qv, unnest([{probes}]) AS u
+           FROM cd WHERE vec_id < 3),
+    qc AS (SELECT qid, qv, (u).c AS cell
+           FROM (SELECT qid, qv, u,
+                        row_number() OVER (PARTITION BY qid ORDER BY (u).d, (u).c) AS rn
+                 FROM qd)
+           WHERE rn <= 2)
+    SELECT qc.qid AS query_id, corpus.vec_id AS vec_id,
+           round({cos}, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY qc.qid
+                                   ORDER BY round({cos}, 6) DESC,
+                                            corpus.vec_id ASC) AS INT) AS rank
+    FROM corpus JOIN qc ON corpus.cell = qc.cell
+    QUALIFY rank <= 5
+    """
+
+
+@register("sim_ann_ivf_probe", _ivf_probe_oracle())
+def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe path, hash-checked with a STATIC literal codebook: cell
+    assignment (first-index-of-min tiebreak on both sides), nprobe=2
+    nearest-cell selection, bucketed scoring, and rank are all verified
+    cross-engine — isolating exactly the part of IVF that IS
+    deterministic, while Lloyd training stays rows-only (sim_ann_ivf)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, _ivf_static_codebook(), k=5, nprobe=2)
+
+
 @register(
     "sim_embedding_stats",
     """
