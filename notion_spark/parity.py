@@ -2000,6 +2000,75 @@ def filter_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+@register(
+    "window_moving_avg",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, d, n,
+           round(AVG(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+    FROM daily
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based trailing window: 7-row moving average of daily event
+    counts per type. One shuffle on event_type for both the daily rollup
+    and the window (same key — Spark reuses the partitioning). AVG over
+    BIGINT counts in a deterministic frame is order-exact on both
+    engines (no float summation ambiguity: <=7 small ints)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("dd"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("dd").cast("string").alias("d"), "n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type", "d", "n",
+        F.round(F.avg(F.col("n").cast("double")).over(w), 6).alias("avg_7d"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with subtotal + grand-total rows and GROUPING()
+    markers (the multi-level rollup shape; Spark expands the sets with a
+    single Expand node feeding one aggregation — no per-level rescans)."""
+    ev = read_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
 # =====================================================================
 # Additional TPC-H join/agg shapes (q7/q8/q18/q19, adapted to the
 # driver's column subset — no partsupp/shipmode/container columns)
