@@ -2001,6 +2001,48 @@ def filter_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_events_in_user_windows",
+    """
+    WITH win AS (
+        SELECT user_id AS wuser, MIN(ts) AS w_start,
+               MIN(ts) + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE user_id < 50 GROUP BY user_id
+    )
+    SELECT w.wuser, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.event_type) AS n_types
+    FROM win w JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
+    GROUP BY w.wuser
+    """,
+)
+def join_range_events_in_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (points-in-interval) via the binned equi-join
+    decomposition — global events falling inside each early user's 2-hour
+    opening window. The oracle states the naive BETWEEN form (DuckDB
+    IEJoin handles it); the Spark side runs the scale shape
+    (operators/range_join.py: single-bin points, exploded interval bins,
+    hash join + exact post-filter) instead of the
+    BroadcastNestedLoopJoin the naive predicate would force."""
+    from notion_spark.operators.range_join import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    win = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy(F.col("user_id").alias("wuser"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOUR"))
+    )
+    points = ev.select("event_id", "event_type", "ts")
+    return (
+        range_join(points, win, "ts", "w_start", "w_end", bin_width_seconds=7200)
+        .groupBy("wuser")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
     "window_moving_avg",
     """
     WITH daily AS (

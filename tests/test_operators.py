@@ -147,3 +147,34 @@ def test_asof_join_ignores_null_right_ts(spark):
     with pytest.raises(ValueError):
         asof_join(left, right, key="user", left_ts="ts", right_ts="ts",
                   left_id="pid", how="OUTER")
+
+
+def test_range_join_boundaries_and_multibin(spark):
+    """Inclusive endpoints; intervals spanning several bins still match
+    each point exactly once; no nested-loop join in the plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from notion_spark.operators.range_join import range_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [
+            (1, t0),                                # == start (inclusive)
+            (2, t0 + dt.timedelta(hours=36)),       # mid, crosses bin
+            (3, t0 + dt.timedelta(hours=72)),       # == end (inclusive)
+            (4, t0 + dt.timedelta(hours=73)),       # just outside
+            (5, t0 - dt.timedelta(seconds=1)),      # just before
+        ],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("w1", t0, t0 + dt.timedelta(hours=72))],
+        "iid string, start timestamp, end timestamp",
+    )
+    out = range_join(pts, iv, "ts", "start", "end", bin_width_seconds=86_400)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(1, "w1"), (2, "w1"), (3, "w1")]  # each exactly once
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
