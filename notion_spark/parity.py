@@ -2143,9 +2143,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: disjunctive nation-pair predicate across two roles
-    of the same dim (nation joined twice), fact filtered by date. Both
-    nation sides and supplier/customer broadcast; one shuffle for the
-    final groupBy."""
+    of the same dim (nation joined twice), fact filtered by date. Nation
+    sides and supplier/customer broadcast; lineitem-orders is a shuffled
+    fact-fact join (orders is ~1/4 of lineitem — broadcasting it would
+    OOM at scale); one more shuffle for the final groupBy."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -2161,7 +2162,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             F.col("l_shipdate").between("1995-01-01 00:00:00", "1996-12-31 00:00:00")
         )
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])  # fact-fact: shuffled join
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -2199,7 +2200,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of regional revenue per
     year — conditional share of a decimal sum (NULL-skipping CASE inside
-    SUM), five broadcast dims around the fact."""
+    SUM); four broadcast dims, orders joined shuffled (fact table)."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -2210,7 +2211,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])  # fact-fact: shuffled join
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
@@ -2251,8 +2252,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: large-quantity orders via a grouped-HAVING semi-filter,
     re-aggregated with customer context. The HAVING subquery is the same
     fact re-grouped — Spark reuses the scan; the IN becomes a left-semi
-    join on orderkey (no decorrelation needed). Timestamp cast to string
-    for engine-neutral output; (totalprice, orderkey) total order."""
+    join on orderkey (no decorrelation needed). orders joins shuffled
+    (it is a fact table); only customer broadcasts. Timestamp cast to
+    string for engine-neutral output; (totalprice, orderkey) total
+    order."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -2264,7 +2267,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(big, "l_orderkey", "left_semi")
-        .join(F.broadcast(o), F.col("l_orderkey") == o["o_orderkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])  # fact-fact: shuffled
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
         .groupBy(
             "c_name",
