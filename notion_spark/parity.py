@@ -2320,6 +2320,484 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# TPC-H remainder — the query patterns not yet covered above, adapted
+# to the driver's column subset (no partsupp / commitdate / phone):
+# correlated scalar subqueries (q2/q17), global-scalar HAVING (q11),
+# zero-preserving outer-join distribution (q13), scalar-max filter
+# (q15), NOT-IN + COUNT DISTINCT (q16), nested semi-joins (q20),
+# EXISTS + NOT-EXISTS pair via windows (q21), anti join + scalar
+# threshold (q22). Boundary comparisons are kept in exact decimal /
+# integer arithmetic so both engines agree bit-for-bit.
+# =====================================================================
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH mp AS (
+      SELECT l_partkey AS mp_partkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_brand,
+           CAST(min_price AS DOUBLE) AS min_price,
+           CAST(MIN(l_suppkey) AS BIGINT) AS best_suppkey
+    FROM lineitem
+    JOIN mp ON mp_partkey = l_partkey
+           AND CAST(l_extendedprice AS DECIMAL(18,2)) = min_price
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+    GROUP BY p_partkey, p_brand, min_price
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (adapted: lineitem stands in for partsupp): the
+    correlated MIN subquery — for each part, the supplier(s) achieving
+    the minimum offered price — decorrelated into a per-part MIN agg
+    joined back on (partkey, price). Both the agg and the join-back
+    shuffle on l_partkey, so at scale they share one exchange; part
+    broadcasts. MIN(suppkey) makes ties deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    price = F.col("l_extendedprice").cast(DEC)
+    mp = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min(price).alias("min_price")
+    )
+    return (
+        li.join(
+            mp,
+            (F.col("l_partkey") == F.col("mp_partkey")) & (price == F.col("min_price")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_partkey", "p_brand", "min_price")
+        .agg(F.min("l_suppkey").cast("bigint").alias("best_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("min_price").cast("double").alias("min_price"),
+            "best_suppkey",
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.10 AS DECIMAL(3,2))
+                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern (adapted: cost proxied as 10% of retailprice —
+    no partsupp.ps_supplycost in the dataset): profit per nation per
+    year. All three dims broadcast; the p_name LIKE filter prunes the
+    broadcast side before the join; one shuffle for the groupBy. The
+    decimal cast chain keeps every product under precision 38 so
+    neither engine rounds."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    cost = (
+        F.col("p_retailprice").cast(DEC)
+        * F.lit("0.10").cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS val
+    FROM v
+    WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: per-group value kept only when it exceeds a
+    fraction of the GLOBAL total — the global scalar is computed from
+    the same aggregate (scan reused), reduced to one row, and
+    broadcast-crossed back; no second pass over the fact. The
+    fraction stays decimal so the HAVING boundary is exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("val")
+    )
+    total = vals.agg(
+        (F.sum("val") * F.lit("0.001").cast("decimal(4,3)")).alias("threshold")
+    )
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("val"))
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                  THEN 1 END), 0) AS BIGINT) AS high_line_count,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                                  THEN 1 END), 0) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern (adapted: linestatus stands in for shipmode —
+    no l_shipmode column): two-bucket conditional counts across a
+    fact-fact join. The date filter prunes lineitem at the scan before
+    the shuffled join with orders; the CASE buckets aggregate
+    map-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))  # fact-fact: shuffled
+        .groupBy("l_linestatus")
+        .agg(
+            F.coalesce(F.sum(F.when(high, 1)), F.lit(0)).cast("bigint").alias("high_line_count"),
+            F.coalesce(F.sum(F.when(~high, 1)), F.lit(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: order-count-per-customer distribution that
+    must preserve zero-order customers. Implemented scale-first: orders
+    pre-aggregates to (custkey, count) — the shuffle carries map-side
+    partials, never raw orders — then LEFT joins customer, COALESCE 0
+    for the empty groups, and a second (tiny) distribution groupBy."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    ocnt = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.join(ocnt, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 pattern: the revenue view is aggregated once, its MAX
+    is reduced to a single broadcast row, and the equality filter picks
+    the winner(s) — no re-aggregation, no window over the whole view.
+    Decimal revenue makes the MAX-equality exact on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(vol).alias("total"))
+    )
+    best = rev.agg(F.max("total").alias("best_total"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total") == F.col("best_total"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 pattern (adapted: negative-balance suppliers stand in
+    for the complaint-comment NOT IN): distinct-supplier counts per
+    part attribute group behind a NOT-IN exclusion. The exclusion list
+    is a broadcast anti join (never a shuffled NOT IN); COUNT DISTINCT
+    is Spark's two-phase partial-distinct aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH b AS (
+      SELECT l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM b WHERE q * 5 * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: rows below 20% of their part's average
+    quantity. The correlated AVG decorrelates into a window over
+    l_partkey — one shuffle, no self-join — computed only over the
+    brand-filtered slice (the broadcast part filter runs first).
+    `q < 0.2*avg` is rewritten `5*q*cnt < sum` so the boundary is
+    integer-exact; the single double division happens once at the
+    end."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_extendedprice",
+            q.alias("q"),
+            F.sum(q).over(w).alias("sq"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
+        .filter(F.col("q") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%a%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 60
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sp)
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern: nested semi-joins — suppliers who moved more
+    than a threshold of any name-matched part. part filters broadcast
+    into the fact scan; the (suppkey, partkey) HAVING aggregate is one
+    map-side-combined shuffle; the resulting key set semi-joins the
+    supplier dim (left-semi keeps supplier columns only, no dedup
+    needed)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = read_table(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 60)
+        .select("l_suppkey")
+    )
+    return s.join(sp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH ss AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    w AS (
+      SELECT l_orderkey, l_suppkey, last_ship,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             MAX(last_ship) OVER (PARTITION BY l_orderkey) AS max_ship
+      FROM ss
+    ),
+    w2 AS (
+      SELECT l_suppkey, last_ship, n_supp, max_ship,
+             SUM(CASE WHEN last_ship = max_ship THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS n_at_max
+      FROM w
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM w2 JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp > 1 AND last_ship = max_ship AND n_at_max = 1
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern (adapted: latest shipper stands in for the
+    late-delivery EXISTS/NOT-EXISTS — no commit/receipt dates): per
+    multi-supplier order, the supplier who UNIQUELY shipped last.
+    EXISTS(another supplier) becomes a windowed supplier count > 1;
+    NOT EXISTS(another equally-late supplier) becomes a windowed
+    count-at-max = 1 — both windows share one l_orderkey partition, so
+    the whole pattern costs the (orderkey, suppkey) pre-agg shuffle
+    plus one window shuffle, never a self-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    ss = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("last_ship"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = ss.select(
+        "l_orderkey",
+        "l_suppkey",
+        "last_ship",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("last_ship").over(w).alias("max_ship"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("last_ship") == F.col("max_ship"), 1).otherwise(0)).over(w),
+    )
+    return (
+        flagged.filter(
+            (F.col("n_supp") > 1)
+            & (F.col("last_ship") == F.col("max_ship"))
+            & (F.col("n_at_max") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern (adapted: mktsegment stands in for the phone
+    country code): above-average-balance customers with no urgent
+    orders. The global average is a one-row broadcast; `bal > avg`
+    is rewritten `bal*n > sum` so the boundary stays decimal-exact
+    (no decimal division). The NOT IN is an anti join against the
+    pre-deduplicated urgent-customer keys — dedup first so the anti
+    join's build side carries one row per customer, not per order."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(DEC)
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("s"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+    )
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# =====================================================================
 # Training-data curation (decontamination, PII, sampling, repetition)
 # =====================================================================
 

@@ -92,3 +92,38 @@ def test_pii_redact_single_project(spark, sf_dir):
     plan = plan_of(parity.QUERIES["curation_pii_redact"](spark, sf_dir))
     assert "Exchange" not in plan           # pure per-row transform
     assert "BatchEvalPython" not in plan    # no Python in the path
+
+
+def test_q17_correlated_avg_is_one_window_shuffle(spark, sf_dir):
+    """The correlated per-part AVG decorrelates into a window, not a
+    self-join: one exchange, one Window node, part broadcast."""
+    plan = plan_of(parity.QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan      # no decorrelation self-join
+
+
+def test_q21_windows_share_one_partitioning(spark, sf_dir):
+    """EXISTS/NOT-EXISTS both become windows over l_orderkey — the two
+    Window nodes must reuse one exchange (3 shuffles total: pre-agg,
+    window, final groupBy), never a self-join."""
+    plan = plan_of(parity.QUERIES["q21_waiting_supplier"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q13_orders_preaggregate_before_outer_join(spark, sf_dir):
+    """Zero-preserving distribution: the shuffle must carry (custkey,
+    partial count) from the orders pre-agg, never raw order rows."""
+    plan = plan_of(parity.QUERIES["q13_customer_distribution"](spark, sf_dir))
+    assert "partial_count" in plan          # map-side combine on orders
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_global_scalar_is_single_row_broadcast(spark, sf_dir):
+    """The global-total HAVING threshold crosses back as a one-row
+    broadcast nested loop, not a cartesian over the aggregate."""
+    plan = plan_of(parity.QUERIES["q11_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
