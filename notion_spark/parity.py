@@ -2903,6 +2903,116 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_quality_rules",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_words,
+               round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / greatest(len(t), 1), 6) AS mean_word_len,
+               round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                     / greatest(len(t), 1), 6) AS symbol_ratio,
+               CAST(len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with')))
+                    AS INT) AS n_stopwords
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stopwords,
+           n_words BETWEEN 50 AND 100000 AS rule_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+           symbol_ratio < 0.1 AS rule_symbol_ratio,
+           n_stopwords >= 2 AS rule_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio < 0.1 AND n_stopwords >= 2 AS keep
+    FROM m
+    """,
+)
+def curation_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-document quality-rule audit (word-count and
+    mean-word-length bounds, symbol ratio, stopword floor) with per-rule
+    boolean columns and the AND'd keep flag — one codegen'd projection,
+    no shuffle (pipeline/curation.py quality_rules)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.quality_rules(d).withColumn("n_words", F.col("n_words").cast("int")).withColumn(
+        "n_stopwords", F.col("n_stopwords").cast("int")
+    )
+
+
+@register(
+    "curation_ngram_coverage",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               unnest([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                 t[i+4], t[i+5], t[i+6], t[i+7])
+                       for i in range(1, greatest(len(t) - 7, 0) + 1)]) AS gram
+        FROM toks
+    ),
+    own AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COALESCE(SUM(CASE WHEN first_id < g.doc_id THEN 1 END), 0) AS BIGINT) AS n_seen,
+           round(CAST(COALESCE(SUM(CASE WHEN first_id < g.doc_id THEN 1 END), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage,
+           COALESCE(SUM(CASE WHEN first_id < g.doc_id THEN 1 END), 0)
+             >= 0.8 * COUNT(*) AS is_dup
+    FROM g JOIN own USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def curation_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-containment dedup: per doc, the fraction of its
+    distinct 8-grams first seen in an EARLIER doc (min-doc-id owner).
+    The oracle groups by the gram STRING where Spark groups by its
+    xxhash64 — counts agree because the hash is injective in practice
+    (collision odds ~|grams|²/2⁶⁵), the same trick the decontamination
+    oracle uses (pipeline/curation.py ngram_coverage)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.ngram_coverage(d, n=8)
+
+
+@register(
+    "curation_source_rebalance",
+    """
+    WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS total FROM per)
+    SELECT source, n_docs,
+           CAST(floor(CAST(total AS DECIMAL(20,0)) * CAST(0.3 AS DECIMAL(4,3))) AS BIGINT) AS cap_docs,
+           LEAST(n_docs,
+                 CAST(floor(CAST(total AS DECIMAL(20,0)) * CAST(0.3 AS DECIMAL(4,3))) AS BIGINT)) AS kept,
+           round(LEAST(1.0,
+                 CAST(floor(CAST(total AS DECIMAL(20,0)) * CAST(0.3 AS DECIMAL(4,3))) AS BIGINT)
+                   / CAST(n_docs AS DOUBLE)), 6) AS keep_rate
+    FROM per, tot
+    """,
+)
+def curation_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture capping plan: per-source deterministic keep rates
+    that cap any source at 30% of the corpus. cap = floor(share*total)
+    in exact decimal so the boundary LEAST() is engine-exact; the only
+    double op is the final display division (pipeline/curation.py
+    source_rebalance_plan)."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.source_rebalance_plan(d, max_share=0.3)
+
+
+@register(
     "text_repetition_stats",
     r"""
     WITH lined AS (

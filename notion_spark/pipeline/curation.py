@@ -131,3 +131,166 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(int(round(rate * buckets)))
         ).otherwise(chain)
     return df.filter(hash_bucket(F.col(key_col), buckets) < chain)
+
+
+# --------------------------------------------------- quality-rule filtering
+# Gopher-style (Rae et al. 2021, §A1.1) / C4-style document rules, reduced
+# to the subset computable from raw text with native expressions. Each rule
+# is surfaced as its own boolean column so downstream consumers can audit
+# WHICH rule dropped a document, not just that one did.
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-document quality-rule audit: word count bounds, mean word
+    length bounds, symbol-to-word ratio ('#' and '...'), and a minimum
+    stopword count, with ``keep`` = AND of all rules.
+
+    Single codegen'd projection over the scan — no shuffle, no Python.
+    The token array binds to a real attribute before any lambda touches
+    it (HOF arguments are re-evaluated per reference, not CSE'd)."""
+    t = F.col(text_col)
+    toksed = df.select(
+        F.col(id_col),
+        t.alias("_text"),
+        F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    n_words = F.size("_toks")
+    chars_no_space = F.length(F.regexp_replace("_text", r"\s+", ""))
+    mean_wl = F.round(chars_no_space.cast("double") / F.greatest(n_words, F.lit(1)), 6)
+    hash_cnt = F.length("_text") - F.length(F.replace(F.col("_text"), F.lit("#")))
+    ell_cnt = (
+        F.length("_text") - F.length(F.replace(F.col("_text"), F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        (hash_cnt + ell_cnt).cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    n_stop = F.size(F.filter("_toks", lambda x: x.isin(*STOPWORDS)))
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio < max_symbol_ratio,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return toksed.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# ----------------------------------------------------- n-gram coverage dedup
+def ngram_coverage(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Approximate-containment dedup metric: for each document, the
+    fraction of its distinct n-gram hashes whose FIRST occurrence (min
+    doc id over the corpus) belongs to an earlier document. coverage 1.0
+    = every gram already seen before; ``is_dup`` flags docs at or above
+    ``dup_threshold`` (the RefinedWeb-style criterion for dropping a doc
+    as substantially contained in prior data).
+
+    Scale shape: one exploded (id, gram-hash) stream feeds BOTH the
+    first-owner aggregate (min over gram — map-side combined) and the
+    per-doc join-back; the join keys on the high-cardinality 64-bit gram
+    hash, the final agg on doc id. Never pairwise, never collected;
+    docs shorter than ``n`` tokens yield no grams and drop out (they
+    cannot be contained)."""
+    g = shingle_hashes(df, text_col, id_col, n).distinct()
+    own = g.groupBy("h").agg(F.min("id").alias("first_id"))
+    return (
+        g.join(own, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_id") < F.col("id")).cast("long")).alias("n_seen"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_seen",
+            F.round(F.col("n_seen").cast("double") / F.col("n_grams"), 6).alias("coverage"),
+            (
+                F.col("n_seen").cast("double") / F.col("n_grams") >= dup_threshold
+            ).alias("is_dup"),
+        )
+    )
+
+
+# ------------------------------------------------------- source rebalancing
+def source_rebalance_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    max_share: float = 0.3,
+) -> DataFrame:
+    """Domain-mixture capping plan: per source, the deterministic keep
+    rate that caps any single source at ``max_share`` of the total.
+
+    cap_docs = floor(max_share * total) computed in exact decimal, so
+    kept = least(count, cap_docs) is boundary-exact cross-engine; the
+    keep_rate double is a single division (deterministic), rounded for
+    display. Two tiny aggregates (per-source counts, then a one-row
+    total crossed back as a broadcast) — the fact table is scanned
+    once."""
+    share = F.lit(str(max_share)).cast("decimal(4,3)")
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = per.agg(F.sum("n_docs").alias("total"))
+    cap = F.floor(F.col("total").cast("decimal(20,0)") * share).cast("long")
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            cap.alias("cap_docs"),
+            F.least(F.col("n_docs"), cap).alias("kept"),
+            F.round(
+                F.least(F.lit(1.0), cap.cast("double") / F.col("n_docs")), 6
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def source_rebalance(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    max_share: float = 0.3,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Apply the rebalance plan with the deterministic hash-bucket
+    sampler: each over-cap source keeps ~keep_rate of its rows (row-exact
+    reproducible, no RNG). The plan is tiny (one row per source) and
+    broadcasts; the filter is a single pass over the corpus."""
+    plan = source_rebalance_plan(df, source_col, max_share).select(
+        F.col("source").alias("_plan_source"),
+        (F.col("keep_rate") * buckets).cast("long").alias("_cut"),
+    )
+    return (
+        df.join(F.broadcast(plan), df[source_col] == plan["_plan_source"])
+        .filter(hash_bucket(F.col(key_col), buckets) < F.col("_cut"))
+        .drop("_plan_source", "_cut")
+    )

@@ -141,3 +141,83 @@ def test_tfidf_top_terms_semantics(spark):
         assert all(t.tfidf == 0.0 for t in terms if t.term == "common")
     # rank is dense 1..k with the deterministic tiebreak
     assert [t.rank for t in sorted(by_doc[1], key=lambda t: t.rank)] == [1, 2]
+
+
+# ------------------------------------------------------- quality rules
+def test_quality_rules_each_rule_isolated(spark):
+    good = " ".join(["the and that have with of to be"] * 8)  # 64 short words, stopwords
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "the and " + " ".join(["word"] * 10)),     # too few words
+        (3, " ".join(["pneumonoultramicroscopic"] * 60) + " the and"),  # long words
+        (4, " ".join(["ab#"] * 60) + " the and"),       # symbol-heavy
+        (5, " ".join(["alpha beta gamma delta"] * 16)),  # no stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CU.quality_rules(_docs(spark, rows), min_words=50).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["rule_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["rule_mean_word_len"] is False
+    assert out[4]["rule_symbol_ratio"] is False
+    assert out[5]["rule_stopwords"] is False and out[5]["rule_word_count"] is True
+
+
+def test_quality_rules_no_shuffle(spark):
+    plan = (
+        CU.quality_rules(_docs(spark, [(1, PASSAGE)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- ngram coverage
+def test_ngram_coverage_copy_is_fully_covered(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(40))
+    df = _docs(spark, [(1, base), (2, base), (3, other)])
+    out = {r["doc_id"]: r for r in CU.ngram_coverage(df, n=8).collect()}
+    assert out[1]["coverage"] == 0.0 and out[1]["is_dup"] is False
+    assert out[2]["coverage"] == 1.0 and out[2]["is_dup"] is True   # verbatim copy
+    assert out[3]["coverage"] == 0.0
+    assert out[1]["n_grams"] == 33  # 40 tokens -> 33 distinct 8-grams
+
+
+def test_ngram_coverage_short_docs_drop_out(spark):
+    df = _docs(spark, [(1, "too few tokens here")])
+    assert CU.ngram_coverage(df, n=8).count() == 0
+
+
+# ------------------------------------------------------- source rebalance
+def _sourced(spark, counts):
+    rows = []
+    i = 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_source_rebalance_plan_caps_majority_source(spark):
+    df = _sourced(spark, {"big": 900, "a": 50, "b": 50})
+    plan = {r["source"]: r for r in CU.source_rebalance_plan(df, max_share=0.3).collect()}
+    assert plan["big"]["cap_docs"] == 300          # floor(0.3 * 1000)
+    assert plan["big"]["kept"] == 300 and plan["big"]["keep_rate"] == pytest.approx(300 / 900, abs=1e-6)
+    assert plan["a"]["kept"] == 50 and plan["a"]["keep_rate"] == 1.0
+
+
+def test_source_rebalance_applied_respects_cap(spark):
+    df = _sourced(spark, {"big": 900, "a": 50, "b": 50})
+    out = CU.source_rebalance(df, max_share=0.3)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # hash-bucket sampling is approximate at the rate, never above ~cap
+    assert by_src["big"] <= 320
+    assert by_src["a"] == 50 and by_src["b"] == 50
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    # deterministic: same rows every run
+    assert out.collect() == CU.source_rebalance(df, max_share=0.3).collect()
