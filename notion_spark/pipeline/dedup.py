@@ -183,6 +183,16 @@ def _affine_consts(i: int) -> tuple[int, int]:
     return a | 1, b
 
 
+def _sig_min_aggs(num_hashes: int) -> list[Column]:
+    """The num_hashes MIN-of-affine-map aggregate expressions shared by
+    the signature-only and combined signature+set passes."""
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine_consts(i)
+        mins.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+    return mins
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -203,11 +213,7 @@ def minhash_signatures(
     (runtime-settable; get_spark already defaults it off)."""
     df.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
     ex = shingle_hashes(df, text_col, id_col, ngram)
-    mins = []
-    for i in range(num_hashes):
-        a, b = _affine_consts(i)
-        mins.append(F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
-    return ex.groupBy("id").agg(*mins)
+    return ex.groupBy("id").agg(*_sig_min_aggs(num_hashes))
 
 
 def _banded_candidates(
@@ -230,7 +236,18 @@ def _banded_candidates(
 
     ``extra_cols`` are carried through with _a/_b suffixes (e.g. simhash
     signatures for the pairwise Hamming distance).
+
+    Physical shape: the bucket size and center ride in via WINDOW
+    aggregates over ONE hash-partition by (band, bucket) — the window
+    preserves that partitioning, so the clique self-join needs no further
+    shuffle (both sides reuse the same exchange) and the star pairs are a
+    pure projection of the hot rows (no join at all). The earlier
+    groupBy-stats + two-broadcast-join formulation cost three extra
+    stages and measurably regressed the sf0.1 bench (~35% on
+    dedup_minhash_lsh).
     """
+    from pyspark.sql import Window
+
     extra_cols = extra_cols or []
     keep = ["band", "bucket", "id", *extra_cols]
     banded = banded.select(*keep)
@@ -253,27 +270,19 @@ def _banded_candidates(
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in extra_cols for s in ("a", "b")]
     if max_bucket is None:
         return _sides(banded).select(*out_cols)
-    stats = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("id").alias("center_id"),
-        *[F.min_by(c, "id").alias(f"center_{c}") for c in extra_cols],
+    w = Window.partitionBy("band", "bucket")
+    # min(struct(id, extras)) picks the center row atomically: struct
+    # ordering is lexicographic, so the minimum id's extras come with it.
+    center = F.min(F.struct("id", *extra_cols)).over(w)
+    annotated = banded.select(
+        *keep,
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        center.getField("id").alias("center_id"),
+        *[center.getField(c).alias(f"center_{c}") for c in extra_cols],
     )
-    hot = stats.filter(F.col("cnt") > max_bucket)
-    cold = banded.join(
-        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
-    )
-    clique = _sides(cold).select(*out_cols)
+    clique = _sides(annotated.filter(F.col("cnt") <= max_bucket)).select(*out_cols)
     star = (
-        banded.join(
-            F.broadcast(
-                hot.select(
-                    "band", "bucket", "center_id",
-                    *[F.col(f"center_{c}") for c in extra_cols],
-                )
-            ),
-            ["band", "bucket"],
-        )
-        .filter(F.col("id") != F.col("center_id"))
+        annotated.filter((F.col("cnt") > max_bucket) & (F.col("id") != F.col("center_id")))
         .select(
             F.col("center_id").alias("id_a"),
             F.col("id").alias("id_b"),
@@ -304,9 +313,16 @@ def minhash_lsh_candidates(
     around the bucket minimum (see _banded_candidates) so a degenerate
     bucket can never go quadratic."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
-    banded = sig.select(
+    banded = _minhash_banded(sig, num_hashes, bands)
+    return _banded_candidates(banded, max_bucket).select("id_a", "id_b").distinct()
+
+
+def _minhash_banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature frame (id, m0..) -> exploded (id, band, bucket) rows,
+    bucket = xxhash64 of the band's signature rows."""
+    r = num_hashes // bands
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -322,7 +338,6 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    return _banded_candidates(banded, max_bucket).select("id_a", "id_b").distinct()
 
 
 def minhash_dedup_pairs(
@@ -346,7 +361,14 @@ def minhash_dedup_pairs(
     cheap); 'candidates' persists the candidate pairs and builds sets only
     for docs appearing in one (3 extra small shuffles, but the second
     shingle pass becomes proportional to candidates — the right choice
-    when the corpus is huge relative to the near-dup population)."""
+    when the corpus is huge relative to the near-dup population).
+
+    Measured dead end (so nobody re-tries it): computing signatures and
+    verify-sets in ONE combined aggregate behind a persisted frame is
+    ~1.6x SLOWER cold at sf0.1 — building the columnar cache of the wide
+    (64 longs + hash-array) rows costs more than the second shingle pass
+    it saves, and column pruning already keeps the two separate passes
+    narrow."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram, max_bucket)
     if verify_scope == "candidates":
         cands = cands.persist()
