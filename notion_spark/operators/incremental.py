@@ -66,3 +66,46 @@ def latest_per_key(df: DataFrame, key: str | list[str], order_by: list[Column]) 
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def scd2_intervals(
+    history: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change history:
+    collapse consecutive rows with the same attribute value, then give
+    each surviving change a validity interval [valid_from, valid_to) —
+    valid_to is the NEXT change's timestamp, null while current.
+
+    The batch complement of `keep_last_upsert`: where M2 keeps only the
+    latest row per key, this keeps the full versioned timeline a warehouse
+    dimension table wants. Two windows over the SAME (key × ts, tiebreak)
+    ordering — one shuffle on the key, the second window reuses the first
+    one's partitioning and sort.
+
+    Output: (key, attr, valid_from, valid_to, is_current).
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(attr).over(w)
+    # null-safe change test: the first row per key always survives
+    # (row_number, not prev.isNull() — a genuinely-null attr following a
+    # non-null one must also count as a change, and != returns null there)
+    changes = (
+        history.select(key, attr, ts, tiebreak)
+        .withColumn(
+            "__chg",
+            (F.row_number().over(w) == 1) | ~F.col(attr).eqNullSafe(prev),
+        )
+        .filter(F.col("__chg"))
+    )
+    nxt = F.lead(ts).over(w)
+    return changes.select(
+        key,
+        attr,
+        F.col(ts).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

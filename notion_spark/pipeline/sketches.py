@@ -1,0 +1,153 @@
+"""Cardinality sketches: KMV (k-minimum-values) and HyperLogLog.
+
+Spark ships `approx_count_distinct` (a JVM HLL++), but its register
+layout and hash are engine-private — no other system can verify or merge
+its sketches. These implementations instead build the sketch from plain
+DataFrame ops over an EXPLICIT hash column, which buys two properties the
+built-in can't offer:
+
+- **Cross-engine determinism**: with the engine-neutral `md5_hash60`
+  hash, the identical sketch (registers, k-th minimum, final estimate)
+  is computable in any SQL engine — the DuckDB parity oracle rebuilds it
+  value-for-value. All estimator math stays in scaled INTEGERS until one
+  final double division, so there is no float-accumulation-order
+  dependence anywhere.
+- **Mergeability as data**: the register / minima frames are ordinary
+  rows, so sketches for shards can be unioned and re-aggregated with the
+  same groupBy — the standard way to sketch a 100 TB corpus per-partition
+  and merge.
+
+Scale shape: KMV is a single TakeOrderedAndProject (per-partition top-k,
+no global sort); HLL is one map-side-combined groupBy over at most
+2^p register keys. Both touch each input row exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from notion_spark.pipeline.text_analysis import md5_hash60
+
+# md5_hash60 yields uniform values in [0, 2^60).
+_HASH_BITS = 60
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002).
+
+    The k-th smallest of n uniform hashes in [0, S) sits near k/n · S, so
+    n ≈ (k-1) · S / h_(k). One row out:
+    (k_used, n_minima, kth_hash, est_distinct, is_exact)
+
+    - fewer than k distinct hashes seen -> the sketch degenerates to an
+      EXACT distinct count (est = n_minima, is_exact = true);
+    - the estimate is a single integer division surfaced as double —
+      order-independent, identical across engines.
+
+    Physical plan: distinct hash values (one map-side-combined shuffle on
+    the hash — no row ever carries the original value), then
+    `orderBy(h).limit(k)` which Spark executes as TakeOrderedAndProject:
+    each partition keeps only its k smallest, the driver merges k·P
+    values. No global sort, no full collect.
+    """
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(hasher(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    kth = F.max("h")
+    n_min = F.count(F.lit(1))
+    est = F.when(
+        n_min < k, n_min.cast("double")
+    ).otherwise((F.lit(k - 1) * F.lit(float(_HASH_SPACE))) / kth)
+    return hashed.agg(
+        F.lit(k).alias("k_used"),
+        n_min.cast("bigint").alias("n_minima"),
+        kth.alias("kth_hash"),
+        F.round(est, 2).alias("est_distinct"),
+        (n_min < k).alias("is_exact"),
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """HyperLogLog register frame: (bucket, rho) with one row per
+    NON-EMPTY register, bucket in [0, 2^p), rho = max over the bucket of
+    (leading zeros of the remaining 60-p hash bits) + 1.
+
+    rho is derived via the base-2 digit-string length (``conv(w, 10, 2)``)
+    — pure integer/string ops, no float log2 whose floor could ride an
+    ulp across engines. Register frames are mergeable: union two and take
+    max(rho) per bucket.
+    """
+    tail_bits = _HASH_BITS - p
+    h = hasher(F.col(col))
+    bucket = F.shiftright(h, tail_bits)
+    w = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    # msb position of w (1-based); rho = tail_bits - msb + 1, or
+    # tail_bits + 1 when the whole tail is zero.
+    msb = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(F.lit(tail_bits) + 1 - msb)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) from
+    `hll_registers`. One row out:
+    (m, n_empty_registers, harmonic_scaled, est_distinct)
+
+    The harmonic mean's denominator sum(2^-rho_j) is kept EXACT in scaled
+    integers: each term is 2^(T - rho_j) with T = 62 - p chosen so empty
+    registers contribute 2^T and the m-term sum stays inside a signed 64
+    (m · 2^T = 2^62). The float division happens once, on two exact
+    integers — deterministic across engines and partitionings.
+
+    Small-range correction (linear counting over empty registers) applies
+    below 2.5·m as in the paper; both engines branch on the same exact
+    integers, so the branch choice itself is deterministic.
+    """
+    m = 1 << p
+    # 0.7213/(1+1.079/m) is the standard alpha for m >= 128
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    t = 62 - p  # scale exponent: m * 2^t == 2^62 fits signed 64-bit
+    regs = hll_registers(df, col, p, hasher)
+    # registers absent from the frame have rho = 0 -> scaled term 2^t each
+    n_empty = F.lit(m) - F.count(F.lit(1))
+    # shiftleft()'s numBits arg must be a literal int in the Python API;
+    # a per-row shift needs the SQL form.
+    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {t} - rho)"))
+    s_total = (s_present + n_empty * F.lit(1 << t)).cast("bigint")
+    raw = F.lit(alpha * m * m * float(1 << t)) / s_total
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty)
+    est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0), lin).otherwise(raw)
+    return regs.agg(
+        F.lit(m).alias("m"),
+        n_empty.cast("bigint").alias("n_empty_registers"),
+        s_total.alias("harmonic_scaled"),
+        F.round(est, 2).alias("est_distinct"),
+    )
