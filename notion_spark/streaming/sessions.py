@@ -36,7 +36,11 @@ def sessionize_batch(
     previous event exceeds ``gap_minutes``; session_id =
     '<user>-<seq>'. One shuffle (the per-user window)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double")
+    # TIMESTAMP_NTZ (how parquet-written naive timestamps arrive) cannot
+    # cast straight to double; route through TIMESTAMP first (session tz
+    # is UTC, so the epoch value is unchanged).
+    epoch = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    gap = epoch(F.col(ts_col)) - epoch(F.lag(F.col(ts_col)).over(w))
     is_start = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     seq = F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn(
