@@ -1,0 +1,157 @@
+"""Behavioral event analytics: funnels, retention cohorts, forward fill.
+
+Engine-extension surface (the reference has no event analytics — its
+closest analogue is the weekly velocity resample, analyze_pages.py:438);
+these are the standard OLAP operators a training-data / product-analytics
+pipeline runs over an event stream, each expressed as one- or two-shuffle
+DataFrame plans:
+
+- `funnel_counts`: ordered step funnel WITHOUT self-joins. The textbook
+  SQL formulation joins the events table once per step (K-1 shuffles of
+  the full table, each a growing theta-join); here each user's step
+  events are collected and scanned once with an `aggregate` HOF — one
+  shuffle on the user key, state is a single int. The DuckDB parity
+  oracle uses the join formulation, so the two derivations are
+  structurally independent.
+- `retention_cohort`: cohort week (user's first-event week) × week
+  offset → distinct users. One window shuffle + one aggregate shuffle.
+- `forward_fill`: last-observation-carried-forward over an ordered
+  per-key timeline (`F.last(ignorenulls=True)` over a running frame) —
+  the gap-repair primitive for sensor/metric streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_max_stage(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user highest funnel stage reached, scanning each user's
+    ordered step events exactly once.
+
+    A user is at stage s when their event sequence contains
+    steps[0] < steps[1] < ... < steps[s-1] as a subsequence in
+    (ts, tie) order (greedy earliest-match, which is optimal for
+    subsequence containment). Output: (user, stage) with stage in
+    [0, len(steps)]; users with no step events don't appear.
+
+    Scale shape: filter to step events only, ONE shuffle on the user
+    key, `array_sort` + `aggregate` HOF whose state is one int. The
+    collected array holds only this user's step-typed events — for a
+    user so hot that this overflows, pre-aggregate to (user, first ts
+    per stage transition) in windows; not needed until a single user
+    has millions of step events.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    # F.get is 0-based and null-safe past the end: once acc == len(steps)
+    # the comparison is null => condition false => state saturates.
+    scan = F.aggregate(
+        "seq",
+        F.lit(0),
+        lambda acc, x: F.when(x["et"] == F.get(steps_lit, acc), acc + 1).otherwise(acc),
+    )
+    return (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(seq.alias("seq"))
+        .select("user", scan.alias("stage"))
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of users whose
+    max stage reached >= that step. Columns (step, step_name, n_users);
+    n_users is non-increasing down the funnel."""
+    staged = funnel_max_stage(df, steps, user_col, ts_col, tie_col, type_col)
+    per_stage = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    # tiny frame (len(steps)+1 rows): suffix-sum via a running window.
+    joined = (
+        steps_df.join(per_stage, steps_df["step"] == per_stage["stage"], "left")
+        .select("step", "step_name", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("step")).rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "step", "step_name", F.sum("n").over(w).alias("n_users")
+    )
+
+
+def retention_cohort(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: (cohort_week, week_offset, n_users)
+    where cohort_week is the Monday-anchored week of the user's first
+    event and n_users counts distinct users of that cohort active
+    week_offset weeks later.
+
+    Two shuffles: the per-user window min (no join back — the window
+    aggregate broadcasts the min within the partition), then the
+    distinct-count aggregate. Post-trunc weeks differ by exact multiples
+    of 7 days, so the offset division is exact integer math.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(user_col)
+    cohort = F.date_trunc("week", F.min(ts).over(w))
+    offset = (F.datediff(F.date_trunc("week", ts), cohort) / 7).cast("bigint")
+    return (
+        df.select(
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+            F.col(user_col).alias("u"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("u")).alias("n_users"))
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    part_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Last-observation-carried-forward: null entries in ``cols`` take
+    the most recent non-null value earlier in the (part, order) timeline;
+    leading nulls stay null. One shuffle (the per-key window sort),
+    shared by all filled columns."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -169,6 +169,64 @@ def jaccard_pairs(
     return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    block_key: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 50,
+    max_length_diff: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs WITHIN a blocking key.
+
+    Character-level complement to the token-level `jaccard_pairs`: edit
+    distance catches small in-word mutations (typos, template fills)
+    that n-gram Jaccard over word shingles misses. Blocking is mandatory
+    for the same O(N²) reason. Output: (id_a, id_b, distance) with
+    id_a < id_b and distance <= max_distance.
+
+    ``max_length_diff`` (default: max_distance) prunes pairs whose
+    length gap already exceeds the threshold BEFORE the O(L²)
+    levenshtein runs — |len(a) - len(b)| is a lower bound on edit
+    distance, so the prune is exact. The distance itself runs JVM-side
+    (`F.levenshtein` with the threshold arg, which early-exits any row
+    whose running minimum crosses the bound).
+    """
+    bound = max_distance if max_length_diff is None else max_length_diff
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+        block_key.alias("block"),
+    ).filter(F.col("txt").isNotNull())
+    a = docs.select(
+        "block",
+        F.col("id").alias("id_a"),
+        F.col("txt").alias("txt_a"),
+        F.col("len").alias("len_a"),
+    )
+    b = docs.select(
+        F.col("block").alias("block_b"),
+        F.col("id").alias("id_b"),
+        F.col("txt").alias("txt_b"),
+        F.col("len").alias("len_b"),
+    )
+    pairs = a.join(
+        b,
+        on=[
+            a["block"] == b["block_b"],
+            a["id_a"] < b["id_b"],
+            F.abs(a["len_a"] - b["len_b"]) <= F.lit(bound),
+        ],
+    )
+    # threshold form returns -1 when the distance exceeds the bound
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
+    return (
+        pairs.select("id_a", "id_b", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)
+    )
+
+
 # ------------------------------------------------------------ MinHash + LSH
 def _affine_consts(i: int) -> tuple[int, int]:
     """Deterministic odd multiplier + offset for permutation i (splitmix64

@@ -24,7 +24,10 @@ no global sort); HLL is one map-side-combined groupBy over at most
 
 from __future__ import annotations
 
+from collections.abc import Iterable
 from typing import Callable
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -150,4 +153,91 @@ def hll_distinct(
         n_empty.cast("bigint").alias("n_empty_registers"),
         s_total.alias("harmonic_scaled"),
         F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def _mg_shrink(counts: dict, capacity: int) -> None:
+    """Misra-Gries reduction: subtract the (capacity+1)-th largest
+    counter from all and drop non-positives (the mergeable-summaries
+    form of the decrement step, Agarwal et al. 2012). Error added is
+    bounded by the subtracted amount per element."""
+    if len(counts) <= capacity:
+        return
+    pivot = sorted(counts.values(), reverse=True)[capacity]
+    dead = []
+    for v in counts:
+        counts[v] -= pivot
+        if counts[v] <= 0:
+            dead.append(v)
+    for v in dead:
+        del counts[v]
+
+
+def mg_partition_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries:
+    (value, est) rows, at most ``capacity`` per partition.
+
+    mapInPandas keeps a dict of at most ~2·capacity counters per
+    partition regardless of input size; Arrow batches stream through
+    without materializing the partition. Per-partition undercount is
+    <= n_p/(capacity+1), so summing estimates across partitions
+    undercounts any value by at most n/(capacity+1) total — every value
+    with true frequency above that bound survives with a positive
+    estimate (the superset guarantee `heavy_hitters` relies on).
+    """
+    src = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull())
+    out_schema = f"value {src.schema[0].dataType.simpleString()}, est bigint"
+
+    def mg(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            # shrink once per Arrow batch: the dict stays <= capacity
+            # + batch-distinct in between, never the full partition
+            _mg_shrink(counts, capacity)
+        if counts:
+            yield pd.DataFrame(
+                {"value": list(counts.keys()), "est": list(counts.values())}
+            )
+
+    return src.mapInPandas(mg, schema=out_schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int, capacity: int | None = None) -> DataFrame:
+    """EXACT phi-heavy hitters (frequency >= n/k) at bounded memory: the
+    classic two-pass candidates-then-recount plan.
+
+    Pass 1: per-partition Misra-Gries summaries (capacity 8k) are merged
+    into a candidate set of <= capacity x P values — guaranteed to
+    contain every true heavy hitter since the total undercount
+    n/(8k+1) < n/k. Pass 2: exact recount of candidates only (semi-join
+    then one map-side-combined groupBy), threshold applied with integer
+    math (count*k >= n). Unlike one-pass sketch answers the output is
+    exact: no false positives, no false negatives.
+
+    Scale shape: no full-cardinality shuffle ever happens — the only
+    groupBys run over candidate values (bounded by capacity x
+    partitions), which is the point at 100 TB where the raw key space
+    (urls, shingles, user ids) is itself huge.
+    """
+    capacity = capacity or 8 * k
+    n = df.filter(F.col(col).isNotNull()).count()
+    if n == 0:
+        return (
+            df.sparkSession.createDataFrame([], f"value {df.select(col).schema[0].dataType.simpleString()}, freq bigint")
+        )
+    cands = (
+        mg_partition_summaries(df, col, capacity)
+        .groupBy("value")
+        .agg(F.sum("est").alias("est"))
+        .select("value")
+    )
+    return (
+        df.select(F.col(col).alias("value"))
+        .join(F.broadcast(cands), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * k >= F.lit(n))
+        .orderBy(F.desc("freq"), F.asc("value"))
     )
