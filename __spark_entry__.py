@@ -26,7 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(parity.QUERIES)
+    # Ordered so never-driver-checked queries occupy the driver's
+    # 50-query verification window first (see parity.DRIVER_CHECKED).
+    return parity.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3338,3 +3338,44 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id")
     )
     return hll_distinct(ev, "user_id", p=8)
+
+
+# =====================================================================
+# Driver-window rotation
+# =====================================================================
+
+# Names with an all-green row in a prior round's driver CORRECTNESS
+# artifact. The driver verifies only the FIRST 50 entries of
+# ``__spark_entry__.queries()``; ``ordered_queries`` places the
+# never-driver-checked names first so every query rotates through the
+# driver's window across rounds (all names stay oracle-verified every
+# round via the local mirror, scripts/check_parity.py).
+# Update after each round from CORRECTNESS_r{N}.json keys.
+DRIVER_CHECKED: tuple[str, ...] = (
+    # --- round 2 (CORRECTNESS_r02.json: 49 all-green + 1 rows-only) ---
+    "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts", "agg_weekly_velocity",
+    "agg_created_per_week", "agg_avg_completion_days", "agg_crosstab_status_priority", "agg_union_pie",
+    "filter_tag_overlap", "filter_active_items", "filter_immediate_action", "filter_window_anti",
+    "filter_backlog_topk", "filter_not_in", "filter_substring_count", "filter_goals_overflow",
+    "join_parent_name", "join_multi_hop_revenue", "join_semi_customers", "join_anti_customers",
+    "merge_keep_last", "incr_changed_rows", "topk_oldest_pending", "window_group_boundaries",
+    "proj_status_priority_scores", "proj_json_extract", "text_truncate", "text_sanitize_filename",
+    "text_line_slice", "text_week_label", "dedup_exact", "dedup_fingerprint",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "sim_topk_cosine",
+    "dedup_cluster_collapse", "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap",
+    "sim_ann_lsh", "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion",
+    "text_quality", "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun",
+    "agg_distinct_users", "filter_pushdown_parts",
+)
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry reordered so never-driver-checked queries come first.
+
+    Registration order is preserved within each group, so the window's
+    contents are deterministic round over round.
+    """
+    seen = set(DRIVER_CHECKED)
+    fresh = [n for n in QUERIES if n not in seen]
+    stale = [n for n in QUERIES if n in seen]
+    return {n: QUERIES[n] for n in (*fresh, *stale)}
