@@ -7,6 +7,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() forces the full plan; the
 driver-side result sizes are tiny so collect overhead is noise). A warmup
 run of the flagship amortizes JVM/codegen startup out of the numbers.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_ITERS (default 3)
+back-to-back runs: the first execution of a heavy query pays one-time
+whole-stage-codegen compilation (~2-4 s on the wide dedup aggregates),
+which single-shot timing conflated with plan cost — sub-second queries
+then tripped round-over-round ratio rules on pure noise. "value" is the
+sum of medians; per-query min/max spreads ride in "spread" for honesty.
 """
 
 from __future__ import annotations
@@ -50,6 +57,10 @@ BENCH_QUERIES = [
     # comparable on the shared prefix)
     "events_sessionize",
     "dedup_cluster_collapse",
+    # behavioral ops (added r3 once registered, per verdict: r3 is their
+    # baseline round)
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
 ]
 
 
@@ -65,13 +76,19 @@ def main() -> None:
     # Warmup: JVM JIT + codegen + parquet footer caches.
     parity.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = parity.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()
-        times[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(iters):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        times[name] = runs[len(runs) // 2]
+        spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(times.values()), 3)
     print(
@@ -81,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "iters": iters,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -3341,6 +3341,140 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Behavioral analytics + bounded-memory sketches (engine extensions)
+# =====================================================================
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s AS (
+        SELECT user_id, row(ts, event_id) AS k, event_type
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+          AND user_id IS NOT NULL
+    ),
+    s1 AS (SELECT user_id, min(k) AS k1 FROM s WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT s.user_id, min(s.k) AS k2 FROM s JOIN s1 ON s.user_id = s1.user_id
+           WHERE s.event_type = 'click' AND s.k > s1.k1 GROUP BY s.user_id),
+    s3 AS (SELECT s.user_id, min(s.k) AS k3 FROM s JOIN s2 ON s.user_id = s2.user_id
+           WHERE s.event_type = 'purchase' AND s.k > s2.k2 GROUP BY s.user_id)
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel. The Spark side scans each
+    user's step events ONCE with an aggregate HOF (operators/behavior.py
+    funnel_counts — no self-joins); the oracle is the classic chained
+    earliest-match join formulation, so the two derivations are
+    structurally independent."""
+    from notion_spark.operators import behavior as BEH
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return BEH.funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "retention_weekly_cohorts",
+    """
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (cohort week x offset -> distinct
+    users). Spark derives the cohort with a per-user window min (no join
+    back); the oracle joins an explicit first-week frame — independent
+    formulations, same Monday-anchored week truncation."""
+    from notion_spark.operators import behavior as BEH
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return BEH.retention_cohort(ev)
+
+
+@register(
+    "forward_fill_values",
+    """
+    SELECT event_id, user_id,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward of the metric column over each
+    user's (ts, event_id) timeline; leading nulls stay null. Doubles pass
+    through unsummed (bit-identical cross-engine)."""
+    from notion_spark.operators import behavior as BEH
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return BEH.forward_fill(ev, ["value"]).select(
+        "event_id", "user_id", F.col("value").alias("value_filled")
+    )
+
+
+@register(
+    "heavy_hitters_users",
+    """
+    WITH nn AS (SELECT user_id AS value FROM events WHERE user_id IS NOT NULL)
+    SELECT value, CAST(count(*) AS BIGINT) AS freq
+    FROM nn GROUP BY value
+    HAVING count(*) * 200 >= (SELECT count(*) FROM nn)
+    """,
+)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi=1/200 heavy hitters over user_id via bounded-memory
+    Misra-Gries candidates + exact recount (pipeline/sketches.py
+    heavy_hitters). The oracle is the unbounded full groupBy the sketch
+    path exists to avoid — results must be identical because the
+    candidate set provably contains every true heavy hitter."""
+    from notion_spark.pipeline import sketches as SK
+
+    ev = read_table(spark, sf_dir, "events")
+    return SK.heavy_hitters(ev, "user_id", k=200)
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, source, text
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS distance
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 60
+    WHERE levenshtein(a.text, b.text) <= 60
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs blocked by source with the exact
+    length-gap prune; Spark computes the distance JVM-side with the
+    threshold (early-exit) form, the oracle computes it fully."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.levenshtein_pairs(d, block_key=F.col("source"), max_distance=60)
+
+
+# =====================================================================
 # Driver-window rotation
 # =====================================================================
 

@@ -74,12 +74,19 @@ def shingle_hashes(
     # many-file 100 TB corpus the scan already yields enough partitions
     # and this repartition collapses into AQE-managed sizing.
     try:
-        # classic Spark: fan out only when the scan is narrower than cores
+        # Fan out only when the scan is narrower than the cores. File
+        # count is a metadata-only proxy for scan width (no .rdd
+        # conversion of the analyzed plan): few-but-splittable files may
+        # repartition unnecessarily, but AQE coalesces that shuffle, while
+        # the single-file case — the one that actually pins the pass to
+        # one task — is always caught. Derived frames (inputFiles == [])
+        # are post-shuffle and already wide.
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-        source = df if df.rdd.getNumPartitions() >= parallelism else df.repartition(parallelism)
+        files = df.inputFiles()
+        source = df if (not files or len(files) >= parallelism) else df.repartition(parallelism)
     except Exception:
-        # Spark Connect exposes neither sparkContext nor .rdd — repartition
-        # to the shuffle-partition setting unconditionally (AQE coalesces).
+        # Spark Connect exposes no sparkContext — repartition to the
+        # shuffle-partition setting unconditionally (AQE coalesces).
         # NB: must not shadow the shingle width `n`.
         parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         source = df.repartition(parts)
@@ -275,7 +282,10 @@ def minhash_signatures(
 
 
 def _banded_candidates(
-    banded: DataFrame, max_bucket: int | None, extra_cols: list[str] | None = None
+    banded: DataFrame,
+    max_bucket: int | None,
+    extra_cols: list[str] | None = None,
+    impl: str = "agg",
 ) -> DataFrame:
     """(band, bucket, id [, extras]) rows -> candidate pairs with a
     hot-bucket guard.
@@ -283,32 +293,46 @@ def _banded_candidates(
     A bucket of m members emits m²/2 clique pairs — fine for the small
     buckets genuine near-dups produce, quadratic death for the degenerate
     buckets real corpora always have (boilerplate, empty-ish docs, hash
-    pileups). Guard: count per (band, bucket) in ONE map-side-combined
-    aggregate; buckets with more than ``max_bucket`` members are routed to
-    a STAR (bucket-min-id -> member, O(m) pairs) instead of the clique.
-    Downstream exact verification + connected-components still collapse a
-    genuinely-duplicate mass through its star center, so the guard trades
-    a bounded amount of recall on pathological buckets for a hard upper
-    bound of max_bucket·m on any bucket's pair count. The hot-bucket list
-    is at most N/max_bucket keys — always broadcastable.
+    pileups). Guard: buckets with more than ``max_bucket`` members are
+    routed to a STAR (bucket-min-id -> member, O(m) pairs) instead of the
+    clique. Downstream exact verification + connected-components still
+    collapse a genuinely-duplicate mass through its star center, so the
+    guard trades a bounded amount of recall on pathological buckets for a
+    hard upper bound of max_bucket·m on any bucket's pair count.
 
     ``extra_cols`` are carried through with _a/_b suffixes (e.g. simhash
     signatures for the pairwise Hamming distance).
 
-    Physical shape: the bucket size and center ride in via WINDOW
-    aggregates over ONE hash-partition by (band, bucket) — the window
-    preserves that partitioning, so the clique self-join needs no further
-    shuffle (both sides reuse the same exchange) and the star pairs are a
-    pure projection of the hot rows (no join at all). The earlier
-    groupBy-stats + two-broadcast-join formulation cost three extra
-    stages and measurably regressed the sf0.1 bench (~35% on
-    dedup_minhash_lsh).
-    """
-    from pyspark.sql import Window
+    Physical shapes, chosen by ``impl`` (guarded paths only):
 
+    - ``"agg"`` (default): ONE map-side-combined groupBy (band, bucket)
+      collecting the sorted member array, then pair expansion as a
+      higher-order-function projection (clique for small buckets, star
+      above ``max_bucket`` — the If evaluates only the taken branch, so
+      hot buckets never build clique arrays). No self-join, no window, one
+      shuffle total. ~25% faster than the window formulation at sf0.1
+      (2.7-3.6 s vs 3.2-4.1 s warm, identical output). Memory bound: one
+      collected array per bucket, O(bucket members) — collect_list does
+      NOT spill, so a degenerate bucket of ~10M+ members risks executor
+      memory. Run exact dedup first (standard pipeline order — it
+      collapses the identical-doc mass that forms mega-buckets) or pass
+      ``impl="window"``.
+    - ``"window"``: bucket size + center ride in via window aggregates
+      over one hash-partition by (band, bucket); the clique self-join
+      reuses the same exchange and the star pairs are a pure projection.
+      WindowExec buffers each bucket in a spilling row array, so
+      arbitrarily degenerate buckets survive. The earlier groupBy-stats +
+      two-broadcast-join formulation cost three extra stages and
+      measurably regressed the sf0.1 bench (~35%).
+
+    ``max_bucket=None`` (explicit unbounded opt-in) always uses the
+    streaming self-join — unbounded cliques must not pass through a
+    collected array OR a window buffer.
+    """
     extra_cols = extra_cols or []
     keep = ["band", "bucket", "id", *extra_cols]
     banded = banded.select(*keep)
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in extra_cols for s in ("a", "b")]
 
     def _sides(src: DataFrame):
         x = src.select(
@@ -325,9 +349,66 @@ def _banded_candidates(
             on=[x["band"] == y["band_y"], x["bucket"] == y["bucket_y"], x["id_a"] < y["id_b"]],
         )
 
-    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in extra_cols for s in ("a", "b")]
     if max_bucket is None:
         return _sides(banded).select(*out_cols)
+    if impl == "agg":
+        return _banded_candidates_agg(banded, max_bucket, extra_cols, out_cols)
+    return _banded_candidates_window(banded, max_bucket, extra_cols, out_cols, _sides, keep)
+
+
+def _banded_candidates_agg(
+    banded: DataFrame, max_bucket: int, extra_cols: list[str], out_cols: list[str]
+) -> DataFrame:
+    """Guarded pair expansion via one aggregate + HOF projection.
+
+    Members are collected as structs (id first ⇒ array_sort orders by id;
+    ids are unique so the sort is deterministic). Clique = all i<j pairs
+    of the sorted array (id_a < id_b by construction); star = (member 1,
+    member j>1). Transient memory is bounded by max_bucket² structs per
+    cold bucket and O(members) per hot bucket."""
+    g = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list(F.struct("id", *extra_cols))).alias("ms")
+    )
+    n = F.size("ms")
+
+    def pairs_from(i):
+        """Pairs (ms[i], ms[j]) for all j > i; i is a 1-based position."""
+        return F.transform(
+            F.slice(F.col("ms"), i + 1, n),
+            lambda y: F.struct(F.element_at(F.col("ms"), i).alias("a"), y.alias("b")),
+        )
+
+    clique = F.flatten(F.transform(F.sequence(F.lit(1), n - 1), pairs_from))
+    star = pairs_from(F.lit(1))
+    arr = F.when(n > max_bucket, star).otherwise(clique)
+    return (
+        g.filter(n >= 2)
+        .select(F.explode(arr).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            *[
+                col
+                for c in extra_cols
+                for col in (F.col(f"p.a.{c}").alias(f"{c}_a"), F.col(f"p.b.{c}").alias(f"{c}_b"))
+            ],
+        )
+        .select(*out_cols)
+    )
+
+
+def _banded_candidates_window(
+    banded: DataFrame,
+    max_bucket: int,
+    extra_cols: list[str],
+    out_cols: list[str],
+    _sides,
+    keep: list[str],
+) -> DataFrame:
+    """Guarded pair expansion via spilling window aggregates (see
+    _banded_candidates docstring for when to prefer this)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("band", "bucket")
     # min(struct(id, extras)) picks the center row atomically: struct
     # ordering is lexicographic, so the minimum id's extras come with it.
@@ -378,7 +459,13 @@ def minhash_lsh_candidates(
 
 def _minhash_banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Signature frame (id, m0..) -> exploded (id, band, bucket) rows,
-    bucket = xxhash64 of the band's signature rows."""
+    bucket = xxhash64 of the band's signature rows.
+
+    xxhash64 hashes the band's long columns DIRECTLY (it is defined over
+    any input types) — hashing r longs per band instead of concat_ws over
+    r casted strings removes num_hashes string materializations per doc
+    and shrinks the codegen'd expression tree ~5x (measured on the sf0.1
+    bench's first run, where codegen compile time is visible)."""
     r = num_hashes // bands
     return sig.select(
         "id",
@@ -387,9 +474,7 @@ def _minhash_banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)])
-                        ).alias("bucket"),
+                        F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias("bucket"),
                     )
                     for b in range(bands)
                 ]

@@ -188,6 +188,15 @@ def mg_partition_summaries(df: DataFrame, col: str, capacity: int) -> DataFrame:
     src = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull())
     out_schema = f"value {src.schema[0].dataType.simpleString()}, est bigint"
 
+    # NaN is a real Spark value (not null) and can be a legitimate heavy
+    # hitter of a float column — but it CANNOT ride through this summary:
+    # the pandas->Arrow conversion of the output frame maps float NaN to
+    # null (NaN is pandas' missing sentinel). value_counts' default
+    # dropna=True therefore intentionally drops NaN here, and
+    # `heavy_hitters` counts NaN exactly in its recount pass instead
+    # (one extra value — no memory impact). True nulls never reach mg
+    # (filtered above).
+
     def mg(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         counts: dict = {}
         for pdf in batches:
@@ -221,7 +230,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int, capacity: int | None = None) 
     partitions), which is the point at 100 TB where the raw key space
     (urls, shingles, user ids) is itself huge.
     """
-    capacity = capacity or 8 * k
+    if capacity is not None and capacity < k:
+        # undercount bound n/(capacity+1) must stay below the n/k
+        # threshold or the no-false-negative guarantee silently breaks
+        raise ValueError(f"capacity ({capacity}) must be >= k ({k})")
+    capacity = capacity if capacity is not None else 8 * k
     n = df.filter(F.col(col).isNotNull()).count()
     if n == 0:
         return (
@@ -233,9 +246,15 @@ def heavy_hitters(df: DataFrame, col: str, k: int, capacity: int | None = None) 
         .agg(F.sum("est").alias("est"))
         .select("value")
     )
+    vals = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull())
+    recount_src = vals.join(F.broadcast(cands), "value", "left_semi")
+    # Float NaN can't survive the Arrow round-trip out of the MG summary
+    # (pandas NaN -> Arrow null), so it is recounted directly — it is a
+    # single value, and Spark groups NaN as equal to itself.
+    if df.schema[col].dataType.typeName() in ("double", "float"):
+        recount_src = recount_src.unionByName(vals.filter(F.isnan("value")))
     return (
-        df.select(F.col(col).alias("value"))
-        .join(F.broadcast(cands), "value", "left_semi")
+        recount_src
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") * k >= F.lit(n))

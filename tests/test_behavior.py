@@ -1,0 +1,169 @@
+"""Behavioral analytics (funnels / retention / forward-fill) and the
+Misra-Gries heavy-hitter guarantees — the subtle-logic surfaces ADVICE
+flagged as untested."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from notion_spark.operators import behavior as BEH
+from notion_spark.pipeline import dedup as D
+from notion_spark.pipeline import sketches as SK
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(uid, minute, etype, eid):
+    return (eid, T0 + dt.timedelta(minutes=minute), uid, etype)
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+STEPS = ["view", "click", "purchase"]
+
+
+def _stages(spark, rows):
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    return {r.user: r.stage for r in BEH.funnel_max_stage(df, STEPS).collect()}
+
+
+def test_funnel_subsequence_vs_order_violation(spark):
+    rows = [
+        # u1: full ordered subsequence with noise interleaved
+        _ev(1, 0, "view", 10), _ev(1, 1, "error", 11), _ev(1, 2, "click", 12),
+        _ev(1, 9, "purchase", 13),
+        # u2: purchase BEFORE view/click — only the view counts
+        _ev(2, 0, "purchase", 20), _ev(2, 1, "view", 21),
+        # u3: click then view then click again — view, then the LATER
+        # click completes stage 2 (subsequence, not prefix, semantics)
+        _ev(3, 0, "click", 30), _ev(3, 1, "view", 31), _ev(3, 2, "click", 32),
+        # u4: only non-step events — absent from output
+        _ev(4, 0, "error", 40),
+    ]
+    stages = _stages(spark, rows)
+    assert stages == {1: 3, 2: 1, 3: 2}
+
+
+def test_funnel_saturates_at_last_step(spark):
+    # two full passes through the funnel must not exceed len(steps)
+    rows = [
+        _ev(1, i, t, i)
+        for i, t in enumerate(["view", "click", "purchase", "view", "click", "purchase"])
+    ]
+    assert _stages(spark, rows) == {1: 3}
+
+
+def test_funnel_tie_broken_by_event_id(spark):
+    # same timestamp: event_id orders the scan, so (view id=1, click id=2)
+    # completes stage 2 while (click id=1, view id=2) stops at stage 1.
+    fwd = [_ev(1, 0, "view", 1), _ev(1, 0, "click", 2)]
+    rev = [_ev(1, 0, "click", 1), _ev(1, 0, "view", 2)]
+    assert _stages(spark, fwd) == {1: 2}
+    assert _stages(spark, rev) == {1: 1}
+
+
+def test_funnel_counts_zero_fill_and_monotonicity(spark):
+    rows = [
+        _ev(1, 0, "view", 1), _ev(1, 1, "click", 2),
+        _ev(2, 0, "view", 3),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r.step: (r.step_name, r.n_users) for r in BEH.funnel_counts(df, STEPS).collect()}
+    assert out == {1: ("view", 2), 2: ("click", 1), 3: ("purchase", 0)}
+
+
+def test_retention_offset_math(spark):
+    # cohort anchored to the Monday week of the FIRST event; activity 2
+    # weeks later lands at offset 2, same-week repeat stays at offset 0.
+    rows = [
+        _ev(1, 0, "view", 1),                   # Mon 2024-01-01 week
+        _ev(1, 3 * 24 * 60, "view", 2),         # same week (Thu)
+        _ev(1, 14 * 24 * 60, "view", 3),        # +2 weeks
+        _ev(2, 8 * 24 * 60, "view", 4),         # cohort 2024-01-08
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in BEH.retention_cohort(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_forward_fill_carries_and_keeps_leading_nulls(spark):
+    rows = [
+        (1, T0, 1, None),
+        (2, T0 + dt.timedelta(minutes=1), 1, 10.0),
+        (3, T0 + dt.timedelta(minutes=2), 1, None),
+        (4, T0 + dt.timedelta(minutes=3), 1, 20.0),
+        (5, T0, 2, None),  # other key: leading null must NOT borrow u1's value
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {
+        r.event_id: r.value
+        for r in BEH.forward_fill(df, ["value"]).collect()
+    }
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: None}
+
+
+def test_levenshtein_threshold_boundary(spark):
+    # d("aaaa","aaab")=1, d("aaaa","abbb")=3: max_distance=1 keeps the
+    # boundary pair (distance == threshold) and drops the one past it.
+    df = spark.createDataFrame(
+        [(1, "aaaa", "x"), (2, "aaab", "x"), (3, "abbb", "x")],
+        "doc_id long, text string, src string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(df, block_key=F.col("src"), max_distance=1).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_levenshtein_length_gap_prune_is_exact(spark):
+    # |len gap| == max_distance is still reachable (all-insertions case)
+    df = spark.createDataFrame(
+        [(1, "aa", "x"), (2, "aaaa", "x"), (3, "aaaaaaaaaa", "x")],
+        "doc_id long, text string, src string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(df, block_key=F.col("src"), max_distance=2).collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_heavy_hitters_exact_vs_bruteforce_multi_partition(spark):
+    # skewed values spread over many partitions; tiny capacity forces
+    # real Misra-Gries shrinking inside each partition
+    vals = [1] * 400 + [2] * 200 + [3] * 90 + list(range(100, 410))
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(8)
+    k = 10  # threshold n/k = 100
+    got = {(r.value, r.freq) for r in SK.heavy_hitters(df, "v", k=k, capacity=12).collect()}
+    brute = {
+        (r.v, r.cnt)
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt * k >= len(vals)
+    }
+    assert got == brute
+    assert (1, 400) in got and (2, 200) in got and (3, 90) not in got
+
+
+def test_heavy_hitters_rejects_capacity_below_k(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="capacity"):
+        SK.heavy_hitters(df, "v", k=10, capacity=5)
+
+
+def test_heavy_hitters_nan_is_a_real_value(spark):
+    # NaN is not null in Spark: it must be countable as a heavy hitter
+    vals = [float("nan")] * 60 + [1.0] * 30 + [float(i) for i in range(2, 12)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(4)
+    got = {r.value if r.value == r.value else "nan": r.freq
+           for r in SK.heavy_hitters(df, "v", k=4).collect()}
+    assert got == {"nan": 60, 1.0: 30}

@@ -295,3 +295,31 @@ def test_hyperplane_bucket_handles_oversized_vectors(spark):
         random_hyperplane_bucket(F.col("embedding"), dim=64).alias("b")
     ).collect()[0].b
     assert got is not None and 0 <= got < 256
+
+
+def test_banded_candidates_agg_and_window_impls_agree(spark):
+    # Mixed cold cliques + a hot bucket, with an extra column carried
+    # through: both physical implementations must emit identical pair
+    # sets (the agg path is the default; window is the spill-safe
+    # fallback for mega-buckets).
+    rows = (
+        [(i, "hot bucket identical text mass row", i * 10) for i in range(40)]
+        + [(100 + i, "cold near duplicate group text here", 7) for i in range(4)]
+        + [(200, "a lone unrelated document", 1)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "sig"])
+    sigs = D.minhash_signatures(df)
+    banded = D._minhash_banded(sigs, 64, 16).join(
+        df.select(F.col("doc_id").alias("id"), "sig"), "id"
+    )
+    out = {}
+    for impl in ("agg", "window"):
+        got = D._banded_candidates(banded, max_bucket=10, extra_cols=["sig"], impl=impl)
+        out[impl] = sorted(
+            (r.id_a, r.id_b, r.sig_a, r.sig_b) for r in got.distinct().collect()
+        )
+    assert out["agg"] == out["window"]
+    assert len(out["agg"]) > 0
+    # hot bucket produced stars around the min id, not 40*39/2 cliques
+    hot_pairs = [p for p in out["agg"] if p[0] == 0]
+    assert all(p[2] == 0 for p in hot_pairs)  # center sig carried with center id
