@@ -199,9 +199,11 @@ def train_ivf_centroids(
     centroids = seeds
     dim = len(seeds[0])
     for _ in range(iterations):
-        assigned = corpus.select(
-            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
-            *[F.element_at(F.col(vec_col), d + 1).cast("double").alias(f"d{d}") for d in range(dim)],
+        assigned = assign_cells(
+            corpus.select(F.col(vec_col).alias("v")), centroids, vec_col="v", out_col="c"
+        ).select(
+            "c",
+            *[F.element_at(F.col("v"), d + 1).cast("double").alias(f"d{d}") for d in range(dim)],
         )
         rows = (
             assigned.groupBy("c")
@@ -215,7 +217,9 @@ def train_ivf_centroids(
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin over squared L2 distance to each literal centroid; the
-    centroid loop unrolls into the plan (K small by design)."""
+    centroid loop unrolls into the plan (K small by design — above
+    IVF_LITERAL_MAX_K use `assign_cells`, which switches to an
+    Arrow-batched numpy argmin)."""
     best = None
     for ci, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -227,6 +231,116 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
         pair = F.struct(d2.alias("d"), F.lit(ci).alias("i"))
         best = pair if best is None else F.least(best, pair)
     return best["i"]
+
+
+# Above this K, the unrolled argmin/probe expressions (K x dim literal
+# nodes, K aggregate folds) blow up analysis and codegen; the pandas
+# paths below take over. 32 x 64 dims ~ 2k literal nodes is comfortably
+# inside codegen limits; 256 x 64 ~ 16k is not.
+IVF_LITERAL_MAX_K = 32
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """``df`` + an ``out_col`` int column holding the nearest-centroid
+    index (ties -> lowest index).
+
+    K <= IVF_LITERAL_MAX_K: literal argmin expression (whole-stage
+    codegen, zero Python). Larger K: one Arrow-batched numpy argmin over
+    the broadcast K x dim codebook — O(n·K·dim) BLAS matmul per batch,
+    no shuffle, no K-fold expression tree. The distance formulation
+    differs (norm expansion vs elementwise fold), which can flip
+    assignments only on exact distance ties — and cell choice never
+    affects `ivf_topk` exactness at nprobe=K, only recall shape."""
+    if len(centroids) <= IVF_LITERAL_MAX_K:
+        return df.withColumn(out_col, _nearest_centroid(F.col(vec_col), centroids))
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)  # K x dim
+    cent_sq = (cent * cent).sum(axis=1)  # |c|^2, K
+    # fresh StructType: .add() would MUTATE the frame's cached schema
+    # object, making mapInPandas select a phantom column
+    schema = StructType([*df.schema.fields, StructField(out_col, IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # d2 = |v|^2 - 2 v.c + |c|^2 ; |v|^2 is constant per row so
+            # argmin needs only the last two terms. np.argmin returns the
+            # FIRST minimum -> lowest centroid index on ties.
+            scores = cent_sq - 2.0 * (vecs @ cent.T)  # n x K
+            out = pdf.copy()
+            out[out_col] = np.argmin(scores, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, qv, cell) rows: each query exploded to its ``nprobe``
+    nearest cells (ties -> lowest cell index), ready to join against a
+    cell-partitioned corpus. Literal K-distance array for small K, numpy
+    partial sort above IVF_LITERAL_MAX_K."""
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    if len(centroids) <= IVF_LITERAL_MAX_K:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for cen in centroids
+            ]
+        )
+        return (
+            q.select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
+            .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")))
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "qv", "cell")
+        )
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)
+    n_take = min(nprobe, len(centroids))
+    schema = StructType([*q.schema.fields, StructField("cell", IntegerType())])
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            scores = cent_sq - 2.0 * (vecs @ cent.T)
+            # stable argsort: equal distances keep ascending cell order
+            nearest = np.argsort(scores, axis=1, kind="stable")[:, :n_take]
+            out = pdf.loc[pdf.index.repeat(n_take)].reset_index(drop=True)
+            out["cell"] = nearest.reshape(-1).astype("int32")
+            yield out
+
+    return q.mapInPandas(probe, schema=schema)
 
 
 def ivf_topk(
@@ -245,33 +359,12 @@ def ivf_topk(
 
     At scale the corpus side is written partitioned by cell, so a probe
     is a partition-pruned scan rather than a full pass."""
-    c = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("cv"),
-        _nearest_centroid(F.col(vec_col), centroids).alias("cell"),
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")),
+        centroids,
+        vec_col="cv",
     )
-    # query-side: nprobe nearest cells via posexplode of distances
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(float(x)) for x in cen]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for cen in centroids
-        ]
-    )
-    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    q_cells = (
-        q.select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "qv", "cell")
-    )
+    q_cells = probe_cells(queries, centroids, nprobe, query_id_col, vec_col)
     scored = c.join(F.broadcast(q_cells), "cell").select(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )

@@ -69,3 +69,52 @@ def test_ivf_topk(spark, sf_dir):
     assert S.recall_at_k(exact, full) == 1.0
     # self-hit at rank 1 in every probe setting
     assert approx.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count() == 5
+
+
+def _synth_vectors(n, dim, n_clusters=16):
+    # deterministic clustered vectors: cluster center c has coords
+    # derived from (c, d) hashing; members jitter around it
+    import math
+
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = [
+            math.sin(0.1 * c * dim + d) + 0.01 * math.cos(i * 7.31 + d * 1.7)
+            for d in range(dim)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    return rows
+
+
+def test_assign_cells_pandas_matches_literal_path(spark, monkeypatch):
+    rows = _synth_vectors(200, 16, n_clusters=8)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids(df, n_centroids=8, iterations=1)
+    lit = {r.vec_id: r.cell for r in S.assign_cells(df, cents).collect()}
+    monkeypatch.setattr(S, "IVF_LITERAL_MAX_K", 0)  # force the numpy path
+    pan = {r.vec_id: r.cell for r in S.assign_cells(df, cents).collect()}
+    assert lit == pan
+
+
+def test_ivf_large_k_no_literal_blowup_and_exact_at_full_probe(spark):
+    # K=256 x dim=64: the literal unrolling would be a ~16k-node
+    # expression tree; the large-K path must plan as MapInPandas and stay
+    # EXACT when probing every cell.
+    rows = _synth_vectors(400, 64, n_clusters=64)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids(df, n_centroids=256, iterations=1)
+    assert len(cents) == 256
+
+    assigned = S.assign_cells(df, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.count("zip_with") == 0
+
+    queries = spark.createDataFrame(rows[:5], "query_id long, embedding array<float>")
+    exact = S.brute_force_topk(df, queries, k=5)
+    full = S.ivf_topk(df, queries, cents, k=5, nprobe=256)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+    # partial probe keeps meaningful recall on clustered data
+    part = S.ivf_topk(df, queries, cents, k=5, nprobe=16)
+    assert S.recall_at_k(exact, part) > 0.5
