@@ -260,3 +260,64 @@ def test_auto_page_break_restores_font():
     # every body run on every page must be set at 9pt regular
     for m in re.finditer(rb"/([\w-]+) ([\d.]+) Tf [^(]*\((body \d+)\)", data):
         assert m.group(1) == b"Helvetica" and m.group(2) == b"9.00", m.group(3)
+
+
+# ------------------------------------------------------------ chart geometry
+def test_pie_slice_angles_match_aggregates():
+    # 6:2 split -> sectors spanning 270deg / 90deg. Sample the disc at
+    # mid-radius over a fine angle sweep; the per-color pixel share must
+    # match the aggregate fractions to the sampling resolution.
+    import math as m
+
+    from notion_spark.sinks.minipng import PALETTE
+
+    c = pie_chart([("done", 6), ("doing", 2)], "t")
+    cx, cy, r = 300 // 2 + 20, 300 // 2 + 10, 300 // 2 - 30
+    n_samples, counts = 720, {0: 0, 1: 0}
+    for i in range(n_samples):
+        a = (i + 0.5) * 2 * m.pi / n_samples  # clockwise from 12 o'clock
+        x = cx + int(round(m.sin(a) * r / 2))
+        y = cy - int(round(m.cos(a) * r / 2))
+        px = bytes(c.buf[3 * (y * c.w + x) : 3 * (y * c.w + x) + 3])
+        for ci in (0, 1):
+            if px == bytes(PALETTE[ci]):
+                counts[ci] += 1
+    assert abs(counts[0] / n_samples - 0.75) < 0.02
+    assert abs(counts[1] / n_samples - 0.25) < 0.02
+
+
+def test_bar_heights_match_aggregates():
+    # bar pixel height must be int((bottom-top) * n / peak) exactly —
+    # measured by scanning the bar's center column for its fill color.
+    from notion_spark.sinks.minipng import PALETTE
+
+    pairs = [("a", 4), ("b", 2), ("c", 1)]
+    width, height = 560, 300
+    c = bar_chart(pairs, "t", width=width, height=height)
+    top, bottom, left = 40, height - 50, 40
+    peak = 4
+    bw = max(6, (width - left - 20) // len(pairs) - 8)
+    for i, (_, n) in enumerate(pairs):
+        x = left + 4 + i * (bw + 8) + bw // 2
+        col = PALETTE[i % len(PALETTE)]
+        filled = sum(
+            1
+            for y in range(top, bottom + 1)
+            if bytes(c.buf[3 * (y * c.w + x) : 3 * (y * c.w + x) + 3]) == bytes(col)
+        )
+        assert filled == int((bottom - top) * n / peak) + 1  # inclusive rect fill
+
+
+def test_chart_png_golden_hashes():
+    # parallel to the PDF byte-hash goldens: any unintended renderer
+    # change (font, palette, layout, encoder) breaks these pins
+    import hashlib
+
+    pie = pie_chart([("done", 3), ("doing", 2), ("paused", 1)], "Work Distribution")
+    bars = bar_chart([("Critical", 5), ("High", 3), ("Low", 1)], "Tasks by Priority")
+    assert hashlib.sha256(pie.png_bytes()).hexdigest() == (
+        "392542e5edaf6ed04d7899edb7d5cb365eec707af86a05cfda286410e52be904"
+    )
+    assert hashlib.sha256(bars.png_bytes()).hexdigest() == (
+        "8edbfcc146b62285b41651cc28f466b1525f0a0267547fd95ce0f63539e5d0dd"
+    )
