@@ -127,3 +127,39 @@ def test_q11_global_scalar_is_single_row_broadcast(spark, sf_dir):
     plan = plan_of(parity.QUERIES["q11_important_stock"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_candidates_agg_path_no_join_no_window(spark, sf_dir):
+    # r3: guarded LSH candidates are ONE grouped collect + HOF pair
+    # expansion — a plan with a self-join or window here means the slow
+    # formulations regressed back in
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline import dedup as DD
+    from notion_spark.sources.io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(DD.minhash_lsh_candidates(d, max_bucket=1000))
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "ObjectHashAggregate" in plan  # collect_list aggregate
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark, sf_dir):
+    from notion_spark.pipeline import sketches as SK
+    from notion_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    plan = plan_of(SK.heavy_hitters(ev, "user_id", k=200))
+    # candidate recount must broadcast the bounded candidate set — a
+    # shuffled join would reintroduce the full-cardinality shuffle the
+    # sketch exists to avoid
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_single_user_shuffle_no_self_join(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["funnel_view_click_purchase"](spark, sf_dir))
+    # the K-1 step self-joins of the textbook formulation must not appear;
+    # step events shuffle once on the user key into the HOF scan
+    assert "SortMergeJoin" not in plan
+    assert "ObjectHashAggregate" in plan
