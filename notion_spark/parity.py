@@ -3474,6 +3474,38 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.levenshtein_pairs(d, block_key=F.col("source"), max_distance=60)
 
 
+@register(
+    "dedup_incremental_cross",
+    r"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                              for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL)
+    )
+    SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+           round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                 / greatest(len(n.sh) + len(c.sh)
+                            - len(list_intersect(n.sh, c.sh)), 1), 6) AS jaccard
+    FROM docs n JOIN docs c ON n.doc_id >= 250 AND c.doc_id < 250
+    WHERE round(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                / greatest(len(n.sh) + len(c.sh)
+                           - len(list_intersect(n.sh, c.sh)), 1), 6) >= 0.5
+    """,
+)
+def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new batch vs corpus) MinHash near-dedup: docs with
+    id >= 250 play the arriving batch, the rest the indexed corpus.
+    Cross-side-only candidates verified by exact Jaccard must EQUAL the
+    oracle's all-cross-pairs exact Jaccard at the threshold (same recall
+    math as dedup_minhash_lsh; the corpus never pairs with itself)."""
+    d = read_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    return DD.cross_minhash_pairs(new, corpus, threshold=0.5)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -532,6 +532,116 @@ def minhash_dedup_pairs(
     return _jaccard_on_sets(j).filter(F.col("jaccard") >= threshold)
 
 
+# ------------------------------------------------ cross-corpus (incremental)
+def cross_exact_drop(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: ``new`` rows whose content hash already
+    exists in ``corpus`` are dropped (one anti-join on md5; the corpus
+    side pre-aggregates to distinct hashes, so only the hash set — not
+    the corpus — crosses the shuffle). Null-text rows pass through, as in
+    `drop_exact_dups`."""
+    seen = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("__h"))
+        .distinct()
+    )
+    candidate = new.filter(F.col(text_col).isNotNull()).withColumn(
+        "__h", F.md5(F.col(text_col))
+    )
+    kept = candidate.join(seen, "__h", "left_anti").drop("__h")
+    return kept.unionByName(new.filter(F.col(text_col).isNull()))
+
+
+def cross_minhash_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dedup: (id_new, id_corpus, jaccard) pairs between
+    a new batch and the existing corpus — the daily-increment shape at
+    100 TB, where re-running whole-corpus pairwise dedup per batch is
+    not an option.
+
+    Candidates come ONLY from cross-side bucket hits: the corpus side is
+    grouped per (band, bucket) into a sorted member array CAPPED at
+    ``max_bucket`` representatives (the degenerate-bucket guard — a new
+    doc landing in a boilerplate bucket compares against max_bucket
+    canonical members, not millions), then the new side joins on
+    (band, bucket) and explodes the array. Within-side pairs never form:
+    new×new and corpus×corpus comparisons are structurally impossible.
+    Exact-Jaccard verification over shingle-hash sets filters to
+    ``threshold``, so recall loss from the cap is the only approximation
+    (same banding recall math as `minhash_lsh_candidates` otherwise).
+
+    Scale shape: corpus signatures shuffle once into the bucket
+    aggregate; the new batch (typically orders of magnitude smaller)
+    shuffles onto the same (band, bucket) key; verification joins fetch
+    shingle sets for candidate ids only (`verify_scope='candidates'`
+    semantics on both sides). In a real deployment the corpus bucket
+    frame is computed once and reused across batches — persist it or
+    write it out partitioned by (band, bucket)."""
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, ngram)
+    sig_n = minhash_signatures(new, text_col, id_col, num_hashes, ngram)
+    banded_c = _minhash_banded(sig_c, num_hashes, bands)
+    banded_n = _minhash_banded(sig_n, num_hashes, bands)
+    buckets_c = banded_c.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias("corpus_ids")
+    )
+    cands = (
+        banded_n.join(buckets_c, ["band", "bucket"])
+        .select(F.col("id").alias("id_new"), F.explode("corpus_ids").alias("id_corpus"))
+        .distinct()
+    )
+    cands = cands.persist()
+    cands.count()
+    sets_n = shingle_hash_sets(
+        new.join(cands.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"),
+        text_col, id_col, ngram,
+    )
+    sets_c = shingle_hash_sets(
+        corpus.join(
+            cands.select(F.col("id_corpus").alias(id_col)).distinct(), id_col, "left_semi"
+        ),
+        text_col, id_col, ngram,
+    )
+    j = (
+        cands.join(sets_n.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a")), "id_new")
+        .join(sets_c.select(F.col("id").alias("id_corpus"), F.col("sh").alias("sh_b")), "id_corpus")
+        .select(F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b"), "sh_a", "sh_b")
+    )
+    out = _jaccard_on_sets(j).filter(F.col("jaccard") >= threshold)
+    return out.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_corpus"), "jaccard"
+    )
+
+
+def drop_cross_near_dups(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """``new`` minus exact matches and near-duplicates of ``corpus``:
+    the full incremental admission filter."""
+    survivors = cross_exact_drop(new, corpus, text_col, id_col)
+    dup_ids = cross_minhash_pairs(
+        survivors, corpus, text_col, id_col, threshold, **kw
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return survivors.join(dup_ids, id_col, "left_anti")
+
+
 # ------------------------------------------------------------ SimHash
 def simhash_signatures(
     df: DataFrame,

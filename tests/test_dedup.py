@@ -323,3 +323,61 @@ def test_banded_candidates_agg_and_window_impls_agree(spark):
     # hot bucket produced stars around the min id, not 40*39/2 cliques
     hot_pairs = [p for p in out["agg"] if p[0] == 0]
     assert all(p[2] == 0 for p in hot_pairs)  # center sig carried with center id
+
+
+def test_cross_exact_drop(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "completely novel content"), (12, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in D.cross_exact_drop(new, corpus).collect())
+    assert kept == [11, 12]  # exact dup dropped, novel + null-text kept
+
+
+def test_cross_minhash_pairs_only_cross_side(spark):
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(14))  # 42 tokens
+    near = base.replace("word7", "sleepy")  # jaccard ~0.86 — above the LSH knee
+    corpus_rows = [(1, base), (2, base + " extra tail"), (3, "unrelated corpus text entirely")]
+    new_rows = [(10, near), (11, "fresh novel document nothing alike")]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    pairs = D.cross_minhash_pairs(new, corpus, threshold=0.5)
+    got = {(r.id_new, r.id_corpus) for r in pairs.collect()}
+    # new doc 10 matches corpus 1 (and possibly 2); never corpus x corpus
+    # (1,2 are near-dups of each other) and never new ids on the corpus side
+    assert (10, 1) in got
+    assert all(idn in (10, 11) and idc in (1, 2, 3) for idn, idc in got)
+    assert not any(r.id_new == 11 for r in pairs.collect())
+
+
+def test_drop_cross_near_dups_admission_filter(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, base),                          # exact dup -> dropped
+            (11, base.replace("ten", "TEN")),    # near dup -> dropped
+            (12, "wholly different words in this one here friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in D.drop_cross_near_dups(new, corpus, threshold=0.5).collect())
+    assert kept == [12]
+
+
+def test_cross_minhash_bucket_cap_keeps_bounded_candidates(spark):
+    # a degenerate corpus bucket (many identical docs) is capped at
+    # max_bucket representatives per bucket
+    corpus = spark.createDataFrame(
+        [(i, "identical boilerplate mass row content here") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(900, "identical boilerplate mass row content here")], ["doc_id", "text"]
+    )
+    pairs = D.cross_minhash_pairs(new, corpus, threshold=0.5, max_bucket=10)
+    n = pairs.count()
+    assert 1 <= n <= 10  # capped, not 200
