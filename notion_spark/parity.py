@@ -3506,6 +3506,34 @@ def dedup_incremental_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cross_minhash_pairs(new, corpus, threshold=0.5)
 
 
+@register(
+    "curation_split_assignment",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS b
+        FROM documents
+    )
+    """,
+)
+def curation_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hash-bucket
+    ranges (pipeline/curation.assign_splits): row-exact reproducible,
+    incremental-safe, single codegen'd projection — the oracle recomputes
+    the identical md5 bucket and range chain."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    return CU.assign_splits(
+        d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -133,6 +133,41 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < chain)
 
 
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    out: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's hash bucket
+    falls into consecutive ranges sized by ``fractions`` (insertion
+    order; default 98/1/1). Same contract as `stratified_sample`:
+    row-exact reproducible, no RNG, incremental-safe (tomorrow's batch of
+    the same keys gets the same splits), engine-neutral for audit, and a
+    single codegen'd projection — no shuffle, no sort.
+
+    Keying on a stable document id also guarantees a near-duplicate
+    CLUSTER's members don't straddle splits only if callers key on the
+    cluster representative — pass the canonical id from `dedup_clusters`
+    for leakage-proof splits. Fractions must sum to <= 1; any remainder
+    falls into the LAST split."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or sum(fractions.values()) > 1 + 1e-9:
+        raise ValueError("fractions must be non-empty and sum to <= 1")
+    b = hash_bucket(F.col(key_col), buckets)
+    names = list(fractions)
+    bounds, acc = [], 0.0
+    for name in names:
+        acc += fractions[name]
+        bounds.append(int(round(acc * buckets)))
+    # if b < bounds[0]: names[0] elif b < bounds[1]: names[1] ... else last
+    expr = F.when(b < F.lit(bounds[0]), F.lit(names[0]))
+    for name, bound in zip(names[1:-1], bounds[1:-1]):
+        expr = expr.when(b < F.lit(bound), F.lit(name))
+    return df.withColumn(out, expr.otherwise(F.lit(names[-1])))
+
+
 # --------------------------------------------------- quality-rule filtering
 # Gopher-style (Rae et al. 2021, §A1.1) / C4-style document rules, reduced
 # to the subset computable from raw text with native expressions. Each rule

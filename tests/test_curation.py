@@ -221,3 +221,31 @@ def test_source_rebalance_applied_respects_cap(spark):
     assert set(out.columns) == {"doc_id", "text", "source"}
     # deterministic: same rows every run
     assert out.collect() == CU.source_rebalance(df, max_share=0.3).collect()
+
+
+def test_assign_splits_fractions_and_determinism(spark):
+    from notion_spark.pipeline import curation as CU
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    out = CU.assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # deterministic + incremental-safe: same keys -> same assignment
+    again = CU.assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).isEmpty()
+    # remainder falls into the LAST split when fractions sum < 1
+    part = CU.assign_splits(df, "doc_id", {"train": 0.5, "rest": 0.0})
+    pc = {r.split: r.n for r in part.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(pc["train"] / 20000 - 0.5) < 0.02 and pc["rest"] == 20000 - pc["train"]
+
+
+def test_assign_splits_rejects_oversubscription(spark):
+    import pytest
+
+    from notion_spark.pipeline import curation as CU
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum"):
+        CU.assign_splits(df, "doc_id", {"a": 0.9, "b": 0.2})
