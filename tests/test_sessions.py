@@ -83,3 +83,57 @@ def test_skew_joins(spark):
     # left join keeps unmatched left rows exactly once
     lonly = spark.createDataFrame([("nomatch", 1)], "k string, v int")
     assert salted_join(lonly, right, "k", salts=4, how="left").count() == 1
+
+
+# ------------------------------------------------------------ streaming funnel
+def _funnel_events(spark):
+    rows = [
+        (1, T0, 1, "view"),
+        (1, T0 + dt.timedelta(minutes=1), 2, "click"),
+        (1, T0 + dt.timedelta(minutes=2), 3, "purchase"),
+        (2, T0, 4, "purchase"),                          # out of order: stays 0
+        (2, T0 + dt.timedelta(minutes=1), 5, "view"),    # then view -> 1
+        (3, T0, 6, "view"),
+        (3, T0 + dt.timedelta(minutes=3), 7, "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    from notion_spark.operators.behavior import funnel_max_stage
+    from notion_spark.streaming.funnel import funnel_stage_stream
+
+    steps = ["view", "click", "purchase"]
+    batch = {
+        r.user: r.stage for r in funnel_max_stage(_funnel_events(spark), steps).collect()
+    }
+    assert batch == {1: 3, 2: 1, 3: 2}
+
+    src = tmp_path / "fevents"
+    src.mkdir()
+    ev = _funnel_events(spark).orderBy("event_id").collect()
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    # split mid-funnel for users 1 and 3: the stage int must carry across
+    spark.createDataFrame(ev[:4], schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(ev[4:], schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        funnel_stage_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode: keep the LAST emitted stage per user across batches
+    rows = spark.sql("SELECT * FROM funnel_out").collect()
+    final: dict = {}
+    for r in rows:
+        final[r.user] = r.stage  # memory sink appends updates in order
+    assert final == batch
