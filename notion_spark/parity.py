@@ -3534,6 +3534,55 @@ def curation_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@register(
+    "sim_quantized_topk",
+    """
+    WITH z AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN m > 0
+                    THEN list_transform(embedding,
+                         x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS BIGINT))
+                    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        FROM z
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+        FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               round(CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, 65)]) AS DOUBLE)
+                     / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < 3 AND a.nrm > 0 AND b.nrm > 0
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-k (pipeline/similarity.py
+    quantize_embeddings + quantized_topk): the quantization contract
+    (order-independent max|x|, deterministic scale division, truncation
+    toward zero) and the all-integer scoring make the approximate scores
+    themselves EXACTLY reproducible cross-engine — the oracle requantizes
+    from scratch and must match every score and rank."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.quantized_topk(emb, queries, k=5)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

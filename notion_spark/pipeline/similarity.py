@@ -376,6 +376,86 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------ int8 quantization
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_norm: str = "qnorm",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = trunc(x_i * 127 /
+    max|x|) — 4x smaller vectors for the ANN scan path (the standard
+    memory lever at 100 TB; scoring stays exact INTEGER arithmetic).
+
+    The contract is engine-neutral on purpose: max|x| is an
+    order-independent aggregate, the scale division and truncation are
+    deterministic IEEE ops, so DuckDB reproduces the quantized values
+    bit-for-bit (parity: sim_quantized_topk). ``out_norm`` carries the
+    integer squared norm so cosine needs no second pass over the array.
+    Zero vectors quantize to zeros (norm 0 -> cosine null downstream)."""
+    x = F.col(vec_col)
+    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x,
+        lambda v: (v.cast("double") * F.lit(127.0) / maxabs).cast("int").cast("tinyint"),
+    )
+    qvec = F.when(maxabs > 0, q).otherwise(
+        F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+    )
+    out = df.withColumn(out_vec, qvec)
+    nrm = F.aggregate(
+        F.col(out_vec), F.lit(0).cast("bigint"), lambda acc, v: acc + v.cast("bigint") * v
+    )
+    return out.withColumn(out_norm, nrm)
+
+
+def quantized_cosine(qa: Column, na: Column, qb: Column, nb: Column) -> Column:
+    """Cosine over int8-quantized vectors: integer dot + integer norms,
+    ONE float division at the end (deterministic cross-engine). Null for
+    zero-norm vectors, like `cosine`."""
+    dotq = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    denom = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    return F.when((na > 0) & (nb > 0), dotq.cast("double") / denom)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — same plan shape as
+    `brute_force_topk` (queries broadcast, partial per-partition top-k)
+    but the scan moves 1/4 the bytes and scores in integer arithmetic.
+    Recall vs the float path is bounded by quantization error only
+    (unit-tested >= 0.9 at k=5 on clustered data)."""
+    c = quantize_embeddings(corpus, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("qvec").alias("cq"), F.col("qnorm").alias("cn")
+    )
+    q = quantize_embeddings(queries, vec_col).select(
+        F.col(query_id_col).alias("qid"), F.col("qvec").alias("qq"), F.col("qnorm").alias("qn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vid",
+        F.round(quantized_cosine(F.col("qq"), F.col("qn"), F.col("cq"), F.col("cn")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, query_id_col: str = "query_id", id_col: str = "vec_id") -> float:
     """Mean fraction of exact top-k recovered by the approximate result."""
     e = exact.select(query_id_col, id_col)

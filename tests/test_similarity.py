@@ -118,3 +118,25 @@ def test_ivf_large_k_no_literal_blowup_and_exact_at_full_probe(spark):
     # partial probe keeps meaningful recall on clustered data
     part = S.ivf_topk(df, queries, cents, k=5, nprobe=16)
     assert S.recall_at_k(exact, part) > 0.5
+
+
+def test_quantize_embeddings_contract(spark):
+    df = spark.createDataFrame(
+        [(1, [2.0, -1.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    # scale = 127/2: [127, -63, 31] (trunc toward zero)
+    assert list(rows[1].qvec) == [127, -63, 31]
+    assert rows[1].qnorm == 127 * 127 + 63 * 63 + 31 * 31
+    # zero vector -> zero qvec, zero norm (cosine null downstream)
+    assert list(rows[2].qvec) == [0, 0, 0] and rows[2].qnorm == 0
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    rows = _synth_vectors(300, 32, n_clusters=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(rows[:5], "query_id long, embedding array<float>")
+    exact = S.brute_force_topk(df, queries, k=5)
+    quant = S.quantized_topk(df, queries, k=5)
+    assert S.recall_at_k(exact, quant) >= 0.9
