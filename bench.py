@@ -87,7 +87,11 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
         runs.sort()
-        times[name] = runs[len(runs) // 2]
+        # true median (even counts average the middle pair — the naive
+        # upper-middle pick would report the cold codegen run at iters=2)
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        times[name] = round(med, 3)
         spread[name] = [runs[0], runs[-1]]
 
     total = round(sum(times.values()), 3)

@@ -83,7 +83,14 @@ def shingle_hashes(
         # are post-shuffle and already wide.
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         files = df.inputFiles()
-        source = df if (not files or len(files) >= parallelism) else df.repartition(parallelism)
+        if files:
+            wide = len(files) >= parallelism
+        else:
+            # non-file sources (JDBC, local relations, post-shuffle plans)
+            # report no files — fall back to the exact partition count;
+            # the .rdd conversion cost is paid only on this rare path
+            wide = df.rdd.getNumPartitions() >= parallelism
+        source = df if wide else df.repartition(parallelism)
     except Exception:
         # Spark Connect exposes no sparkContext — repartition to the
         # shuffle-partition setting unconditionally (AQE coalesces).
@@ -443,6 +450,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     ngram: int = 3,
     max_bucket: int | None = 1000,
+    guard_impl: str = "agg",
 ) -> DataFrame:
     """LSH banding: each signature splits into ``bands`` rows keyed by
     (band_idx, xxhash64 of its rows); docs sharing any band bucket become
@@ -450,11 +458,17 @@ def minhash_lsh_candidates(
     (16 bands × 4 rows ⇒ ~0.5-0.6 Jaccard). Output: distinct (id_a, id_b),
     id_a < id_b. Buckets larger than ``max_bucket`` fall back to a star
     around the bucket minimum (see _banded_candidates) so a degenerate
-    bucket can never go quadratic."""
+    bucket can never go quadratic. ``guard_impl="window"`` selects the
+    spilling formulation for corpora whose buckets outgrow a collected
+    array (see _banded_candidates)."""
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
     banded = _minhash_banded(sig, num_hashes, bands)
-    return _banded_candidates(banded, max_bucket).select("id_a", "id_b").distinct()
+    return (
+        _banded_candidates(banded, max_bucket, impl=guard_impl)
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def _minhash_banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -493,6 +507,7 @@ def minhash_dedup_pairs(
     ngram: int = 3,
     verify_scope: str = "all",
     max_bucket: int | None = 1000,
+    guard_impl: str = "agg",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify over
     shingle-hash sets. Output matches `jaccard_pairs` (id_a, id_b,
@@ -512,7 +527,9 @@ def minhash_dedup_pairs(
     (64 longs + hash-array) rows costs more than the second shingle pass
     it saves, and column pruning already keeps the two separate passes
     narrow."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, ngram, max_bucket)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, ngram, max_bucket, guard_impl
+    )
     if verify_scope == "candidates":
         cands = cands.persist()
         cands.count()
@@ -537,7 +554,6 @@ def cross_exact_drop(
     new: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Incremental exact dedup: ``new`` rows whose content hash already
     exists in ``corpus`` are dropped (one anti-join on md5; the corpus
@@ -566,6 +582,7 @@ def cross_minhash_pairs(
     bands: int = 16,
     ngram: int = 3,
     max_bucket: int = 1000,
+    persist_candidates: bool = True,
 ) -> DataFrame:
     """Incremental near-dedup: (id_new, id_corpus, jaccard) pairs between
     a new batch and the existing corpus — the daily-increment shape at
@@ -602,8 +619,13 @@ def cross_minhash_pairs(
         .select(F.col("id").alias("id_new"), F.explode("corpus_ids").alias("id_corpus"))
         .distinct()
     )
-    cands = cands.persist()
-    cands.count()
+    if persist_candidates:
+        # lazy persist: the frame feeds three consumers below, and the
+        # cache populates on the caller's FIRST action (no job runs at
+        # plan-construction time). In a long-running per-batch loop,
+        # unpersist between batches (spark.catalog.clearCache() or pass
+        # persist_candidates=False) — a persisted frame outlives the call.
+        cands = cands.persist()
     sets_n = shingle_hash_sets(
         new.join(cands.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"),
         text_col, id_col, ngram,
@@ -635,7 +657,7 @@ def drop_cross_near_dups(
 ) -> DataFrame:
     """``new`` minus exact matches and near-duplicates of ``corpus``:
     the full incremental admission filter."""
-    survivors = cross_exact_drop(new, corpus, text_col, id_col)
+    survivors = cross_exact_drop(new, corpus, text_col)
     dup_ids = cross_minhash_pairs(
         survivors, corpus, text_col, id_col, threshold, **kw
     ).select(F.col("id_new").alias(id_col)).distinct()
@@ -711,6 +733,7 @@ def simhash_candidates(
     band_bits: int = 16,
     max_bucket: int | None = 1000,
     hasher=None,
+    guard_impl: str = "agg",
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the SimHash (4 tables).
     Docs within Hamming distance 3 share at least one of 4 bands
@@ -740,7 +763,7 @@ def simhash_candidates(
     ).select("id", "sig", "bb.band", "bb.bucket")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        _banded_candidates(banded, max_bucket, extra_cols=["sig"])
+        _banded_candidates(banded, max_bucket, extra_cols=["sig"], impl=guard_impl)
         .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
     )

@@ -10,7 +10,7 @@ Ordering semantics: within a micro-batch events are sorted by (ts, tie);
 ACROSS batches arrival order applies — identical to every append-mode
 stateful operator here (streaming/sessions.py). When the whole input
 arrives in one batch, the result equals the batch operator exactly
-(pinned by tests/test_streaming.py equivalence test).
+(pinned by the tests/test_sessions.py equivalence test).
 
 State is one int per user — memory-bounded regardless of stream length.
 """
