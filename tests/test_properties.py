@@ -109,3 +109,82 @@ def test_csv_roundtrip_hostile_strings(spark, tmp_path_factory, tags, name):
     # Spark CSV writes empty string and null identically; normalize both sides
     assert (back.name or "") == (name or "")
     assert [t or "" for t in (back.active_tags or [])] == [t or "" for t in tags]
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=40, unique=True),
+    fracs=st.lists(st.floats(0.05, 0.5), min_size=2, max_size=4),
+)
+def test_assign_splits_partitions_exactly_once(spark, ids, fracs):
+    """Every row gets exactly one split from the declared names, the
+    assignment is deterministic, and subsetting the keys never changes
+    any row's split (incremental safety)."""
+    from notion_spark.pipeline.curation import assign_splits
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / max(total, 1.0) for i, f in enumerate(fracs)}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in assign_splits(df, "doc_id", fractions).collect()}
+    assert set(got) == set(ids)
+    assert set(got.values()) <= set(fractions)
+    half = ids[: max(1, len(ids) // 2)]
+    sub = spark.createDataFrame([(i,) for i in half], "doc_id long")
+    got_sub = {r.doc_id: r.split for r in assign_splits(sub, "doc_id", fractions).collect()}
+    assert all(got_sub[i] == got[i] for i in half)
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["view", "click", "purchase", "noise"])),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_funnel_stage_matches_greedy_python_scan(spark, events):
+    """funnel_max_stage == the obvious per-user greedy scan, and stage
+    never exceeds len(steps)."""
+    import datetime as dt
+
+    from notion_spark.operators.behavior import funnel_max_stage
+
+    steps = ["view", "click", "purchase"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, t0 + dt.timedelta(minutes=eid), u, et) for eid, (u, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user: r.stage for r in funnel_max_stage(df, steps).collect()}
+    expect: dict[int, int] = {}
+    for _, (u, et) in sorted(enumerate(events)):
+        if et not in steps:
+            continue
+        s = expect.setdefault(u, 0)
+        if s < len(steps) and et == steps[s]:
+            expect[u] = s + 1
+    assert got == expect
+    assert all(0 <= v <= len(steps) for v in got.values())
+
+
+@SETTINGS
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_quantize_bounds_and_error(spark, vec):
+    """|q_i| <= 127 always, and dequantization error <= scale =
+    max|x|/127 per element."""
+    from notion_spark.pipeline.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = quantize_embeddings(df).collect()[0]
+    assert all(-127 <= q <= 127 for q in row.qvec)
+    maxabs = max(abs(float(x)) for x in row.embedding)
+    if maxabs > 0:
+        scale = maxabs / 127.0
+        for x, q in zip(row.embedding, row.qvec):
+            assert abs(float(x) - q * scale) <= scale * (1 + 1e-9)
