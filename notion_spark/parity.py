@@ -3583,6 +3583,51 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(emb, queries, k=5)
 
 
+@register(
+    "sketch_hll_users_by_type",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h >> 52 AS bucket,
+               MAX(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                        ELSE 53 - length(bin(h & 4503599627370495)) END) AS rho
+        FROM h GROUP BY event_type, bucket
+    )
+    SELECT event_type, CAST(256 AS INT) AS m,
+           CAST(256 - COUNT(*) AS BIGINT) AS n_empty_registers,
+           CAST(SUM(CAST(1 AS BIGINT) << (54 - rho))
+                + (256 - COUNT(*)) * 18014398509481984 AS BIGINT) AS harmonic_scaled,
+           round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 18014398509481984.0)
+                           / (SUM(CAST(1 AS BIGINT) << (54 - rho))
+                              + (256 - COUNT(*)) * 18014398509481984) <= 640.0
+                       AND 256 - COUNT(*) > 0
+                      THEN 256.0 * ln(256.0 / (256 - COUNT(*)))
+                      ELSE ((0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 18014398509481984.0)
+                           / (SUM(CAST(1 AS BIGINT) << (54 - rho))
+                              + (256 - COUNT(*)) * 18014398509481984)
+                      END, 2) AS est_distinct
+    FROM r GROUP BY event_type
+    """,
+)
+def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL (p=8): one independent register sketch per
+    event_type out of the SAME map-side-combined shuffle — the
+    per-dimension distinct-count shape at scale. Register-exact like the
+    global sketch_hll_users (integer harmonic sums, one float division
+    per group)."""
+    from notion_spark.pipeline.sketches import hll_distinct
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", F.col("user_id").cast("string").alias("user_id"))
+    return hll_distinct(ev, "user_id", p=8, by=["event_type"])
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

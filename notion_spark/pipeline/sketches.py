@@ -24,7 +24,7 @@ no global sort); HLL is one map-side-combined groupBy over at most
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 from typing import Callable
 
 import pandas as pd
@@ -88,15 +88,19 @@ def hll_registers(
     col: str,
     p: int = 8,
     hasher: Callable[[Column], Column] = md5_hash60,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    """HyperLogLog register frame: (bucket, rho) with one row per
-    NON-EMPTY register, bucket in [0, 2^p), rho = max over the bucket of
-    (leading zeros of the remaining 60-p hash bits) + 1.
+    """HyperLogLog register frame: ([by...,] bucket, rho) with one row
+    per NON-EMPTY register, bucket in [0, 2^p), rho = max over the bucket
+    of (leading zeros of the remaining 60-p hash bits) + 1.
 
     rho is derived via the base-2 digit-string length (``conv(w, 10, 2)``)
     — pure integer/string ops, no float log2 whose floor could ride an
     ulp across engines. Register frames are mergeable: union two and take
-    max(rho) per bucket.
+    max(rho) per (group, bucket). ``by`` yields one independent sketch
+    per group in the SAME map-side-combined shuffle — the per-dimension
+    distinct-count shape (users per event type, tokens per source)
+    without a count_distinct explosion per group.
     """
     tail_bits = _HASH_BITS - p
     h = hasher(F.col(col))
@@ -108,8 +112,8 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(F.lit(tail_bits) + 1 - msb)
     return (
         df.filter(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        .select(*by, bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy(*by, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -119,6 +123,7 @@ def hll_distinct(
     col: str,
     p: int = 8,
     hasher: Callable[[Column], Column] = md5_hash60,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """HyperLogLog distinct-count estimate (Flajolet et al. 2007) from
     `hll_registers`. One row out:
@@ -138,7 +143,7 @@ def hll_distinct(
     # 0.7213/(1+1.079/m) is the standard alpha for m >= 128
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
     t = 62 - p  # scale exponent: m * 2^t == 2^62 fits signed 64-bit
-    regs = hll_registers(df, col, p, hasher)
+    regs = hll_registers(df, col, p, hasher, by)
     # registers absent from the frame have rho = 0 -> scaled term 2^t each
     n_empty = F.lit(m) - F.count(F.lit(1))
     # shiftleft()'s numBits arg must be a literal int in the Python API;
@@ -148,12 +153,14 @@ def hll_distinct(
     raw = F.lit(alpha * m * m * float(1 << t)) / s_total
     lin = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty)
     est = F.when((raw <= F.lit(2.5 * m)) & (n_empty > 0), lin).otherwise(raw)
-    return regs.agg(
+    agg_cols = [
         F.lit(m).alias("m"),
         n_empty.cast("bigint").alias("n_empty_registers"),
         s_total.alias("harmonic_scaled"),
         F.round(est, 2).alias("est_distinct"),
-    )
+    ]
+    # one estimate row per group (``by``) or a single global row
+    return regs.groupBy(*by).agg(*agg_cols) if by else regs.agg(*agg_cols)
 
 
 def _mg_shrink(counts: dict, capacity: int) -> None:

@@ -161,3 +161,18 @@ def test_hll_registers_merge_across_shards(spark):
     direct = hll_registers(both, "v", p=8)
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_grouped_matches_per_group_global(spark):
+    # one sketch per group out of one shuffle == running the global
+    # sketch on each group's filtered frame
+    rows = [(g, f"u{g}-{i % (50 * (g + 1))}") for g in range(3) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, v string")
+    grouped = {
+        r.grp: (r.n_empty_registers, r.harmonic_scaled, r.est_distinct)
+        for r in hll_distinct(df, "v", p=8, by=["grp"]).collect()
+    }
+    assert set(grouped) == {0, 1, 2}
+    for g in range(3):
+        row = hll_distinct(df.filter(F.col("grp") == g), "v", p=8).collect()[0]
+        assert grouped[g] == (row.n_empty_registers, row.harmonic_scaled, row.est_distinct)
