@@ -37,3 +37,26 @@ def test_schema_health_detects_missing_and_partial(spark):
     assert not h.ok and h.missing == ("My Status",)
     assert "Due" in h.partial
     assert "MISSING: 'My Status'" in h.report()
+
+
+def test_driver_window_rotation_contract():
+    """The driver verifies the FIRST 50 entries of queries(): they must
+    all be never-driver-checked (rotation working) and all carry oracles
+    (no rows-only query wastes a window slot)."""
+    import json
+    import os
+
+    import __spark_entry__ as entry
+    from notion_spark import parity
+
+    names = list(entry.queries())
+    assert set(names) == set(parity.QUERIES)
+    checked = set(parity.DRIVER_CHECKED)
+    window = names[:50]
+    assert all(n not in checked for n in window)
+    oracles = entry.oracle_sql()
+    assert all(n in oracles for n in window)
+    # DRIVER_CHECKED must stay consistent with real artifacts: every name
+    # in the committed r02 artifact is listed
+    art = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")
+    assert set(json.load(open(art))) <= checked
