@@ -1217,7 +1217,7 @@ _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
              greatest(0.0, 1.0 - punct_ratio * 2 - digit_ratio), 6) AS quality
     FROM (
         SELECT doc_id,
-               len({_TOKS}) AS n_tokens,
+               CAST(len({_TOKS}) AS INT) AS n_tokens,
                round(CAST(length(text) AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS mean_token_len,
                round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                      / greatest(length(text), 1), 6) AS punct_ratio,
@@ -2852,8 +2852,8 @@ _PII_INJECT = (
                  '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
                '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
-           len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(x, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn
+           CAST(len(regexp_extract_all(x, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(x, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn
     FROM inj
     """,
 )
@@ -3021,9 +3021,11 @@ def curation_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     line_m AS (
         SELECT doc_id,
-               len(ls) AS n_lines,
-               round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
-                     / greatest(len(ls), 1), 6) AS dup_line_frac
+               CAST(len(ls) AS INT) AS n_lines,
+               CAST(floor((CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) * 2000000
+                           + greatest(len(ls), 1))
+                          / (greatest(len(ls), 1) * 2)) AS BIGINT) / 1000000.0
+                 AS dup_line_frac
         FROM (SELECT doc_id,
                      list_filter([trim(x) for x in string_split(txt, chr(10))],
                                  x -> x <> '') AS ls
@@ -3037,15 +3039,22 @@ def curation_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM (SELECT doc_id, string_split_regex(trim(txt), '\s+') AS t FROM lined))
     ),
     big_m AS (
-        SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+        -- CASTs pin pandas dtypes to Spark's (int32 n_lines above, int64
+        -- here): DuckDB SUM(BIGINT) returns HUGEINT, which .df() turns
+        -- into float64 — the driver's frame compare is dtype-sensitive,
+        -- so int64 5 vs float64 5.0 hash-fails even with equal values
+        -- (the actual r3 failure; the floats were already bit-identical)
+        SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
         FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
         GROUP BY doc_id
     )
     SELECT l.doc_id, l.n_lines, l.dup_line_frac,
            COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
            COALESCE(b.n_bigrams, 0) AS n_bigrams,
-           round(CAST(COALESCE(b.top_bigram_count, 0) AS DOUBLE)
-                 / greatest(COALESCE(b.n_bigrams, 0), 1), 6) AS top_bigram_frac
+           CAST(floor((CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT) * 2000000
+                       + greatest(COALESCE(b.n_bigrams, 0), 1))
+                      / (greatest(COALESCE(b.n_bigrams, 0), 1) * 2)) AS BIGINT)
+             / 1000000.0 AS top_bigram_frac
     FROM line_m l LEFT JOIN big_m b USING (doc_id)
     """,
 )
@@ -3055,7 +3064,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line, so both engines split sentences to lines identically
     first). Line metrics are shuffle-free array ops; the bigram mode is
     explode + two map-side-combined aggregations
-    (pipeline/text_analysis.repetition_stats)."""
+    (pipeline/text_analysis.repetition_stats). Fractions are integer
+    micro-unit half-up divisions — identical integers through identical
+    IEEE ops on both engines, bit-exact under the driver's raw-double
+    hash (the r3 failure was engine round(double, 6) last-bit skew)."""
     d = read_table(spark, sf_dir, "documents")
     lined = d.withColumn("text", F.regexp_replace("text", r"\. ", ".\n"))
     return TA.repetition_stats(lined)
@@ -3075,6 +3087,22 @@ def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _serialize_features(df: DataFrame) -> DataFrame:
+    """Parity-only projection: the ArrayType feature vector -> one
+    comma-joined string of DECIMAL(9,6) renderings. The driver's pandas
+    canonicalizer cannot sort/hash list cells (r3: both multimodal rows
+    ERR'ed `unhashable type: 'list'`), so parity rows must be atomic.
+    DECIMAL(9,6) re-rounds each ~6-decimal double to the SAME 6-digit
+    decimal on both engines (absorbing any last-bit skew), and decimal ->
+    string keeps the full scale on both, so the strings are identical."""
+    return df.withColumn(
+        "features",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("decimal(9,6)").cast("string"))
+        ),
+    )
+
+
 @register(
     "multimodal_image_features",
     """
@@ -3082,8 +3110,10 @@ def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
            'image' AS modality,
            64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) AS width,
            64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) AS height,
-           [round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT) / 255.0, 6)
-            for i in range(1, 17)] AS features
+           array_to_string(
+               [CAST(CAST(round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT)
+                                / 255.0, 6) AS DECIMAL(9,6)) AS VARCHAR)
+                for i in range(1, 17)], ',') AS features
     FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE text IS NOT NULL)
     """,
 )
@@ -3093,10 +3123,13 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the payload -> dims + feature vector) and DuckDB recomputes the same
     arithmetic in SQL — so batch shape, schema, and codec determinism are
     all driver-verified, not just unit-tested
-    (pipeline/multimodal.extract_image_features)."""
+    (pipeline/multimodal.extract_image_features). The vector rides as a
+    serialized DECIMAL(9,6) string (see _serialize_features)."""
     from notion_spark.pipeline.multimodal import FakeCodec, extract_image_features
 
-    return extract_image_features(_doc_assets(spark, sf_dir), codec=FakeCodec())
+    return _serialize_features(
+        extract_image_features(_doc_assets(spark, sf_dir), codec=FakeCodec())
+    )
 
 
 @register(
@@ -3105,18 +3138,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT concat('img-', CAST(doc_id AS VARCHAR)) AS asset_id,
            1000 + CAST(concat('0x', substr(h, 5, 2)) AS INT) * 100 AS duration_ms,
            8000 + CAST(concat('0x', substr(h, 7, 2)) AS INT) * 128 AS sample_rate,
-           [round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT) / 255.0, 6)
-            for i in range(17, 33)] AS features
+           array_to_string(
+               [CAST(CAST(round(CAST(concat('0x', substr(h, 2*i - 1, 2)) AS INT)
+                                / 255.0, 6) AS DECIMAL(9,6)) AS VARCHAR)
+                for i in range(17, 33)], ',') AS features
     FROM (SELECT doc_id, sha256(text) AS h FROM documents WHERE text IS NOT NULL)
     """,
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the image parity row (duration/sample-rate/features
     from sha256 bytes 2,3,16..31), exercising the second mapInPandas
-    schema (pipeline/multimodal.extract_audio_features)."""
+    schema (pipeline/multimodal.extract_audio_features). Features
+    serialized for the driver like the image row (_serialize_features)."""
     from notion_spark.pipeline.multimodal import extract_audio_features
 
-    return extract_audio_features(_doc_assets(spark, sf_dir))
+    return _serialize_features(extract_audio_features(_doc_assets(spark, sf_dir)))
 
 
 @register(
@@ -3242,9 +3278,13 @@ def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     s AS (
+        -- CAST: DuckDB's SUM(BIGINT) window is HUGEINT (float64 in
+        -- pandas); the driver hashes by value kind, so 5.0 vs Spark's
+        -- int64 5 would hash-fail despite equal values
         SELECT id, shard, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
-                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+               CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS start_offset
         FROM base
     )
     SELECT id, shard, n_tokens, start_offset,
@@ -3658,12 +3698,18 @@ DRIVER_CHECKED: tuple[str, ...] = (
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry reordered so never-driver-checked queries come first.
+    """Registry reordered so never-driver-checked queries come first,
+    then the rest LEAST-recently-checked first.
 
-    Registration order is preserved within each group, so the window's
-    contents are deterministic round over round.
+    DRIVER_CHECKED accretes in round order and the fold script moves
+    re-checked names to its tail, so tuple position IS recency: once
+    every query has been checked once, the 50-query window keeps cycling
+    through the registry (oldest certification re-verified first)
+    instead of pinning to the first 50 registrations. Fresh names keep
+    registration order, so the window's contents stay deterministic
+    round over round.
     """
     seen = set(DRIVER_CHECKED)
     fresh = [n for n in QUERIES if n not in seen]
-    stale = [n for n in QUERIES if n in seen]
+    stale = [n for n in dict.fromkeys(DRIVER_CHECKED) if n in QUERIES]
     return {n: QUERIES[n] for n in (*fresh, *stale)}

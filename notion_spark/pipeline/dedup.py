@@ -31,7 +31,7 @@ deterministic across runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -592,12 +592,15 @@ def cross_minhash_pairs(
     not an option.
 
     Candidates come ONLY from cross-side bucket hits: the corpus side is
-    grouped per (band, bucket) into a sorted member array CAPPED at
-    ``max_bucket`` representatives (the degenerate-bucket guard — a new
-    doc landing in a boilerplate bucket compares against max_bucket
-    canonical members, not millions), then the new side joins on
-    (band, bucket) and explodes the array. Within-side pairs never form:
-    new×new and corpus×corpus comparisons are structurally impossible.
+    CAPPED at ``max_bucket`` representatives per (band, bucket) — the
+    smallest ids, via a row_number window — BEFORE any aggregation, so a
+    degenerate boilerplate bucket with millions of members never
+    accumulates in memory (WindowExec sorts spill to disk; a
+    collect_list-then-slice would buffer the whole bucket in one
+    non-spilling aggregation buffer first). A new doc landing in such a
+    bucket compares against max_bucket canonical members, not millions.
+    Within-side pairs never form: new×new and corpus×corpus comparisons
+    are structurally impossible.
     Exact-Jaccard verification over shingle-hash sets filters to
     ``threshold``, so recall loss from the cap is the only approximation
     (same banding recall math as `minhash_lsh_candidates` otherwise).
@@ -613,12 +616,18 @@ def cross_minhash_pairs(
     sig_n = minhash_signatures(new, text_col, id_col, num_hashes, ngram)
     banded_c = _minhash_banded(sig_c, num_hashes, bands)
     banded_n = _minhash_banded(sig_n, num_hashes, bands)
-    buckets_c = banded_c.groupBy("band", "bucket").agg(
-        F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket).alias("corpus_ids")
+    # Same representatives as array_sort(collect_list)[:max_bucket] — the
+    # max_bucket smallest ids per bucket — but through the spilling
+    # window path, so no executor ever buffers a full mega-bucket.
+    wb = Window.partitionBy("band", "bucket").orderBy("id")
+    capped_c = (
+        banded_c.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= max_bucket)
+        .select("band", "bucket", F.col("id").alias("id_corpus"))
     )
     cands = (
-        banded_n.join(buckets_c, ["band", "bucket"])
-        .select(F.col("id").alias("id_new"), F.explode("corpus_ids").alias("id_corpus"))
+        banded_n.join(capped_c, ["band", "bucket"])
+        .select(F.col("id").alias("id_new"), "id_corpus")
         .distinct()
     )
     if persist_candidates:

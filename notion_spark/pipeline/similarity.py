@@ -434,13 +434,18 @@ def quantized_topk(
     `brute_force_topk` (queries broadcast, partial per-partition top-k)
     but the scan moves 1/4 the bytes and scores in integer arithmetic.
     Recall vs the float path is bounded by quantization error only
-    (unit-tested >= 0.9 at k=5 on clustered data)."""
+    (unit-tested >= 0.9 at k=5 on clustered data).
+
+    Zero-norm (all-zero) vectors are excluded from BOTH sides before
+    scoring: cosine is undefined for them, and emitting null-cosine rows
+    would hand out ranks the engine-neutral oracle (which joins on
+    ``nrm > 0``) never produces."""
     c = quantize_embeddings(corpus, vec_col).select(
         F.col(id_col).alias("vid"), F.col("qvec").alias("cq"), F.col("qnorm").alias("cn")
-    )
+    ).filter(F.col("cn") > 0)
     q = quantize_embeddings(queries, vec_col).select(
         F.col(query_id_col).alias("qid"), F.col("qvec").alias("qq"), F.col("qnorm").alias("qn")
-    )
+    ).filter(F.col("qn") > 0)
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid",
         "vid",

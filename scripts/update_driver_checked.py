@@ -3,12 +3,25 @@
 
 The driver verifies only the first 50 entries of queries();
 parity.ordered_queries() rotates never-driver-checked names to the
-front. Run this at the START of a round against the previous round's
-artifact so the window advances:
+front and orders the rest least-recently-checked first. Run this at the
+START of a round against the previous round's artifact so the window
+advances:
 
     python scripts/update_driver_checked.py CORRECTNESS_r03.json
 
-Idempotent: already-listed names are skipped. Prints what changed.
+Only VERIFIED rows fold: a row with a non-null err, or rows_match /
+schema_match / hash_match explicitly false, is NOT driver-checked — it
+stays in the fresh prefix so the driver re-verifies it after the fix
+(r3 lesson: folding failures would rotate them out of the window and
+the fix would never get a driver row). Rows-only rows (hash_match null
+with no error) fold — that is the strongest signal they can ever get.
+
+Re-verified names MOVE to the end of the tuple, so the tuple's order is
+true least-recently-checked order and the 50-query window cycles the
+whole registry instead of pinning to the first 50 registrations.
+
+Idempotent: re-running with the same artifact leaves the same order.
+Prints what changed.
 """
 
 from __future__ import annotations
@@ -20,28 +33,55 @@ import sys
 PARITY = "notion_spark/parity.py"
 
 
+def green(row: dict) -> bool:
+    if row.get("err"):
+        return False
+    return not any(
+        row.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def main() -> int:
     if len(sys.argv) != 2:
         print(__doc__)
         return 2
-    new = list(json.load(open(sys.argv[1])))
+    data = json.load(open(sys.argv[1]))
+    ok = [n for n, row in data.items() if green(row)]
+    skipped = [n for n in data if n not in ok]
+    if skipped:
+        print(f"skipping {len(skipped)} unverified (stay fresh): {skipped}")
+
     src = open(PARITY).read()
     m = re.search(r"DRIVER_CHECKED: tuple\[str, \.\.\.\] = \(\n(.*?)\n\)", src, re.S)
     if not m:
         print("DRIVER_CHECKED block not found")
         return 1
-    existing = set(re.findall(r'"([\w]+)"', m.group(1)))
-    add = [n for n in new if n not in existing]
+    body = m.group(1)
+    okset = set(ok)
+    original = set(re.findall(r'"([\w]+)"', body))
+    # Drop re-checked names from their old positions (they move to the
+    # end = most recently checked); keep comments, drop emptied lines.
+    kept_lines = []
+    for line in body.split("\n"):
+        if line.strip().startswith("#"):
+            kept_lines.append(line)
+            continue
+        names = [n for n in re.findall(r'"([\w]+)"', line) if n not in okset]
+        if names:
+            kept_lines.append("    " + " ".join(f'"{n}",' for n in names))
+    existing = set(re.findall(r'"([\w]+)"', "\n".join(kept_lines)))
+    add = [n for n in ok if n not in existing]
     if not add:
         print("nothing to add")
         return 0
     tag = sys.argv[1].replace("CORRECTNESS_", "").replace(".json", "")
-    lines = [f"    # --- {tag} ({len(add)} newly driver-checked) ---"]
+    kept_lines.append(f"    # --- {tag} ({len(add)} driver-checked this round) ---")
     for i in range(0, len(add), 4):
-        lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
-    block = m.group(0)[:-2] + "\n" + "\n".join(lines) + "\n)"
+        kept_lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
+    block = "DRIVER_CHECKED: tuple[str, ...] = (\n" + "\n".join(kept_lines) + "\n)"
     open(PARITY, "w").write(src.replace(m.group(0), block))
-    print(f"added {len(add)}: {add[:6]}{'...' if len(add) > 6 else ''}")
+    moved = len([n for n in add if n in original])
+    print(f"folded {len(add)} ({moved} re-checked names moved to tail): {add[:6]}{'...' if len(add) > 6 else ''}")
     return 0
 
 

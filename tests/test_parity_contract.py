@@ -1,0 +1,85 @@
+"""Registry-time output contract for the driver's correctness gate.
+
+The driver canonicalizes both result frames with pandas (name-sorted
+columns, `sort_values` over every column, dtype-sensitive hash). Two
+whole classes of r3 failures were structurally detectable at commit
+time:
+
+- an ArrayType output column ERRs its row (`unhashable type: 'list'`
+  inside the driver's sort) — both multimodal queries in r3;
+- a pandas-dtype mismatch between the Spark frame and the DuckDB
+  oracle frame hash-fails even when every value is equal
+  (text_repetition_stats: Spark int32/int64 vs oracle int64/float64).
+
+These tests enforce the atomic-schema half for every registration and
+pin the regression cases. Schema checks only trigger Catalyst analysis,
+not execution, so the sweep over the full registry stays cheap; the
+dtype half needs real execution on both engines and lives in
+scripts/check_parity.py (run per family after touching a query).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import ArrayType, BinaryType, MapType, NullType, StructType
+
+from notion_spark import parity
+
+BANNED = (ArrayType, MapType, StructType, BinaryType, NullType)
+
+
+def test_all_parity_outputs_driver_hashable(spark, sf_dir):
+    """Every oracle-bearing registration emits only atomic columns."""
+    bad = {}
+    for name, fn in parity.QUERIES.items():
+        if name not in parity.ORACLES:
+            continue  # rows-only rows are counted, never canonicalized
+        schema = fn(spark, sf_dir).schema
+        cols = [f.name for f in schema.fields if isinstance(f.dataType, BANNED)]
+        if cols:
+            bad[name] = cols
+    assert not bad, f"driver-unhashable output columns: {bad}"
+
+
+def test_rotation_never_front_loads_unhashable(spark, sf_dir):
+    """The 50-query driver window (the only rows the driver actually
+    canonicalizes) must be clean even if a future registration slips an
+    array past the full-registry test via a rows-only exemption that
+    later gains an oracle."""
+    window = list(parity.ordered_queries())[:50]
+    for name in window:
+        if name not in parity.ORACLES:
+            continue
+        schema = parity.QUERIES[name](spark, sf_dir).schema
+        assert not [
+            f.name for f in schema.fields if isinstance(f.dataType, BANNED)
+        ], f"{name} is in the driver window with a non-atomic column"
+
+
+def test_multimodal_parity_features_serialized(spark, sf_dir):
+    """Regression pin for the r3 ERRs: the two multimodal registrations
+    emit `features` as a STRING (comma-joined DECIMAL(9,6) renderings),
+    never the raw ArrayType the operators produce."""
+    for name in ("multimodal_image_features", "multimodal_audio_features"):
+        schema = parity.QUERIES[name](spark, sf_dir).schema
+        assert schema["features"].dataType.typeName() == "string"
+
+
+def test_repetition_stats_frac_is_exact_integer_math(spark):
+    """Regression pin for the r3 hash-fail: fractions come from integer
+    micro-unit division (floor((2*num*1e6+den)/(2*den))/1e6), so the
+    doubles are an exact function of integer inputs — identical on any
+    engine — rather than engine round(double, 6). 1/6 rounds HALF-UP to
+    0.166667 (truncation would give 0.166666)."""
+    from notion_spark.pipeline.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a\na\na\na\na\na"), (2, "a\na\nb\nc\nd\ne")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # 6 lines, 5 duplicates -> 5/6 = 0.83333... -> 0.833333 (half-up)
+    assert rows[1].dup_line_frac == 0.833333
+    # 1 duplicate of 6 -> 1/6 = 0.16666... -> 0.166667, NOT 0.166666
+    assert rows[2].dup_line_frac == 0.166667
