@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     # baseline round)
     "funnel_view_click_purchase",
     "retention_weekly_cohorts",
+    # r3's heaviest additions, benched since r4 so they get
+    # round-over-round tracking before anyone scales them (r4 is their
+    # baseline round)
+    "dedup_incremental_cross",
+    "heavy_hitters_users",
 ]
 
 

@@ -3694,6 +3694,19 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sim_ann_lsh", "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion",
     "text_quality", "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun",
     "agg_distinct_users", "filter_pushdown_parts",
+    # --- r03 (47 driver-checked this round) ---
+    "join_supplier_nation", "proj_timestamp_roundtrip", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "agg_rollup_counts", "agg_price_histogram", "window_running_count",
+    "text_clean", "join_asof_last_click", "topk_per_group", "text_top_words",
+    "stats_percentiles", "tasks_adapter_summary", "tasks_adapter_immediate", "q4_order_priority_check",
+    "q14_promo_revenue_pct", "text_top_bigrams", "events_transition_matrix", "events_sessionize",
+    "q10_returned_items", "agg_argminmax", "filter_array_exists", "join_range_events_in_user_windows",
+    "window_moving_avg", "agg_grouping_sets", "q7_volume_shipping", "q8_market_share",
+    "q18_large_orders", "q19_discounted_revenue", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q12_priority_by_status", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity_revenue", "q20_excess_suppliers", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "curation_decontam", "curation_pii_redact", "curation_stratified_sample",
+    "curation_quality_rules", "curation_ngram_coverage", "curation_source_rebalance",
 )
 
 

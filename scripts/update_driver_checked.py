@@ -75,7 +75,10 @@ def main() -> int:
         print("nothing to add")
         return 0
     tag = sys.argv[1].replace("CORRECTNESS_", "").replace(".json", "")
-    kept_lines.append(f"    # --- {tag} ({len(add)} driver-checked this round) ---")
+    header = f"    # --- {tag} ({len(add)} driver-checked this round) ---"
+    # re-runs orphan the previous identical tag comment — drop it
+    kept_lines = [ln for ln in kept_lines if ln != header]
+    kept_lines.append(header)
     for i in range(0, len(add), 4):
         kept_lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
     block = "DRIVER_CHECKED: tuple[str, ...] = (\n" + "\n".join(kept_lines) + "\n)"
