@@ -16,10 +16,15 @@ flow composed from this package's operators, in the canonical order:
                      splits is structurally impossible)
 
 Each stage is the already-oracle-verified operator; this module only
-fixes the composition order and threads the audit trail through. The
-laziness of the composition means Catalyst still sees one plan per
-output — stages do not materialize between steps (except the near-dedup
-edge cache documented in `connected_components`).
+fixes the composition order and threads the audit trail through. One
+intermediate IS persisted: the exact-dedup output feeds THREE
+independent subtrees (LSH signature pass, shingle verify-set pass,
+cluster join-back — plus the report counts), and without a cache each
+one re-runs the input scan + quality semi-join + exact-dedup shuffle
+from scratch; at corpus scale that is 3-4 full input scans for one
+(the r2 edge-cache lesson, applied to the preset). Everything else
+stays lazy — Catalyst sees one plan per remaining stage (plus the
+near-dedup edge cache documented in `connected_components`).
 """
 
 from __future__ import annotations
@@ -56,6 +61,7 @@ def curate_corpus(
     max_bucket: int = 1000,
     quality_kwargs: dict | None = None,
     collect_report: bool = False,
+    persist_intermediate: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation flow; returns (curated frame with a
     ``split`` column, report or None).
@@ -64,6 +70,12 @@ def curate_corpus(
     actions) — leave it off in pipelines that only need the result.
     ``quality_kwargs`` forwards to `curation.quality_rules` (e.g.
     min_words for short-document corpora).
+    ``persist_intermediate`` caches the exact-dedup output, the one
+    multi-consumer frame in the flow (see module docstring); the cache
+    populates lazily on the caller's first action. Pass False in
+    single-pass pipelines that go straight to one write, or unpersist
+    via spark.catalog.clearCache() between corpora in a long-running
+    driver.
     """
     report = CurationReport() if collect_report else None
     if report is not None:
@@ -79,6 +91,8 @@ def curate_corpus(
         report.after_quality = kept.count()
 
     kept = DD.drop_exact_dups(kept, text_col, id_col)
+    if persist_intermediate:
+        kept = kept.persist()
     if report is not None:
         report.after_exact_dedup = kept.count()
 

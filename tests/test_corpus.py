@@ -71,6 +71,26 @@ def test_curate_corpus_matches_manual_stages(spark):
     assert sum(report.splits.values()) == 2
 
 
+def test_curate_corpus_persists_multi_consumer_frame(spark):
+    """The exact-dedup output feeds three subtrees (LSH signatures,
+    shingle verify-sets, cluster join-back); the preset must pin it in
+    the cache so the input scan + quality join + exact-dedup shuffle run
+    once, not once per consumer (the r2 edge-cache lesson)."""
+    df = _corpus(spark)
+    # opt-out stays lazy end to end (checked FIRST: Spark's cache
+    # manager substitutes cached fragments into any matching later plan)
+    out_lazy, _ = curate_corpus(
+        df, near_dup_threshold=0.5, quality_kwargs={"min_words": 10},
+        persist_intermediate=False,
+    )
+    lazy_plan = out_lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in lazy_plan
+    out, _ = curate_corpus(df, near_dup_threshold=0.5, quality_kwargs={"min_words": 10})
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()  # drop the preset's pinned frame for later tests
+
+
 def test_curate_corpus_no_benchmark_no_report(spark):
     out, report = curate_corpus(_corpus(spark), near_dup_threshold=0.5, quality_kwargs={"min_words": 10})
     assert report is None
