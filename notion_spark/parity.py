@@ -3668,6 +3668,174 @@ def sketch_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id", p=8, by=["event_type"])
 
 
+@register(
+    "sketch_cms_user_freq",
+    """
+    WITH vals AS (
+        SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+    ),
+    d AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cnt AS (
+        SELECT row,
+               CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || v), 1, 15)
+                    AS BIGINT) % 64 AS w_idx,
+               COUNT(*) AS cnt
+        FROM vals, d GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT user_id FROM events
+             WHERE user_id IS NOT NULL AND user_id < 50),
+    probe AS (
+        SELECT c.user_id, d.row,
+               CAST('0x' || substr(md5(CAST(d.row AS VARCHAR) || ':'
+                                       || CAST(c.user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 64 AS w_idx
+        FROM cand c, d
+    )
+    SELECT p.user_id, MIN(COALESCE(n.cnt, 0)) AS cms_est
+    FROM probe p LEFT JOIN cnt n ON p.row = n.row AND p.w_idx = n.w_idx
+    GROUP BY p.user_id
+    """,
+)
+def sketch_cms_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (depth 4 x width 64, narrow on
+    purpose so collisions actually overestimate) for users < 50 over the
+    events stream; the oracle rebuilds the identical counter table from
+    the same md5-prefix row hashes and takes the same minima
+    (pipeline/sketches.cms_counters / cms_estimate). All-integer: no
+    float anywhere."""
+    from notion_spark.pipeline.sketches import cms_counters, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", depth=4, width=64)
+    cand = ev.filter(F.col("user_id") < 50).select("user_id")
+    return cms_estimate(counters, cand, "user_id", depth=4, width=64).select(
+        F.col("value").alias("user_id"), "cms_est"
+    )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    """
+    WITH ha AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) AS h
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    hb AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                             AS BIGINT) AS h
+        FROM lineitem WHERE l_quantity >= 30
+    ),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    u AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ka
+                                                 UNION ALL SELECT h FROM kb))
+          ORDER BY h LIMIT 256),
+    ustats AS (
+        SELECT CAST(256 AS INT) AS k_used,
+               CAST(COUNT(*) AS BIGINT) AS n_union_minima,
+               MAX(h) AS kth_union,
+               CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 255 * 1152921504606846976.0 / MAX(h) END AS raw_union
+        FROM u
+    ),
+    bstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    )
+    SELECT k_used, n_union_minima, kth_union,
+           CAST(floor(raw_union * 100 + 0.5) AS BIGINT) / 100.0 AS est_union,
+           n_both,
+           CAST(floor((n_both * 2000000 + greatest(n_union_minima, 1))
+                      / (2 * greatest(n_union_minima, 1))) AS BIGINT) / 1000000.0
+             AS jaccard_est,
+           CAST(floor((n_both / greatest(n_union_minima, 1)) * raw_union * 100 + 0.5)
+                AS BIGINT) / 100.0 AS est_intersection
+    FROM ustats, bstats
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra without touching the sets: union / intersection /
+    Jaccard estimates between returned-lineitem orderkeys and big-line
+    (quantity >= 30) orderkeys from their 256-minima sketches
+    (pipeline/sketches.kmv_set_ops, Beyer et al. 2007). Fractions use
+    the floor-based half-up forms (micro-units for Jaccard, whose n/256
+    denominators make .xxxxxx5 ties STRUCTURAL; x*100+0.5 for the
+    estimates) — engine round() never touches a value."""
+    from notion_spark.pipeline.sketches import kmv_set_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+    b = li.filter(F.col("l_quantity") >= 30).select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+    return kmv_set_ops(a, b, "key", k=256)
+
+
+@register(
+    "sketch_bloom_membership",
+    """
+    WITH mem AS (
+        SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    k AS (SELECT unnest([0, 1, 2]) AS i),
+    bits AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || v), 1, 15)
+                             AS BIGINT) % 16384 AS bit
+        FROM mem, k
+    ),
+    cand AS (SELECT DISTINCT o_orderkey AS orderkey FROM orders WHERE o_orderkey < 2000),
+    probe AS (
+        SELECT orderkey, i,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || CAST(orderkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 16384 AS bit
+        FROM cand, k
+    ),
+    hits AS (
+        SELECT orderkey, COUNT(*) AS hits FROM probe
+        WHERE bit IN (SELECT bit FROM bits) GROUP BY orderkey
+    )
+    SELECT c.orderkey,
+           COALESCE(h.hits, 0) = 3 AS maybe_member,
+           c.orderkey IN (SELECT CAST(v AS BIGINT) FROM mem) AS is_member
+    FROM cand c LEFT JOIN hits h USING (orderkey)
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership pre-filter (m=16384, k=3 — deliberately small so
+    the false-positive path is exercised): candidates are order keys
+    under 2000, members are returned-lineitem orderkeys. Which
+    candidates false-hit is hash-defined, so even the 'probabilistic'
+    answers are engine-exact; is_member pins the exact ground truth next
+    to the sketch answer (pipeline/sketches.bloom_bits /
+    bloom_maybe_contains)."""
+    from notion_spark.pipeline.sketches import bloom_bits, bloom_maybe_contains
+
+    li = read_table(spark, sf_dir, "lineitem")
+    members = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    bits = bloom_bits(members, "l_orderkey", m_bits=16384, k_hashes=3)
+    cand = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    flag = bloom_maybe_contains(cand, "l_orderkey", bits, m_bits=16384, k_hashes=3)
+    mem = (
+        members.distinct()
+        .select(F.col("l_orderkey").alias("value"))
+        .withColumn("is_member", F.lit(True))
+    )
+    return flag.join(mem, "value", "left").select(
+        F.col("value").alias("orderkey"),
+        "maybe_member",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -1,4 +1,6 @@
-"""Cardinality sketches: KMV (k-minimum-values) and HyperLogLog.
+"""Mergeable sketches: KMV / HyperLogLog (cardinality), KMV set ops
+(union/intersection/Jaccard), Count-Min (point frequency), Bloom
+(membership), Misra-Gries (heavy hitters).
 
 Spark ships `approx_count_distinct` (a JVM HLL++), but its register
 layout and hash are engine-private — no other system can verify or merge
@@ -165,6 +167,245 @@ def hll_distinct(
     ]
     # one estimate row per group (``by``) or a single global row
     return regs.groupBy(*by).agg(*agg_cols) if by else regs.agg(*agg_cols)
+
+
+# ----------------------------------------------------------- Count-Min
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """Count-Min sketch counter frame (Cormode & Muthukrishnan 2005):
+    (row, w_idx, cnt) with at most depth x width rows — point-frequency
+    estimation at bounded memory, the frequency member of the mergeable
+    sketch family (KMV/HLL: cardinality, Misra-Gries: top-k, Bloom:
+    membership).
+
+    Row i's hash is the engine-neutral md5 prefix of ``i ':' value``
+    mod width, so any SQL engine rebuilds the identical counters (the
+    parity oracle does). The explode multiplies rows x depth BEFORE the
+    groupBy, but partial aggregation collapses each partition to at most
+    depth x width counters — the shuffle moves bounded state per
+    partition regardless of input size, and two corpora's counter frames
+    merge by unioning and re-summing on (row, w_idx).
+    """
+    src = df.filter(F.col(col).isNotNull()).select(F.col(col).cast("string").alias("v"))
+    e = src.select(
+        "v", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    )
+    pos = F.pmod(
+        hasher(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("v"))),
+        F.lit(width),
+    )
+    return (
+        e.select("row", pos.alias("w_idx"))
+        .groupBy("row", "w_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """Point-frequency estimates for ``candidates[col]`` from a
+    `cms_counters` frame: (value, cms_est), est = min over the depth
+    rows — never an underestimate, over by at most the collision mass of
+    the sketch (eps ~ e/width with prob 1 - e^-depth).
+
+    The counter frame is bounded (depth x width rows), so it broadcasts;
+    the candidate side stays distributed — estimating millions of
+    candidate keys is a broadcast join + one map-side-combined min."""
+    cand = (
+        candidates.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+    )
+    e = cand.select(
+        "value", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    )
+    pos = F.pmod(
+        hasher(
+            F.concat(
+                F.col("row").cast("string"), F.lit(":"), F.col("value").cast("string")
+            )
+        ),
+        F.lit(width),
+    )
+    j = e.withColumn("w_idx", pos).join(F.broadcast(counters), ["row", "w_idx"], "left")
+    return j.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("cms_est")
+    )
+
+
+# -------------------------------------------------------- KMV set ops
+def kmv_minima(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """The k smallest distinct hashes of ``col`` — the mergeable state
+    behind `kmv_distinct`, exposed so sketches can be stored, unioned,
+    and compared. TakeOrderedAndProject: k values per partition cross
+    the wire, never the data."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(hasher(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 256,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates between two keyed sets
+    from their KMV sketches (Beyer et al. 2007), without ever comparing
+    the sets themselves. One row out: (k_used, n_union_minima,
+    kth_union, est_union, n_both, jaccard_est, est_intersection).
+
+    The union sketch is the k smallest of the two minima sets combined
+    (KMV is closed under union); every union minimum that belongs to A
+    at all is necessarily inside A's own k minima (union's k-th min <=
+    A's k-th min), so the in-both count n_both is computable from the
+    sketches alone. jaccard_est = n_both / n_union; est_intersection =
+    jaccard_est * est_union. All counters are exact integers; the only
+    float ops are the final divisions and one product, computed from
+    identical integers on any engine — and rounding is the floor-based
+    half-up form (never engine round(), whose tie behavior differs:
+    Jaccard's n/256 denominators make .xxxxxx5 ties structural).
+
+    Scale: each side is one TakeOrderedAndProject over its own data;
+    everything after runs on <= 3k rows on the driver-sized frames —
+    comparing two 100 TB corpora costs two scans and no joins between
+    them. Degenerate case: fewer than k distinct in the union -> both
+    estimates are EXACT (the minima are the full hash sets)."""
+    ka = kmv_minima(df_a, col, k, hasher)
+    kb = kmv_minima(df_b, col, k, hasher)
+    u = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    both = u.join(F.broadcast(ka), "h", "left_semi").join(
+        F.broadcast(kb), "h", "left_semi"
+    )
+    nu = F.count(F.lit(1))
+    kth = F.max("h")
+    est_union = F.when(nu < k, nu.cast("double")).otherwise(
+        (F.lit(k - 1) * F.lit(float(_HASH_SPACE))) / kth
+    )
+    ustats = u.agg(
+        F.lit(k).alias("k_used"),
+        nu.cast("bigint").alias("n_union_minima"),
+        kth.alias("kth_union"),
+        (F.floor(est_union * 100 + F.lit(0.5)) / F.lit(100.0)).alias("est_union"),
+        est_union.alias("_raw_union"),
+    )
+    bstats = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    gnu = F.greatest(F.col("n_union_minima"), F.lit(1))
+    jacc_micro = F.floor(
+        (F.col("n_both") * F.lit(2000000) + gnu) / (gnu * F.lit(2))
+    ).cast("bigint")
+    inter = (F.col("n_both") / gnu) * F.col("_raw_union")
+    return (
+        ustats.crossJoin(bstats)  # two single-row frames
+        .select(
+            "k_used",
+            "n_union_minima",
+            "kth_union",
+            "est_union",
+            "n_both",
+            (jacc_micro / F.lit(1000000.0)).alias("jaccard_est"),
+            (F.floor(inter * 100 + F.lit(0.5)) / F.lit(100.0)).alias("est_intersection"),
+        )
+    )
+
+
+# ------------------------------------------------------------- Bloom
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    hasher: Callable[[Column], Column] = md5_hash60,
+) -> DataFrame:
+    """Bloom filter as data: the DISTINCT set bit positions (one `bit`
+    column, values in [0, m_bits)) for ``col``'s members, k_hashes
+    md5-prefix hashes per value. At most min(m_bits, k x n_distinct)
+    rows; filters for two corpora merge by union+distinct, and any SQL
+    engine recomputes the identical positions (the parity oracle does).
+
+    The row-set form keeps the filter queryable/mergeable with plain
+    relational ops; a deployment squeezing broadcast bytes would pack it
+    into m_bits/64 longs with one more groupBy(bit >> 6) —
+    representation only, the membership answers are identical."""
+    src = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("v"))
+        .distinct()
+    )
+    e = src.select(
+        "v", F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i")
+    )
+    bit = F.pmod(
+        hasher(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v"))),
+        F.lit(m_bits),
+    )
+    return e.select(bit.alias("bit")).distinct()
+
+
+def bloom_maybe_contains(
+    candidates: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    hasher: Callable[[Column], Column] = md5_hash60,
+    out: str = "maybe_member",
+) -> DataFrame:
+    """(value, maybe_member) for every distinct candidate: true iff all
+    k_hashes bits are set. No false negatives ever; false-positive rate
+    is the classic (1 - e^(-k n / m))^k, and which candidates false-hit
+    is DETERMINISTIC (hash-defined), so the answer is engine-exact and
+    parity-checkable — unusual for a probabilistic structure.
+
+    The bits frame broadcasts (bounded by m_bits); candidates stay
+    distributed: membership for a 100 TB key stream is one broadcast
+    semi-join + a bounded-key count, the standard pre-filter that spares
+    the real (shuffling) join for probable members only."""
+    vals = (
+        candidates.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("value"))
+        .distinct()
+    )
+    e = vals.select(
+        "value", F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i")
+    )
+    bit = F.pmod(
+        hasher(
+            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("value").cast("string"))
+        ),
+        F.lit(m_bits),
+    )
+    hits = (
+        e.withColumn("bit", bit)
+        .join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return vals.join(hits, "value", "left").select(
+        "value",
+        (F.coalesce(F.col("hits"), F.lit(0)) == k_hashes).alias(out),
+    )
 
 
 def _mg_shrink(counts: dict, capacity: int) -> None:
