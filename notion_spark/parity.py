@@ -3775,6 +3775,54 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_histogram_quantiles",
+    """
+    WITH v AS (
+        SELECT CAST(trunc(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+    ),
+    b AS (
+        SELECT CAST(length(bin(v)) AS INT) AS bin, COUNT(*) AS cnt,
+               MIN(v) AS vmin, MAX(v) AS vmax
+        FROM v GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, cnt, vmin, vmax,
+               COALESCE(SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+               SUM(cnt) OVER () AS n
+        FROM b
+    ),
+    q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+          AS t(qnum, qden)),
+    r AS (
+        SELECT c.*, qnum, qden,
+               CAST(floor((n * qnum + qden - 1) / qden) AS BIGINT) AS rank
+        FROM c, q
+    )
+    SELECT qnum, qden, rank, bin,
+           (vmin + ((rank - cumb - 1) * (vmax - vmin)) / greatest(cnt - 1, 1))
+             / 100.0 AS est
+    FROM r
+    WHERE cumb < rank AND rank <= cumb + cnt
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-histogram quantiles (p25/p50/p75/p90/p99 of
+    l_extendedprice): <= 64 bins with true per-bin min/max, rational
+    target ranks in pure integer math, linear interpolation with ONE
+    final division (pipeline/sketches.histogram_quantiles). The oracle
+    rebuilds the identical bins (trunc() matches Spark's truncating
+    double->bigint cast; DuckDB's windowed SUM is HUGEINT, but every
+    value is far below 2^53 so the division operands convert to the
+    same doubles)."""
+    from notion_spark.pipeline.sketches import histogram_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice")
+
+
+@register(
     "sketch_bloom_membership",
     """
     WITH mem AS (

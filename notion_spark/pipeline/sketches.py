@@ -330,6 +330,95 @@ def kmv_set_ops(
     )
 
 
+# ----------------------------------------------- histogram quantiles
+def histogram_bins(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Mergeable log2-histogram of a non-negative numeric column:
+    (bin, cnt, vmin, vmax), bin = msb position of the value scaled to
+    integers (scale=100 -> cents). At most ~64 rows regardless of input
+    size; histograms for two corpora merge by union + (sum cnt, min
+    vmin, max vmax) per bin — the quantile member of the mergeable
+    sketch family.
+
+    The msb comes from the base-2 digit-string length (same integer
+    trick as `hll_registers`), so any SQL engine rebuilds the identical
+    bins; per-bin true min/max ride along so quantile interpolation
+    never assumes anything about the in-bin distribution's support.
+    One map-side-combined shuffle over <= 64 keys."""
+    src = df.filter(F.col(col).isNotNull() & (F.col(col) >= 0)).select(
+        (F.col(col) * F.lit(scale)).cast("bigint").alias("v")
+    )
+    b = F.length(F.conv(F.col("v").cast("string"), 10, 2))
+    return (
+        src.select("v", b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: Sequence[tuple[int, int]] = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile estimates from `histogram_bins`: one row per requested
+    quantile (qnum, qden, rank, bin, est). Quantiles are RATIONALS so
+    the target rank ceil(n * qnum / qden) is pure integer arithmetic;
+    est linearly interpolates by position between the bin's true
+    min/max. Error is bounded by the bin width at the rank — tight
+    where data is dense, and the estimate is an exact order statistic
+    whenever the rank's bin holds <= 2 values.
+
+    Scale shape: the windows below are global (single partition) but run
+    over the <= 64-row bin frame, never the data; the ranks frame
+    broadcasts. Everything after the one bin-building shuffle is
+    driver-sized. All arithmetic is exact integers until one final
+    division pair — engine-exact, oracle-checkable."""
+    from pyspark.sql import Window
+
+    bins = histogram_bins(df, col, scale)
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    withc = bins.select(
+        "bin",
+        "cnt",
+        "vmin",
+        "vmax",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cumb"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    ranks = df.sparkSession.createDataFrame(
+        [(int(qn), int(qd)) for qn, qd in quantiles], "qnum int, qden int"
+    )
+    rank = F.floor(
+        (F.col("n") * F.col("qnum") + F.col("qden") - 1) / F.col("qden")
+    ).cast("bigint")
+    j = (
+        withc.crossJoin(F.broadcast(ranks))  # <= 64 bins x a few quantiles
+        .withColumn("rank", rank)
+        .filter(
+            (F.col("cumb") < F.col("rank"))
+            & (F.col("rank") <= F.col("cumb") + F.col("cnt"))
+        )
+    )
+    est_scaled = F.col("vmin") + (
+        (F.col("rank") - F.col("cumb") - 1) * (F.col("vmax") - F.col("vmin"))
+    ) / F.greatest(F.col("cnt") - 1, F.lit(1))
+    return j.select(
+        "qnum",
+        "qden",
+        "rank",
+        "bin",
+        (est_scaled / F.lit(float(scale))).alias("est"),
+    )
+
+
 # ------------------------------------------------------------- Bloom
 def bloom_bits(
     df: DataFrame,

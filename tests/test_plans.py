@@ -163,3 +163,22 @@ def test_funnel_is_single_user_shuffle_no_self_join(spark, sf_dir):
     # step events shuffle once on the user key into the HOF scan
     assert "SortMergeJoin" not in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_sketch_family_plan_shapes(spark, sf_dir):
+    """r4 sketches: estimation probes broadcast the bounded sketch side,
+    KMV stays TakeOrderedAndProject, nothing goes cartesian."""
+    cms = plan_of(parity.QUERIES["sketch_cms_user_freq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in cms and "CartesianProduct" not in cms
+
+    bloom = plan_of(parity.QUERIES["sketch_bloom_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in bloom and "CartesianProduct" not in bloom
+
+    kmv = plan_of(parity.QUERIES["sketch_kmv_set_ops"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in kmv  # k minima per partition, no global sort
+
+    hq = plan_of(parity.QUERIES["sketch_histogram_quantiles"](spark, sf_dir))
+    assert "partial_count" in hq or "partial_min" in hq  # map-side bin combine
+    # column pruning: the scan reads only the profiled column
+    assert "l_extendedprice" in hq.split("ReadSchema")[-1][:200]
+    assert "l_comment" not in hq and "l_partkey" not in hq.split("ReadSchema")[-1][:200]

@@ -97,6 +97,37 @@ def test_bloom_no_false_negatives_and_deterministic_fps(spark):
     assert res == res2
 
 
+def test_histogram_quantiles_exact_on_dense_uniform(spark):
+    from notion_spark.pipeline.sketches import histogram_quantiles
+
+    # consecutive ints 1..1000: every bin is dense, so position
+    # interpolation between the bin's true min/max recovers the EXACT
+    # order statistic at every rank
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], "x double")
+    rows = {(r.qnum, r.qden): r for r in
+            histogram_quantiles(df, "x", scale=1).collect()}
+    assert rows[(1, 2)].rank == 500 and rows[(1, 2)].est == 500.0
+    assert rows[(1, 4)].rank == 250 and rows[(1, 4)].est == 250.0
+    assert rows[(99, 100)].rank == 990 and rows[(99, 100)].est == 990.0
+    ests = [rows[q].est for q in sorted(rows, key=lambda q: q[0] / q[1])]
+    assert ests == sorted(ests)  # quantile estimates are monotone
+
+
+def test_histogram_bins_merge_as_data(spark):
+    from notion_spark.pipeline.sketches import histogram_bins
+
+    df = spark.createDataFrame([(float(i % 37 + 1),) for i in range(500)], "x double")
+    half_a, half_b = df.limit(250), df.exceptAll(df.limit(250))
+    merged = (
+        histogram_bins(half_a, "x").unionByName(histogram_bins(half_b, "x"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"), F.min("vmin").alias("vmin"),
+             F.max("vmax").alias("vmax"))
+    )
+    full = histogram_bins(df, "x")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_bloom_generous_sizing_has_no_fps_here(spark):
     members = spark.createDataFrame([(f"m{i}",) for i in range(20)], "k string")
     cands = spark.createDataFrame([(f"n{i}",) for i in range(100)], "k string")
