@@ -3884,6 +3884,74 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_documents",
+    """
+    WITH meta AS (
+        SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*),
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(lang), MAX(lang) FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*),
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(source), MAX(source) FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*),
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(text), MAX(text) FROM documents
+    ),
+    stacked AS (
+        SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'text', text FROM documents
+    ),
+    h AS (SELECT col_name, CAST('0x' || substr(md5(value), 1, 15) AS BIGINT) AS h
+          FROM stacked WHERE value IS NOT NULL),
+    r AS (SELECT col_name, h >> 52 AS bucket,
+                 MAX(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                          ELSE 53 - length(bin(h & 4503599627370495)) END) AS rho
+          FROM h GROUP BY col_name, bucket),
+    est AS (
+        SELECT col_name,
+               round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 18014398509481984.0)
+                               / (SUM(CAST(1 AS BIGINT) << (54 - rho))
+                                  + (256 - COUNT(*)) * 18014398509481984) <= 640.0
+                           AND 256 - COUNT(*) > 0
+                          THEN 256.0 * ln(256.0 / (256 - COUNT(*)))
+                          ELSE ((0.7213 / (1 + 1.079 / 256)) * 256 * 256 * 18014398509481984.0)
+                               / (SUM(CAST(1 AS BIGINT) << (54 - rho))
+                                  + (256 - COUNT(*)) * 18014398509481984)
+                          END, 2) AS est_distinct
+        FROM r GROUP BY col_name
+    )
+    SELECT m.col_name, m.n_rows, m.n_null,
+           CAST(floor((m.n_null * 2000000 + m.n_rows) / (m.n_rows * 2)) AS BIGINT)
+             / 1000000.0 AS null_frac,
+           COALESCE(e.est_distinct, 0.0) AS est_distinct,
+           m.min_value, m.max_value
+    FROM meta m LEFT JOIN est e USING (col_name)
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card profile of the documents table (pipeline/profile.py):
+    per-column nulls / typed min-max / HLL distinct estimates in two
+    bounded passes — one shuffle-free global aggregate plus ONE stacked
+    per-group HLL shuffle for every column at once (never a
+    count_distinct per column). The oracle rebuilds the registers
+    per column exactly like sketch_hll_users_by_type."""
+    from notion_spark.pipeline.profile import profile_table
+
+    d = read_table(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "text"])
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================
