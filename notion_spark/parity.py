@@ -3952,6 +3952,32 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(d, ["doc_id", "lang", "source", "text"])
 
 
+def _zorder_oracle() -> str:
+    from notion_spark.pipeline.layout import zorder_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {zorder_sql('l_partkey', 'l_suppkey')} AS z
+    FROM lineitem
+    """
+
+
+@register("layout_zorder_keys", _zorder_oracle())
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys for the (l_partkey, l_suppkey) plane — the
+    multi-column clustering key `pipeline/layout.write_zordered` lays
+    files out by, so parquet min/max prunes on either predicate. Pure
+    shifts/masks (the classic 5-step spread): the oracle recomputes
+    every key bit-for-bit from SQL generated by the same code
+    (layout.zorder_sql)."""
+    from notion_spark.pipeline.layout import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", zorder_key("l_partkey", "l_suppkey").alias("z")
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -1,0 +1,88 @@
+"""Data-layout helpers: z-order (Morton) interleaving for multi-column
+scan pruning.
+
+At 100 TB the scan you avoid beats the one you optimize: sorting files
+by a single column clusters only that column's min/max stats, while a
+z-order key interleaves the bits of two columns so parquet row-group
+min/max prune on BOTH predicates at once (the Delta/Iceberg OPTIMIZE
+ZORDER trick, done with plain Spark ops).
+
+The key is computed with the classic 5-step bit-spreading masks — pure
+integer shifts/masks, so the parity oracle recomputes every key
+bit-for-bit (layout_zorder_keys). `write_zordered` lays files out with
+`repartitionByRange` on the key (range boundaries come from Spark's
+reservoir sampling — layout-only nondeterminism; file CONTENTS ride on
+the deterministic key) plus `sortWithinPartitions` so row groups inside
+each file cluster too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 20  # two 20-bit columns -> 40-bit key, comfortably bigint
+
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread(x: Column, bits: int = ZORDER_BITS) -> Column:
+    """Insert a zero between every bit of the low ``bits`` bits (Morton
+    spread). Inputs are masked to the bit budget first: values beyond it
+    wrap into the same key space deterministically rather than error."""
+    s = x.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in _SPREAD_MASKS:
+        s = s.bitwiseOR(F.shiftleft(s, shift)).bitwiseAND(F.lit(mask))
+    return s
+
+
+def zorder_key(a: Column | str, b: Column | str, bits: int = ZORDER_BITS) -> Column:
+    """Interleaved-bit key: bit i of ``a`` lands at position 2i+1, bit i
+    of ``b`` at 2i — a range of keys is a rectangle-ish region of the
+    (a, b) plane, which is what makes min/max pruning bite on both."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.shiftleft(_spread(ca, bits), 1).bitwiseOR(_spread(cb, bits))
+
+
+def spread_sql(expr: str, bits: int = ZORDER_BITS) -> str:
+    """The identical spread as ANSI-ish SQL (DuckDB syntax) — used by the
+    parity oracle so Spark and the oracle compute keys from the same
+    integer ops. The doubling text growth is bounded: 2^5 copies of the
+    base expression."""
+    s = f"(({expr}) & {(1 << bits) - 1})"
+    for shift, mask in _SPREAD_MASKS:
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
+def zorder_sql(expr_a: str, expr_b: str, bits: int = ZORDER_BITS) -> str:
+    return f"(({spread_sql(expr_a, bits)}) << 1) | ({spread_sql(expr_b, bits)})"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 64,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet laid out along the z-curve of ``cols``:
+    range-partitioned into ~n_files files by key, key-sorted within each
+    so row groups cluster. Readers need no special support — the layout
+    pays off through ordinary parquet min/max pruning on either column."""
+    z = zorder_key(cols[0], cols[1], bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
