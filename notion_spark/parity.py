@@ -3952,6 +3952,59 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(d, ["doc_id", "lang", "source", "text"])
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-scaled PageRank (operators/graph.pagerank_scaled)
+    over the event-type transition graph — one CTE pair per iteration,
+    every op integer (DuckDB // == Spark div for the all-positive
+    scores; SUM cast back from HUGEINT)."""
+    parts = [
+        r"""
+    WITH tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM tr WHERE src IS NOT NULL),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    s0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS score FROM nodes, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    i{i} AS (SELECT e.dst AS node, CAST(SUM(s.score // d.deg) AS BIGINT) AS inc
+             FROM edges e JOIN s{i - 1} s ON e.src = s.node
+                          JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+    s{i} AS (SELECT nd.node,
+                    CAST((1000000000000 * 15) // (100 * nn.n)
+                         + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS score
+             FROM nodes nd CROSS JOIN nn LEFT JOIN i{i} i ON nd.node = i.node)"""
+        )
+    return ",".join(parts) + f"\n    SELECT node, score FROM s{iters}"
+
+
+@register("graph_pagerank_event_types", _pagerank_oracle(3))
+def graph_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of integer-scaled PageRank over the event-type
+    transition graph (operators/graph.pagerank_scaled): an ITERATIVE
+    algorithm whose scores are bit-exact across engines because every
+    per-round op is integer — the oracle unrolls the identical
+    recurrence per iteration. One dst-keyed shuffle per round at
+    scale."""
+    from notion_spark.operators.graph import pagerank_scaled
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .select("src", F.col("event_type").alias("dst"))
+    )
+    return pagerank_scaled(edges, iterations=3)
+
+
 def _zorder_oracle() -> str:
     from notion_spark.pipeline.layout import zorder_sql
 

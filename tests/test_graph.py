@@ -1,0 +1,51 @@
+"""Integer-scaled PageRank: exact agreement with an independent Python
+implementation of the same recurrence, and sane ranking behavior."""
+
+from __future__ import annotations
+
+from notion_spark.operators.graph import SCALE, pagerank_scaled
+
+
+def _ref_pagerank(edges, iterations=3, damping=85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    deg: dict = {}
+    for a, _ in set(edges):
+        deg[a] = deg.get(a, 0) + 1
+    score = {v: SCALE // n for v in nodes}
+    base = (SCALE * (100 - damping)) // (100 * n)
+    for _ in range(iterations):
+        inc = {v: 0 for v in nodes}
+        for a, b in set(edges):
+            inc[b] += score[a] // deg[a]
+        score = {v: base + (damping * inc[v]) // 100 for v in nodes}
+    return score
+
+
+EDGES = [
+    ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+    ("d", "a"),            # d links in, nothing links to d
+    ("a", "e"),            # e is dangling (no out-edges): mass leaks
+    ("a", "b"),            # duplicate edge: must collapse (distinct)
+]
+
+
+def test_pagerank_matches_integer_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.score for r in pagerank_scaled(df, iterations=3).collect()}
+    assert got == _ref_pagerank(EDGES, 3)
+
+
+def test_pagerank_ranking_and_determinism(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    s1 = {r.node: r.score for r in pagerank_scaled(df, iterations=4).collect()}
+    s2 = {
+        r.node: r.score
+        for r in pagerank_scaled(df.repartition(7), iterations=4).collect()
+    }
+    assert s1 == s2  # partitioning-independent, bit-exact
+    # 'a' is the hub (3 in-edges incl. from both b and c); 'd' gets only
+    # the teleport base
+    assert s1["a"] == max(s1.values())
+    base = min(s1.values())
+    assert s1["d"] == base
