@@ -3952,6 +3952,34 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(d, ["doc_id", "lang", "source", "text"])
 
 
+@register(
+    "curation_weighted_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE text IS NOT NULL
+      AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % 1000000
+          < CAST(floor(least(greatest((least(length(text), 2000) / 2000.0) * 0.8,
+                                      0.0), 1.0) * 1000000) AS BIGINT)
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weighted Bernoulli sampling (keep probability proportional
+    to a continuous quality weight — here a length-based score at rate
+    0.8), row-exact reproducible on any engine: deterministic md5 bucket
+    vs a floor()'d threshold of the identical IEEE product
+    (pipeline/curation.weighted_bernoulli_sample). Zero shuffle, one
+    codegen'd filter."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.least(F.length("text"), F.lit(2000)) / F.lit(2000.0)
+    return CU.weighted_bernoulli_sample(
+        d.withColumn("__w", w), "__w", "doc_id", rate=0.8
+    ).select("doc_id", "lang", "source")
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled integer-scaled PageRank (operators/graph.pagerank_scaled)
     over the event-type transition graph — one CTE pair per iteration,

@@ -133,6 +133,31 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < chain)
 
 
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight: Column | str,
+    key_col: str,
+    rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic PER-ROW weighted sampling: keep a row iff its hash
+    bucket falls under floor(weight * rate * buckets) — keep probability
+    proportional to the row's own weight (clamped to [0, 1]), the
+    quality-weighted corpus-mixing primitive (`stratified_sample` covers
+    the per-STRATUM flat-rate case; this one lets a continuous quality
+    score drive inclusion).
+
+    Same contract as every sampler here: no RNG state, no partition
+    order dependence, row-exact reproducible on any engine — the
+    threshold is floor() of a deterministic IEEE product of the same
+    doubles, and the bucket is the shared md5 hash. One codegen'd
+    filter, zero shuffle."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    p = F.least(F.greatest(w.cast("double") * F.lit(float(rate)), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(p * F.lit(buckets)).cast("bigint")
+    return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
+
+
 def assign_splits(
     df: DataFrame,
     key_col: str,

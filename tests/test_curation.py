@@ -249,3 +249,21 @@ def test_assign_splits_rejects_oversubscription(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="sum"):
         CU.assign_splits(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_weighted_bernoulli_sample(spark):
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.curation import weighted_bernoulli_sample
+
+    rows = [(i, 0.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = weighted_bernoulli_sample(df, "w", "k", rate=1.0)
+    ids = {r.k for r in kept.collect()}
+    # weight 0 -> never kept; weight 1 at rate 1 -> always kept
+    assert ids == set(range(500, 1000))
+    # a mid weight keeps roughly its share, deterministically
+    mid = weighted_bernoulli_sample(df.withColumn("w", F.lit(0.3)), "w", "k")
+    n1, n2 = mid.count(), mid.count()
+    assert n1 == n2  # no RNG state: same answer every run
+    assert 200 <= n1 <= 400  # ~0.3 of 1000
