@@ -85,6 +85,23 @@ def kmv_distinct(
     )
 
 
+def hll_bucket_rho(
+    col: Column, p: int = 8, hasher: Callable[[Column], Column] = md5_hash60
+) -> tuple[Column, Column]:
+    """The (bucket, rho) column pair every HLL variant derives from —
+    shared by the batch register builder and the streaming windowed one
+    so their registers are identical rows."""
+    tail_bits = _HASH_BITS - p
+    h = hasher(col)
+    bucket = F.shiftright(h, tail_bits)
+    w = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
+    # msb position of w (1-based); rho = tail_bits - msb + 1, or
+    # tail_bits + 1 when the whole tail is zero.
+    msb = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(F.lit(tail_bits) + 1 - msb)
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame,
     col: str,
@@ -107,14 +124,7 @@ def hll_registers(
     by = [by] if isinstance(by, str) else list(by)
     if any(c in ("bucket", "rho") for c in by):
         raise ValueError("by columns may not be named 'bucket' or 'rho'")
-    tail_bits = _HASH_BITS - p
-    h = hasher(F.col(col))
-    bucket = F.shiftright(h, tail_bits)
-    w = h.bitwiseAND(F.lit((1 << tail_bits) - 1))
-    # msb position of w (1-based); rho = tail_bits - msb + 1, or
-    # tail_bits + 1 when the whole tail is zero.
-    msb = F.length(F.conv(w.cast("string"), 10, 2))
-    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(F.lit(tail_bits) + 1 - msb)
+    bucket, rho = hll_bucket_rho(F.col(col), p, hasher)
     return (
         df.filter(F.col(col).isNotNull())
         .select(*by, bucket.alias("bucket"), rho.cast("int").alias("rho"))
@@ -144,12 +154,23 @@ def hll_distinct(
     below 2.5·m as in the paper; both engines branch on the same exact
     integers, so the branch choice itself is deterministic.
     """
+    by = [by] if isinstance(by, str) else list(by)
+    return hll_estimate(hll_registers(df, col, p, hasher, by), p, by)
+
+
+def hll_estimate(
+    regs: DataFrame, p: int = 8, by: Sequence[str] | str = ()
+) -> DataFrame:
+    """Estimate from a register frame — `hll_registers` output, a merged
+    union of shard registers, or a streaming register store
+    (streaming/sketches.hll_windowed_registers). Identical math to the
+    inline path `hll_distinct` always used; factored so batch and
+    streaming sketches share one estimator."""
     m = 1 << p
     # 0.7213/(1+1.079/m) is the standard alpha for m >= 128
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
     t = 62 - p  # scale exponent: m * 2^t == 2^62 fits signed 64-bit
     by = [by] if isinstance(by, str) else list(by)
-    regs = hll_registers(df, col, p, hasher, by)
     # registers absent from the frame have rho = 0 -> scaled term 2^t each
     n_empty = F.lit(m) - F.count(F.lit(1))
     # shiftleft()'s numBits arg must be a literal int in the Python API;
