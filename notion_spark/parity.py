@@ -3953,6 +3953,56 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_strip_boilerplate",
+    r"""
+    WITH lined AS (
+        SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS txt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    paras AS (
+        SELECT doc_id,
+               generate_subscripts(ls, 1) AS pos,
+               unnest(ls) AS para
+        FROM (SELECT doc_id,
+                     list_filter([trim(x) for x in string_split(txt, chr(10))],
+                                 x -> x <> '') AS ls
+              FROM lined)
+    ),
+    common AS (
+        SELECT md5(para) AS ph FROM paras
+        GROUP BY md5(para) HAVING COUNT(DISTINCT doc_id) > 5
+    ),
+    kept AS (SELECT * FROM paras WHERE md5(para) NOT IN (SELECT ph FROM common)),
+    reasm AS (
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM paras GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(t.n_total, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN reasm r USING (doc_id) LEFT JOIN totals t USING (doc_id)
+    """,
+)
+def curation_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (C4/Dolma): sentences appearing
+    verbatim in more than 5 distinct docs are stripped and the text
+    reassembled in original order (engine-exact via array_sort on
+    (pos, para) structs vs the oracle's ORDER BY pos string_agg) —
+    pipeline/curation.strip_common_paragraphs."""
+    from notion_spark.pipeline import curation as CU
+
+    d = read_table(spark, sf_dir, "documents")
+    lined = d.withColumn("text", F.regexp_replace("text", r"\. ", ".\n"))
+    return CU.strip_common_paragraphs(lined, max_docs=5).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
+@register(
     "curation_weighted_sample",
     """
     SELECT doc_id, lang, source

@@ -133,6 +133,74 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < chain)
 
 
+def strip_common_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4/Dolma move): drop every
+    paragraph/line that appears verbatim in MORE than ``max_docs``
+    distinct documents (cookie banners, license footers, nav chrome),
+    reassemble the survivors in original order. Output: (id, clean_text,
+    n_kept, n_removed); docs whose every line is boilerplate keep an
+    empty clean_text, null-text docs pass through untouched.
+
+    Scale shape: one posexplode -> a distinct-doc count keyed by the
+    paragraph HASH (high-cardinality, map-side combined — strings never
+    shuffle, their md5 does), the small common set broadcast back as an
+    anti-join, and one per-doc reassembly agg (array_sort on (pos, para)
+    structs makes the order engine-exact, never collect order)."""
+    paras = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), line_sep), lambda s: F.trim(s)
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("pos", "para"),
+        )
+        .withColumn("ph", F.md5(F.col("para")))
+    )
+    common = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("ph")
+    )
+    kept = paras.join(F.broadcast(common), "ph", "left_anti")
+    reasm = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"))
+        .join(reasm, "id", "left")
+        .join(totals, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def weighted_bernoulli_sample(
     df: DataFrame,
     weight: Column | str,

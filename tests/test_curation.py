@@ -267,3 +267,25 @@ def test_weighted_bernoulli_sample(spark):
     n1, n2 = mid.count(), mid.count()
     assert n1 == n2  # no RNG state: same answer every run
     assert 200 <= n1 <= 400  # ~0.3 of 1000
+
+
+def test_strip_common_paragraphs(spark):
+    from notion_spark.pipeline.curation import strip_common_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    docs = [(i, f"unique sentence {i}\n{boiler}") for i in range(6)]
+    docs += [(100, f"{boiler}\n{boiler}"), (101, "all original\nlines here"), (102, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in strip_common_paragraphs(df, max_docs=5).collect()}
+
+    # the boilerplate line appears in 7 > 5 docs -> stripped everywhere
+    for i in range(6):
+        assert out[i].clean_text == f"unique sentence {i}"
+        assert out[i].n_kept == 1 and out[i].n_removed == 1
+    # a doc that was ALL boilerplate ends empty but stays present
+    assert out[100].clean_text == "" and out[100].n_removed == 2
+    # untouched doc reassembles in original order
+    assert out[101].clean_text == "all original\nlines here"
+    assert out[101].n_removed == 0
+    # null text passes through the pipeline without a row (not exploded)
+    assert 102 not in out
