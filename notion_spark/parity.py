@@ -3953,6 +3953,65 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk",
+    r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pd AS (
+        SELECT id, len(t) AS dl,
+               CAST(len(list_filter(t, x -> x = 'vector')) AS INT) AS tf_0,
+               CAST(len(list_filter(t, x -> x = 'stream')) AS INT) AS tf_1,
+               CAST(len(list_filter(t, x -> x = 'merge')) AS INT) AS tf_2
+        FROM base
+    ),
+    sc AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+               CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+               CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+        FROM pd
+    )
+    SELECT id, CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS score,
+           tf_0, tf_1, tf_2
+    FROM (
+        SELECT id, tf_0, tf_1, tf_2,
+               (CASE WHEN tf_0 > 0
+                     THEN ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                          * (tf_0 * 2.2)
+                          / (tf_0 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                     ELSE 0.0 END
+                + CASE WHEN tf_1 > 0
+                       THEN ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                            * (tf_1 * 2.2)
+                            / (tf_1 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                       ELSE 0.0 END
+                + CASE WHEN tf_2 > 0
+                       THEN ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                            * (tf_2 * 2.2)
+                            / (tf_2 + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                       ELSE 0.0 END) AS raw
+        FROM pd, sc
+    )
+    WHERE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 > 0
+    ORDER BY score DESC, id ASC
+    LIMIT 15
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the query ['vector','stream','merge'] over the
+    documents corpus (pipeline/text_analysis.bm25_topk): explode-free tf
+    via array filters in codegen, two broadcast scalar aggregates, and
+    scores combined by EXPLICIT chained addition (never a double SUM) so
+    every float op has one fixed engine-neutral shape — the oracle
+    mirrors the expression tree literally, ln() included."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.bm25_topk(d, ["vector", "stream", "merge"], k=15)
+
+
+@register(
     "curation_strip_boilerplate",
     r"""
     WITH lined AS (

@@ -205,6 +205,80 @@ def repetition_stats(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval for a literal term query, explode-free: per-term
+    tf is `size(filter(tokens, x == term))` inside whole-stage codegen,
+    so the corpus scan never fans out. Two broadcastable scalar
+    aggregates (corpus size + avg doc length; per-term document
+    frequencies) feed the scoring projection, and the top-k runs as
+    TakeOrderedAndProject with the id tiebreaker. No data-sized shuffle
+    anywhere — BM25 over 100 TB is one scan.
+
+    Determinism: the per-term scores are combined by EXPLICIT chained
+    addition in query-term order (never a groupBy SUM over doubles,
+    whose partition order would wiggle low bits), every float expression
+    has one fixed shape the oracle mirrors, and the final score is
+    floor-rounded to 6 decimals — JVM Math.log and libm ln() disagree by
+    one ulp on some inputs, and the rounding absorbs exactly that.
+    Output: (id, score, tf_<i> per term) filtered to score > 0.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    )
+    base = toks.select("id", "t", F.size("t").alias("dl"))
+    def _tf(term: str):
+        # a real closure: a default-arg lambda would grow a second
+        # parameter, which F.filter interprets as (element, index)
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(q).alias(f"tf_{i}") for i, q in enumerate(query_terms)]
+    per_doc = base.select("id", "dl", *tf_cols)
+    scalars = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(scalars))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        dfi = F.col(f"df_{i}")
+        idf = F.log(
+            (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)) + F.lit(1.0)
+        )
+        term_score = F.when(
+            tf > 0,
+            idf
+            * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+        score = term_score if score is None else score + term_score
+    rounded = F.floor(score * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        j.select(
+            "id", rounded.alias("score"), *[f"tf_{i}" for i in range(len(query_terms))]
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -69,3 +69,27 @@ def test_winnowing_fingerprints_detect_shared_runs(spark):
     # determinism
     fps2 = TA.winnowing_fingerprints(df, k=5, window=4)
     assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, fps2.collect()))
+
+
+def test_bm25_topk_ranking(spark):
+    from notion_spark.pipeline.text_analysis import bm25_topk
+
+    docs = [
+        (1, "rareword common common common"),          # has the rare term
+        (2, "common common common common"),            # only the common term
+        (3, "rareword rareword common filler filler"), # rare term twice
+        (4, "filler words only nothing relevant"),     # no query terms
+        (5, "common " + "pad " * 60),                  # long doc, one hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, ["rareword", "common"], k=10)
+    got = [r.id for r in rows.collect()]
+    assert 4 not in got                       # zero-score docs excluded
+    assert got[0] == 3                        # two rare hits outrank one
+    assert got.index(1) < got.index(2)        # rare+common beats common-only
+    assert got.index(2) < got.index(5)        # short doc beats long doc (length norm)
+    r = {x.id: x for x in rows.collect()}
+    assert r[3].tf_0 == 2 and r[3].tf_1 == 1 and r[1].tf_1 == 3
+    # determinism: same frame, repartitioned, identical scores
+    again = {x.id: x.score for x in bm25_topk(df.repartition(5), ["rareword", "common"], k=10).collect()}
+    assert again == {x.id: x.score for x in rows.collect()}
