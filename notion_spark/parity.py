@@ -3953,6 +3953,42 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    """
+    WITH a AS (
+        SELECT concat('vid-', CAST(doc_id AS VARCHAR)) AS asset_id,
+               length(text) % 120 AS n_frames
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(unnest([i * 10 for i in range(0, least((n_frames - 1) // 10, 7) + 1)])
+                AS INT) AS frame_idx
+    FROM a WHERE n_frames > 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (pipeline/multimodal.sample_frames):
+    every-10th-frame indices capped at 8 per asset, fanned out JVM-side
+    with sequence+explode — synthetic n_frames derived from text length
+    so both engines build identical assets. Closes the last unit-only
+    multimodal surface with a driver row (zero/unknown frame counts
+    emit nothing on both sides)."""
+    from notion_spark.pipeline.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    assets = d.select(
+        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), (F.length("text") % 120).cast("string")
+        ).alias("meta"),
+    )
+    out = sample_frames(assets, every_n=10, max_frames=8)
+    return out.select("asset_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@register(
     "text_bm25_topk",
     r"""
     WITH base AS (
