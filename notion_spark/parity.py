@@ -3823,6 +3823,56 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_histogram_drift",
+    """
+    WITH va AS (
+        SELECT CAST(trunc(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+          AND l_returnflag = 'R'
+    ),
+    vb AS (
+        SELECT CAST(trunc(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+          AND l_returnflag <> 'R'
+    ),
+    ba AS (SELECT CAST(length(bin(v)) AS INT) AS bin, COUNT(*) AS ca FROM va GROUP BY 1),
+    bb AS (SELECT CAST(length(bin(v)) AS INT) AS bin, COUNT(*) AS cb FROM vb GROUP BY 1),
+    j AS (
+        SELECT COALESCE(ba.bin, bb.bin) AS bin,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+               CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+        FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_a,
+               CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_b
+        FROM j
+    )
+    SELECT n_a, n_b, n_bins_a, n_bins_b,
+           CAST(SUM(abs((ca * 1000000) // greatest(n_a, 1)
+                        - (cb * 1000000) // greatest(n_b, 1))) AS BIGINT) AS l1_micro
+    FROM j, tot
+    GROUP BY n_a, n_b, n_bins_a, n_bins_b
+    """,
+)
+def sketch_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between returned vs non-returned lineitem
+    price histograms (pipeline/sketches.histogram_drift): per-bin share
+    deltas summed as an exact integer micro-unit L1 — the
+    corpus-monitoring number, engine-exact because every step is
+    integer (floor-div shares, integer abs/sum)."""
+    from notion_spark.pipeline.sketches import histogram_bins, histogram_drift
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = histogram_bins(li.filter(F.col("l_returnflag") == "R"), "l_extendedprice")
+    b = histogram_bins(li.filter(F.col("l_returnflag") != "R"), "l_extendedprice")
+    return histogram_drift(a, b)
+
+
+@register(
     "sketch_bloom_membership",
     """
     WITH mem AS (

@@ -134,3 +134,23 @@ def test_bloom_generous_sizing_has_no_fps_here(spark):
     bits = bloom_bits(members, "k", m_bits=1 << 16, k_hashes=4)
     res = bloom_maybe_contains(cands, "k", bits, m_bits=1 << 16, k_hashes=4)
     assert res.filter(F.col("maybe_member")).count() == 0
+
+
+def test_histogram_drift_semantics(spark):
+    from notion_spark.pipeline.sketches import histogram_bins, histogram_drift
+
+    same = spark.createDataFrame([(float(i),) for i in range(1, 200)], "x double")
+    row = histogram_drift(histogram_bins(same, "x"), histogram_bins(same, "x")).collect()[0]
+    assert row.l1_micro == 0  # identical distributions -> zero drift
+    assert row.n_a == row.n_b == 199
+
+    # disjoint supports -> maximal drift (2e6 minus floor crumbs)
+    lo = spark.createDataFrame([(float(i),) for i in range(1, 100)], "x double")
+    hi = spark.createDataFrame([(float(i),) for i in range(10_000, 10_100)], "x double")
+    far = histogram_drift(histogram_bins(lo, "x"), histogram_bins(hi, "x")).collect()[0]
+    assert far.l1_micro > 1_990_000
+
+    # drift is symmetric
+    ab = histogram_drift(histogram_bins(lo, "x"), histogram_bins(same, "x")).collect()[0]
+    ba = histogram_drift(histogram_bins(same, "x"), histogram_bins(lo, "x")).collect()[0]
+    assert ab.l1_micro == ba.l1_micro > 0
