@@ -188,3 +188,56 @@ def test_quantize_bounds_and_error(spark, vec):
         scale = maxabs / 127.0
         for x, q in zip(row.embedding, row.qvec):
             assert abs(float(x) - q * scale) <= scale * (1 + 1e-9)
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**20 - 1), st.integers(0, 2**20 - 1)),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_zorder_key_is_injective_and_matches_bit_reference(spark, pairs):
+    """Morton key == per-bit reference on arbitrary 20-bit pairs, and
+    distinct (a, b) pairs never collide (the key is a bijection)."""
+    from notion_spark.pipeline.layout import zorder_key
+
+    def ref(a, b):
+        z = 0
+        for i in range(20):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", zorder_key("a", "b").alias("z")).collect()}
+    assert got == {(a, b): ref(a, b) for a, b in pairs}
+    assert len(set(got.values())) == len(pairs)
+
+
+@SETTINGS
+@given(
+    nums=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 1000)), min_size=1, max_size=10
+    )
+)
+def test_repetition_frac_is_half_up_of_exact_fraction(spark, nums):
+    """The floor-based micro-unit division used across parity queries ==
+    round-half-up of the exact fraction at 6 decimals (checked against
+    Python Fraction arithmetic, no floats on the reference side)."""
+    from fractions import Fraction
+
+    rows = [(i, n, d) for i, (n, d) in enumerate(nums) if n <= d]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "i long, num long, den long")
+    micro = F.floor((F.col("num") * F.lit(2000000) + F.col("den")) / (F.col("den") * F.lit(2)))
+    got = {r.i: r.f for r in df.select("i", (micro.cast("bigint") / F.lit(1000000.0)).alias("f")).collect()}
+    for i, n, d in rows:
+        exact = Fraction(n, d) * 10**6
+        want_micro = exact.numerator // exact.denominator
+        if Fraction(n, d) * 10**6 - want_micro >= Fraction(1, 2):
+            want_micro += 1
+        assert got[i] == want_micro / 1e6, (n, d)
