@@ -151,7 +151,12 @@ def strip_common_paragraphs(
     paragraph HASH (high-cardinality, map-side combined — strings never
     shuffle, their md5 does), the small common set broadcast back as an
     anti-join, and one per-doc reassembly agg (array_sort on (pos, para)
-    structs makes the order engine-exact, never collect order)."""
+    structs makes the order engine-exact, never collect order).
+
+    ``line_sep`` is a LITERAL separator (regex metachars escaped before
+    the split — '|' splits on pipes, not on every character)."""
+    import re as _re
+
     paras = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -159,7 +164,8 @@ def strip_common_paragraphs(
             F.posexplode(
                 F.filter(
                     F.transform(
-                        F.split(F.col(text_col), line_sep), lambda s: F.trim(s)
+                        F.split(F.col(text_col), _re.escape(line_sep)),
+                        lambda s: F.trim(s),
                     ),
                     lambda s: s != "",
                 )
@@ -219,9 +225,16 @@ def weighted_bernoulli_sample(
     order dependence, row-exact reproducible on any engine — the
     threshold is floor() of a deterministic IEEE product of the same
     doubles, and the bucket is the shared md5 hash. One codegen'd
-    filter, zero shuffle."""
+    filter, zero shuffle.
+
+    NaN weights drop the row (p = 0), matching NULL: Spark sorts NaN
+    ABOVE every number, so without the explicit branch
+    least(greatest(NaN, 0), 1) would resolve to 1.0 and a corrupted
+    score (0/0 upstream) would silently oversample at 100%."""
     w = F.col(weight) if isinstance(weight, str) else weight
-    p = F.least(F.greatest(w.cast("double") * F.lit(float(rate)), F.lit(0.0)), F.lit(1.0))
+    wd = w.cast("double")
+    wd = F.when(F.isnan(wd), F.lit(0.0)).otherwise(wd)
+    p = F.least(F.greatest(wd * F.lit(float(rate)), F.lit(0.0)), F.lit(1.0))
     threshold = F.floor(p * F.lit(buckets)).cast("bigint")
     return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
 

@@ -74,17 +74,15 @@ def profile_table(
     est = hll_distinct(stacked, "value", p=p, by=["col_name"]).select(
         "col_name", "est_distinct"
     )
-    null_micro = F.floor(
-        (F.col("n_null") * F.lit(2000000) + F.col("n_rows"))
-        / (F.col("n_rows") * F.lit(2))
-    ).cast("bigint")
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
     return (
         meta.join(F.broadcast(est), "col_name", "left")  # est is <= #cols rows
         .select(
             "col_name",
             "n_rows",
             "n_null",
-            (null_micro / F.lit(1000000.0)).alias("null_frac"),
+            frac6_half_up(F.col("n_null"), F.col("n_rows")).alias("null_frac"),
             # a column that is entirely null never reaches the HLL
             # (nulls are filtered before hashing) -> 0 distinct
             F.coalesce("est_distinct", F.lit(0.0)).alias("est_distinct"),

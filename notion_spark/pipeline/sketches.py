@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.pipeline.text_analysis import md5_hash60
+from notion_spark.pipeline.text_analysis import frac6_half_up, md5_hash60
 
 # md5_hash60 yields uniform values in [0, 2^60).
 _HASH_BITS = 60
@@ -333,9 +333,6 @@ def kmv_set_ops(
     )
     bstats = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
     gnu = F.greatest(F.col("n_union_minima"), F.lit(1))
-    jacc_micro = F.floor(
-        (F.col("n_both") * F.lit(2000000) + gnu) / (gnu * F.lit(2))
-    ).cast("bigint")
     inter = (F.col("n_both") / gnu) * F.col("_raw_union")
     return (
         ustats.crossJoin(bstats)  # two single-row frames
@@ -345,7 +342,7 @@ def kmv_set_ops(
             "kth_union",
             "est_union",
             "n_both",
-            (jacc_micro / F.lit(1000000.0)).alias("jaccard_est"),
+            frac6_half_up(F.col("n_both"), gnu).alias("jaccard_est"),
             (F.floor(inter * 100 + F.lit(0.5)) / F.lit(100.0)).alias("est_intersection"),
         )
     )

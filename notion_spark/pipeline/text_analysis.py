@@ -134,6 +134,22 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, fingerprint(text_col))
 
 
+def frac6_half_up(num: Column, den: Column) -> Column:
+    """Engine-exact 6-decimal half-up fraction of two exact integers:
+    floor((2*num*1e6 + den) / (2*den)) / 1e6 — THE repo's cross-engine
+    rounding contract (identical integers through identical IEEE ops on
+    any engine; engine round(), whose tie behavior differs between
+    Spark and DuckDB, never touches the value). ONE definition, shared
+    by repetition stats, KMV Jaccard, and the profiler; oracles mirror
+    it as CAST(floor((num*2000000 + den)/(2*den)) AS BIGINT)/1000000.0.
+    Pinned against Python Fraction arithmetic in tests/test_properties."""
+    micro = F.floor(
+        (num.cast("bigint") * F.lit(2000000) + den.cast("bigint"))
+        / (den.cast("bigint") * F.lit(2))
+    )
+    return micro.cast("bigint") / F.lit(1000000.0)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -159,12 +175,7 @@ def repetition_stats(
     """
     from notion_spark.pipeline.dedup import _raw_shingles
 
-    def frac6(num, den):
-        micro = F.floor(
-            (num.cast("bigint") * F.lit(2000000) + den.cast("bigint"))
-            / (den.cast("bigint") * F.lit(2))
-        )
-        return micro.cast("bigint") / F.lit(1000000.0)
+    frac6 = frac6_half_up
 
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")

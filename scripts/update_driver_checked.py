@@ -11,10 +11,14 @@ advances:
 
 Only VERIFIED rows fold: a row with a non-null err, or rows_match /
 schema_match / hash_match explicitly false, is NOT driver-checked — it
-stays in the fresh prefix so the driver re-verifies it after the fix
-(r3 lesson: folding failures would rotate them out of the window and
-the fix would never get a driver row). Rows-only rows (hash_match null
-with no error) fold — that is the strongest signal they can ever get.
+is kept OUT of DRIVER_CHECKED so it sits in the fresh prefix and the
+driver re-verifies it after the fix (r3 lesson: folding failures would
+rotate them out of the window and the fix would never get a driver
+row). That includes DEMOTING a previously-folded name that regressed in
+this artifact: it is removed from the tuple entirely, returning it to
+the fresh prefix immediately rather than waiting for LRU rotation.
+Rows-only rows (hash_match null with no error) fold — that is the
+strongest signal they can ever get.
 
 Re-verified names MOVE to the end of the tuple, so the tuple's order is
 true least-recently-checked order and the 50-query window cycles the
@@ -58,29 +62,39 @@ def main() -> int:
         return 1
     body = m.group(1)
     okset = set(ok)
+    failset = set(skipped)
     original = set(re.findall(r'"([\w]+)"', body))
+    demoted = sorted(original & failset)
+    if demoted:
+        print(f"demoting {len(demoted)} regressed names to the fresh prefix: {demoted}")
     # Drop re-checked names from their old positions (they move to the
-    # end = most recently checked); keep comments, drop emptied lines.
+    # end = most recently checked) AND drop regressed names entirely
+    # (back to fresh); keep comments, drop emptied lines.
     kept_lines = []
     for line in body.split("\n"):
         if line.strip().startswith("#"):
             kept_lines.append(line)
             continue
-        names = [n for n in re.findall(r'"([\w]+)"', line) if n not in okset]
+        names = [
+            n
+            for n in re.findall(r'"([\w]+)"', line)
+            if n not in okset and n not in failset
+        ]
         if names:
             kept_lines.append("    " + " ".join(f'"{n}",' for n in names))
     existing = set(re.findall(r'"([\w]+)"', "\n".join(kept_lines)))
     add = [n for n in ok if n not in existing]
-    if not add:
+    if not add and not demoted:
         print("nothing to add")
         return 0
-    tag = sys.argv[1].replace("CORRECTNESS_", "").replace(".json", "")
-    header = f"    # --- {tag} ({len(add)} driver-checked this round) ---"
-    # re-runs orphan the previous identical tag comment — drop it
-    kept_lines = [ln for ln in kept_lines if ln != header]
-    kept_lines.append(header)
-    for i in range(0, len(add), 4):
-        kept_lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
+    if add:
+        tag = sys.argv[1].replace("CORRECTNESS_", "").replace(".json", "")
+        header = f"    # --- {tag} ({len(add)} driver-checked this round) ---"
+        # re-runs orphan the previous identical tag comment — drop it
+        kept_lines = [ln for ln in kept_lines if ln != header]
+        kept_lines.append(header)
+        for i in range(0, len(add), 4):
+            kept_lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
     block = "DRIVER_CHECKED: tuple[str, ...] = (\n" + "\n".join(kept_lines) + "\n)"
     open(PARITY, "w").write(src.replace(m.group(0), block))
     moved = len([n for n in add if n in original])

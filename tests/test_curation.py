@@ -289,3 +289,26 @@ def test_strip_common_paragraphs(spark):
     assert out[101].n_removed == 0
     # null text passes through the pipeline without a row (not exploded)
     assert 102 not in out
+
+
+def test_weighted_sample_nan_and_null_weights_drop(spark):
+    from notion_spark.pipeline.curation import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.0), (4, -0.5)],
+        "k long, w double",
+    )
+    kept = {r.k for r in weighted_bernoulli_sample(df, "w", "k", rate=1.0).collect()}
+    # NaN, NULL, and negative weights all mean p=0; weight 1 always kept
+    assert kept == {3}
+
+
+def test_strip_common_paragraphs_literal_separator(spark):
+    from notion_spark.pipeline.curation import strip_common_paragraphs
+
+    # '|' is regex alternation — as a LITERAL separator it must split on
+    # pipes, not between every character
+    df = spark.createDataFrame([(1, "alpha|beta"), (2, "gamma|delta")],
+                               "doc_id long, text string")
+    out = {r.id: r for r in strip_common_paragraphs(df, max_docs=5, line_sep="|").collect()}
+    assert out[1].n_kept == 2 and out[1].clean_text == "alpha\nbeta"

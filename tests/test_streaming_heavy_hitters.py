@@ -50,13 +50,16 @@ def test_stream_candidates_superset_and_bounded(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    # update mode: the LAST summary per (shard, value) is current
-    final: dict = {}
-    for r in spark.sql("SELECT * FROM hh_out").collect():
-        final[(r.shard, r.value)] = r.est
+    # reader contract: each shard's LATEST seq is its full current
+    # summary — older emissions may contain since-evicted values
+    out_rows = spark.sql("SELECT * FROM hh_out").collect()
+    latest = {}
+    for r in out_rows:
+        latest[r.shard] = max(latest.get(r.shard, 0), r.seq)
     per_shard: dict = {}
-    for (shard, value), est in final.items():
-        per_shard.setdefault(shard, {})[value] = est
+    for r in out_rows:
+        if r.seq == latest[r.shard]:
+            per_shard.setdefault(r.shard, {})[r.value] = r.est
 
     # state/output bound: every shard summary stays within capacity
     assert all(len(s) <= capacity for s in per_shard.values())
@@ -84,3 +87,40 @@ def test_stream_candidates_superset_and_bounded(spark, tmp_path):
         .filter(F.col("freq") * k >= n)
     )
     assert {r.value: r.freq for r in recount.collect()} == batch == {"hot": 300}
+
+
+def test_evicted_candidates_leave_the_latest_summary(spark, tmp_path):
+    """A value evicted by a later shrink must NOT survive a latest-seq
+    read (update mode cannot retract, so the seq stamp carries the
+    'current summary' boundary): capacity 2, batch 1 dominated by A/B,
+    batch 2 dominated by E/F -> the final summary holds E/F only."""
+    rows1 = [(i, v) for i, v in enumerate(["A"] * 5 + ["B"] * 4 + ["C"] * 3)]
+    rows2 = [(100 + i, v) for i, v in enumerate(["E"] * 10 + ["F"] * 9 + ["G"] * 8)]
+    src = tmp_path / "hh2_src"
+    src.mkdir()
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        heavy_hitters_stream(stream, "value", capacity=2, shards=1)
+        .writeStream.format("memory")
+        .queryName("hh2_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM hh2_out").collect()
+    top_seq = max(r.seq for r in rows)
+    current = {r.value: r.est for r in rows if r.seq == top_seq}
+    assert len(current) <= 2  # the documented bound holds for the reader
+    assert "E" in current and "A" not in current
+    # naive last-per-(shard,value) over ALL seqs would exceed capacity —
+    # exactly why the reader contract is latest-seq, not latest-row
+    naive = {r.value for r in rows}
+    assert len(naive) > 2
