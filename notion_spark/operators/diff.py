@@ -1,0 +1,79 @@
+"""Snapshot diff — classify rows as added / removed / changed between two
+versions of a keyed table.
+
+The reference's incremental fetch answers "which pages changed?" with a
+per-row watermark comparison (fetch_pages.py:570-577); this operator is
+the general table-versioning complement when there is no trustworthy
+watermark: given two snapshots, compute the exact delta. That delta is
+what feeds M2's upsert, CDC audit logs, and data-reconciliation checks
+after a backfill.
+
+Shape: ONE full-outer shuffle join on the key, then a null-safe
+column-by-column comparison — all codegen'd, no UDFs. At 100 TB both
+sides shuffle once on the key; if the snapshots are written bucketed by
+the key (sources/io.write_bucketed) the exchange disappears entirely and
+the diff is a zipper merge per bucket. For very wide rows, pass
+``compare_cols`` to restrict the comparison (and the shuffled width) to
+the columns that matter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every key of ``old`` ∪ ``new``:
+
+    - ``added``     — key only in ``new``
+    - ``removed``   — key only in ``old``
+    - ``changed``   — key in both, any compare column differs (null-safe:
+      NULL→value and value→NULL both count as changes; NULL→NULL does not)
+    - ``unchanged`` — key in both, all compare columns equal (emitted only
+      when ``include_unchanged``)
+
+    Output: key column(s) + ``change_type`` + ``old_<c>`` / ``new_<c>``
+    for each compare column. Deterministic for any input (no ordering
+    sensitivity anywhere)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    cols = list(compare_cols)
+
+    o = old.select(*keys, *cols)
+    n = new.select(*keys, *cols)
+    # Presence markers survive the outer join even when every payload
+    # column is NULL on a present side.
+    o = o.withColumn("__in_old", F.lit(True))
+    n = n.withColumn("__in_new", F.lit(True))
+    for c in cols:
+        o = o.withColumnRenamed(c, f"old_{c}")
+        n = n.withColumnRenamed(c, f"new_{c}")
+
+    j = o.join(n, on=keys, how="full_outer")
+
+    def any_diff() -> Column:
+        d = F.lit(False)
+        for c in cols:
+            d = d | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        return d
+
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_diff(), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("change_type", change).drop("__in_old", "__in_new")
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out.select(*keys, "change_type", *[f"old_{c}" for c in cols], *[f"new_{c}" for c in cols])

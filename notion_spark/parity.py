@@ -4254,6 +4254,215 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "matview_incremental_refresh",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+           CAST(floor((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS BIGINT) * 2000000
+                       + COUNT(*) * 100)
+                      / (COUNT(*) * 100 * 2)) AS BIGINT) / 1000000.0 AS avg_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/matview.build_state/refresh): the state covers orders
+    before 1996-01-01, one `refresh` folds in the rest, and the result
+    must equal a from-scratch GROUP BY over the whole table — which is
+    exactly what the oracle computes. Count/sum/min/max merge as
+    monoids; sums route through DECIMAL so merge order can never change
+    a bit; avg finalizes via the repo's frac6 half-up contract on exact
+    integer cents. At 100 TB the refresh shuffles |groups| + |batch|
+    rows instead of rescanning the corpus."""
+    from notion_spark.operators.matview import build_state, refresh
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp")
+    spec = dict(
+        keys=["o_orderpriority"],
+        sums=["o_totalprice"],
+        mins=["o_orderdate"],
+        maxs=["o_orderdate"],
+    )
+    state = build_state(orders.filter(F.col("o_orderdate") < split), **spec)
+    merged = refresh(state, orders.filter(F.col("o_orderdate") >= split), **spec)
+    cents = (F.col("sum_o_totalprice") * 100).cast("bigint")
+    return merged.select(
+        "o_orderpriority",
+        F.col("cnt").alias("cnt"),
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        frac6_half_up(cents, F.col("cnt") * 100).alias("avg_price"),
+        F.date_format("min_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format("max_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    )
+
+
+@register(
+    "diff_snapshot_orders",
+    """
+    WITH old AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+    """,
+)
+def diff_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.snapshot_diff): two deterministic
+    versions of orders — the old snapshot is missing every 97th key and
+    carries a +1.0 price on every 13th, the new snapshot is missing
+    every 89th — classified added/removed/changed via one full-outer
+    join and null-safe comparison. The oracle recomputes the same
+    full-outer classification; the +1.0 perturbation is one IEEE add on
+    a raw double, bit-identical on both engines."""
+    from notion_spark.operators.diff import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return snapshot_diff(old, new, "o_orderkey").select(
+        "o_orderkey", "change_type", "old_o_totalprice", "new_o_totalprice"
+    )
+
+
+@register(
+    "quality_expectations_orders",
+    """
+    WITH t AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+               COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+               SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_set,
+               SUM(CASE WHEN o_totalprice IS NOT NULL
+                         AND o_totalprice NOT BETWEEN 0 AND 450000 THEN 1 ELSE 0 END) AS v_rng,
+               SUM(CASE WHEN o_orderpriority IS NOT NULL
+                         AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                        THEN 1 ELSE 0 END) AS v_re
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'not_null(o_custkey)' AS "constraint", CAST(v_null AS BIGINT) AS violations,
+               CAST(total AS BIGINT) AS total, v_null * 1000000 <= 0 * total AS passed FROM t
+        UNION ALL
+        SELECT 'unique(o_orderkey)', CAST(v_uniq AS BIGINT), CAST(total AS BIGINT),
+               v_uniq * 1000000 <= 0 * total FROM t
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)', CAST(v_set AS BIGINT), CAST(total AS BIGINT),
+               v_set * 1000000 <= 0 * total FROM t
+        UNION ALL
+        SELECT 'between(o_totalprice)', CAST(v_rng AS BIGINT), CAST(total AS BIGINT),
+               v_rng * 1000000 <= 50000 * total FROM t
+        UNION ALL
+        SELECT 'matches(o_orderpriority)', CAST(v_re AS BIGINT), CAST(total AS BIGINT),
+               v_re * 1000000 <= 0 * total FROM t
+    )
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (pipeline/expectations.check): five
+    constraints — nullness, key uniqueness, domain membership, range
+    with a 5% (50000 ppm) tolerance, and format regex — ALL computed in
+    one aggregation pass (one scan, map-side combined), verdicts decided
+    in exact integer ppm math. The oracle recomputes each violation
+    count as a scalar aggregate and the same integer threshold
+    comparison."""
+    from notion_spark.pipeline import expectations as EX
+
+    orders = read_table(spark, sf_dir, "orders")
+    return EX.check(
+        orders,
+        [
+            EX.expect_not_null("o_custkey"),
+            EX.expect_unique("o_orderkey"),
+            EX.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            EX.expect_between("o_totalprice", 0, 450000, max_ppm=50_000),
+            EX.expect_matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+
+def _web_url_expr_sql() -> str:
+    from notion_spark.pipeline.web import canonical_url_sql
+
+    raw = (
+        "'HTTP://WWW.' || upper(source) || '.Example.COM:80/docs/' "
+        "|| CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=' "
+        "|| CAST(doc_id % 3 AS VARCHAR) || '&a=1#sec'"
+    )
+    return canonical_url_sql(raw)
+
+
+@register(
+    "web_canonical_url_dedup",
+    f"""
+    WITH u AS (
+        SELECT doc_id, lang, {_web_url_expr_sql()} AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count,
+           arg_min(lang, doc_id) AS lang
+    FROM u GROUP BY canonical_url
+    """,
+)
+def web_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (pipeline/web): crawl-style
+    URLs derived deterministically from the documents table (uppercase
+    scheme/host, default port, tracking params, unsorted query, fragment)
+    are canonicalized with pure string/regex/array built-ins and deduped
+    on the canonical form — ONE hash shuffle, the cheap pre-pass every
+    web-corpus pipeline runs before content-level dedup. The oracle
+    recomputes every canonicalization step from SQL generated by the
+    same code (web.canonical_url_sql)."""
+    from notion_spark.pipeline.web import dedup_by_url
+
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:80/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a=1#sec"),
+    )
+    return dedup_by_url(
+        d.withColumn("url", url), "url", "doc_id", keep_cols=("lang",)
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -1,0 +1,108 @@
+"""Declarative data-quality expectations — a deequ-style constraint suite
+computed in ONE aggregation pass.
+
+A 100 TB ingest wants its gate checks (nullness, key uniqueness, domain
+membership, range bounds, format) to cost one scan, not one scan per
+constraint. Every expectation here contributes a conditional-count column
+to a single ``df.agg(...)`` — Catalyst fuses them into one job with
+map-side partial aggregation — and the one-row result is exploded into a
+long (constraint, violations, total, passed) frame.
+
+Everything is INTEGER arithmetic end-to-end (violation counts, ppm
+thresholds compared as ``violations * 1e6 <= max_ppm * total`` in exact
+bigint math), so results are bit-identical on any engine — the parity
+oracle recomputes each row as a scalar SQL subquery.
+
+Threshold semantics: ``max_ppm`` is the allowed violation rate in parts
+per million (0 = hard constraint). An empty table passes every
+expectation (0 violations of 0 rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One constraint: ``violations`` is an aggregate Column counting the
+    rows (or key collisions) that violate it."""
+
+    name: str
+    violations: Column
+    max_ppm: int = 0
+
+
+def _count_if(pred: Column) -> Column:
+    return F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+
+
+def expect_not_null(col: str, max_ppm: int = 0) -> Expectation:
+    return Expectation(f"not_null({col})", _count_if(F.col(col).isNull()), max_ppm)
+
+
+def expect_unique(col: str, max_ppm: int = 0) -> Expectation:
+    """Violations = non-null rows beyond the first per value. NULLs are
+    ignored (pair with expect_not_null for a primary key)."""
+    extra = _count_if(F.col(col).isNotNull()) - F.count_distinct(F.col(col))
+    return Expectation(f"unique({col})", extra.cast("long"), max_ppm)
+
+
+def expect_in_set(col: str, values: Sequence, max_ppm: int = 0) -> Expectation:
+    pred = F.col(col).isNotNull() & ~F.col(col).isin(list(values))
+    return Expectation(f"in_set({col})", _count_if(pred), max_ppm)
+
+
+def expect_between(col: str, lo, hi, max_ppm: int = 0) -> Expectation:
+    pred = F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+    return Expectation(f"between({col})", _count_if(pred), max_ppm)
+
+
+def expect_matches(col: str, pattern: str, max_ppm: int = 0) -> Expectation:
+    """Anchored RE2-safe subset recommended; keep patterns to character
+    classes / anchors / quantifiers so Spark rlike and other engines'
+    regexp agree."""
+    pred = F.col(col).isNotNull() & ~F.col(col).rlike(pattern)
+    return Expectation(f"matches({col})", _count_if(pred), max_ppm)
+
+
+def expect_positive_count(min_rows: int = 1) -> Expectation:
+    """Table-level: at least ``min_rows`` rows. Violations = shortfall."""
+    short = F.greatest(F.lit(min_rows) - F.count(F.lit(1)), F.lit(0))
+    return Expectation(f"min_rows({min_rows})", short.cast("long"), 0)
+
+
+def check(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
+    """Evaluate every expectation in one aggregation over ``df``.
+
+    Output: (constraint string, violations bigint, total bigint,
+    passed boolean), one row per expectation, fully deterministic."""
+    if not expectations:
+        raise ValueError("no expectations given")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    aggs += [e.violations.alias(f"__v{i}") for i, e in enumerate(expectations)]
+    one = df.agg(*aggs)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(e.name).alias("constraint"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long").alias("violations"),
+                F.col("__total").cast("long").alias("total"),
+                (
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0)) * F.lit(1_000_000)
+                    <= F.lit(e.max_ppm) * F.col("__total")
+                ).alias("passed"),
+            )
+            for i, e in enumerate(expectations)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -1,0 +1,148 @@
+"""Data-quality expectations (pipeline/expectations) and URL ops
+(pipeline/web)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from notion_spark.pipeline.expectations import (
+    check,
+    expect_between,
+    expect_in_set,
+    expect_matches,
+    expect_not_null,
+    expect_positive_count,
+    expect_unique,
+)
+from notion_spark.pipeline.web import (
+    canonical_url_sql,
+    canonicalize_url,
+    dedup_by_url,
+    host_of,
+)
+
+
+class TestExpectations:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(id=1, status="open", score=5),
+                Row(id=2, status="done", score=11),
+                Row(id=2, status=None, score=3),
+                Row(id=4, status="weird", score=-1),
+            ]
+        )
+
+    def test_counts_and_verdicts(self, spark):
+        out = {
+            r["constraint"]: r
+            for r in check(
+                self._df(spark),
+                [
+                    expect_not_null("status"),
+                    expect_unique("id"),
+                    expect_in_set("status", ["open", "done"]),
+                    expect_between("score", 0, 10),
+                    expect_matches("status", "^[a-z]{4}$"),
+                    expect_positive_count(10),
+                ],
+            ).collect()
+        }
+        assert out["not_null(status)"]["violations"] == 1
+        assert out["unique(id)"]["violations"] == 1  # id=2 twice
+        assert out["in_set(status)"]["violations"] == 1  # 'weird'; NULL ignored
+        assert out["between(score)"]["violations"] == 2  # 11 and -1
+        assert out["matches(status)"]["violations"] == 1
+        assert out["min_rows(10)"]["violations"] == 6  # 4 rows, short 6
+        assert all(r["total"] == 4 for r in out.values())
+        assert not any(r["passed"] for r in out.values())
+
+    def test_ppm_threshold_integer_math(self, spark):
+        # 1 violation of 4 rows = 250_000 ppm: passes at 250000, fails at 249999
+        df = self._df(spark)
+        out = check(
+            df,
+            [
+                expect_not_null("status", max_ppm=250_000),
+                expect_in_set("status", ["open", "done"], max_ppm=249_999),
+            ],
+        ).collect()
+        by = {r["constraint"]: r["passed"] for r in out}
+        assert by["not_null(status)"] is True
+        assert by["in_set(status)"] is False
+
+    def test_empty_table_passes(self, spark):
+        df = self._df(spark).filter(F.lit(False))
+        out = check(df, [expect_not_null("status"), expect_unique("id")]).collect()
+        assert all(r["passed"] and r["violations"] == 0 and r["total"] == 0 for r in out)
+
+    def test_single_pass_plan(self, spark):
+        df = self._df(spark)
+        plan = (
+            check(df, [expect_not_null("status"), expect_between("score", 0, 10)])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan") == 1  # all constraints fused into one scan
+
+    def test_duplicate_names_rejected(self, spark):
+        with pytest.raises(ValueError, match="duplicate"):
+            check(self._df(spark), [expect_not_null("status"), expect_not_null("status")])
+
+
+URLS = [
+    ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag", "http://www.example.com/a/b?a=1&b=2"),
+    ("https://site.org:443/", "https://site.org/"),
+    ("https://site.org:8443/x/", "https://site.org:8443/x"),
+    ("http://host.net", "http://host.net/"),
+    ("http://host.net/p?fbclid=abc&ref=tw", "http://host.net/p"),
+    ("http://host.net/p///", "http://host.net/p"),
+    ("http://a.b/p?z=1&y=2&z=0", "http://a.b/p?y=2&z=0&z=1"),
+]
+
+
+class TestWeb:
+    def test_canonicalize_cases(self, spark):
+        df = spark.createDataFrame([Row(i=i, url=u) for i, (u, _) in enumerate(URLS)])
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+        }
+        for i, (_, want) in enumerate(URLS):
+            assert got[i] == want, (URLS[i][0], got[i], want)
+
+    def test_sql_mirror_matches_spark(self, spark):
+        df = spark.createDataFrame([Row(url=u) for u, _ in URLS])
+        got = sorted(r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE u(url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)", [(u,) for u, _ in URLS])
+        want = sorted(
+            r[0] for r in con.execute(f"SELECT {canonical_url_sql('url')} FROM u").fetchall()
+        )
+        assert got == want
+
+    def test_host_of(self, spark):
+        df = spark.createDataFrame([Row(url="HTTPS://User.Host.IO:8443/x?q#f")])
+        assert df.select(host_of("url").alias("h")).first()["h"] == "user.host.io"
+
+    def test_dedup_by_url(self, spark):
+        rows = [
+            Row(id=10, url="http://A.b/p/", lang="en"),
+            Row(id=3, url="HTTP://a.B:80/p?utm_source=z", lang="de"),
+            Row(id=7, url="http://a.b/q", lang="fr"),
+        ]
+        out = {
+            r["canonical_url"]: r
+            for r in dedup_by_url(
+                spark.createDataFrame(rows), "url", "id", keep_cols=("lang",)
+            ).collect()
+        }
+        assert out["http://a.b/p"]["id"] == 3
+        assert out["http://a.b/p"]["dup_count"] == 2
+        assert out["http://a.b/p"]["lang"] == "de"  # rides with the winning id
+        assert out["http://a.b/q"]["dup_count"] == 1
