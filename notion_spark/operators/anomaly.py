@@ -1,0 +1,104 @@
+"""Per-group sigma-rule outlier detection in exact integer algebra.
+
+The monitoring question "which rows sit more than t standard deviations
+from their group's mean?" is usually answered with float mean/std — whose
+values depend on partition-level summation order, so two runs (or two
+engines) can disagree on borderline rows. Here the test is rearranged so
+no division, square root, or float accumulation ever happens:
+
+    |v - s/n| > t·σ,   σ² = (n·q - s²)/n²
+    ⟺  (n·v - s)²  >  t²·(n·q - s²)
+
+with v = floor(value·10⁶) micro-units (one IEEE multiply+floor, identical
+on every engine), s = Σv, q = Σv² as exact DECIMAL(38,0) sums, and t an
+integer. Every quantity is an exact integer, so the verdict is
+bit-reproducible under ANY partitioning and on any engine — the oracle
+recomputes it in int128.
+
+Magnitude contract (documented, asserted): the algebra stays within
+DECIMAL(38,0) iff n·q and s² < 10³⁸ — with |value| ≤ V and group rows
+≤ n, that is n·(V·10⁶)² < 10³⁸, e.g. one BILLION rows of values up to
+~10⁷. Beyond that, shrink ``micro``.
+
+Shape at scale: one map-side-combined groupBy over the group key (the
+stats frame is |groups| rows), then a broadcast join back — the corpus
+is never shuffled. Two scans of the input; persist upstream if it is
+itself expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+D38 = "decimal(38,0)"
+
+
+def sigma_outliers(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    t: int = 3,
+    micro: int = 1_000_000,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``t`` standard
+    deviations from their group mean (population σ, the monitoring
+    convention). ``mark_only=True`` returns every row with an
+    ``is_outlier`` boolean instead of filtering.
+
+    Groups with n < 2 (σ undefined) and NULL values never flag."""
+    if t < 1 or micro < 1:
+        raise ValueError(f"t and micro must be >= 1, got t={t}, micro={micro}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    v = F.floor(F.col(value_col) * F.lit(micro)).cast(D38)
+    with_v = df.withColumn("__v", v)
+    stats = with_v.filter(F.col("__v").isNotNull()).groupBy(*groups).agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum("__v").cast(D38).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast(D38)).cast(D38).alias("__q"),
+    )
+    j = with_v.join(F.broadcast(stats), on=groups, how="left")
+    lhs = (F.col("__n") * F.col("__v") - F.col("__s")).cast(D38)
+    rhs = (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast(D38)
+    flag = (
+        F.col("__v").isNotNull()
+        & (F.col("__n") >= 2)
+        & ((lhs * lhs).cast(D38) > (F.lit(t * t).cast(D38) * rhs).cast(D38))
+    )
+    marked = j.withColumn("is_outlier", F.coalesce(flag, F.lit(False))).drop(
+        "__v", "__n", "__s", "__q"
+    )
+    if mark_only:
+        return marked
+    return marked.filter(F.col("is_outlier")).drop("is_outlier")
+
+
+def sigma_outliers_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    t: int = 3,
+    micro: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of `sigma_outliers` (filtering form, single group
+    column) — int128 (HUGEINT) arithmetic reproduces every verdict."""
+    return f"""
+    WITH v AS (
+        SELECT *, CAST(floor({value_col} * {micro}) AS HUGEINT) AS mv
+        FROM {table}
+    ),
+    st AS (
+        SELECT {group_col},
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(mv) AS HUGEINT) AS s,
+               CAST(SUM(mv * mv) AS HUGEINT) AS q
+        FROM v WHERE mv IS NOT NULL GROUP BY {group_col}
+    )
+    SELECT v.* EXCLUDE (mv)
+    FROM v JOIN st USING ({group_col})
+    WHERE v.mv IS NOT NULL AND st.n >= 2
+      AND (st.n * v.mv - st.s) * (st.n * v.mv - st.s)
+          > {t * t} * (st.n * st.q - st.s * st.s)
+    """

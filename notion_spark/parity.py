@@ -4463,6 +4463,61 @@ def web_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sigma_oracle() -> str:
+    from notion_spark.operators.anomaly import sigma_outliers_sql
+
+    inner = sigma_outliers_sql("events", "event_type", "value", t=3)
+    return f"SELECT event_id, event_type, value FROM ({inner})"
+
+
+@register("anomaly_sigma_events", _sigma_oracle())
+def anomaly_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier detection with a bit-reproducible
+    verdict (operators/anomaly.sigma_outliers): the σ test is rearranged
+    to (n·v − s)² > t²·(n·q − s²) over exact integer micro-units, so no
+    float accumulation, division, or sqrt ever runs — two engines (and
+    any partitioning) flag the identical rows. One groupBy to a
+    |groups|-row stats frame + broadcast join back; the corpus is never
+    shuffled. The oracle recomputes every verdict in int128, generated
+    by the same module (anomaly.sigma_outliers_sql)."""
+    from notion_spark.operators.anomaly import sigma_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return sigma_outliers(ev, "event_type", "value", t=3).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "curation_reservoir_per_group",
+    """
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) ASC,
+                            doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def curation_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample
+    (pipeline/curation.reservoir_per_group): the 5 documents per source
+    with the smallest engine-neutral md5 hash — a derandomized reservoir
+    sample that is row-exact reproducible, stable under repartitioning,
+    and monotone in k (the k-sample is a subset of the (k+1)-sample).
+    One group-key shuffle with a spilling window — 'exactly k examples
+    per source' at any corpus size."""
+    from notion_spark.pipeline.curation import reservoir_per_group
+
+    d = read_table(spark, sf_dir, "documents")
+    return reservoir_per_group(d, "source", k=5, key_col="doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from notion_spark.pipeline.dedup import shingle_hashes
 
@@ -131,6 +132,40 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(int(round(rate * buckets)))
         ).otherwise(chain)
     return df.filter(hash_bucket(F.col(key_col), buckets) < chain)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample per group: the k rows whose
+    engine-neutral hash (`text_analysis.md5_hash60` of the unique key) is
+    smallest within the group — a derandomized reservoir sample. Because
+    the hash is uniform over keys, the selection is uniform over rows;
+    because it is deterministic, the sample is row-exact reproducible on
+    any engine, stable under repartitioning, and *consistent across
+    runs*: a row stays sampled until enough smaller-hash rows arrive,
+    exactly the bottom-k-of-uniform property KMV sketches build on.
+
+    ONE shuffle on the group key; the per-group window spills, so a
+    billion-row group costs the same as any top-k. Use this (not
+    `stratified_sample`) when you need "exactly k examples per source"
+    — eval subsets, data cards, human-review draws."""
+    from notion_spark.pipeline.text_analysis import md5_hash60
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*groups).orderBy(
+        md5_hash60(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def strip_common_paragraphs(

@@ -1,0 +1,106 @@
+"""Sigma-rule outliers (operators/anomaly) and per-group reservoir
+sampling (pipeline/curation.reservoir_per_group)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from notion_spark.operators.anomaly import sigma_outliers, sigma_outliers_sql
+from notion_spark.pipeline.curation import reservoir_per_group
+
+
+class TestSigmaOutliers:
+    def _df(self, spark):
+        rows = [Row(id=i, g="a", v=float(x)) for i, x in enumerate([10, 11, 9, 10, 10, 50])]
+        rows += [Row(id=100 + i, g="b", v=float(x)) for i, x in enumerate([5, 5, 5, 5])]
+        rows += [Row(id=200, g="c", v=99.0)]  # n=1: sigma undefined
+        rows += [Row(id=300, g="a", v=None)]
+        return spark.createDataFrame(rows)
+
+    def test_flags_match_population_zscore(self, spark):
+        df = self._df(spark)
+        got = {r["id"] for r in sigma_outliers(df, "g", "v", t=2).collect()}
+        vals = [10, 11, 9, 10, 10, 50]
+        mu = sum(vals) / len(vals)
+        sig = math.sqrt(sum((x - mu) ** 2 for x in vals) / len(vals))
+        want = {i for i, x in enumerate(vals) if abs(x - mu) > 2 * sig}
+        assert got == want and got == {5}
+
+    def test_constant_group_and_singletons_never_flag(self, spark):
+        got = sigma_outliers(self._df(spark), "g", "v", t=1).filter(
+            F.col("g").isin("b", "c")
+        )
+        assert got.count() == 0
+
+    def test_null_values_never_flag(self, spark):
+        out = sigma_outliers(self._df(spark), "g", "v", t=1, mark_only=True)
+        row = [r for r in out.collect() if r["id"] == 300][0]
+        assert row["is_outlier"] is False
+
+    def test_mark_only_keeps_all_rows(self, spark):
+        df = self._df(spark)
+        assert sigma_outliers(df, "g", "v", mark_only=True).count() == df.count()
+
+    def test_duckdb_mirror_identical(self, spark, sf_dir):
+        from notion_spark.sources.io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        got = sorted(
+            r["event_id"]
+            for r in sigma_outliers(ev, "event_type", "value", t=2).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        sql = sigma_outliers_sql("events", "event_type", "value", t=2)
+        want = sorted(r[0] for r in con.execute(f"SELECT event_id FROM ({sql})").fetchall())
+        assert got == want and len(got) > 0
+
+    def test_rejects_bad_params(self, spark):
+        with pytest.raises(ValueError):
+            sigma_outliers(self._df(spark), "g", "v", t=0)
+
+    def test_stats_broadcast_no_corpus_shuffle(self, spark):
+        plan = (
+            sigma_outliers(self._df(spark), "g", "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestReservoirPerGroup:
+    def test_exactly_k_per_group(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = reservoir_per_group(d, "source", k=3, key_col="doc_id")
+        sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        orig = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for s, n in sizes.items():
+            assert n == min(3, orig[s])
+
+    def test_stable_under_repartition(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"] for r in reservoir_per_group(d, "source", 4, "doc_id").collect()}
+        b = {
+            r["doc_id"]
+            for r in reservoir_per_group(d.repartition(7), "source", 4, "doc_id").collect()
+        }
+        assert a == b
+
+    def test_monotone_in_k(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        small = {r["doc_id"] for r in reservoir_per_group(d, "source", 2, "doc_id").collect()}
+        big = {r["doc_id"] for r in reservoir_per_group(d, "source", 5, "doc_id").collect()}
+        assert small < big
+
+    def test_rejects_bad_k(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with pytest.raises(ValueError):
+            reservoir_per_group(d, "source", 0, "doc_id")
