@@ -182,3 +182,52 @@ def test_sketch_family_plan_shapes(spark, sf_dir):
     # column pruning: the scan reads only the profiled column
     assert "l_extendedprice" in hq.split("ReadSchema")[-1][:200]
     assert "l_comment" not in hq and "l_partkey" not in hq.split("ReadSchema")[-1][:200]
+
+
+def test_matview_refresh_merges_partials(spark, sf_dir):
+    """r4 matview: both state builds are map-side-combined aggs and the
+    merge re-aggregates tiny state frames — three group-key exchanges
+    total, none over unaggregated data twice."""
+    plan = plan_of(parity.QUERIES["matview_incremental_refresh"](spark, sf_dir))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_expectations_single_scan(spark, sf_dir):
+    """r4 expectations: five constraints fuse into ONE scan and one
+    global aggregate."""
+    plan = plan_of(parity.QUERIES["quality_expectations_orders"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_snapshot_diff_one_join_two_scans(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["diff_snapshot_orders"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_web_dedup_single_exchange_no_python(spark, sf_dir):
+    """r4 URL dedup: canonicalization is codegen'd string ops feeding one
+    map-side-combined hash shuffle."""
+    plan = plan_of(parity.QUERIES["web_canonical_url_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_sigma_outliers_broadcast_stats(spark, sf_dir):
+    """r4 anomaly: the |groups|-row stats frame broadcasts back; the
+    corpus itself is never hash-shuffled."""
+    plan = plan_of(parity.QUERIES["anomaly_sigma_events"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # only the stats agg
+    assert "CartesianProduct" not in plan
+
+
+def test_reservoir_single_spilling_window(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["curation_reservoir_per_group"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
