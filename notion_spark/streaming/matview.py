@@ -1,0 +1,101 @@
+"""Streaming incremental materialized view — the continuous analogue of
+operators/matview.
+
+Batch `refresh` folds one batch into the state; this wires the SAME
+merge (operators.matview.merge_states — count/sum/min/max monoids over
+DECIMAL-exact sums) into Structured Streaming via foreachBatch, so a
+view over an unbounded source stays current at per-micro-batch cost:
+
+    state' = merge_states(state, build_state(micro_batch))
+
+Why foreachBatch and not a plain streaming groupBy agg: the built-in
+streaming aggregate keeps ALL group state in the state store and cannot
+emit a queryable table without `complete` mode (which re-emits every
+group every trigger). Here the state lives in a parquet store (the
+dependency-free stand-in for a Delta MERGE target, same as
+streaming/upsert.py), micro-batches touch only their own groups'
+partials, and any reader sees a consistent view between triggers.
+
+Exactly-once: the merge is idempotent per epoch only if each batch is
+processed once — the checkpoint gives that; a REPLAYED batch would
+double-count (sums are not idempotent, unlike upsert's keep-last), so
+`stream_refresh` records the last merged epoch in the store and skips
+epochs it has already folded (the standard foreachBatch transactional
+guard)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from notion_spark.operators.matview import build_state, merge_states
+
+
+def _epoch_path(store_path: str) -> str:
+    return os.path.join(store_path + ".epoch")
+
+
+def last_epoch(store_path: str) -> int:
+    p = _epoch_path(store_path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["epoch"]
+    return -1
+
+
+def merge_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    store_path: str,
+    keys: list[str],
+    sums: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+) -> None:
+    """Fold one micro-batch into the parquet state store, once per epoch
+    (replays are skipped — merging counts twice would double them)."""
+    from notion_spark.sources.io import overwrite_store
+
+    if epoch <= last_epoch(store_path):
+        return
+    spec = dict(keys=keys, sums=list(sums), mins=list(mins), maxs=list(maxs))
+    part = build_state(batch, **spec)
+    if os.path.exists(store_path):
+        merged = merge_states(spark.read.parquet(store_path), part, **spec)
+    else:
+        merged = part
+    # tmp-then-swap: merged's lineage reads store_path (see upsert.py)
+    overwrite_store(merged, store_path)
+    with open(_epoch_path(store_path), "w") as f:
+        json.dump({"epoch": epoch}, f)
+
+
+def stream_refresh(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    sums: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Attach the incremental-view merge to a streaming frame. The store
+    at ``store_path`` always equals `build_state` of everything consumed
+    so far — pinned by the batch==stream equivalence test."""
+
+    def run(batch: DataFrame, epoch: int) -> None:
+        merge_batch(
+            batch.sparkSession, batch, epoch, store_path, keys, sums, mins, maxs
+        )
+
+    writer = stream.writeStream.foreachBatch(run).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
