@@ -4518,6 +4518,36 @@ def curation_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "reshape_melt_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def reshape_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (operators/reshape.melt over native
+    DataFrame.unpivot): three metric columns become (metric, value)
+    rows — zero shuffle, codegen'd in-place expansion; values are raw
+    doubles passed through untouched (bit-identical, no arithmetic).
+    Filtered first because melt multiplies rows — the order the module
+    docstring prescribes for 100 TB."""
+    from notion_spark.operators.reshape import melt
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

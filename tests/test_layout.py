@@ -54,3 +54,56 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     za, zb = mean_extents(zpath)
     assert sa >= 63  # stripe layout cannot prune on `a` at all
     assert za <= 33 and zb <= 33  # z-order bounds BOTH extents
+
+
+class TestCompactFiles:
+    def test_merges_small_files(self, spark, tmp_path):
+        import glob
+
+        from notion_spark.pipeline.layout import compact_files
+
+        path = str(tmp_path / "frag")
+        df = spark.range(0, 10_000).withColumn("v", F.col("id") % 100)
+        df.repartition(40).write.parquet(path)
+        assert len(glob.glob(path + "/*.parquet")) == 40
+
+        stats = compact_files(spark, path, target_mb=512)
+        assert stats["files_before"] == 40
+        assert stats["files_after"] == 1  # tiny data -> one target file
+        got = spark.read.parquet(path)
+        assert got.count() == 10_000
+        assert got.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+
+    def test_sorted_compaction_keeps_pruning_layout(self, spark, tmp_path):
+        from notion_spark.pipeline.layout import compact_files
+
+        path = str(tmp_path / "sorted")
+        spark.range(0, 5_000).withColumn("v", (F.col("id") * 7919) % 5000).repartition(
+            16
+        ).write.parquet(path)
+        compact_files(spark, path, target_mb=512, sort_cols=["v"])
+        # per-file min/max on v must now be tight: read back footers
+        import pyarrow.parquet as pq
+        import glob
+
+        files = glob.glob(path + "/*.parquet")
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col = [
+                md.row_group(i).column(j)
+                for i in range(md.num_row_groups)
+                for j in range(md.row_group(i).num_columns)
+                if md.row_group(i).column(j).path_in_schema == "v"
+            ]
+            spans = [(c.statistics.min, c.statistics.max) for c in col]
+            # sorted within file: row-group ranges are narrow and ordered
+            assert spans == sorted(spans)
+
+    def test_empty_dir_rejected(self, spark, tmp_path):
+        import pytest
+
+        from notion_spark.pipeline.layout import compact_files
+
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(ValueError):
+            compact_files(spark, str(tmp_path / "empty"))

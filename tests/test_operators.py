@@ -178,3 +178,20 @@ def test_range_join_boundaries_and_multibin(spark):
     assert got == [(1, "w1"), (2, "w1"), (3, "w1")]  # each exactly once
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_melt_zero_shuffle_and_shape(spark, sf_dir):
+    from notion_spark.operators.reshape import melt
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+    out = melt(li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount"])
+    assert out.columns == ["l_orderkey", "l_linenumber", "metric", "value"]
+    assert out.count() == 200
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # in-place expansion: no shuffle beyond the limit's own SinglePartition
+    assert "Exchange hashpartitioning" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        melt(li, ["l_orderkey"], [])
