@@ -241,3 +241,85 @@ def test_repetition_frac_is_half_up_of_exact_fraction(spark, nums):
         if Fraction(n, d) * 10**6 - want_micro >= Fraction(1, 2):
             want_micro += 1
         assert got[i] == want_micro / 1e6, (n, d)
+
+
+@SETTINGS
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(keys, st.integers(-1000, 1000)), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_matview_merge_equals_full_recompute(spark, batches):
+    """Folding batches one at a time through refresh() must equal one
+    build_state over everything — for ANY batch split, including empty
+    batches (the monoid identity)."""
+    from notion_spark.operators.matview import build_state, refresh
+
+    schema = "k string, v int"
+    spec = dict(keys=["k"], sums=["v"], mins=["v"], maxs=["v"])
+    all_rows = [r for b in batches for r in b]
+    if not all_rows:
+        return
+    state = build_state(spark.createDataFrame(batches[0] or [("zz", 0)], schema).filter(F.lit(bool(batches[0]))), **spec)
+    for b in batches[1:]:
+        batch_df = spark.createDataFrame(b or [("zz", 0)], schema).filter(F.lit(bool(b)))
+        state = refresh(state, batch_df, **spec)
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, build_state(spark.createDataFrame(all_rows, schema), **spec).collect()))
+    assert got == want
+
+
+URL_CHARS = st.text(alphabet="aB/.:?&=#_%0-9", min_size=0, max_size=20)
+
+
+@SETTINGS
+@given(
+    host=st.text(alphabet="aBcD.", min_size=1, max_size=8),
+    tail=URL_CHARS,
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+)
+def test_canonicalize_url_idempotent(spark, host, tail, scheme, port):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for arbitrary
+    absolute URLs — the property that makes re-canonicalizing a
+    mixed-provenance corpus safe."""
+    from pyspark.sql import Row
+
+    from notion_spark.pipeline.web import canonicalize_url
+
+    url = f"{scheme}://{host}{port}/{tail}"
+    df = spark.createDataFrame([Row(u=url)])
+    once = df.select(canonicalize_url("u").alias("c"))
+    twice = once.select(canonicalize_url("c").alias("c"))
+    a = once.first()["c"]
+    b = twice.first()["c"]
+    assert a == b
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.integers(1, 4),
+)
+def test_sigma_outliers_match_exact_integer_python(spark, vals, t):
+    """The Spark verdict must equal an independent exact-integer Python
+    evaluation of (n*v - s)^2 > t^2*(n*q - s^2) — including borderline
+    rows where float z-scores would waver."""
+    import math
+
+    from pyspark.sql import Row
+
+    from notion_spark.operators.anomaly import sigma_outliers
+
+    df = spark.createDataFrame([Row(id=i, g="g", v=float(x)) for i, x in enumerate(vals)])
+    got = {r["id"] for r in sigma_outliers(df, "g", "v", t=t).collect()}
+    mv = [math.floor(x * 1_000_000) for x in vals]
+    n, s, q = len(mv), sum(mv), sum(x * x for x in mv)
+    want = {i for i, v in enumerate(mv) if (n * v - s) ** 2 > t * t * (n * q - s * s)}
+    assert got == want
