@@ -1,0 +1,143 @@
+"""Time-series densification and exact per-group trend fitting.
+
+`resample_fill` turns an irregular event stream into a dense per-period
+series per key — the gap-filling step before any rolling metric, chart,
+or model feature over time (the reference's weekly velocity implicitly
+relies on pandas resample emitting empty weeks; Spark's groupBy simply
+has no row to emit, so the periods must be generated).
+
+`groupwise_linfit` fits y = a + b·x per group in closed form from four
+sums (Σx, Σy, Σxy, Σx²) — the metric-trend detector ("is this source's
+quality drifting?"). Like operators/anomaly, all moments are exact
+integers in micro-units, so slope numerator/denominator are
+bit-reproducible on any engine and under any partitioning; the float
+slope is derived by ONE division at the end.
+
+Scale shape:
+- resample_fill: per-key min/max reduce to |keys| rows; `sequence()`
+  explodes periods JVM-side (no Python, no driver loop); the left join
+  back to period aggregates is keyed on (key, period) — one shuffle
+  each side, both already aggregated. Guard: periods-per-key is bounded
+  by the data's own time span; a corrupt far-future timestamp would
+  explode the sequence, so spans are capped (`max_periods`).
+- groupwise_linfit: one map-side-combined groupBy to |groups| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+D38 = "decimal(38,0)"
+
+
+def resample_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    period: str = "1 day",
+    max_periods: int = 100_000,
+) -> DataFrame:
+    """Dense per-``period`` series per ``key`` between each key's own
+    first and last event: (key, period_start, n_events, sum_value,
+    filled sum carried LOCF on empty periods, is_gap flag).
+
+    Sums route through DECIMAL(18,2); period starts are date_trunc'd to
+    the period unit. Keys whose span would exceed ``max_periods``
+    periods raise — a single bad timestamp must not OOM the explode."""
+    unit = period.split()[-1].rstrip("s")
+    if unit not in ("day", "week", "hour", "month"):
+        raise ValueError(f"unsupported period {period!r}")
+
+    truncated = df.select(
+        F.col(key).alias("k"),
+        F.date_trunc(unit, F.col(ts)).alias("p"),
+        F.col(value).alias("v"),
+    )
+    per_period = truncated.groupBy("k", "p").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    spans = truncated.groupBy("k").agg(
+        F.min("p").alias("lo"), F.max("p").alias("hi")
+    )
+    # bound the explode BEFORE it happens; the guard is folded into the
+    # sequence's own lower bound so column pruning cannot drop it
+    n_hours = F.timestamp_diff("HOUR", F.col("lo"), F.col("hi"))
+    too_big = n_hours > F.lit(max_periods) * F.lit(
+        {"hour": 1, "day": 24, "week": 168, "month": 744}[unit]
+    )
+    guarded_lo = F.when(
+        too_big,
+        F.raise_error(
+            F.concat(
+                F.lit("resample_fill: key span exceeds max_periods: "),
+                F.col("k").cast("string"),
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col("lo"))
+    dense = spans.select(
+        "k",
+        F.explode(
+            F.sequence(guarded_lo, F.col("hi"), F.expr(f"interval {period}"))
+        ).alias("p"),
+    )
+    joined = dense.join(per_period, on=["k", "p"], how="left")
+    w = (
+        F.col("sum_value").isNull()
+    )
+    from pyspark.sql.window import Window
+
+    locf = Window.partitionBy("k").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("k").alias(key),
+        F.col("p").alias("period_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(locf).alias("filled_value"),
+        w.alias("is_gap"),
+    )
+
+
+def groupwise_linfit(
+    df: DataFrame,
+    group_cols: str | list[str],
+    x_col: str,
+    y_col: str,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Closed-form least-squares y = a + b·x per group, from exact
+    integer moments: emits (groups..., n, slope_num, slope_den —
+    exact DECIMAL(38,0) integers with slope = slope_num/slope_den —
+    and `slope` as the one-division double). Groups with n < 2 or a
+    constant x (slope_den = 0) emit NULL slope.
+
+    slope_num = n·Σxy − Σx·Σy,  slope_den = n·Σx² − (Σx)²  — both in
+    micro-unit² scale, which CANCELS in the ratio, so `slope` is in
+    natural y-per-x units."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    mx = F.floor(F.col(x_col) * F.lit(micro)).cast(D38)
+    my = F.floor(F.col(y_col) * F.lit(micro)).cast(D38)
+    base = df.select(*groups, mx.alias("__x"), my.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("__x").cast(D38).alias("sx"),
+        F.sum("__y").cast(D38).alias("sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(D38)).cast(D38).alias("sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(D38)).cast(D38).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(D38)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(D38)
+    return agg.select(
+        *groups,
+        F.col("n").cast("bigint").alias("n"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(
+            (F.col("n") >= 2) & (den != 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("slope"),
+    )

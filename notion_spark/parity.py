@@ -4548,6 +4548,118 @@ def reshape_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_resample_daily_gaps",
+    """
+    WITH t AS (
+        SELECT event_type AS k, date_trunc('day', ts) AS p, value AS v FROM events
+    ),
+    pp AS (
+        SELECT k, p, COUNT(*) AS n_events,
+               SUM(CAST(v AS DECIMAL(18,2))) AS sv
+        FROM t GROUP BY k, p
+    ),
+    sp AS (SELECT k, MIN(p) AS lo, MAX(p) AS hi FROM t GROUP BY k),
+    dense AS (
+        SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS p FROM sp
+    )
+    SELECT d.k AS event_type,
+           strftime(d.p, '%Y-%m-%d') AS period_start,
+           CAST(COALESCE(pp.n_events, 0) AS BIGINT) AS n_events,
+           CAST(CAST(last_value(pp.sv IGNORE NULLS) OVER (
+                PARTITION BY d.k ORDER BY d.p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(28,2)) AS DOUBLE) AS filled_value,
+           pp.sv IS NULL AS is_gap
+    FROM dense d LEFT JOIN pp ON d.k = pp.k AND d.p = pp.p
+    """,
+)
+def ts_resample_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.resample_fill):
+    every (event_type, day) between each type's first and last event —
+    including days with NO events, which a plain groupBy cannot emit —
+    with counts and a LOCF-filled decimal sum. Periods are generated
+    JVM-side via sequence()+explode from a |keys|-row span frame (the
+    explode is span-bounded, a corrupt timestamp raises instead of
+    OOMing). The oracle regenerates the same dense calendar with
+    generate_series and IGNORE NULLS window fill."""
+    from notion_spark.operators.timeseries import resample_fill
+
+    ev = read_table(spark, sf_dir, "events")
+    out = resample_fill(ev, "event_type", "ts", "value", period="1 day")
+    return out.select(
+        "event_type",
+        F.date_format("period_start", "yyyy-MM-dd").alias("period_start"),
+        "n_events",
+        F.col("filled_value").cast("decimal(28,2)").cast("double").alias("filled_value"),
+        "is_gap",
+    )
+
+
+@register(
+    "ts_trend_by_type",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(((epoch(ts) - 1577836800) / 86400) * 1000000) AS HUGEINT) AS x,
+               CAST(floor(value * 1000000) AS HUGEINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM m GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS VARCHAR) AS slope_num,
+           CAST(n*sxx - sx*sx AS VARCHAR) AS slope_den,
+           CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+                THEN CAST(((n*sxy - sx*sy) * 2000000 + (n*sxx - sx*sx))
+                          // ((n*sxx - sx*sx) * 2) AS BIGINT)
+           END AS slope_micro
+    FROM a
+    """,
+)
+def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form trend fit
+    (operators/timeseries.groupwise_linfit): slope of value over
+    days-since-2020 per event type, from exact integer micro-unit
+    moments — slope_num/slope_den are exact integers (emitted as
+    strings: they exceed int64 and the driver canonicalizer must see
+    identical atoms). The cross-engine-comparable slope is an INTEGER
+    micro-slope via truncating integer division (Spark `div` ≡ DuckDB
+    `//`, both toward zero, verified on negatives) — a raw double
+    slope_num/slope_den would skew by 1 ulp because DuckDB's
+    int128→double conversion is not correctly rounded (measured). The
+    oracle mirrors every moment in int128. One map-side-combined
+    groupBy to |groups| rows."""
+    from notion_spark.operators.timeseries import groupwise_linfit
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # NTZ -> TIMESTAMP under the pinned UTC session tz == DuckDB's
+    # naive-as-UTC epoch(); then seconds-as-double with fraction
+    days = (
+        F.col("ts").cast("timestamp").cast("double") - F.lit(1577836800)
+    ) / F.lit(86400)
+    fit = groupwise_linfit(
+        ev.withColumn("__days", days), "event_type", "__days", "value"
+    )
+    return fit.select(
+        "event_type",
+        "n",
+        F.col("slope_num").cast("string").alias("slope_num"),
+        F.col("slope_den").cast("string").alias("slope_den"),
+        F.when(
+            F.col("slope").isNotNull(),
+            F.expr(
+                "CAST((slope_num * 2000000 + slope_den) div (slope_den * 2) AS BIGINT)"
+            ),
+        ).alias("slope_micro"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

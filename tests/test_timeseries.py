@@ -1,0 +1,93 @@
+"""Time-series densification + exact trend fit (operators/timeseries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from notion_spark.operators.timeseries import groupwise_linfit, resample_fill
+
+
+def _ev(spark):
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [
+        Row(k="a", ts=t0, v=10.0),
+        Row(k="a", ts=t0 + dt.timedelta(days=1, hours=3), v=20.0),
+        # 2-day gap
+        Row(k="a", ts=t0 + dt.timedelta(days=4), v=5.0),
+        Row(k="b", ts=t0, v=1.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestResampleFill:
+    def test_gaps_emitted_and_filled(self, spark):
+        out = resample_fill(_ev(spark), "k", "ts", "v", period="1 day")
+        a = sorted(
+            (r["period_start"].day, r["n_events"], r["is_gap"], r["filled_value"])
+            for r in out.collect()
+            if r["k"] == "a"
+        )
+        # days 1..5: events on 1,2,5; gaps on 3,4 carry day-2's sum
+        assert [x[0] for x in a] == [1, 2, 3, 4, 5]
+        assert [x[1] for x in a] == [1, 1, 0, 0, 1]
+        assert [x[2] for x in a] == [False, False, True, True, False]
+        assert a[2][3] == Decimal("20.00") and a[3][3] == Decimal("20.00")
+
+    def test_single_event_key(self, spark):
+        out = resample_fill(_ev(spark), "k", "ts", "v").filter(F.col("k") == "b")
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["n_events"] == 1 and not rows[0]["is_gap"]
+
+    def test_span_guard_raises(self, spark):
+        rows = [
+            Row(k="x", ts=dt.datetime(1970, 1, 1), v=1.0),
+            Row(k="x", ts=dt.datetime(2200, 1, 1), v=1.0),
+        ]
+        bad = spark.createDataFrame(rows)
+        with pytest.raises(Exception, match="max_periods"):
+            resample_fill(bad, "k", "ts", "v", max_periods=100).collect()
+
+    def test_bad_period_rejected(self, spark):
+        with pytest.raises(ValueError):
+            resample_fill(_ev(spark), "k", "ts", "v", period="1 fortnight")
+
+
+class TestGroupwiseLinfit:
+    def test_matches_numpy_polyfit(self, spark):
+        xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+        ys = [1.0, 3.1, 4.9, 7.2, 8.8]
+        df = spark.createDataFrame([Row(g="g", x=x, y=y) for x, y in zip(xs, ys)])
+        row = groupwise_linfit(df, "g", "x", "y").first()
+        import numpy as np
+
+        want = np.polyfit(xs, ys, 1)[0]
+        assert row["slope"] == pytest.approx(want, rel=1e-9)
+        # exact ratio agrees with the double
+        assert float(row["slope_num"]) / float(row["slope_den"]) == pytest.approx(
+            row["slope"], rel=1e-12
+        )
+
+    def test_constant_x_and_singleton_null_slope(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="c", x=2.0, y=1.0), Row(g="c", x=2.0, y=9.0), Row(g="s", x=1.0, y=1.0)]
+        )
+        out = {r["g"]: r for r in groupwise_linfit(df, "g", "x", "y").collect()}
+        assert out["c"]["slope"] is None  # den = 0
+        assert out["s"]["slope"] is None  # n = 1
+
+    def test_partitioning_invariant_exact(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="g", x=float(i % 17), y=float((i * 7919) % 101)) for i in range(200)]
+        )
+        a = groupwise_linfit(df, "g", "x", "y").first()
+        b = groupwise_linfit(df.repartition(13), "g", "x", "y").first()
+        assert (a["slope_num"], a["slope_den"], a["slope"]) == (
+            b["slope_num"],
+            b["slope_den"],
+            b["slope"],
+        )
