@@ -4660,6 +4660,52 @@ def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_expectations_by_source",
+    """
+    WITH t AS (
+        SELECT source, COUNT(*) AS total,
+               SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_null,
+               SUM(CASE WHEN n_chars IS NOT NULL
+                         AND n_chars NOT BETWEEN 100 AND 5000 THEN 1 ELSE 0 END) AS v_rng,
+               SUM(CASE WHEN lang IS NOT NULL
+                         AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS v_re
+        FROM documents GROUP BY source
+    )
+    SELECT * FROM (
+        SELECT source, 'not_null(text)' AS "constraint",
+               CAST(v_null AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+               v_null * 1000000 <= 0 * total AS passed FROM t
+        UNION ALL
+        SELECT source, 'between(n_chars)', CAST(v_rng AS BIGINT), CAST(total AS BIGINT),
+               v_rng * 1000000 <= 400000 * total FROM t
+        UNION ALL
+        SELECT source, 'matches(lang)', CAST(v_re AS BIGINT), CAST(total AS BIGINT),
+               v_re * 1000000 <= 0 * total FROM t
+    )
+    """,
+)
+def quality_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP data-quality gate (pipeline/expectations.check with
+    ``by=["source"]``): the same one-scan fused aggregate, but verdicts
+    per ingest source — the form that localizes a bad feed (one
+    source's 60% short-document rate fails ITS row while the global
+    rate would have diluted it). Thresholds in exact integer ppm per
+    group; |groups|×|constraints| output rows."""
+    from notion_spark.pipeline import expectations as EX
+
+    d = read_table(spark, sf_dir, "documents")
+    return EX.check(
+        d,
+        [
+            EX.expect_not_null("text"),
+            EX.expect_between("n_chars", 100, 5000, max_ppm=400_000),
+            EX.expect_matches("lang", "^[a-z]{2}$"),
+        ],
+        by=["source"],
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -76,11 +76,20 @@ def expect_positive_count(min_rows: int = 1) -> Expectation:
     return Expectation(f"min_rows({min_rows})", short.cast("long"), 0)
 
 
-def check(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
-    """Evaluate every expectation in one aggregation over ``df``.
+def check(
+    df: DataFrame,
+    expectations: Sequence[Expectation],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Evaluate every expectation in one aggregation over ``df`` —
+    globally, or per group with ``by`` (quality per source/ingest
+    partition: the form that localizes a bad feed instead of diluting
+    it into a global rate). Still ONE scan and one (map-side-combined)
+    aggregate; output grows to |groups|·|expectations| rows.
 
-    Output: (constraint string, violations bigint, total bigint,
-    passed boolean), one row per expectation, fully deterministic."""
+    Output: (*by, constraint string, violations bigint, total bigint,
+    passed boolean), one row per (group ×) expectation, fully
+    deterministic. Thresholds apply per group when ``by`` is given."""
     if not expectations:
         raise ValueError("no expectations given")
     names = [e.name for e in expectations]
@@ -89,7 +98,7 @@ def check(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
 
     aggs = [F.count(F.lit(1)).alias("__total")]
     aggs += [e.violations.alias(f"__v{i}") for i, e in enumerate(expectations)]
-    one = df.agg(*aggs)
+    one = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
     rows = F.array(
         *[
@@ -105,4 +114,4 @@ def check(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
             for i, e in enumerate(expectations)
         ]
     )
-    return one.select(F.explode(rows).alias("r")).select("r.*")
+    return one.select(*by, F.explode(rows).alias("r")).select(*by, "r.*")

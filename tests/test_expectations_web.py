@@ -146,3 +146,30 @@ class TestWeb:
         assert out["http://a.b/p"]["dup_count"] == 2
         assert out["http://a.b/p"]["lang"] == "de"  # rides with the winning id
         assert out["http://a.b/q"]["dup_count"] == 1
+
+
+class TestGroupedExpectations:
+    def test_per_group_verdicts(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(src="a", v=1), Row(src="a", v=None), Row(src="b", v=2)]
+        )
+        out = {
+            (r["src"], r["constraint"]): r
+            for r in check(df, [expect_not_null("v")], by=["src"]).collect()
+        }
+        assert out[("a", "not_null(v)")]["violations"] == 1
+        assert out[("a", "not_null(v)")]["total"] == 2
+        assert not out[("a", "not_null(v)")]["passed"]
+        assert out[("b", "not_null(v)")]["passed"]
+
+    def test_grouped_still_single_scan(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = (
+            check(d, [expect_not_null("text"), expect_unique("doc_id")], by=["source"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
