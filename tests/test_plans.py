@@ -231,3 +231,20 @@ def test_reservoir_single_spilling_window(spark, sf_dir):
     plan = plan_of(parity.QUERIES["curation_reservoir_per_group"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_resample_bounded_explode_shape(spark, sf_dir):
+    """r4 timeseries: periods explode from the aggregated |keys|-row span
+    frame, never from raw events; the period join is on aggregated sides."""
+    plan = plan_of(parity.QUERIES["ts_resample_daily_gaps"](spark, sf_dir))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # span aggregate reduced before the explode: partial min/max present
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_trend_fit_single_exchange(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["ts_trend_by_type"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
