@@ -84,9 +84,9 @@ def resample_fill(
         ).alias("p"),
     )
     joined = dense.join(per_period, on=["k", "p"], how="left")
-    w = (
-        F.col("sum_value").isNull()
-    )
+    # a gap is a period with NO rows — not a period whose values were
+    # all NULL (n_events is the presence marker, sum_value is not)
+    w = F.col("n_events").isNull()
     from pyspark.sql.window import Window
 
     locf = Window.partitionBy("k").orderBy("p").rowsBetween(Window.unboundedPreceding, 0)

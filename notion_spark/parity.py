@@ -4570,7 +4570,7 @@ def reshape_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY d.k ORDER BY d.p
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DECIMAL(28,2)) AS DOUBLE) AS filled_value,
-           pp.sv IS NULL AS is_gap
+           pp.n_events IS NULL AS is_gap
     FROM dense d LEFT JOIN pp ON d.k = pp.k AND d.p = pp.p
     """,
 )
