@@ -43,7 +43,13 @@ def snapshot_diff(
 
     Output: key column(s) + ``change_type`` + ``old_<c>`` / ``new_<c>``
     for each compare column. Deterministic for any input (no ordering
-    sensitivity anywhere)."""
+    sensitivity anywhere).
+
+    NULL keys never match each other (SQL join semantics): a null-keyed
+    row in ``old`` reports ``removed`` and one in ``new`` reports
+    ``added``. Diff on a keyed table should have non-null unique keys —
+    run `pipeline.expectations` (not_null + unique) upstream if that is
+    not guaranteed."""
     keys = [key] if isinstance(key, str) else list(key)
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]

@@ -152,7 +152,11 @@ def reservoir_per_group(
     ONE shuffle on the group key; the per-group window spills, so a
     billion-row group costs the same as any top-k. Use this (not
     `stratified_sample`) when you need "exactly k examples per source"
-    — eval subsets, data cards, human-review draws."""
+    — eval subsets, data cards, human-review draws.
+
+    NULL-keyed rows are dropped first: a null key has no hash, and
+    engines order nulls differently (Spark ASC puts them first, SQL
+    engines typically last) — they must never occupy sample slots."""
     from notion_spark.pipeline.text_analysis import md5_hash60
 
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
@@ -162,7 +166,8 @@ def reservoir_per_group(
         md5_hash60(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -86,7 +86,12 @@ def stream_refresh(
 ) -> StreamingQuery:
     """Attach the incremental-view merge to a streaming frame. The store
     at ``store_path`` always equals `build_state` of everything consumed
-    so far — pinned by the batch==stream equivalence test."""
+    so far — pinned by the batch==stream equivalence test.
+
+    The store and the checkpoint share a lifecycle: epoch ids restart
+    from 0 with a FRESH checkpoint, so pointing a new checkpoint at an
+    old store would silently skip the first batches (guard sees stale
+    epochs). Recreate (or relocate) both together."""
 
     def run(batch: DataFrame, epoch: int) -> None:
         merge_batch(

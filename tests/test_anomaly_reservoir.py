@@ -104,3 +104,15 @@ class TestReservoirPerGroup:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         with pytest.raises(ValueError):
             reservoir_per_group(d, "source", 0, "doc_id")
+
+
+def test_reservoir_drops_null_keys(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [Row(g="a", id=1), Row(g="a", id=2), Row(g="a", id=3)]
+    ).withColumn("id", F2.when(F2.col("id") == 3, None).otherwise(F2.col("id")))
+    out = reservoir_per_group(df, "g", k=2, key_col="id")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2]  # the null-keyed row never takes a slot
