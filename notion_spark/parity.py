@@ -4706,6 +4706,73 @@ def quality_expectations_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "window_daily_delta",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS d, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY d) AS delta
+    FROM daily
+    """,
+)
+def window_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta per key (lag window over a daily rollup) — the
+    counterpart of window_moving_avg for change detection. Rollup and
+    window share the event_type key, so Spark reuses one partitioning
+    for both; all-integer arithmetic. First day per key has NULL delta
+    (no previous observation — not zero)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "agg_cube_counts",
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2² grouping combinations in ONE aggregate pass
+    (completes the grouping-construct family next to rollup and
+    explicit grouping sets). GROUPING() flags disambiguate a real NULL
+    group from a rolled-up one, same contract as agg_grouping_sets."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================
