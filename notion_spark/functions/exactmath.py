@@ -1,0 +1,58 @@
+"""Shared exact-integer math for cross-engine bit-reproducible operators.
+
+The repo's determinism contract (parity.py docstring) bans float
+accumulation in compared outputs. Operators that need real-valued inputs
+(anomaly, trend fit, matview averages) first encode them as exact
+integer *micro-units* — floor(value·10⁶) is one IEEE multiply + floor,
+identical on every engine — and then do all algebra in DECIMAL(38,0)
+(Spark) ≡ HUGEINT/int128 (DuckDB), both exact up to ~10³⁸.
+
+Two division contracts, both engine-identical:
+
+- `frac6_half_up` (text_analysis) — half-up 6-decimal fraction of SMALL
+  integers (|2·num·10⁶ + den| must stay ≤ int64; beyond 2^53 the shared
+  double division is still bit-identical cross-engine but no longer
+  exactly half-up).
+- `halfup_micro_div` (here) — the same half-up-to-micro-units intent for
+  BIG integers: all products in DECIMAL(38,0), the final division a
+  truncating integer divide (Spark `div` ≡ DuckDB `//`, both toward
+  zero — verified on negatives). For positive denominators and positive
+  numerators this is exactly floor((2n·10⁶+d)/(2d)) = half-up; for
+  negative numerators the tie rounds toward zero instead of away —
+  documented, and identical on both engines, which is what parity needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+D38 = "decimal(38,0)"
+
+
+def micro_units(col: Column | str, micro: int = 1_000_000) -> Column:
+    """floor(value·micro) as DECIMAL(38,0): the engine-neutral exact
+    encoding of a double. NULL passes through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(micro)).cast(D38)
+
+
+def halfup_micro_div_cols(num_name: str, den_name: str) -> Column:
+    """(num/den) in micro-units (·10⁶) over two NAMED columns, exact for
+    DECIMAL(38,0)-ranged operands: (2·num·10⁶ + den) div (2·den),
+    returned as BIGINT (the ratio must fit int64; the inputs need not).
+    Caller guards den != 0."""
+    return F.expr(
+        f"CAST((CAST({num_name} AS DECIMAL(38,0)) * 2000000 "
+        f"+ CAST({den_name} AS DECIMAL(38,0))) div "
+        f"(CAST({den_name} AS DECIMAL(38,0)) * 2) AS BIGINT)"
+    )
+
+
+def halfup_micro_div_sql(num_expr: str, den_expr: str) -> str:
+    """DuckDB mirror of `halfup_micro_div` in HUGEINT (int128) — `//`
+    truncates toward zero exactly like Spark's `div`."""
+    return (
+        f"CAST((CAST({num_expr} AS HUGEINT) * 2000000 + CAST({den_expr} AS HUGEINT)) "
+        f"// (CAST({den_expr} AS HUGEINT) * 2) AS BIGINT)"
+    )

@@ -15,10 +15,14 @@ integer. Every quantity is an exact integer, so the verdict is
 bit-reproducible under ANY partitioning and on any engine — the oracle
 recomputes it in int128.
 
-Magnitude contract (documented, asserted): the algebra stays within
-DECIMAL(38,0) iff n·q and s² < 10³⁸ — with |value| ≤ V and group rows
-≤ n, that is n·(V·10⁶)² < 10³⁸, e.g. one BILLION rows of values up to
-~10⁷. Beyond that, shrink ``micro``.
+Magnitude contract (enforced by a runtime guard, not just documented):
+ALL of n·q, s², and (n·v−s)² must stay < 10³⁸. With |value| ≤ V and
+group rows ≤ n, the binding bounds are n·(V·10⁶)² < 10³⁸ AND
+n·V·10⁶ < 10¹⁹ (the second covers the squared deviation term, which is
+the largest quantity for a far outlier). A double-precision estimate
+with a 100× margin raises loudly when out of contract — with ANSI off
+a silent DECIMAL overflow would NULL the flag and unflag exactly the
+most extreme outliers. The fix is a smaller ``micro``.
 
 Shape at scale: one map-side-combined groupBy over the group key (the
 stats frame is |groups| rows), then a broadcast join back — the corpus
@@ -31,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-D38 = "decimal(38,0)"
+from notion_spark.functions.exactmath import D38, micro_units
 
 
 def sigma_outliers(
@@ -52,7 +56,7 @@ def sigma_outliers(
         raise ValueError(f"t and micro must be >= 1, got t={t}, micro={micro}")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
-    v = F.floor(F.col(value_col) * F.lit(micro)).cast(D38)
+    v = micro_units(value_col, micro)
     with_v = df.withColumn("__v", v)
     stats = with_v.filter(F.col("__v").isNotNull()).groupBy(*groups).agg(
         F.count(F.lit(1)).cast(D38).alias("__n"),
@@ -62,8 +66,31 @@ def sigma_outliers(
     j = with_v.join(F.broadcast(stats), on=groups, how="left")
     lhs = (F.col("__n") * F.col("__v") - F.col("__s")).cast(D38)
     rhs = (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast(D38)
-    flag = (
+    # Overflow guard: with ANSI off, a DECIMAL(38,0) product that does
+    # not fit returns NULL and the most extreme outliers would be
+    # SILENTLY unflagged — the worst possible failure for a monitor.
+    # Estimate the two largest quantities in doubles (never overflow)
+    # with a 100x margin and fail LOUDLY when out of contract; the fix
+    # is a smaller `micro`.
+    n_d, v_d, s_d, q_d = (
+        F.col(c).cast("double") for c in ("__n", "__v", "__s", "__q")
+    )
+    lhs_est = (n_d * v_d - s_d) * (n_d * v_d - s_d)
+    rhs_est = F.lit(float(t * t)) * (n_d * q_d)
+    guard = F.when(
         F.col("__v").isNotNull()
+        & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
+        F.raise_error(
+            F.lit(
+                "sigma_outliers: integer algebra would exceed DECIMAL(38,0)"
+                " — reduce `micro` (see magnitude contract in the module"
+                " docstring)"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    flag = (
+        guard
+        & F.col("__v").isNotNull()
         & (F.col("__n") >= 2)
         & ((lhs * lhs).cast(D38) > (F.lit(t * t).cast(D38) * rhs).cast(D38))
     )

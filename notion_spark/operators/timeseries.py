@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-D38 = "decimal(38,0)"
+from notion_spark.functions.exactmath import D38, micro_units
 
 
 def resample_fill(
@@ -46,9 +46,21 @@ def resample_fill(
     Sums route through DECIMAL(18,2); period starts are date_trunc'd to
     the period unit. Keys whose span would exceed ``max_periods``
     periods raise — a single bad timestamp must not OOM the explode."""
-    unit = period.split()[-1].rstrip("s")
+    parts = period.split()
+    unit = parts[-1].rstrip("s")
     if unit not in ("day", "week", "hour", "month"):
         raise ValueError(f"unsupported period {period!r}")
+    # Multi-unit periods ('2 days', '12 hours') would bucket events on
+    # the single-unit date_trunc grid while the dense calendar steps by
+    # the full interval — the off-grid buckets would never join and
+    # their events would silently vanish. Only unit periods are
+    # expressible with date_trunc; reject the rest loudly.
+    if len(parts) == 2 and parts[0] != "1":
+        raise ValueError(
+            f"unsupported period {period!r}: only single-unit periods "
+            "('1 hour'/'1 day'/'1 week'/'1 month') align with the "
+            "date_trunc bucket grid"
+        )
 
     truncated = df.select(
         F.col(key).alias("k"),
@@ -117,8 +129,8 @@ def groupwise_linfit(
     micro-unit² scale, which CANCELS in the ratio, so `slope` is in
     natural y-per-x units."""
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    mx = F.floor(F.col(x_col) * F.lit(micro)).cast(D38)
-    my = F.floor(F.col(y_col) * F.lit(micro)).cast(D38)
+    mx = micro_units(x_col, micro)
+    my = micro_units(y_col, micro)
     base = df.select(*groups, mx.alias("__x"), my.alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )

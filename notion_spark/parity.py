@@ -4254,21 +4254,25 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "matview_incremental_refresh",
-    """
+def _matview_oracle() -> str:
+    from notion_spark.functions.exactmath import halfup_micro_div_sql
+
+    avg = halfup_micro_div_sql(
+        "SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100", "COUNT(*) * 100"
+    )
+    return f"""
     SELECT o_orderpriority,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
-           CAST(floor((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS BIGINT) AS BIGINT) * 2000000
-                       + COUNT(*) * 100)
-                      / (COUNT(*) * 100 * 2)) AS BIGINT) / 1000000.0 AS avg_price,
+           {avg} AS avg_micro,
            strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
            strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
     FROM orders
     GROUP BY o_orderpriority
-    """,
-)
+    """
+
+
+@register("matview_incremental_refresh", _matview_oracle())
 def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance
     (operators/matview.build_state/refresh): the state covers orders
@@ -4276,11 +4280,13 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal a from-scratch GROUP BY over the whole table — which is
     exactly what the oracle computes. Count/sum/min/max merge as
     monoids; sums route through DECIMAL so merge order can never change
-    a bit; avg finalizes via the repo's frac6 half-up contract on exact
-    integer cents. At 100 TB the refresh shuffles |groups| + |batch|
-    rows instead of rescanning the corpus."""
+    a bit; avg finalizes as an integer micro-average through the
+    DECIMAL(38,0)/HUGEINT half-up divider (functions/exactmath — the
+    int64 frac6 path would overflow around sf1, where DuckDB errors and
+    Spark with ANSI off wraps silently). At 100 TB the refresh shuffles
+    |groups| + |batch| rows instead of rescanning the corpus."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
     from notion_spark.operators.matview import build_state, refresh
-    from notion_spark.pipeline.text_analysis import frac6_half_up
 
     orders = read_table(spark, sf_dir, "orders")
     split = F.lit("1996-01-01").cast("timestamp")
@@ -4292,14 +4298,17 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = build_state(orders.filter(F.col("o_orderdate") < split), **spec)
     merged = refresh(state, orders.filter(F.col("o_orderdate") >= split), **spec)
-    cents = (F.col("sum_o_totalprice") * 100).cast("bigint")
-    return merged.select(
-        "o_orderpriority",
-        F.col("cnt").alias("cnt"),
-        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
-        frac6_half_up(cents, F.col("cnt") * 100).alias("avg_price"),
-        F.date_format("min_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("min_date"),
-        F.date_format("max_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    return (
+        merged.withColumn("__cents", (F.col("sum_o_totalprice") * 100).cast("decimal(38,0)"))
+        .withColumn("__den", (F.col("cnt") * 100).cast("decimal(38,0)"))
+        .select(
+            "o_orderpriority",
+            F.col("cnt").alias("cnt"),
+            F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+            halfup_micro_div_cols("__cents", "__den").alias("avg_micro"),
+            F.date_format("min_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+            F.date_format("max_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+        )
     )
 
 

@@ -122,6 +122,18 @@ def compact_files(
     ]
     if not parts:
         raise ValueError(f"no parquet files under {path}")
+    # A hive-partitioned store (key=value path segments) must not be
+    # flattened: the rewrite would silently destroy partition pruning
+    # and break readers addressing path/key=X/. Compact per partition.
+    rel = [os.path.relpath(p, path) for p in parts]
+    partitioned = sorted(
+        {seg for r in rel for seg in r.split(os.sep)[:-1] if "=" in seg}
+    )
+    if partitioned:
+        raise ValueError(
+            f"{path} is hive-partitioned ({partitioned[0]}, ...): run "
+            "compact_files on each partition directory instead"
+        )
     total = sum(os.path.getsize(p) for p in parts)
     n = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil div
     df = spark.read.parquet(path)

@@ -35,7 +35,12 @@ from notion_spark.operators.matview import build_state, merge_states
 
 
 def _epoch_path(store_path: str) -> str:
-    return os.path.join(store_path + ".epoch")
+    # INSIDE the store directory (underscore-prefixed files are ignored
+    # by Spark's parquet reader, like _SUCCESS) so the directory swap
+    # commits state and epoch marker in ONE atomic rename — a marker
+    # beside the store would leave a crash window between the two
+    # writes in which a replayed batch double-counts.
+    return os.path.join(store_path, "_epoch.json")
 
 
 def last_epoch(store_path: str) -> int:
@@ -57,8 +62,11 @@ def merge_batch(
     maxs: list[str] = (),
 ) -> None:
     """Fold one micro-batch into the parquet state store, once per epoch
-    (replays are skipped — merging counts twice would double them)."""
-    from notion_spark.sources.io import overwrite_store
+    (replays are skipped — merging counts twice would double them).
+    The epoch marker rides inside the swapped directory, so state and
+    marker commit atomically: a crash anywhere leaves either the old
+    store+epoch or the new store+epoch, never a mix."""
+    import shutil
 
     if epoch <= last_epoch(store_path):
         return
@@ -68,10 +76,15 @@ def merge_batch(
         merged = merge_states(spark.read.parquet(store_path), part, **spec)
     else:
         merged = part
-    # tmp-then-swap: merged's lineage reads store_path (see upsert.py)
-    overwrite_store(merged, store_path)
-    with open(_epoch_path(store_path), "w") as f:
+    # tmp-then-swap: merged's lineage reads store_path (see upsert.py);
+    # the epoch marker is written into tmp BEFORE the atomic rename
+    tmp = store_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_epoch.json"), "w") as f:
         json.dump({"epoch": epoch}, f)
+    if os.path.exists(store_path):
+        shutil.rmtree(store_path)
+    os.rename(tmp, store_path)
 
 
 def stream_refresh(

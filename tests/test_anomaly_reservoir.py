@@ -116,3 +116,15 @@ def test_reservoir_drops_null_keys(spark):
     out = reservoir_per_group(df, "g", k=2, key_col="id")
     ids = sorted(r["id"] for r in out.collect())
     assert ids == [1, 2]  # the null-keyed row never takes a slot
+
+
+def test_sigma_overflow_guard_raises_loudly(spark):
+    """Out-of-contract magnitudes must raise, never silently unflag
+    (ANSI off would NULL the overflowed decimal product)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="g", v=0.0), Row(g="g", v=0.0), Row(g="g", v=1.0e12)]
+    )
+    with pytest.raises(Exception, match="sigma_outliers"):
+        sigma_outliers(df, "g", "v", t=3).collect()

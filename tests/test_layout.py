@@ -107,3 +107,16 @@ class TestCompactFiles:
         (tmp_path / "empty").mkdir()
         with pytest.raises(ValueError):
             compact_files(spark, str(tmp_path / "empty"))
+
+
+def test_compact_rejects_hive_partitioned_store(spark, tmp_path):
+    import pytest
+
+    from notion_spark.pipeline.layout import compact_files
+
+    path = str(tmp_path / "parts")
+    spark.range(0, 1000).withColumn("pk", F.col("id") % 3).write.partitionBy(
+        "pk"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_files(spark, path)

@@ -91,3 +91,12 @@ class TestGroupwiseLinfit:
             b["slope_den"],
             b["slope"],
         )
+
+
+def test_multi_unit_period_rejected(spark):
+    """'2 days' would bucket on the 1-day grid but step the calendar by
+    2 days — off-grid events would silently vanish; must raise."""
+    with pytest.raises(ValueError, match="single-unit"):
+        resample_fill(_ev(spark), "k", "ts", "v", period="2 days")
+    with pytest.raises(ValueError, match="single-unit"):
+        resample_fill(_ev(spark), "k", "ts", "v", period="12 hours")
