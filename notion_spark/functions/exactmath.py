@@ -38,10 +38,12 @@ def micro_units(col: Column | str, micro: int = 1_000_000) -> Column:
 
 
 def halfup_micro_div_cols(num_name: str, den_name: str) -> Column:
-    """(num/den) in micro-units (·10⁶) over two NAMED columns, exact for
-    DECIMAL(38,0)-ranged operands: (2·num·10⁶ + den) div (2·den),
-    returned as BIGINT (the ratio must fit int64; the inputs need not).
-    Caller guards den != 0."""
+    """(num/den) in micro-units (·10⁶) over two NAMED columns:
+    (2·num·10⁶ + den) div (2·den), returned as BIGINT (the ratio must
+    fit int64; the inputs need not fit int64 — but |num| must stay
+    below ~5·10³¹ so 2·num·10⁶ fits DECIMAL(38,0); past that Spark
+    with ANSI off NULLs silently while the HUGEINT mirror errors).
+    Caller guards den != 0 and the magnitude bound."""
     return F.expr(
         f"CAST((CAST({num_name} AS DECIMAL(38,0)) * 2000000 "
         f"+ CAST({den_name} AS DECIMAL(38,0))) div "

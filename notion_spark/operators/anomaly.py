@@ -63,7 +63,19 @@ def sigma_outliers(
         F.sum("__v").cast(D38).alias("__s"),
         F.sum((F.col("__v") * F.col("__v")).cast(D38)).cast(D38).alias("__q"),
     )
-    j = with_v.join(F.broadcast(stats), on=groups, how="left")
+    # null-SAFE join: groupBy puts NULL-keyed rows in their own group,
+    # and an equality join would silently drop that group's stats —
+    # exempting every outlier in an un-keyed feed from detection
+    sstats = stats.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups], "__n", "__s", "__q"
+    )
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    j = with_v.join(F.broadcast(sstats), on=cond, how="left").drop(
+        *[f"__g_{g}" for g in groups]
+    )
     lhs = (F.col("__n") * F.col("__v") - F.col("__s")).cast(D38)
     rhs = (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast(D38)
     # Overflow guard: with ANSI off, a DECIMAL(38,0) product that does
@@ -124,7 +136,7 @@ def sigma_outliers_sql(
         FROM v WHERE mv IS NOT NULL GROUP BY {group_col}
     )
     SELECT v.* EXCLUDE (mv)
-    FROM v JOIN st USING ({group_col})
+    FROM v JOIN st ON v.{group_col} IS NOT DISTINCT FROM st.{group_col}
     WHERE v.mv IS NOT NULL AND st.n >= 2
       AND (st.n * v.mv - st.s) * (st.n * v.mv - st.s)
           > {t * t} * (st.n * st.q - st.s * st.s)

@@ -52,6 +52,19 @@ def snapshot_diff(
     not guaranteed."""
     keys = [key] if isinstance(key, str) else list(key)
     if compare_cols is None:
+        # schema drift must be an explicit decision: deriving the
+        # comparison from `new` alone would silently ignore a column
+        # DROPPED between snapshots (its changes would classify as
+        # 'unchanged'), while a column added fails loudly — make both
+        # directions loud
+        if set(old.columns) != set(new.columns):
+            only_old = sorted(set(old.columns) - set(new.columns))
+            only_new = sorted(set(new.columns) - set(old.columns))
+            raise ValueError(
+                "snapshot schemas differ (old-only: "
+                f"{only_old}, new-only: {only_new}); pass compare_cols "
+                "explicitly to diff across a schema change"
+            )
         compare_cols = [c for c in new.columns if c not in keys]
     cols = list(compare_cols)
 

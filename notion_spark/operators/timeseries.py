@@ -45,7 +45,12 @@ def resample_fill(
 
     Sums route through DECIMAL(18,2); period starts are date_trunc'd to
     the period unit. Keys whose span would exceed ``max_periods``
-    periods raise — a single bad timestamp must not OOM the explode."""
+    periods raise — a single bad timestamp must not OOM the explode.
+
+    Rows with a NULL timestamp are dropped (they belong to no period);
+    a key whose rows are ALL null-timestamped vanishes entirely. Gate
+    with `pipeline.expectations.expect_not_null` upstream if null
+    timestamps should be an error rather than an exclusion."""
     parts = period.split()
     unit = parts[-1].rstrip("s")
     if unit not in ("day", "week", "hour", "month"):
@@ -62,7 +67,7 @@ def resample_fill(
             "date_trunc bucket grid"
         )
 
-    truncated = df.select(
+    truncated = df.filter(F.col(ts).isNotNull()).select(
         F.col(key).alias("k"),
         F.date_trunc(unit, F.col(ts)).alias("p"),
         F.col(value).alias("v"),
@@ -143,9 +148,28 @@ def groupwise_linfit(
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(D38)
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(D38)
+    # Same loud overflow guard as operators/anomaly: with ANSI off a
+    # DECIMAL(38,0) product past 10^38 NULLs silently — the trend
+    # monitor would report "no slope" for exactly the largest groups.
+    # Double estimates (cannot overflow) with a 100x margin.
+    n_d, sx_d, sy_d, sxy_d, sxx_d = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    est = F.greatest(
+        F.abs(n_d * sxy_d), F.abs(sx_d * sy_d), F.abs(n_d * sxx_d), sx_d * sx_d
+    )
+    n_guarded = F.when(
+        est > F.lit(1e36),
+        F.raise_error(
+            F.lit(
+                "groupwise_linfit: integer moments would exceed"
+                " DECIMAL(38,0) — reduce `micro`"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n").cast("bigint"))
     return agg.select(
         *groups,
-        F.col("n").cast("bigint").alias("n"),
+        n_guarded.alias("n"),
         num.alias("slope_num"),
         den.alias("slope_den"),
         F.when(

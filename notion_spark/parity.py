@@ -4642,6 +4642,7 @@ def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     int128→double conversion is not correctly rounded (measured). The
     oracle mirrors every moment in int128. One map-side-combined
     groupBy to |groups| rows."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
     from notion_spark.operators.timeseries import groupwise_linfit
 
     ev = read_table(spark, sf_dir, "events").filter(
@@ -4662,9 +4663,7 @@ def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_den").cast("string").alias("slope_den"),
         F.when(
             F.col("slope").isNotNull(),
-            F.expr(
-                "CAST((slope_num * 2000000 + slope_den) div (slope_den * 2) AS BIGINT)"
-            ),
+            halfup_micro_div_cols("slope_num", "slope_den"),
         ).alias("slope_micro"),
     )
 

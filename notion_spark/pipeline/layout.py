@@ -113,7 +113,7 @@ def compact_files(
     import glob as _glob
     import os
 
-    from notion_spark.sources.io import overwrite_store
+    from notion_spark.sources.io import assert_unpartitioned, overwrite_store
 
     parts = [
         p
@@ -122,18 +122,9 @@ def compact_files(
     ]
     if not parts:
         raise ValueError(f"no parquet files under {path}")
-    # A hive-partitioned store (key=value path segments) must not be
-    # flattened: the rewrite would silently destroy partition pruning
-    # and break readers addressing path/key=X/. Compact per partition.
-    rel = [os.path.relpath(p, path) for p in parts]
-    partitioned = sorted(
-        {seg for r in rel for seg in r.split(os.sep)[:-1] if "=" in seg}
-    )
-    if partitioned:
-        raise ValueError(
-            f"{path} is hive-partitioned ({partitioned[0]}, ...): run "
-            "compact_files on each partition directory instead"
-        )
+    # hive-partitioned stores are rejected (shared guard with
+    # sources/io.compact_store — flattening destroys pruning)
+    assert_unpartitioned(path)
     total = sum(os.path.getsize(p) for p in parts)
     n = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil div
     df = spark.read.parquet(path)

@@ -9,6 +9,8 @@ sinks kept for format parity.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,11 +73,34 @@ def write_partitioned_by_day(df: DataFrame, ts_col: str, path: str) -> None:
     out.write.mode("overwrite").partitionBy("event_date").parquet(path)
 
 
+def assert_unpartitioned(path: str) -> None:
+    """Refuse hive-partitioned stores (key=value path segments) for
+    whole-directory rewrites: a flat rewrite silently destroys partition
+    pruning and breaks readers addressing path/key=X/. Shared by both
+    compaction entry points (this module and pipeline/layout)."""
+    import glob as _glob
+
+    rel = [
+        os.path.relpath(p, path)
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    hive = sorted({seg for r in rel for seg in r.split(os.sep)[:-1] if "=" in seg})
+    if hive:
+        raise ValueError(
+            f"{path} is hive-partitioned ({hive[0]}, ...): rewrite each "
+            "partition directory instead"
+        )
+
+
 def compact_store(spark: SparkSession, path: str, target_records_per_file: int = 500_000) -> int:
-    """Small-files compaction: rewrite a parquet store into evenly sized
-    files (incremental upserts and streaming micro-batches accumulate
-    small files; at 100 TB unbounded file counts kill scan planning).
-    Returns the row count. Uses the safe tmp+swap overwrite."""
+    """Small-files compaction sized by ROW COUNT: rewrite a parquet store
+    into evenly sized files (incremental upserts and streaming
+    micro-batches accumulate small files; at 100 TB unbounded file
+    counts kill scan planning). Returns the row count. Uses the safe
+    tmp+swap overwrite. For BYTE-targeted sizing (compression-aware)
+    and sorted rewrites, use pipeline/layout.compact_files."""
+    assert_unpartitioned(path)
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_records_per_file))  # ceil

@@ -43,7 +43,24 @@ def _epoch_path(store_path: str) -> str:
     return os.path.join(store_path, "_epoch.json")
 
 
+def _recover(store_path: str) -> None:
+    """Finish an interrupted swap: a crash between rmtree(store) and
+    rename(tmp, store) leaves no store but a COMPLETE tmp (its epoch
+    marker is written before the swap starts). Promoting it is always
+    safe — tmp only ever holds a fully written merged state. Without
+    this, a replayed batch would rebuild the view from itself and every
+    previously merged epoch would silently vanish."""
+    tmp = store_path + ".tmp"
+    if (
+        not os.path.exists(store_path)
+        and os.path.isdir(tmp)
+        and os.path.exists(os.path.join(tmp, "_epoch.json"))
+    ):
+        os.rename(tmp, store_path)
+
+
 def last_epoch(store_path: str) -> int:
+    _recover(store_path)
     p = _epoch_path(store_path)
     if os.path.exists(p):
         with open(p) as f:

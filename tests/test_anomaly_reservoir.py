@@ -128,3 +128,15 @@ def test_sigma_overflow_guard_raises_loudly(spark):
     )
     with pytest.raises(Exception, match="sigma_outliers"):
         sigma_outliers(df, "g", "v", t=3).collect()
+
+
+def test_sigma_null_group_still_flagged(spark):
+    """NULL-keyed groups must get their stats through the null-safe
+    join — an un-keyed feed's outliers must not be silently exempt."""
+    from pyspark.sql import Row
+
+    rows = [Row(id=i, g=None, v=float(x)) for i, x in enumerate([10, 11, 9, 10, 10, 50])]
+    rows += [Row(id=100, g="b", v=1.0), Row(id=101, g="b", v=100.0)]
+    df = spark.createDataFrame(rows)
+    got = {r["id"] for r in sigma_outliers(df, "g", "v", t=2).collect()}
+    assert 5 in got  # the NULL group's outlier is detected

@@ -108,3 +108,16 @@ class TestSnapshotDiff:
         old, new = self._frames(spark)
         row = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}[2]
         assert row["old_v"] == "b" and row["new_v"] == "B"
+
+
+def test_diff_schema_drift_requires_explicit_cols(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame([Row(k=1, v="a", flag=True)])
+    new = spark.createDataFrame([Row(k=1, v="a")])
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(old, new, "k")
+    # explicit compare_cols still works across the drift
+    got = snapshot_diff(old, new, "k", compare_cols=["v"], include_unchanged=True)
+    assert got.first()["change_type"] == "unchanged"

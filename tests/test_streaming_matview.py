@@ -67,3 +67,24 @@ def test_replayed_epoch_is_skipped(spark, tmp_path):
     assert last_epoch(store) == 0
     merge_batch(spark, batch, 1, store, keys=["k"], sums=["v"])
     assert spark.read.parquet(store).first()["cnt"] == 2
+
+
+def test_crash_between_rmtree_and_rename_recovers(spark, tmp_path):
+    """Simulate the torn swap: store removed, complete tmp (with epoch
+    marker) left behind. last_epoch/merge_batch must promote the tmp,
+    not rebuild the view from the replayed batch alone."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame([("a", 1.0)], SCHEMA)
+    b1 = spark.createDataFrame([("a", 2.0)], SCHEMA)
+    merge_batch(spark, b0, 0, store, keys=["k"], sums=["v"])
+    merge_batch(spark, b1, 1, store, keys=["k"], sums=["v"])
+    # tear: move the committed store to .tmp and delete the store,
+    # exactly the state after rmtree but before rename
+    shutil.move(store, store + ".tmp")
+    assert last_epoch(store) == 1  # recovery promoted the tmp
+    # the replay of epoch 1 is now a no-op, state intact
+    merge_batch(spark, b1, 1, store, keys=["k"], sums=["v"])
+    row = spark.read.parquet(store).first()
+    assert row["cnt"] == 2 and float(row["sum_v"]) == 3.0

@@ -100,3 +100,26 @@ def test_multi_unit_period_rejected(spark):
         resample_fill(_ev(spark), "k", "ts", "v", period="2 days")
     with pytest.raises(ValueError, match="single-unit"):
         resample_fill(_ev(spark), "k", "ts", "v", period="12 hours")
+
+
+def test_null_timestamps_excluded(spark):
+    import datetime as dt2
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(k="a", ts=dt2.datetime(2026, 1, 1), v=1.0),
+        Row(k="a", ts=None, v=99.0),
+    ]
+    out = resample_fill(spark.createDataFrame(rows), "k", "ts", "v").collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1  # null-ts row excluded
+
+
+def test_linfit_overflow_guard_raises(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(g="g", x=1.0e12 * i, y=1.0e12 * (i % 2)) for i in range(4)]
+    )
+    with pytest.raises(Exception, match="groupwise_linfit"):
+        groupwise_linfit(df, "g", "x", "y").collect()
