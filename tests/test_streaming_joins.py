@@ -81,3 +81,16 @@ def test_rejects_unsupported_join_type(spark):
             spark.createDataFrame(clicks, CLK_SCHEMA),
             "k", "imp_ts", "clk_ts", how="fullOuter",
         )
+
+
+def test_left_outer_emits_unmatched(spark):
+    imps, clicks = _data()
+    out = interval_join(
+        spark.createDataFrame(imps, IMP_SCHEMA),
+        spark.createDataFrame(clicks, CLK_SCHEMA),
+        "k", "imp_ts", "clk_ts",
+        max_delay="15 minutes", how="leftOuter",
+    )
+    got = {(r["imp_id"], r["clk_id"]) for r in out.collect()}
+    # matched pairs plus the never-clicked impression with NULL click
+    assert got == _want() | {(3, None)}
