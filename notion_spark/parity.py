@@ -4781,6 +4781,57 @@ def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_oracle(n_seeds: int = 4, max_cell: int = 40, thr: float = 0.15) -> str:
+    dsq = (
+        "list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))"
+        " for i in range(1, 65)])"
+    )
+    cos = (
+        "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) / "
+        "(sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) * "
+        "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])))"
+    )
+    return f"""
+    WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
+                   WHERE vec_id < {n_seeds}),
+    d AS (SELECT e.vec_id, e.embedding, s.sid, {dsq} AS dist
+          FROM embeddings e CROSS JOIN seeds s),
+    cells AS (SELECT vec_id, embedding, sid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+        FROM d) WHERE rn = 1),
+    capped AS (SELECT vec_id, embedding, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM cells) WHERE rn <= {max_cell})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+    FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {thr}
+    """
+
+
+@register("dedup_semantic_pairs", _semantic_oracle())
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (pipeline/dedup.semantic_dup_pairs):
+    cluster the corpus to nearest-centroid cells, score cosine only
+    within a cell, cap every cell at max_cell representatives before
+    the self-join. The codebook here is the first four corpus vectors
+    (collected driver-side — deterministic float32 literals, the same
+    bounded codebook collection IVF uses), so the oracle can rebuild
+    the IDENTICAL cells from the table itself: distance fold, lowest-
+    index tiebreak, cap, pairing, and the rounded cosine are all
+    recomputed independently in SQL. A static random codebook would
+    degenerate to one cell on this data — seeds from the data actually
+    partition it."""
+    from notion_spark.pipeline.dedup import semantic_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in seeds]
+    return semantic_dup_pairs(emb, cents, threshold=0.15, max_cell=40)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -1042,3 +1042,59 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------- semantic dedup (SemDeDup)
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_cell: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    into k-means cells (nearest centroid of a FIXED codebook — train one
+    with `similarity.train_ivf_centroids` or bring your own), then score
+    cosine only WITHIN each cell. The clustering is the blocking key:
+    semantically close vectors land in the same cell, so the quadratic
+    pair expansion is confined to cells — the same cost envelope as the
+    LSH paths, with cells that mean something (Abbas et al.'s SemDeDup
+    prunes exactly these intra-cluster near-dups).
+
+    Cells larger than ``max_cell`` are capped at the ``max_cell``
+    smallest ids via the spilling row_number window BEFORE the self-join
+    (the cross_minhash_pairs guard) — a degenerate mega-cell can never
+    go quadratic. Output: (id_a < id_b, cosine) at ``cosine >=
+    threshold``, each pair scored once.
+
+    One shuffle to cap the cells, one self-join shuffle on the cell id;
+    cell assignment itself is codegen'd (or Arrow argmin for large K —
+    similarity.assign_cells). Feed the pairs to `dedup_clusters` to
+    collapse."""
+    from pyspark.sql.window import Window
+
+    from notion_spark.pipeline.similarity import assign_cells, cosine
+
+    celled = assign_cells(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col, out_col="__cell"
+    )
+    wc = Window.partitionBy("__cell").orderBy(F.col(id_col).asc())
+    capped = (
+        celled.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= max_cell)
+        .drop("__rn")
+    )
+    a = capped.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = capped.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

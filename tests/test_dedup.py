@@ -381,3 +381,44 @@ def test_cross_minhash_bucket_cap_keeps_bounded_candidates(spark):
     pairs = D.cross_minhash_pairs(new, corpus, threshold=0.5, max_bucket=10)
     n = pairs.count()
     assert 1 <= n <= 10  # capped, not 200
+
+
+class TestSemanticDedup:
+    def test_cells_block_and_cap(self, spark):
+        from pyspark.sql import Row
+
+        from notion_spark.pipeline.dedup import semantic_dup_pairs
+
+        # two tight clusters around orthogonal unit vectors
+        def vec(axis, eps):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[(axis + 4) % 8] = eps
+            return v
+
+        rows = [Row(vec_id=i, embedding=vec(0, 0.01 * i)) for i in range(4)]
+        rows += [Row(vec_id=10 + i, embedding=vec(1, 0.01 * i)) for i in range(4)]
+        df = spark.createDataFrame(rows)
+        cents = [vec(0, 0.0), vec(1, 0.0)]
+        pairs = semantic_dup_pairs(df, cents, threshold=0.9, max_cell=10).collect()
+        ids = {(r["id_a"], r["id_b"]) for r in pairs}
+        # all intra-cluster pairs found, no cross-cluster pair (cos ~ 0)
+        assert all((a < 10) == (b < 10) for a, b in ids)
+        assert len(ids) == 12  # C(4,2) per cluster x 2
+        assert all(r["cosine"] >= 0.9 for r in pairs)
+
+        capped = semantic_dup_pairs(df, cents, threshold=-1.0, max_cell=2).collect()
+        # 2 reps per cell -> exactly 1 pair per cell
+        assert len(capped) == 2
+
+    def test_composes_with_cluster_collapse(self, spark):
+        from pyspark.sql import Row
+
+        from notion_spark.pipeline.dedup import dedup_clusters, semantic_dup_pairs
+
+        rows = [Row(vec_id=i, embedding=[1.0, float(i) * 0.001]) for i in range(3)]
+        rows += [Row(vec_id=9, embedding=[0.0, 1.0])]
+        df = spark.createDataFrame(rows)
+        pairs = semantic_dup_pairs(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99, max_cell=10)
+        kept = dedup_clusters(df, pairs, "vec_id")
+        assert {r["vec_id"] for r in kept.collect()} == {0, 9}  # canonical + singleton
