@@ -155,3 +155,59 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def linear_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    window: str = "7 days",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every qualifying touch (a
+    ``touch_types`` event within ``window`` BEFORE a conversion, same
+    user) gets an equal share of that conversion's credit. The
+    complement of the as-of join (operators/asof = last-touch): here the
+    credit fraction is emitted as EXACT integers (credit_num=1,
+    credit_den=#touches) so downstream revenue splits stay
+    order-independent — never a float 1/n.
+
+    Output: one row per (conversion, touch):
+    (user, conv_id, conv_ts, touch_id, touch_ts, credit_num, credit_den).
+    Conversions with zero qualifying touches emit nothing (no credit to
+    assign — the caller can left-anti to find them).
+
+    Shape at scale: both sides filter BEFORE the join (codegen'd type
+    predicates pushed to the scan), one user-keyed equi-join shuffle —
+    never a time-cartesian — then the interval test and a per-conversion
+    count window that reuses the join's user partitioning. Window
+    length bounds the fan-out per conversion."""
+    from pyspark.sql.window import Window
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    j = conv.join(touch, "user").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"interval {window}"))
+    )
+    w = Window.partitionBy("conv_id")
+    return j.select(
+        "user",
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        F.lit(1).alias("credit_num"),
+        F.count(F.lit(1)).over(w).alias("credit_den"),
+    )

@@ -4832,6 +4832,53 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dup_pairs(emb, cents, threshold=0.15, max_cell=40)
 
 
+@register(
+    "attr_linear_credit",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, event_id AS conv_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS u, event_id AS touch_id, ts AS touch_ts
+        FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT c.conv_id,
+           strftime(c.conv_ts, '%Y-%m-%d %H:%M:%S.%f') AS conv_ts,
+           t.touch_id,
+           CAST(1 AS INT) AS credit_num,
+           CAST(COUNT(*) OVER (PARTITION BY c.conv_id) AS BIGINT) AS credit_den
+    FROM conv c JOIN touch t ON c.u = t.u
+    WHERE t.touch_ts <= c.conv_ts
+      AND t.touch_ts >= c.conv_ts - INTERVAL 3 DAY
+    """,
+)
+def attr_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution
+    (operators/behavior.linear_attribution): every view/click within 3
+    days before a purchase shares that purchase's credit equally —
+    credit emitted as EXACT integers (1 / #touches), never a float 1/n,
+    so downstream revenue splits are order-independent. One user-keyed
+    equi-join (both sides type-filtered at the scan) + a per-conversion
+    count window; the as-of join covers last-touch, this covers the
+    multi-touch family."""
+    from notion_spark.operators.behavior import linear_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    out = linear_attribution(
+        ev, "user_id", "ts", "event_type",
+        touch_types=["view", "click"], conversion_type="purchase",
+        window="3 days",
+    )
+    return out.select(
+        "conv_id",
+        F.date_format("conv_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("conv_ts"),
+        "touch_id",
+        F.col("credit_num").cast("int").alias("credit_num"),
+        F.col("credit_den").cast("bigint").alias("credit_den"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -167,3 +167,45 @@ def test_heavy_hitters_nan_is_a_real_value(spark):
     got = {r.value if r.value == r.value else "nan": r.freq
            for r in SK.heavy_hitters(df, "v", k=4).collect()}
     assert got == {"nan": 60, 1.0: 30}
+
+
+class TestLinearAttribution:
+    def test_equal_credit_and_window(self, spark):
+        import datetime as dt
+
+        from notion_spark.operators.behavior import linear_attribution
+
+        t0 = dt.datetime(2026, 1, 10, 12, 0)
+        rows = [
+            (1, t0 - dt.timedelta(days=1), 100, "view"),
+            (1, t0 - dt.timedelta(hours=2), 101, "click"),
+            (1, t0 - dt.timedelta(days=9), 102, "view"),   # outside window
+            (1, t0, 200, "purchase"),
+            (2, t0, 300, "purchase"),                       # no touches
+            (3, t0 - dt.timedelta(hours=1), 103, "view"),  # other user's touch
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_id int, event_type string"
+        )
+        out = linear_attribution(
+            ev, "user_id", "ts", "event_type",
+            touch_types=["view", "click"], conversion_type="purchase",
+            window="7 days",
+        ).collect()
+        assert {(r["touch_id"], r["credit_den"]) for r in out} == {(100, 2), (101, 2)}
+        assert all(r["conv_id"] == 200 and r["credit_num"] == 1 for r in out)
+
+    def test_touch_at_conversion_instant_counts(self, spark):
+        import datetime as dt
+
+        from notion_spark.operators.behavior import linear_attribution
+
+        t0 = dt.datetime(2026, 1, 10)
+        ev = spark.createDataFrame(
+            [(1, t0, 1, "click"), (1, t0, 2, "purchase")],
+            "user_id int, ts timestamp, event_id int, event_type string",
+        )
+        out = linear_attribution(
+            ev, "user_id", "ts", "event_type", ["click"], "purchase"
+        ).collect()
+        assert len(out) == 1 and out[0]["credit_den"] == 1
