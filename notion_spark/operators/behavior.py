@@ -183,8 +183,11 @@ def linear_attribution(
     Shape at scale: both sides filter BEFORE the join (codegen'd type
     predicates pushed to the scan), one user-keyed equi-join shuffle —
     never a time-cartesian — then the interval test and a per-conversion
-    count window that reuses the join's user partitioning. Window
-    length bounds the fan-out per conversion."""
+    count window partitioned by (user, conversion id): the user key
+    keeps conversions distinct even when ``id_col`` values are only
+    unique per user (per-user sequence ids), and hash(user) clustering
+    from the join already satisfies it. Window length bounds the
+    fan-out per conversion."""
     from pyspark.sql.window import Window
 
     conv = events.filter(F.col(type_col) == conversion_type).select(
@@ -201,7 +204,7 @@ def linear_attribution(
         (F.col("touch_ts") <= F.col("conv_ts"))
         & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"interval {window}"))
     )
-    w = Window.partitionBy("conv_id")
+    w = Window.partitionBy("user", "conv_id")
     return j.select(
         "user",
         "conv_id",

@@ -4787,11 +4787,6 @@ def _semantic_oracle(n_seeds: int = 4, max_cell: int = 40, thr: float = 0.15) ->
         " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE))"
         " for i in range(1, 65)])"
     )
-    cos = (
-        "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]) / "
-        "(sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])) * "
-        "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])))"
-    )
     return f"""
     WITH seeds AS (SELECT vec_id AS sid, embedding AS sv FROM embeddings
                    WHERE vec_id < {n_seeds}),
@@ -4803,9 +4798,9 @@ def _semantic_oracle(n_seeds: int = 4, max_cell: int = 40, thr: float = 0.15) ->
     capped AS (SELECT vec_id, embedding, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
         FROM cells) WHERE rn <= {max_cell})
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
     FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE round({cos}, 6) >= {thr}
+    WHERE round({_COS}, 6) >= {thr}
     """
 
 

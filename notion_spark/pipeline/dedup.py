@@ -1070,11 +1070,13 @@ def semantic_dup_pairs(
 
     One shuffle to cap the cells, one self-join shuffle on the cell id;
     cell assignment itself is codegen'd (or Arrow argmin for large K —
-    similarity.assign_cells). Feed the pairs to `dedup_clusters` to
-    collapse."""
+    similarity.assign_cells). The pair scoring itself is
+    `embedding_dup_pairs` with the cell as the explicit block key — ONE
+    implementation of the join/cosine/threshold path. Feed the pairs to
+    `dedup_clusters` to collapse."""
     from pyspark.sql.window import Window
 
-    from notion_spark.pipeline.similarity import assign_cells, cosine
+    from notion_spark.pipeline.similarity import assign_cells
 
     celled = assign_cells(
         df.select(id_col, vec_col), centroids, vec_col=vec_col, out_col="__cell"
@@ -1085,16 +1087,7 @@ def semantic_dup_pairs(
         .filter(F.col("__rn") <= max_cell)
         .drop("__rn")
     )
-    a = capped.select(
-        F.col("__cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = capped.select(
-        F.col("__cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
-    return (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= F.lit(threshold))
+    return embedding_dup_pairs(
+        capped, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        block_key="__cell",
     )

@@ -209,3 +209,27 @@ class TestLinearAttribution:
             ev, "user_id", "ts", "event_type", ["click"], "purchase"
         ).collect()
         assert len(out) == 1 and out[0]["credit_den"] == 1
+
+    def test_per_user_sequence_ids_do_not_collide(self, spark):
+        """conv ids unique only per user must not merge credit windows."""
+        import datetime as dt
+
+        from notion_spark.operators.behavior import linear_attribution
+
+        t0 = dt.datetime(2026, 1, 10)
+        rows = [
+            (1, t0 - dt.timedelta(hours=1), 1, "click"),
+            (1, t0, 5, "purchase"),
+            (2, t0 - dt.timedelta(hours=3), 1, "click"),
+            (2, t0 - dt.timedelta(hours=2), 2, "click"),
+            (2, t0 - dt.timedelta(hours=1), 3, "click"),
+            (2, t0, 5, "purchase"),  # same conv_id=5 as user 1
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_id int, event_type string"
+        )
+        out = linear_attribution(
+            ev, "user_id", "ts", "event_type", ["click"], "purchase"
+        ).collect()
+        dens = {r["user"]: r["credit_den"] for r in out}
+        assert dens == {1: 1, 2: 3}

@@ -9,7 +9,7 @@ import importlib
 import re
 from pathlib import Path
 
-EXAMPLES = Path("/root/repo/EXAMPLES.md").read_text()
+EXAMPLES = (Path(__file__).resolve().parents[1] / "EXAMPLES.md").read_text()
 
 
 def _code_blocks() -> list[str]:
@@ -45,13 +45,8 @@ def test_every_import_line_resolves():
 def test_module_attribute_references_exist():
     """Aliased usages like SIM.brute_force_topk / CU.assign_splits /
     EX.check / parity.QUERIES must exist on the aliased modules."""
-    alias_to_mod = {}
-    for block in _code_blocks():
-        for m in re.finditer(r"from (\S+) import (\w+) as (\w+)", block):
-            alias_to_mod[m.group(3)] = f"{m.group(1)}.{m.group(2)}"
-        for m in re.finditer(r"from (notion_spark\S*) import .*\b(\w+) as (\w+)", block):
-            pass
     # the cookbook's import style: `from notion_spark.pipeline import curation as CU`
+    alias_to_mod = {}
     for block in _code_blocks():
         for m in re.finditer(r"from (\S+) import (\w+) as (\w+)", block):
             alias_to_mod[m.group(3)] = f"{m.group(1)}.{m.group(2)}"
