@@ -25,7 +25,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from notion_spark.functions.exactmath import D38, micro_units
