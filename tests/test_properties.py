@@ -323,3 +323,73 @@ def test_sigma_outliers_match_exact_integer_python(spark, vals, t):
     n, s, q = len(mv), sum(mv), sum(x * x for x in mv)
     want = {i for i, v in enumerate(mv) if (n * v - s) ** 2 > t * t * (n * q - s * s)}
     assert got == want
+
+
+@SETTINGS
+@given(
+    old=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 3)), max_size=10),
+    new=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 3)), max_size=10),
+)
+def test_snapshot_diff_matches_dict_reference(spark, old, new):
+    """snapshot_diff == the dict-based definition of added/removed/
+    changed, for arbitrary keyed states (last row per key wins on dup
+    keys within a snapshot via keep-max, applied before diffing)."""
+    from notion_spark.operators.diff import snapshot_diff
+
+    def latest(rows):
+        d = {}
+        for k, v in rows:
+            d[k] = max(v, d.get(k, -1))
+        return d
+
+    o, n = latest(old), latest(new)
+    want = {}
+    for k in set(o) | set(n):
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    odf = spark.createDataFrame(list(o.items()) or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    ndf = spark.createDataFrame(list(n.items()) or [(None, None)], "k int, v int").filter(
+        F.col("k").isNotNull()
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(odf, ndf, "k").collect()}
+    assert got == want
+
+
+@SETTINGS
+@given(
+    imps=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8),
+    clks=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8),
+)
+def test_interval_join_matches_bruteforce(spark, imps, clks):
+    """interval_join == the O(n^2) reference filter for arbitrary event
+    layouts (same user, click in [imp, imp + 10 minutes])."""
+    import datetime as dt
+
+    from notion_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    idf = spark.createDataFrame(
+        [(str(u), t0 + dt.timedelta(minutes=m), i) for i, (u, m) in enumerate(imps)],
+        "k string, imp_ts timestamp, imp_id int",
+    )
+    cdf = spark.createDataFrame(
+        [(str(u), t0 + dt.timedelta(minutes=m), i) for i, (u, m) in enumerate(clks)],
+        "k string, clk_ts timestamp, clk_id int",
+    )
+    got = {
+        (r["imp_id"], r["clk_id"])
+        for r in interval_join(idf, cdf, "k", "imp_ts", "clk_ts", max_delay="10 minutes").collect()
+    }
+    want = {
+        (i, j)
+        for i, (u, m) in enumerate(imps)
+        for j, (u2, m2) in enumerate(clks)
+        if u == u2 and 0 <= m2 - m <= 10
+    }
+    assert got == want
