@@ -1804,9 +1804,9 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_pct",
     """
-    SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+    SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    ELSE 0 END) AS DOUBLE)
+                    ELSE 0 END) AS DOUBLE))
            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
            COUNT(*) AS n
@@ -1817,8 +1817,10 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-revenue ratio. Both sums are exact
-    decimals; the final division happens on the two derived doubles, so
-    the ratio is engine-stable."""
+    decimals; the final ×100/÷ happens on the two derived doubles in
+    the SAME operation order on both engines (cast-then-multiply — the
+    oracle multiplying the exact decimal by 100 BEFORE the cast skewed
+    1 ulp at sf0.001; caught by the multi-SF sweep, r4)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
