@@ -105,3 +105,44 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_aggregates(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-SESSION aggregates via the NATIVE ``session_window`` — the
+    pure-JVM third implementation of the same gap rule: Spark merges
+    events within ``gap_minutes`` of each other into one growing window
+    per user and the aggregate runs inside whole-stage codegen, no
+    Python state function at all.
+
+    Works identically on batch and streaming frames (streaming needs a
+    watermark upstream; state evicts when the watermark passes a
+    session's close). Use THIS when only per-session aggregates are
+    needed — counts, sums, bounds; `sessionize_stream` remains for
+    per-EVENT session ids and arbitrary in-session logic the built-in
+    aggregate can't express.
+
+    Output: (user, session_start, session_end, n_events[, sum_value]) —
+    session_end is last_event + gap per session_window semantics; equal
+    session boundaries to `sessionize_batch` (same strict-gap rule)."""
+    gap = f"{int(gap_minutes * 60)} seconds"
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value")
+        )
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(*aggs)
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *(["n_events", "sum_value"] if value_col else ["n_events"]),
+        )
+    )

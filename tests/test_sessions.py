@@ -137,3 +137,68 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     for r in rows:
         final[r.user] = r.stage  # memory sink appends updates in order
     assert final == batch
+
+
+class TestNativeSessionWindow:
+    def test_matches_custom_sessionize_boundaries(self, spark):
+        import datetime as dt
+
+        from notion_spark.streaming.sessions import (
+            session_aggregates,
+            sessionize_batch,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0)
+        rows = [
+            (1, t0), (1, t0 + dt.timedelta(minutes=10)),           # session A
+            (1, t0 + dt.timedelta(minutes=50)),                     # session B (40m gap)
+            (2, t0), (2, t0 + dt.timedelta(minutes=29, seconds=59)),  # one session
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+        native = session_aggregates(df, gap_minutes=30)
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in native.collect()
+        }
+        # same session count per user as the custom implementation
+        custom = sessionize_batch(df, gap_minutes=30)
+        custom_sessions = {
+            (r["user_id"], r["session_id"]) for r in custom.collect()
+        }
+        by_user_native = {}
+        by_user_custom = {}
+        for u, _, _ in got:
+            by_user_native[u] = by_user_native.get(u, 0) + 1
+        for u, _ in custom_sessions:
+            by_user_custom[u] = by_user_custom.get(u, 0) + 1
+        assert by_user_native == by_user_custom == {1: 2, 2: 1}
+        assert (1, t0, 2) in got  # session A holds both early events
+
+    def test_streaming_native_session(self, spark, tmp_path):
+        import datetime as dt
+
+        from notion_spark.streaming.sessions import session_aggregates
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0)
+        src = tmp_path / "sess_src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(minutes=5)), (1, t0 + dt.timedelta(hours=2))],
+            "user_id int, ts timestamp",
+        ).write.parquet(str(src / "b"))
+        stream = spark.readStream.schema("user_id int, ts timestamp").parquet(
+            str(src / "*")
+        )
+        out = session_aggregates(stream.withWatermark("ts", "10 minutes"))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("native_sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM native_sess").collect()
+        # the first (closed) session is emitted: 2 events
+        assert any(r["n_events"] == 2 for r in rows)
