@@ -4876,6 +4876,52 @@ def attr_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_native_aggregates",
+    """
+    WITH b AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                    ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_native_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window operator
+    (streaming/sessions.session_aggregates) hash-checked cross-engine:
+    the oracle reconstructs Spark's session-merge semantics from first
+    principles (strict-gap boundary — an event at EXACTLY start+gap
+    merges, verified; session_end = last event + gap) via lag + running
+    boundary sum. Pure JVM on the Spark side: one shuffle into a
+    codegen'd session aggregate, the same code running batch here and
+    watermarked streaming in production."""
+    from notion_spark.streaming.sessions import session_aggregates
+
+    ev = read_table(spark, sf_dir, "events")
+    out = session_aggregates(ev, gap_minutes=30, value_col="value")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================
