@@ -1,7 +1,8 @@
 """Sessionization — gap-based session assignment over an event stream.
 
-Two implementations with identical semantics (gap > timeout ⇒ new
-session):
+Three implementations with identical boundary semantics (gap strictly
+greater than the timeout ⇒ new session; an event at exactly start+gap
+merges — verified against the native operator):
 
 - `sessionize_batch`: native window functions — lag + cumulative sum of
   boundary flags per user. One shuffle; the batch/backfill path.
@@ -9,6 +10,9 @@ session):
   streaming operator (SURVEY §2.12 stretch surface; the reference has no
   streaming at all). Keeps (last_ts, session_seq) per user between
   micro-batches, emits rows as they arrive with their session ids.
+- `session_aggregates`: the built-in `session_window` — pure-JVM
+  per-SESSION aggregates, batch and watermarked streaming from one code
+  path; oracle-checked cross-engine (session_native_aggregates).
 """
 
 from __future__ import annotations

@@ -283,3 +283,11 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_native_session_single_shuffle_no_python(spark, sf_dir):
+    """r4: the built-in session_window aggregate — one user-key exchange,
+    zero Python in the plan."""
+    plan = plan_of(parity.QUERIES["session_native_aggregates"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
