@@ -4882,8 +4882,8 @@ def attr_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
-                    ELSE 0 END AS st
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS st
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),

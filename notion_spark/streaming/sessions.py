@@ -134,7 +134,9 @@ def session_aggregates(
     Output: (user, session_start, session_end, n_events[, sum_value]) —
     session_end is last_event + gap per session_window semantics; equal
     session boundaries to `sessionize_batch` (same strict-gap rule)."""
-    gap = f"{int(gap_minutes * 60)} seconds"
+    # no int() truncation: a fractional-second gap must match the other
+    # two implementations bit-for-bit (Spark accepts '30.5 seconds')
+    gap = f"{gap_minutes * 60} seconds"
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(
@@ -147,6 +149,10 @@ def session_aggregates(
             F.col(user_col),
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
-            *(["n_events", "sum_value"] if value_col else ["n_events"]),
+            *(
+                ["n_events", "sum_value"]
+                if value_col is not None
+                else ["n_events"]
+            ),
         )
     )

@@ -202,3 +202,25 @@ class TestNativeSessionWindow:
         rows = spark.sql("SELECT * FROM native_sess").collect()
         # the first (closed) session is emitted: 2 events
         assert any(r["n_events"] == 2 for r in rows)
+
+    def test_fractional_gap_matches_custom(self, spark):
+        """A sub-second gap threshold must split/merge identically to
+        sessionize_batch (no whole-second truncation)."""
+        import datetime as dt
+
+        from notion_spark.streaming.sessions import (
+            session_aggregates,
+            sessionize_batch,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0)
+        df = spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(seconds=30, microseconds=300000))],
+            "user_id int, ts timestamp",
+        )
+        gap_m = 30.5 / 60  # 30.5s threshold: the 30.3s gap merges
+        n_native = session_aggregates(df, gap_minutes=gap_m).count()
+        n_custom = (
+            sessionize_batch(df, gap_minutes=gap_m).select("session_id").distinct().count()
+        )
+        assert n_native == n_custom == 1
