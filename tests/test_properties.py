@@ -393,3 +393,49 @@ def test_interval_join_matches_bruteforce(spark, imps, clks):
         if u == u2 and 0 <= m2 - m <= 10
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=12),
+    ppm=st.integers(0, 1_000_000),
+)
+def test_expectations_ppm_verdict_matches_integer_math(spark, vals, ppm):
+    """passed == (violations * 1e6 <= ppm * total) in exact Python ints,
+    for arbitrary null patterns and thresholds (incl. 0 and 1e6)."""
+    from notion_spark.pipeline.expectations import check, expect_not_null
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    row = check(df, [expect_not_null("v", max_ppm=ppm)]).first()
+    violations = sum(1 for v in vals if v is None)
+    assert row["violations"] == violations
+    assert row["passed"] == (violations * 1_000_000 <= ppm * len(vals))
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3), st.integers(0, 2)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_dedup_by_url_invariants(spark, rows):
+    """Winner is the min id of its canonical group; dup_counts sum to the
+    input row count; every kept id exists in the input."""
+    from notion_spark.pipeline.web import canonicalize_url, dedup_by_url
+
+    df = spark.createDataFrame(
+        [(i, f"HTTP://Host{h}.example.com:80/p{p}/?utm_source=x&a=1") for i, h, p in rows],
+        "id int, url string",
+    )
+    out = dedup_by_url(df, "url", "id").collect()
+    assert sum(r["dup_count"] for r in out) == len(rows)
+    canon = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonicalize_url("url").alias("c")).collect()
+    }
+    for r in out:
+        group = [i for i, c in canon.items() if c == r["canonical_url"]]
+        assert r["id"] == min(group)
