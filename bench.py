@@ -66,12 +66,33 @@ BENCH_QUERIES = [
     # baseline round)
     "dedup_incremental_cross",
     "heavy_hitters_users",
+    # r4's 12 operator families, appended r5 so every registered family
+    # has wall-clock history (shared prefix above stays untouched for
+    # round-over-round comparability; r5 is the baseline round for
+    # these)
+    "matview_incremental_refresh",
+    "diff_snapshot_orders",
+    "quality_expectations_orders",
+    "web_canonical_url_dedup",
+    "anomaly_sigma_events",
+    "curation_reservoir_per_group",
+    "reshape_melt_lineitem",
+    "ts_resample_daily_gaps",
+    "ts_trend_by_type",
+    "dedup_semantic_pairs",
+    "attr_linear_credit",
+    "session_native_aggregates",
+    "profile_documents",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # optional positional args restrict the run to named queries (used by
+    # the sf0.1->sf1 scale-slope harness; the driver passes none)
+    selected = [q for q in sys.argv[1:] if not q.startswith("-")]
+    queries = selected or BENCH_QUERIES
 
     from notion_spark import parity
     from notion_spark.session import get_spark
@@ -84,7 +105,7 @@ def main() -> None:
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for name in queries:
         fn = parity.QUERIES[name]
         runs = []
         for _ in range(iters):

@@ -181,14 +181,43 @@ def linear_attribution(
     assign — the caller can left-anti to find them).
 
     Shape at scale: both sides filter BEFORE the join (codegen'd type
-    predicates pushed to the scan), one user-keyed equi-join shuffle —
-    never a time-cartesian — then the interval test and a per-conversion
+    predicates pushed to the scan), then the equi-join key is
+    (user, time-bin) — the binned decomposition from
+    operators/range_join — never a time-cartesian. Each side is binned
+    into windows of the attribution width; a conversion probes its own
+    bin and the one before it (its lookback interval can span at most
+    those two), so a bot user with 10^5 touches and 10^4 conversions
+    probes per-bin products, not the 10^9 full per-user product. After
+    the join the exact interval test filters, then a per-conversion
     count window partitioned by (user, conversion id): the user key
     keeps conversions distinct even when ``id_col`` values are only
-    unique per user (per-user sequence ids), and hash(user) clustering
-    from the join already satisfies it. Window length bounds the
-    fan-out per conversion."""
+    unique per user (per-user sequence ids)."""
     from pyspark.sql.window import Window
+
+    if conversion_type in touch_types:
+        # touch_ts <= conv_ts would let a conversion credit ITSELF as a
+        # touch, silently inflating credit_den — reject loudly.
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            f"touch_types {touch_types!r}"
+        )
+
+    _unit_secs = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+    }
+    parts = window.split()
+    unit = parts[-1].rstrip("s") if parts else ""
+    if len(parts) != 2 or not parts[0].isdigit() or unit not in _unit_secs:
+        raise ValueError(
+            f"unsupported window {window!r}: expected '<n> "
+            "seconds/minutes/hours/days/weeks'"
+        )
+    bin_secs = int(parts[0]) * _unit_secs[unit]
+    if bin_secs <= 0:
+        raise ValueError(f"window {window!r} must be positive")
+
+    def _bin(ts):
+        return F.floor(F.unix_timestamp(ts) / F.lit(bin_secs))
 
     conv = events.filter(F.col(type_col) == conversion_type).select(
         F.col(user_col).alias("user"),
@@ -199,8 +228,15 @@ def linear_attribution(
         F.col(user_col).alias("user"),
         F.col(id_col).alias("touch_id"),
         F.col(ts_col).alias("touch_ts"),
+        _bin(F.col(ts_col)).alias("__bin"),
     )
-    j = conv.join(touch, "user").filter(
+    # [conv_ts - window, conv_ts] spans at most the conversion's own bin
+    # and the previous one; each touch lives in exactly one bin, so no
+    # (conv, touch) pair can match through both probes — no dedup step.
+    probes = conv.select(
+        "*", F.explode(F.array(_bin(F.col("conv_ts")) - 1, _bin(F.col("conv_ts")))).alias("__bin")
+    )
+    j = probes.join(touch, ["user", "__bin"]).filter(
         (F.col("touch_ts") <= F.col("conv_ts"))
         & (F.col("touch_ts") >= F.col("conv_ts") - F.expr(f"interval {window}"))
     )

@@ -36,6 +36,32 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(28,2)"
 
+# DECIMAL(28,2) holds ±10^26; with ANSI off an overflowing cast or SUM
+# NULLs silently — the matview would quietly drop the largest values
+# from sum_<c>. Guard with double estimates (cannot overflow) at a 10x
+# margin, folded into the sum column itself so pruning keeps it.
+_MAG_LIMIT = 1e25
+
+
+def _guarded_sum(c: str) -> "F.Column":
+    est = F.greatest(
+        F.max(F.abs(F.col(c).cast("double"))),
+        F.abs(F.sum(F.col(c).cast("double"))),
+    )
+    return (
+        F.when(
+            est > F.lit(_MAG_LIMIT),
+            F.raise_error(
+                F.lit(
+                    f"matview: |{c}| magnitude exceeds the DECIMAL(28,2)"
+                    " state contract (~1e25)"
+                )
+            ).cast(DEC),
+        )
+        .otherwise(F.sum(F.col(c).cast(DEC)).cast(DEC))
+        .alias(f"sum_{c}")
+    )
+
 
 def _state_cols(sums: Sequence[str], mins: Sequence[str], maxs: Sequence[str]) -> list[str]:
     cols = ["cnt"]
@@ -56,7 +82,7 @@ def build_state(
     carrying (cnt, sum_<c>.., min_<c>.., max_<c>..). One map-side-combined
     shuffle; output size = number of groups."""
     aggs = [F.count(F.lit(1)).alias("cnt")]
-    aggs += [F.sum(F.col(c).cast(DEC)).cast(DEC).alias(f"sum_{c}") for c in sums]
+    aggs += [_guarded_sum(c) for c in sums]
     aggs += [F.min(c).alias(f"min_{c}") for c in mins]
     aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
     return df.groupBy(*keys).agg(*aggs)
@@ -80,7 +106,7 @@ def merge_states(
     cols = list(keys) + _state_cols(sums, mins, maxs)
     both = a.select(*cols).unionByName(b.select(*cols))
     aggs = [F.sum("cnt").alias("cnt")]
-    aggs += [F.sum(f"sum_{c}").cast(DEC).alias(f"sum_{c}") for c in sums]
+    aggs += [_guarded_sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in mins]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in maxs]
     return both.groupBy(*keys).agg(*aggs)

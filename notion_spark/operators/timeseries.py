@@ -51,7 +51,18 @@ def resample_fill(
     a key whose rows are ALL null-timestamped vanishes entirely. Gate
     with `pipeline.expectations.expect_not_null` upstream if null
     timestamps should be an error rather than an exclusion."""
+    # Validate the FULL format up front: a bare unit ('day') or a
+    # non-numeric count ('x day') would pass a unit-only check and then
+    # die later inside F.expr(f"interval {period}") with an opaque
+    # parse error. Normalize a bare unit to '1 <unit>'.
     parts = period.split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(
+            f"unsupported period {period!r}: expected '1 <unit>' with "
+            "unit in hour/day/week/month"
+        )
     unit = parts[-1].rstrip("s")
     if unit not in ("day", "week", "hour", "month"):
         raise ValueError(f"unsupported period {period!r}")
@@ -60,12 +71,13 @@ def resample_fill(
     # the full interval — the off-grid buckets would never join and
     # their events would silently vanish. Only unit periods are
     # expressible with date_trunc; reject the rest loudly.
-    if len(parts) == 2 and parts[0] != "1":
+    if parts[0] != "1":
         raise ValueError(
             f"unsupported period {period!r}: only single-unit periods "
             "('1 hour'/'1 day'/'1 week'/'1 month') align with the "
             "date_trunc bucket grid"
         )
+    period = f"1 {unit}"
 
     truncated = df.filter(F.col(ts).isNotNull()).select(
         F.col(key).alias("k"),
@@ -158,22 +170,34 @@ def groupwise_linfit(
     est = F.greatest(
         F.abs(n_d * sxy_d), F.abs(sx_d * sy_d), F.abs(n_d * sxx_d), sx_d * sx_d
     )
-    n_guarded = F.when(
-        est > F.lit(1e36),
-        F.raise_error(
-            F.lit(
-                "groupwise_linfit: integer moments would exceed"
-                " DECIMAL(38,0) — reduce `micro`"
-            )
-        ).cast("bigint"),
-    ).otherwise(F.col("n").cast("bigint"))
+    overflow = est > F.lit(1e36)
+
+    def _guard(expr, typ):
+        # The guard must live inside EVERY output column: if it were
+        # attached only to `n`, Catalyst column pruning would drop it
+        # when a caller selects just the slope columns, and the
+        # out-of-contract group would silently emit NULL slope — the
+        # exact failure the guard exists to prevent.
+        return F.when(
+            overflow,
+            F.raise_error(
+                F.lit(
+                    "groupwise_linfit: integer moments would exceed"
+                    " DECIMAL(38,0) — reduce `micro`"
+                )
+            ).cast(typ),
+        ).otherwise(expr.cast(typ))
+
     return agg.select(
         *groups,
-        n_guarded.alias("n"),
-        num.alias("slope_num"),
-        den.alias("slope_den"),
-        F.when(
-            (F.col("n") >= 2) & (den != 0),
-            num.cast("double") / den.cast("double"),
+        _guard(F.col("n"), "bigint").alias("n"),
+        _guard(num, D38).alias("slope_num"),
+        _guard(den, D38).alias("slope_den"),
+        _guard(
+            F.when(
+                (F.col("n") >= 2) & (den != 0),
+                num.cast("double") / den.cast("double"),
+            ),
+            "double",
         ).alias("slope"),
     )

@@ -4935,8 +4935,7 @@ def session_native_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update after each round from CORRECTNESS_r{N}.json keys.
 DRIVER_CHECKED: tuple[str, ...] = (
     # --- round 2 (CORRECTNESS_r02.json: 49 all-green + 1 rows-only) ---
-    "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts", "agg_weekly_velocity",
-    "agg_created_per_week", "agg_avg_completion_days", "agg_crosstab_status_priority", "agg_union_pie",
+    "agg_avg_completion_days", "agg_crosstab_status_priority", "agg_union_pie",
     "filter_tag_overlap", "filter_active_items", "filter_immediate_action", "filter_window_anti",
     "filter_backlog_topk", "filter_not_in", "filter_substring_count", "filter_goals_overflow",
     "join_parent_name", "join_multi_hop_revenue", "join_semi_customers", "join_anti_customers",
@@ -4961,6 +4960,20 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "q16_supplier_cnt", "q17_small_quantity_revenue", "q20_excess_suppliers", "q21_waiting_supplier",
     "q22_global_sales_opportunity", "curation_decontam", "curation_pii_redact", "curation_stratified_sample",
     "curation_quality_rules", "curation_ngram_coverage", "curation_source_rebalance",
+    # --- r04 (50 driver-checked this round) ---
+    "text_repetition_stats", "multimodal_image_features", "multimodal_audio_features", "text_tfidf_top_terms",
+    "scd2_status_intervals", "chunk_token_windows", "pack_sequence_offsets", "sketch_kmv_users",
+    "sketch_hll_users", "funnel_view_click_purchase", "retention_weekly_cohorts", "forward_fill_values",
+    "heavy_hitters_users", "dedup_levenshtein_pairs", "dedup_incremental_cross", "curation_split_assignment",
+    "sim_quantized_topk", "sketch_hll_users_by_type", "sketch_cms_user_freq", "sketch_kmv_set_ops",
+    "sketch_histogram_quantiles", "sketch_histogram_drift", "sketch_bloom_membership", "profile_documents",
+    "multimodal_frame_sample", "text_bm25_topk", "curation_strip_boilerplate", "curation_weighted_sample",
+    "graph_pagerank_event_types", "layout_zorder_keys", "matview_incremental_refresh", "diff_snapshot_orders",
+    "quality_expectations_orders", "web_canonical_url_dedup", "anomaly_sigma_events", "curation_reservoir_per_group",
+    "reshape_melt_lineitem", "ts_resample_daily_gaps", "ts_trend_by_type", "quality_expectations_by_source",
+    "window_daily_delta", "agg_cube_counts", "dedup_semantic_pairs", "attr_linear_credit",
+    "session_native_aggregates", "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts",
+    "agg_weekly_velocity", "agg_created_per_week",
 )
 
 

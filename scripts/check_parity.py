@@ -22,7 +22,14 @@ dtype-sensitively. Empirically (r4 probe):
 - floats are hashed at full precision (repr round-trips doubles
   bit-exactly); the r3 mirror's 9-digit rounding is gone.
 
-Usage: python scripts/check_parity.py [sf_dir] [query ...]
+Usage: python scripts/check_parity.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, every row is also written to OUT.json in the driver's
+exact CORRECTNESS row format ({rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}; rows-only queries get hash_match=null),
+so the full-registry mirror run becomes a committed per-round artifact
+(PARITY_LOCAL_r{N}.json) — the regression net for every query outside
+the driver's 50-row window.
 """
 
 from __future__ import annotations
@@ -91,8 +98,16 @@ def frame_hash(pdf) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    rows: dict[str, dict] = {}
 
     import duckdb
 
@@ -127,24 +142,43 @@ def main() -> int:
                         f"FAIL  {name}: non-atomic output columns {bad} — the driver's"
                         " canonicalizer cannot sort/hash them (serialize to string)"
                     )
+                    rows[name] = {
+                        "rows_match": None, "schema_match": False, "hash_match": None,
+                        "spark_rows": None, "oracle_rows": None,
+                        "err": f"non-atomic output columns {bad}",
+                    }
                     n_fail += 1
                     failures.append(name)
                     continue
             spdf = sdf.toPandas()
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
+            rows[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {e}"[:500],
+            }
             n_fail += 1
             failures.append(name)
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            rows[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spdf), "oracle_rows": None, "err": None,
+            }
             n_rows_only += 1
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            rows[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spdf), "oracle_rows": None,
+                "err": f"duckdb: {e}"[:500],
+            }
             n_fail += 1
             failures.append(name)
             continue
@@ -181,6 +215,16 @@ def main() -> int:
             else:
                 if hs != ho:
                     problems.append(f"hash {hs} vs {ho}")
+        ok = not problems
+        rows[name] = {
+            "rows_match": len(spdf) == len(opdf),
+            "schema_match": sorted(spdf.columns) == sorted(opdf.columns)
+            and not any("dtype" in p for p in problems),
+            "hash_match": ok,
+            "spark_rows": len(spdf),
+            "oracle_rows": len(opdf),
+            "err": None if ok else "; ".join(problems)[:500],
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
@@ -191,6 +235,10 @@ def main() -> int:
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
         print("failures:", " ".join(failures))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {json_out} ({len(rows)} rows)")
     return 1 if n_fail else 0
 
 

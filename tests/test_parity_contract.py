@@ -66,6 +66,39 @@ def test_multimodal_parity_features_serialized(spark, sf_dir):
         assert schema["features"].dataType.typeName() == "string"
 
 
+def test_full_mirror_artifact_green():
+    """The committed full-registry mirror artifact (PARITY_LOCAL_r{N}.json,
+    written by `scripts/check_parity.py --json` each round) must cover
+    every registered query and show all-green except the ONE documented
+    rows-only query (sim_ann_ivf: Lloyd float accumulation order; its
+    probe path is hash-checked via sim_ann_ivf_probe). This is the
+    regression net for queries outside the driver's 50-row window."""
+    import glob
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    paths = sorted(glob.glob(os.path.join(root, "PARITY_LOCAL_r*.json")))
+    assert paths, "no PARITY_LOCAL_r*.json — run scripts/check_parity.py --json"
+    data = json.load(open(paths[-1]))
+    assert set(data) == set(parity.QUERIES), (
+        "mirror artifact is stale — re-run scripts/check_parity.py --json "
+        f"(missing: {set(parity.QUERIES) - set(data)}, "
+        f"extra: {set(data) - set(parity.QUERIES)})"
+    )
+    bad = {
+        n: row
+        for n, row in data.items()
+        if row["err"]
+        or any(row[k] is False for k in ("rows_match", "schema_match", "hash_match"))
+    }
+    assert not bad, f"mirror failures: {bad}"
+    rows_only = sorted(n for n, row in data.items() if row["hash_match"] is None)
+    assert rows_only == ["sim_ann_ivf"], (
+        f"rows-only set changed: {rows_only} — every new query needs an oracle"
+    )
+
+
 def test_repetition_stats_frac_is_exact_integer_math(spark):
     """Regression pin for the r3 hash-fail: fractions come from integer
     micro-unit division (floor((2*num*1e6+den)/(2*den))/1e6), so the
