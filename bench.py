@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "attr_linear_credit",
     "session_native_aggregates",
     "profile_documents",
+    # r5 additions (substring-level dedup family + hard negatives +
+    # vocabulary coverage), benched from birth
+    "dedup_substring_spans",
+    "text_gram_novelty",
+    "sim_hard_negatives",
+    "text_vocab_coverage",
 ]
 
 

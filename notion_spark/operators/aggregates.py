@@ -91,10 +91,17 @@ def crosstab_counts(df: DataFrame, row_col: str, pivot_col: str, pivot_values: S
 
     Explicit `pivot(values=...)` so Spark skips the extra distinct-values
     job AND output column names are fixed for oracle parity.
-    """
+
+    Rows sort ascending on the row label — the reference's pandas
+    crosstab sorts its index (sample: canceled/doing/done/...), and both
+    sorts are code-point-based, so the rendered section is deterministic
+    under any partitioning AND byte-matches the reference's ordering
+    contract (an unsorted collect() order is session-dependent — caught
+    by the r5 byte-level golden)."""
     return (
         df.groupBy(row_col)
         .pivot(pivot_col, list(pivot_values))
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(pivot_values))
+        .orderBy(F.asc(row_col))
     )

@@ -4922,6 +4922,140 @@ def session_native_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAM_CTES = """
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents WHERE text IS NOT NULL),
+    grams AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+              FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(pos)
+              WHERE len(t) >= 8),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (g))
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH {_GRAM_CTES},
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+        FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 - 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM sp GROUP BY doc_id, span_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (pipeline/dedup.duplicate_spans — the
+    ExactSubstr formulation of Lee et al. 2022 at token level): maximal
+    spans of 8-grams occurring >=2 times corpus-wide, 1-based inclusive
+    token indexes. The oracle rebuilds the whole pipeline — positional
+    gram stream, corpus counts, gaps-and-islands span merge — from the
+    gram STRINGS, so Spark's xxhash64 replacement is independently
+    verified collision-free on this corpus. All-integer output."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.duplicate_spans(d, k=8, min_count=2)
+
+
+@register(
+    "text_gram_novelty",
+    f"""
+    WITH {_GRAM_CTES},
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    dups AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM marked GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(floor((COALESCE(d.n_dup_grams, 0) * 2000000 + t.n_grams)
+                      / (2 * t.n_grams)) AS BIGINT) / 1000000.0 AS dup_frac
+    FROM tot t LEFT JOIN dups d USING (doc_id)
+    """,
+)
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction (pipeline/dedup.gram_novelty):
+    share of a doc's 8-grams that are duplicated corpus-wide, as the
+    exact frac6_half_up micro-unit division — the doc-level curation
+    signal derived from the same stream `dedup_substring_spans` merges
+    into spans."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.gram_novelty(d, k=8, min_count=2)
+
+
+@register(
+    "sim_hard_negatives",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           round({_COS}, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS INT) AS rank
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < 3 AND a.label <> b.label
+    QUALIFY rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (pipeline/similarity.hard_negatives): per anchor, the 5 most-similar
+    corpus vectors with a DIFFERENT label — broadcast anchors, streamed
+    corpus, label predicate inside the join, per-partition partial
+    top-k. The negatives closest to the decision boundary, mined
+    exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return SIM.hard_negatives(emb, anchors, k=5)
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    total AS (SELECT SUM(cnt) AS grand FROM counts),
+    head AS (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+               SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM counts
+    )
+    SELECT tok AS token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(rank AS INT) AS rank,
+           CAST(floor((run * 2000000 + grand) / (2 * grand)) AS BIGINT)
+               / 1000000.0 AS cum_frac
+    FROM head, total
+    WHERE rank <= 25
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary table
+    (pipeline/text_analysis.build_vocabulary): top-25 whitespace tokens
+    with corpus count, document frequency, frequency rank (count desc,
+    token asc — engine-neutral total order), and the exact
+    frac6_half_up cumulative-coverage fraction of the WHOLE corpus.
+    The global running sum runs only over the bounded head (top_n
+    rows), never the raw token stream."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.build_vocabulary(d, top_n=25)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

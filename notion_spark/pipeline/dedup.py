@@ -1091,3 +1091,126 @@ def semantic_dup_pairs(
         capped, id_col=id_col, vec_col=vec_col, threshold=threshold,
         block_key="__cell",
     )
+
+
+# ------------------------------------- substring-span dedup (Lee et al. 2022)
+def positional_gram_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """One row per (id, 1-based token position, xxhash64 of the k-token
+    gram starting there) — the positional sibling of `shingle_hashes`
+    (which drops positions). Docs with fewer than ``k`` tokens emit
+    nothing; null texts are excluded.
+
+    The 64-bit hash replaces the gram string immediately, so the
+    exploded stream shuffles 16 bytes + id per gram, never text. A hash
+    collision would merge two distinct grams (false-positive duplicate)
+    with probability ~n²/2^64 — at 10^12 grams that is ~0.03 expected
+    collisions corpus-wide, the standard ExactSubstr trade."""
+    toksed = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        )
+        .filter(F.size("t") >= k)
+    )
+    grams = toksed.select(
+        "id", F.posexplode(_raw_shingles(F.col("t"), k)).alias("p0", "s")
+    )
+    return grams.select(
+        "id", (F.col("p0") + 1).alias("pos"), F.xxhash64("s").alias("h")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicated text spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"
+    [arXiv:2107.06499], token-level formulation): every maximal token
+    span made of k-grams that occur at least ``min_count`` times
+    CORPUS-WIDE (within-doc repeats count, as in ExactSubstr). The
+    doc-level dedup family above treats whole documents; this finds the
+    boilerplate paragraph pasted into thousands of otherwise-unique
+    pages — the case doc-level MinHash provably misses.
+
+    Output: (doc_id, span_start, span_end, n_grams) with 1-based
+    inclusive token indexes; span_end = last covered token. Overlapping
+    or adjacent duplicated k-grams (gap <= k) merge into one span via
+    gaps-and-islands over the per-doc position stream.
+
+    Scale shape: one explode to the positional gram stream (linear in
+    corpus tokens), one map-side-combined groupBy(h) for corpus counts,
+    one hash-partitioned join back (duplicated-hash set can be huge —
+    never broadcast), then a per-doc window whose partition is bounded
+    by document length. No pairwise path anywhere: cost is
+    O(total_tokens), the property that makes ExactSubstr viable at
+    100 TB where suffix arrays need the same O(n) but out-of-core
+    machinery."""
+    grams = positional_gram_hashes(df, text_col, id_col, k)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    marked = grams.join(dup_h, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = marked.select("id", "pos", brk.alias("brk")).select(
+        "id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("span_id"),
+    )
+    return spans.groupBy("id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k) - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).select(
+        F.col("id").alias(id_col), "span_start", "span_end", "n_grams"
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document novelty summary over the same corpus-wide duplicated
+    k-gram machinery as `duplicate_spans`: how much of each document is
+    boilerplate? Output: (doc_id, n_grams, n_dup_grams, dup_frac) where
+    dup_frac routes through `frac6_half_up` (exact integer micro-unit
+    division — engine- and partitioning-independent). The curation-side
+    consumer thresholds dup_frac to drop template-heavy documents.
+
+    Same cost envelope as `duplicate_spans` minus the window: explode,
+    one groupBy(h), one join, one groupBy(id)."""
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    grams = positional_gram_hashes(df, text_col, id_col, k)
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    joined = grams.join(dup_h, "h", "left")
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_grams"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_dup_grams",
+        frac6_half_up(F.col("n_dup_grams"), F.col("n_grams")).alias("dup_frac"),
+    )

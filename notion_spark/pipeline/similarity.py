@@ -79,6 +79,56 @@ def brute_force_topk(
     )
 
 
+# ------------------------------------------------------------ hard negatives
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (query), the k
+    most-similar corpus vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary, which is what contrastive
+    and embedding-finetune pipelines sample for (in-batch negatives are
+    mostly easy; the hard ones must be mined).
+
+    Same execution shape as `brute_force_topk`: broadcast anchors ×
+    streamed corpus, label filter evaluated inside the join (codegen,
+    before any score math), per-partition partial top-k then one merge.
+    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    vec_id. Swap the corpus for an LSH- or IVF-bucketed candidate set
+    (lsh_topk/ivf_topk machinery) when the corpus outgrows a full scan
+    per anchor batch — the label predicate composes unchanged."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("clabel") != F.col("qlabel"))
+        .select(
+            "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
 # ------------------------------------------------------------ sign-LSH
 def _splitmix64(x: int) -> int:
     """Deterministic 64-bit mixer (public splitmix64 constants)."""

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -398,4 +398,62 @@ def fingerprint_overlap(
         x.join(y, on=[x["fp"] == y["fp_b"], x["id_a"] < y["id_b"]])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    top_n: int = 50_000,
+) -> DataFrame:
+    """Corpus vocabulary with coverage ranking — the tokenizer-prep pass
+    (BPE/WordPiece training starts from exactly this table): whitespace
+    tokens with corpus counts, dense frequency rank (count desc, token
+    asc — total order, engine-neutral), document frequency, and the
+    EXACT cumulative-coverage fraction at each rank (`frac6_half_up`
+    micro-unit division of running-sum / grand-total integers — the
+    "top K tokens cover X% of the corpus" curve).
+
+    Output: (token, cnt, doc_freq, rank, cum_frac), rank 1..top_n.
+
+    Scale shape: the count pass is a map-side-combined groupBy over the
+    exploded token stream (linear, the same envelope as tfidf); the
+    running sum needs a GLOBAL order, so it runs AFTER the top_n cut —
+    a single-partition window over at most top_n rows (bounded by the
+    parameter, independent of corpus size), never over the raw token
+    stream. The grand total comes from the full count pass (pre-cut),
+    so coverage fractions are of the WHOLE corpus, not of the head."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("id").alias("doc_freq"),
+    )
+    total = counts.agg(F.sum("cnt").alias("grand")).select(
+        "grand", F.lit(1).alias("__one")
+    )
+    head = (
+        counts.filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = head.select(
+        F.col("tok").alias("token"),
+        "cnt",
+        "doc_freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__run"),
+        F.lit(1).alias("__one"),
+    )
+    return ranked.join(F.broadcast(total), "__one").select(
+        "token",
+        "cnt",
+        "doc_freq",
+        "rank",
+        frac6_half_up(F.col("__run"), F.col("grand")).alias("cum_frac"),
     )

@@ -113,6 +113,37 @@ def test_layout_structure_matches_reference_sample(spark):
         assert _header_after(text, label) == _header_after(ref, label), label
 
 
+GOLDEN_STYLE = os.path.join(
+    os.path.dirname(__file__), "golden", "golden_style_output.txt"
+)
+
+
+def test_golden_style_output_matches_golden_bytes(spark):
+    """S8 value-level golden (VERDICT r4 item 6): the reference-layout
+    renderer's FULL output on the frozen fixture at the fixed clock,
+    byte-diffed. The structural test above pins section order/columns
+    against the reference sample; this one pins every value, row order,
+    and space of our own rendering so a formatting or predicate drift
+    anywhere in the pipeline fails loudly. Output is fully deterministic
+    (fixed clock, seeded fixture) — no masking needed.
+
+    To regenerate intentionally: delete the golden file and re-run."""
+    from notion_spark.queries import analysis as A
+    from notion_spark.sinks.golden_report import render_golden_style
+
+    cfg = EngineConfig()
+    df = normalize_for_analysis(make_tasks(spark)).cache()
+    text = render_golden_style(A.run_all(df, FIXED_NOW, cfg), FIXED_NOW, cfg)
+    df.unpersist()
+    if not os.path.exists(GOLDEN_STYLE):  # regeneration path
+        with open(GOLDEN_STYLE, "w") as f:
+            f.write(text)
+        raise AssertionError("golden file regenerated — rerun to verify")
+    with open(GOLDEN_STYLE) as f:
+        expected = f.read()
+    assert text == expected
+
+
 def test_report_payloads_match_golden(spark):
     """EP3 determinism gate: weekly+yearly report payloads on the fixture
     at the fixed clock, compared structurally to the stored golden."""

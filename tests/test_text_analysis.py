@@ -93,3 +93,42 @@ def test_bm25_topk_ranking(spark):
     # determinism: same frame, repartitioned, identical scores
     again = {x.id: x.score for x in bm25_topk(df.repartition(5), ["rareword", "common"], k=10).collect()}
     assert again == {x.id: x.score for x in rows.collect()}
+
+
+class TestBuildVocabulary:
+    def test_counts_ranks_and_coverage(self, spark):
+        from notion_spark.pipeline.text_analysis import build_vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b x")],
+            "doc_id long, text string",
+        )
+        rows = {r.token: r for r in build_vocabulary(df).collect()}
+        assert rows["a"].cnt == 4 and rows["a"].doc_freq == 2 and rows["a"].rank == 1
+        assert rows["b"].cnt == 3 and rows["b"].rank == 2
+        # tie between c and x (cnt=1) breaks by token asc
+        assert rows["c"].rank == 3 and rows["x"].rank == 4
+        # exact cumulative coverage of the WHOLE corpus: 4/9, 7/9, 8/9, 9/9
+        assert rows["a"].cum_frac == 0.444444
+        assert rows["b"].cum_frac == 0.777778
+        assert rows["x"].cum_frac == 1.0
+
+    def test_top_n_cut_keeps_whole_corpus_denominator(self, spark):
+        from notion_spark.pipeline.text_analysis import build_vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], "doc_id long, text string"
+        )
+        rows = build_vocabulary(df, top_n=1).collect()
+        assert len(rows) == 1
+        # head-only cut, corpus-wide denominator: 3/6 not 3/3
+        assert rows[0].token == "a" and rows[0].cum_frac == 0.5
+
+    def test_empty_tokens_and_null_text_excluded(self, spark):
+        from notion_spark.pipeline.text_analysis import build_vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "  a   b  "), (2, None)], "doc_id long, text string"
+        )
+        rows = {r.token: r for r in build_vocabulary(df).collect()}
+        assert set(rows) == {"a", "b"}
