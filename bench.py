@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "text_gram_novelty",
     "sim_hard_negatives",
     "text_vocab_coverage",
+    "curation_quota_mix",
+    "curation_equidepth_bins",
 ]
 
 

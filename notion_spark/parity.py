@@ -5056,6 +5056,75 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.build_vocabulary(d, top_n=25)
 
 
+@register(
+    "curation_quota_mix",
+    """
+    WITH counts AS (
+        SELECT source AS "group", COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt) AS grand FROM counts),
+    scored AS (
+        SELECT "group", cnt,
+               (1234 * cnt) // grand AS base,
+               (1234 * cnt) % grand AS rem
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rn,
+               SUM(base) OVER () AS base_sum
+        FROM scored
+    )
+    SELECT "group", CAST(cnt AS BIGINT) AS cnt,
+           CAST(base + CASE WHEN rn <= 1234 - base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def curation_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment
+    (pipeline/curation.largest_remainder_quotas): an integer budget of
+    1234 rows split across sources proportional to their counts, floor
+    shares first, leftovers to the largest exact-integer remainders
+    (budget·cnt mod total — never a float), remainder ties by group
+    ascending. Quotas sum to exactly the budget."""
+    from notion_spark.pipeline.curation import largest_remainder_quotas
+
+    d = read_table(spark, sf_dir, "documents")
+    return largest_remainder_quotas(d, "source", budget=1234)
+
+
+@register(
+    "curation_equidepth_bins",
+    """
+    WITH counts AS (
+        SELECT n_chars AS value, COUNT(*) AS cnt FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    runs AS (
+        SELECT value, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY value ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS run_before,
+               SUM(cnt) OVER () AS grand
+        FROM counts
+    )
+    SELECT value, CAST(cnt AS BIGINT) AS cnt,
+           CAST((run_before * 8) // grand AS INT) AS bin
+    FROM runs
+    """,
+)
+def curation_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth binning (pipeline/curation.equidepth_value_bins)
+    of documents.n_chars into 8 bins: per-value counts, integer-exact
+    cumulative-rank boundaries ((rank·n_bins) div N), identical tie
+    semantics (a value never splits across bins). The engine-neutral
+    alternative to approx_percentile bucketing."""
+    from notion_spark.pipeline.curation import equidepth_value_bins
+
+    d = read_table(spark, sf_dir, "documents")
+    return equidepth_value_bins(d, "n_chars", n_bins=8)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

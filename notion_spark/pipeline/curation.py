@@ -475,3 +475,117 @@ def source_rebalance(
         .filter(hash_bucket(F.col(key_col), buckets) < F.col("_cut"))
         .drop("_plan_source", "_cut")
     )
+
+
+# -------------------------------------------- largest-remainder apportionment
+def largest_remainder_quotas(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of an integer sampling
+    ``budget`` across groups, proportional to group row counts — the
+    corpus-mixing allocator ("take exactly 10M docs, proportionally by
+    source, integer counts, no drift"). floor(budget·c_i/C) first, then
+    the leftover seats go to the largest fractional remainders
+    (remainder ties break by group ascending — total order, engine-
+    neutral). All integer math: quotas sum to EXACTLY ``budget`` (when
+    budget <= total rows some groups may exceed their own count — pair
+    with `reservoir_per_group(k=quota)` which simply takes the whole
+    group then).
+
+    Output: (group, cnt, quota).
+
+    Scale shape: one map-side-combined count shuffle to |groups| rows;
+    the remainder ranking is a window over the |groups|-row frame
+    (bounded by group cardinality, never data-sized). The grand total
+    rides in as a broadcast one-row frame."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("grand")).select(
+        "grand", F.lit(1).alias("__one")
+    )
+    with_tot = counts.select("*", F.lit(1).alias("__one")).join(
+        F.broadcast(total), "__one"
+    )
+    # integer `div`, never floor(double-divide): budget·cnt overflows the
+    # 2^53 double mantissa long before it overflows a long
+    base = F.expr(f"({budget} * cnt) div grand")
+    # remainder comparison in exact integers: budget·cnt mod grand
+    rem = (F.lit(budget) * F.col("cnt")) % F.col("grand")
+    scored = with_tot.select(
+        "group", "cnt", base.alias("base"), rem.alias("rem"), "grand"
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("group"))
+    leftover = F.lit(budget) - F.sum("base").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        "group",
+        "cnt",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w) <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("quota"),
+    )
+
+
+# ------------------------------------------------------ equi-depth binning
+def equidepth_value_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Exact equi-depth bin boundaries over a bounded-cardinality column:
+    every row of a value lands in the same bin (classic tie semantics),
+    and bin b holds the rows whose cumulative rank starts in
+    [b·N/n_bins, (b+1)·N/n_bins). The feature-binning step (quantile
+    features, calibration buckets, drift-monitor bucketing) with
+    INTEGER-exact boundaries — no approx-percentile drift across
+    engines or runs.
+
+    Output: (value, cnt, bin) — join it back on the value to tag rows.
+    Null values are excluded (no rank). Bin ids are 0..n_bins-1.
+
+    Scale shape: one map-side-combined count shuffle to |distinct|
+    rows, then a window over that bounded frame. Guarded: more than
+    ``max_distinct`` distinct values raises — a continuous column needs
+    a histogram sketch (sketches.histogram_bins), not exact binning."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_distinct = counts.limit(max_distinct + 1).count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"equidepth_value_bins: > {max_distinct} distinct values in"
+            f" {col!r} — use sketches.histogram_bins for continuous data"
+        )
+    w = Window.orderBy(F.asc("value"))
+    total = Window.orderBy(F.asc("value")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run_before = F.coalesce(
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    grand = F.sum("cnt").over(total)
+    # bin = (rank_of_first_row * n_bins) div N: integer-exact (never
+    # floor(double) — the product outgrows the 2^53 mantissa at scale),
+    # every boundary lands where the exact quantile does
+    return counts.select(
+        "value",
+        "cnt",
+        (run_before * F.lit(n_bins)).alias("__scaled"),
+        grand.alias("__grand"),
+    ).select(
+        "value",
+        "cnt",
+        F.expr("__scaled div __grand").cast("int").alias("bin"),
+    )

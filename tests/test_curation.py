@@ -312,3 +312,66 @@ def test_strip_common_paragraphs_literal_separator(spark):
                                "doc_id long, text string")
     out = {r.id: r for r in strip_common_paragraphs(df, max_docs=5, line_sep="|").collect()}
     assert out[1].n_kept == 2 and out[1].clean_text == "alpha\nbeta"
+
+
+class TestLargestRemainderQuotas:
+    def test_quotas_sum_to_budget_and_respect_quota_rule(self, spark):
+        from notion_spark.pipeline.curation import largest_remainder_quotas
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+        df = spark.createDataFrame(rows, "src string")
+        out = {r.group: r for r in largest_remainder_quotas(df, "src", budget=7).collect()}
+        assert sum(r.quota for r in out.values()) == 7
+        # Hamilton quota rule: floor(share) <= quota <= ceil(share)
+        # shares: a=3.5, b=2.1, c=1.4 -> floors 3,2,1 (sum 6), largest
+        # remainder is a (.5) -> a gets the leftover seat
+        assert out["a"].quota == 4 and out["b"].quota == 2 and out["c"].quota == 1
+
+    def test_remainder_tie_breaks_by_group_asc(self, spark):
+        from notion_spark.pipeline.curation import largest_remainder_quotas
+
+        # two equal groups, odd budget: equal remainders, 'a' wins the seat
+        df = spark.createDataFrame([("a",), ("b",)], "src string")
+        out = {r.group: r.quota for r in largest_remainder_quotas(df, "src", budget=3).collect()}
+        assert out == {"a": 2, "b": 1}
+
+    def test_zero_budget_and_negative_rejected(self, spark):
+        from notion_spark.pipeline.curation import largest_remainder_quotas
+
+        df = spark.createDataFrame([("a",), ("b",)], "src string")
+        out = {r.group: r.quota for r in largest_remainder_quotas(df, "src", budget=0).collect()}
+        assert out == {"a": 0, "b": 0}
+        import pytest
+
+        with pytest.raises(ValueError, match="budget"):
+            largest_remainder_quotas(df, "src", budget=-1)
+
+
+class TestEquidepthValueBins:
+    def test_uniform_values_split_evenly(self, spark):
+        from notion_spark.pipeline.curation import equidepth_value_bins
+
+        df = spark.createDataFrame([(v,) for v in range(8)], "x int")
+        out = {r.value: r.bin for r in equidepth_value_bins(df, "x", n_bins=4).collect()}
+        assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+    def test_heavy_value_never_splits(self, spark):
+        from notion_spark.pipeline.curation import equidepth_value_bins
+
+        # value 1 holds 6 of 8 rows: it lands ENTIRELY in one bin
+        rows = [(0,)] + [(1,)] * 6 + (([(2,)]))
+        df = spark.createDataFrame(rows, "x int")
+        out = {r.value: r for r in equidepth_value_bins(df, "x", n_bins=4).collect()}
+        assert out[1].cnt == 6
+        assert out[0].bin == 0 and out[1].bin == 0 and out[2].bin == 3
+
+    def test_nulls_excluded_and_cardinality_guard(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.curation import equidepth_value_bins
+
+        df = spark.createDataFrame([(1,), (None,), (2,)], "x int")
+        out = equidepth_value_bins(df, "x", n_bins=2).collect()
+        assert sorted(r.value for r in out) == [1, 2]
+        with pytest.raises(ValueError, match="distinct"):
+            equidepth_value_bins(df, "x", n_bins=2, max_distinct=1)

@@ -439,3 +439,163 @@ def test_dedup_by_url_invariants(spark, rows):
     for r in out:
         group = [i for i, c in canon.items() if c == r["canonical_url"]]
         assert r["id"] == min(group)
+
+
+# ------------------------------------------------- substring-span dedup (r5)
+_doc_texts = st.lists(
+    st.lists(st.sampled_from("uvwxyz"), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_spans(docs: list[str], k: int) -> set[tuple[int, int, int, int]]:
+    """Brute-force Python model of duplicate_spans: gram strings, corpus
+    counts, island merge."""
+    grams: list[tuple[int, int, str]] = []
+    for i, text in enumerate(docs):
+        toks = text.strip().split()
+        if len(toks) < k or not text.strip():
+            continue
+        for p in range(len(toks) - k + 1):
+            grams.append((i + 1, p + 1, " ".join(toks[p : p + k])))
+    from collections import Counter
+
+    counts = Counter(g for _, _, g in grams)
+    spans = set()
+    for doc in {d for d, _, _ in grams}:
+        dup_pos = sorted(p for d, p, g in grams if d == doc and counts[g] >= 2)
+        if not dup_pos:
+            continue
+        start = prev = dup_pos[0]
+        n = 1
+        for p in dup_pos[1:]:
+            if p - prev <= k:
+                prev = p
+                n += 1
+            else:
+                spans.add((doc, start, prev + k - 1, n))
+                start = prev = p
+                n = 1
+        spans.add((doc, start, prev + k - 1, n))
+    return spans
+
+
+@SETTINGS
+@given(texts=_doc_texts, k=st.integers(2, 4))
+def test_duplicate_spans_matches_python_model(spark, texts, k):
+    from notion_spark.pipeline.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == _model_spans(texts, k)
+
+
+@SETTINGS
+@given(texts=_doc_texts)
+def test_gram_novelty_fraction_matches_fraction_arithmetic(spark, texts):
+    """dup_frac must equal Fraction-exact half-up 6-decimal rounding of
+    n_dup/n_total — never engine round()."""
+    from fractions import Fraction
+
+    from notion_spark.pipeline.dedup import gram_novelty
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in gram_novelty(df, k=2).collect():
+        micro = (Fraction(r.n_dup_grams, r.n_grams) * 1_000_000 + Fraction(1, 2)).__floor__()
+        assert r.dup_frac == micro / 1_000_000
+        assert 0 <= r.n_dup_grams <= r.n_grams
+
+
+# ------------------------------------------------- vocabulary coverage (r5)
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    top_n=st.integers(1, 6),
+)
+def test_build_vocabulary_matches_counter_model(spark, texts, top_n):
+    from collections import Counter
+    from fractions import Fraction
+
+    from notion_spark.pipeline.text_analysis import build_vocabulary
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = sorted(build_vocabulary(df, top_n=top_n).collect(), key=lambda r: r.rank)
+
+    counts = Counter(tok for t in texts for tok in t.split())
+    docf = Counter(tok for t in texts for tok in set(t.split()))
+    order = sorted(counts, key=lambda t: (-counts[t], t))[:top_n]
+    grand = sum(counts.values())
+
+    assert [r.token for r in rows] == order
+    run = 0
+    for r in rows:
+        assert r.cnt == counts[r.token] and r.doc_freq == docf[r.token]
+        run += counts[r.token]
+        micro = (Fraction(run, grand) * 1_000_000 + Fraction(1, 2)).__floor__()
+        assert r.cum_frac == micro / 1_000_000
+    # coverage is monotone and capped at 1
+    fracs = [r.cum_frac for r in rows]
+    assert fracs == sorted(fracs) and (not fracs or fracs[-1] <= 1.0)
+
+
+# ---------------------------------------------- quota apportionment (r5)
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(1, 9), min_size=1, max_size=5),
+    budget=st.integers(0, 40),
+)
+def test_largest_remainder_quota_rule(spark, sizes, budget):
+    """Hamilton invariants: quotas sum to the budget exactly, and every
+    group satisfies the quota rule floor(share) <= quota <= ceil(share)."""
+    from fractions import Fraction
+
+    from notion_spark.pipeline.curation import largest_remainder_quotas
+
+    rows = [(f"g{i}",) for i, n in enumerate(sizes) for _ in range(n)]
+    df = spark.createDataFrame(rows, "src string")
+    out = {r.group: r.quota for r in largest_remainder_quotas(df, "src", budget).collect()}
+    total = sum(sizes)
+    assert sum(out.values()) == budget
+    for i, n in enumerate(sizes):
+        share = Fraction(budget * n, total)
+        assert share.__floor__() <= out[f"g{i}"] <= share.__ceil__()
+
+
+@SETTINGS
+@given(
+    values=st.lists(st.integers(0, 6), min_size=1, max_size=20),
+    n_bins=st.integers(1, 5),
+)
+def test_equidepth_bins_match_rank_model(spark, values, n_bins):
+    """bin(value) == (rank of its first row · n_bins) div N, bins are
+    monotone in value, ids within range."""
+    from collections import Counter
+
+    from notion_spark.pipeline.curation import equidepth_value_bins
+
+    df = spark.createDataFrame([(v,) for v in values], "x int")
+    out = {r.value: r.bin for r in equidepth_value_bins(df, "x", n_bins=n_bins).collect()}
+    counts = Counter(values)
+    n = len(values)
+    run = 0
+    prev_bin = 0
+    for v in sorted(counts):
+        expect = (run * n_bins) // n
+        assert out[v] == expect
+        assert prev_bin <= expect < n_bins
+        prev_bin = expect
+        run += counts[v]
