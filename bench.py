@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "text_vocab_coverage",
     "curation_quota_mix",
     "curation_equidepth_bins",
+    "profile_diversity_by_lang",
+    "dedup_group_overlap",
+    "sim_knn_disagreement",
+    "behavior_inter_arrival",
+    "behavior_trending_topk",
+    "profile_drift_documents",
 ]
 
 

@@ -250,3 +250,120 @@ def linear_attribution(
         F.lit(1).alias("credit_num"),
         F.count(F.lit(1)).over(w).alias("credit_den"),
     )
+
+
+def inter_arrival_stats(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-user inter-arrival-time statistics with an exact burstiness
+    ratio — the bot/script detector (human activity is bursty, CV² >> 0;
+    a metronomic scraper has CV² ≈ 0; the sigma/trend modules watch
+    VALUES, this watches TIMING).
+
+    Gaps are exact integer microseconds between consecutive events per
+    user. Output: (user, n_events, n_gaps, sum_gap_us, min_gap_us,
+    max_gap_us, cv2_num, cv2_den, cv2) where CV² — the squared
+    coefficient of variation, variance/mean² — is the exact rational
+    (n·Σd² − (Σd)²) / (Σd)² surfaced as DECIMAL(38,0) integers plus the
+    one frac6-style division. Users with < 2 events emit n_gaps = 0 and
+    NULL cv2 (no gaps to measure); an all-identical-timestamp user has
+    Σd = 0 → NULL cv2 (degenerate mean).
+
+    One user-key shuffle for the lag window, then a map-side-combined
+    groupBy — the standard per-user envelope shared by funnel/retention."""
+    from notion_spark.functions.exactmath import D38
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    # unix_micros rejects TIMESTAMP_NTZ; the NTZ->LTZ cast is wall-clock
+    # identity under the repo's pinned UTC session timezone
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("long")
+    gapped = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("user"),
+        (us - F.lag(us).over(w)).alias("d"),
+    )
+    agg = gapped.groupBy("user").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("d").cast("long").alias("n_gaps"),
+        F.sum("d").cast("long").alias("sum_gap_us"),
+        F.min("d").alias("min_gap_us"),
+        F.max("d").alias("max_gap_us"),
+        F.sum((F.col("d").cast(D38) * F.col("d").cast(D38)).cast(D38)).cast(D38).alias("__sumsq"),
+    )
+    n = F.col("n_gaps").cast(D38)
+    s = F.col("sum_gap_us").cast(D38)
+    num = (n * F.col("__sumsq") - s * s).cast(D38)
+    den = (s * s).cast(D38)
+    micro = F.floor((num * F.lit(2000000) + den) / (den * F.lit(2)))
+    valid = (F.col("n_gaps") >= 1) & (F.col("sum_gap_us") > 0)
+    return agg.select(
+        "user",
+        "n_events",
+        "n_gaps",
+        "sum_gap_us",
+        "min_gap_us",
+        "max_gap_us",
+        F.when(valid, num).alias("cv2_num"),
+        F.when(valid, den).alias("cv2_den"),
+        F.when(valid, micro.cast("bigint") / F.lit(1000000.0)).alias("cv2"),
+    )
+
+
+def trending_topk(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period: str = "day",
+    k: int = 10,
+) -> DataFrame:
+    """Per-period top-k keys by event count WITH rank movement vs the
+    previous period — the "trending" board (what rose, what fell, what
+    entered). All-integer: counts, dense ranks (count desc, key asc —
+    total order), and rank_delta = prev_rank − rank (positive = rising;
+    NULL = newly charted).
+
+    Output: (period_start, key, cnt, rank, prev_rank, rank_delta),
+    rank <= k.
+
+    Scale shape: one map-side-combined groupBy to |periods × keys| rows;
+    the rank window partitions per period over that aggregated frame
+    (bounded by distinct keys, never events); the lag joins period t to
+    t−1 per key via one more window over the same frame. The top-k
+    filter applies AFTER prev_rank capture, so a key that fell out of
+    the top-k still shows its exit in the next period's NULL-delta
+    semantics (prev_rank is the FULL-board rank, not top-k-truncated)."""
+    if period not in ("hour", "day", "week", "month"):
+        raise ValueError(f"unsupported period {period!r}")
+    counts = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.date_trunc(period, F.col(ts_col)).alias("period_start"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wr = Window.partitionBy("period_start").orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = counts.withColumn("rank", F.row_number().over(wr).cast("int"))
+    wl = Window.partitionBy("key").orderBy(F.asc("period_start"))
+    with_prev = ranked.withColumn(
+        "prev_period", F.lag("period_start").over(wl)
+    ).withColumn("prev_rank_raw", F.lag("rank").over(wl))
+    # a gap (key absent last period) must NOT chain to an older period:
+    # prev_rank only counts when the previous appearance was EXACTLY one
+    # period back
+    contiguous = F.col("prev_period").eqNullSafe(
+        F.col("period_start") - F.expr(f"interval 1 {period}")
+    )
+    prev_rank = F.when(contiguous, F.col("prev_rank_raw"))
+    return (
+        with_prev.filter(F.col("rank") <= k)
+        .select(
+            "period_start",
+            "key",
+            "cnt",
+            "rank",
+            prev_rank.alias("prev_rank"),
+            (prev_rank - F.col("rank")).alias("rank_delta"),
+        )
+    )

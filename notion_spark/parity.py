@@ -5125,6 +5125,273 @@ def curation_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_value_bins(d, "n_chars", n_bins=8)
 
 
+@register(
+    "profile_diversity_by_lang",
+    """
+    WITH counts AS (
+        SELECT lang, COALESCE(CAST(source AS VARCHAR), '∅') AS lbl,
+               COUNT(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT lang, SUM(c) AS n, COUNT(*) AS n_labels,
+               SUM(c * c) AS sumsq
+        FROM counts GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_labels AS BIGINT) AS n_labels,
+           CAST(n * n - sumsq AS BIGINT) AS gini_num,
+           CAST(n * n AS BIGINT) AS gini_den,
+           CAST(floor(((n * n - sumsq) * 2000000 + n * n) / (2 * n * n))
+                AS BIGINT) / 1000000.0 AS gini
+    FROM agg
+    """,
+)
+def profile_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson source diversity per language
+    (pipeline/profile.diversity_index): 1 − Σpᵢ² as an exact rational
+    (n² − Σcᵢ²)/n² — integer numerator/denominator, frac6 division,
+    no float pᵢ anywhere. The data-card balance number ("is this
+    language slice one-source sludge?")."""
+    from notion_spark.pipeline.profile import diversity_index
+
+    d = read_table(spark, sf_dir, "documents")
+    out = diversity_index(d, "source", by="lang")
+    return out.select(
+        "lang",
+        "n",
+        "n_labels",
+        F.col("gini_num").cast("bigint").alias("gini_num"),
+        F.col("gini_den").cast("bigint").alias("gini_den"),
+        "gini",
+    )
+
+
+@register(
+    "dedup_group_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT DISTINCT source, array_to_string(t[pos:pos+2], ' ') AS g
+        FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)
+    ),
+    totals AS (SELECT source, COUNT(*) AS n_set FROM grams GROUP BY 1),
+    inter AS (
+        SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, CAST(inter AS BIGINT) AS inter,
+           CAST(ta.n_set AS BIGINT) AS n_a, CAST(tb.n_set AS BIGINT) AS n_b,
+           CAST(floor((inter * 2000000 + (ta.n_set + tb.n_set - inter))
+                      / (2 * (ta.n_set + tb.n_set - inter))) AS BIGINT)
+               / 1000000.0 AS jaccard
+    FROM inter
+    JOIN totals ta ON ta.source = inter.group_a
+    JOIN totals tb ON tb.source = inter.group_b
+    """,
+)
+def dedup_group_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap audit
+    (pipeline/dedup.group_overlap_matrix): exact Jaccard of each source
+    pair's DISTINCT 3-gram sets, frac6 division of integer counts. The
+    oracle rebuilds the whole matrix from gram STRINGS (Spark side works
+    on xxhash64 — independently verified collision-free here too)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.group_overlap_matrix(d, "source", n=3)
+
+
+@register(
+    "sim_knn_disagreement",
+    f"""
+    WITH nn AS (
+        SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS clabel,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+    )
+    SELECT qid AS query_id, qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree,
+           CAST(floor((SUM(CASE WHEN clabel <> qlabel THEN 1 ELSE 0 END)
+                       * 2000000 + COUNT(*)) / (2 * COUNT(*))) AS BIGINT)
+               / 1000000.0 AS disagreement
+    FROM nn WHERE rank <= 5
+    GROUP BY qid, qlabel
+    """,
+)
+def sim_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-disagreement (pipeline/similarity.knn_label_disagreement):
+    per anchor, the exact fraction of its 5 nearest neighbors (self
+    excluded) with a different label — the confident-learning-style
+    label-noise ranking, counts and frac6 division all integer-exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return SIM.knn_label_disagreement(emb, anchors, k=5)
+
+
+@register(
+    "behavior_inter_arrival",
+    """
+    WITH g AS (
+        SELECT user_id AS "user",
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS d
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    agg AS (
+        SELECT "user",
+               COUNT(*) AS n_events, COUNT(d) AS n_gaps,
+               SUM(d) AS sum_gap_us, MIN(d) AS min_gap_us, MAX(d) AS max_gap_us,
+               SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sumsq
+        FROM g GROUP BY 1
+    )
+    SELECT "user", CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(sum_gap_us AS BIGINT) AS sum_gap_us,
+           CAST(min_gap_us AS BIGINT) AS min_gap_us,
+           CAST(max_gap_us AS BIGINT) AS max_gap_us,
+           CASE WHEN n_gaps >= 1 AND sum_gap_us > 0 THEN
+               CAST(((CAST(n_gaps AS HUGEINT) * sumsq
+                      - CAST(sum_gap_us AS HUGEINT) * CAST(sum_gap_us AS HUGEINT))
+                     * 2000000
+                     + CAST(sum_gap_us AS HUGEINT) * CAST(sum_gap_us AS HUGEINT))
+                    // (2 * CAST(sum_gap_us AS HUGEINT) * CAST(sum_gap_us AS HUGEINT))
+                    AS BIGINT) / 1000000.0
+           END AS cv2
+    FROM agg
+    """,
+)
+def behavior_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness
+    (operators/behavior.inter_arrival_stats): exact integer-microsecond
+    gaps, integer moments in DECIMAL(38,0), CV² = (nΣd²−(Σd)²)/(Σd)² as
+    a frac6-style micro division — the timing-based bot detector. The
+    oracle mirrors the integer math in HUGEINT. (The num/den decimals
+    are dropped from the parity projection — HUGEINT surfaces as float64
+    in pandas while Spark decimals surface as objects; the cv2 division
+    IS the checked value.)"""
+    from notion_spark.operators.behavior import inter_arrival_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return inter_arrival_stats(ev, "user_id", "ts").select(
+        "user", "n_events", "n_gaps", "sum_gap_us", "min_gap_us", "max_gap_us", "cv2"
+    )
+
+
+@register(
+    "behavior_trending_topk",
+    """
+    WITH counts AS (
+        SELECT date_trunc('day', ts) AS period_start, event_type AS key,
+               COUNT(*) AS cnt
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY period_start
+                       ORDER BY cnt DESC, key ASC) AS INT) AS rank
+        FROM counts
+    ),
+    lagged AS (
+        SELECT *, lag(period_start) OVER w AS prev_period,
+               lag(rank) OVER w AS prev_rank_raw
+        FROM ranked WINDOW w AS (PARTITION BY key ORDER BY period_start)
+    )
+    SELECT strftime(period_start, '%Y-%m-%d') AS period_start, key,
+           CAST(cnt AS BIGINT) AS cnt, rank,
+           CASE WHEN prev_period = period_start - INTERVAL 1 DAY
+                THEN prev_rank_raw END AS prev_rank,
+           CASE WHEN prev_period = period_start - INTERVAL 1 DAY
+                THEN prev_rank_raw - rank END AS rank_delta
+    FROM lagged WHERE rank <= 3
+    """,
+)
+def behavior_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 event types with rank movement
+    (operators/behavior.trending_topk): all-integer counts/ranks, a
+    contiguity-guarded lag (a key absent yesterday gets NULL prev_rank,
+    never a stale older rank), top-k filter applied after full-board
+    rank capture."""
+    from notion_spark.operators.behavior import trending_topk
+
+    ev = read_table(spark, sf_dir, "events")
+    out = trending_topk(ev, "event_type", "ts", period="day", k=3)
+    return out.select(
+        F.date_format("period_start", "yyyy-MM-dd").alias("period_start"),
+        "key", "cnt", "rank", "prev_rank", "rank_delta",
+    )
+
+
+@register(
+    "profile_drift_documents",
+    """
+    WITH before_meta AS (
+        SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
+        FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT 'lang', COUNT(*), SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               MIN(lang), MAX(lang) FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT 'source', COUNT(*), SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               MIN(source), MAX(source) FROM documents WHERE doc_id < 250
+    ),
+    after_meta AS (
+        SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               MIN(lang), MAX(lang) FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               MIN(source), MAX(source) FROM documents
+    )
+    SELECT b.col_name,
+           CAST(b.n_rows AS BIGINT) AS n_rows_before,
+           CAST(a.n_rows AS BIGINT) AS n_rows_after,
+           CAST((b.n_null * 2000000 + b.n_rows) // (2 * b.n_rows) AS BIGINT) AS null_ppm_before,
+           CAST((a.n_null * 2000000 + a.n_rows) // (2 * a.n_rows) AS BIGINT) AS null_ppm_after,
+           CAST((a.n_null * 2000000 + a.n_rows) // (2 * a.n_rows)
+                - (b.n_null * 2000000 + b.n_rows) // (2 * b.n_rows) AS BIGINT) AS null_ppm_delta,
+           b.min_v IS DISTINCT FROM a.min_v AS min_changed,
+           b.max_v IS DISTINCT FROM a.max_v AS max_changed,
+           abs((a.n_null * 2000000 + a.n_rows) // (2 * a.n_rows)
+               - (b.n_null * 2000000 + b.n_rows) // (2 * b.n_rows)) > 10000 AS alert
+    FROM before_meta b JOIN after_meta a USING (col_name)
+    """,
+)
+def profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot data-card drift
+    (pipeline/profile.compare_profiles over two profile_table runs):
+    exact integer-ppm null-fraction deltas, min/max boundary changes,
+    alert flags. distinct_ratio is dropped from the parity projection
+    (it divides two HLL estimates — already register-verified by
+    profile_documents)."""
+    from notion_spark.pipeline.profile import compare_profiles, profile_table
+
+    d = read_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source"]
+    out = compare_profiles(
+        profile_table(d.filter(F.col("doc_id") < 250), columns=cols),
+        profile_table(d, columns=cols),
+    )
+    return out.select(
+        "col_name", "n_rows_before", "n_rows_after",
+        "null_ppm_before", "null_ppm_after", "null_ppm_delta",
+        "min_changed", "max_changed", "alert",
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

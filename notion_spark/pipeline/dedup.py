@@ -1223,3 +1223,68 @@ def gram_novelty(
         "n_dup_grams",
         frac6_half_up(F.col("n_dup_grams"), F.col("n_grams")).alias("dup_frac"),
     )
+
+
+def group_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-group n-gram overlap audit: exact Jaccard similarity of the
+    DISTINCT shingle sets of every group pair — "how much does source A's
+    text overlap source B's?" The corpus-level contamination/provenance
+    matrix (inter-source copying, mirrored crawls, shared boilerplate)
+    where `gram_novelty` is the per-document view.
+
+    Output: (group_a < group_b, inter, n_a, n_b, jaccard) with jaccard
+    the exact frac6_half_up of inter / (n_a + n_b − inter). Pairs with
+    zero intersection are omitted (their Jaccard is 0).
+
+    Scale shape: the gram stream reduces to DISTINCT (group, hash) —
+    one map-side-combined shuffle — and the pair expansion self-joins on
+    the hash, where fan-out per hash is bounded by |groups| present, so
+    the join output is at most C(|groups|,2) per hash, never data²;
+    per-group totals are |groups| rows broadcast back. Group counts in
+    the hundreds keep every piece bounded; this is an AUDIT op, not a
+    per-document path."""
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    gh = (
+        shingle_hashes(df, text_col, id_col, n)
+        .join(
+            df.select(F.col(id_col).alias("id"), F.col(group_col).alias("g")),
+            "id",
+        )
+        .select("g", "h")
+        .distinct()
+    )
+    totals = gh.groupBy("g").agg(F.count(F.lit(1)).alias("n_set"))
+    a = gh.select(F.col("g").alias("group_a"), "h")
+    b = gh.select(F.col("g").alias("group_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(totals.select(F.col("g").alias("group_a"), F.col("n_set").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("g").alias("group_b"), F.col("n_set").alias("n_b"))),
+            "group_b",
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        frac6_half_up(F.col("inter"), union).alias("jaccard"),
+    )

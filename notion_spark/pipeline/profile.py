@@ -90,3 +90,110 @@ def profile_table(
             "max_value",
         )
     )
+
+
+def diversity_index(
+    df: DataFrame,
+    label_col: str,
+    by: Sequence[str] | str | None = None,
+) -> DataFrame:
+    """Gini-Simpson diversity 1 − Σ pᵢ² of ``label_col``, optionally per
+    ``by`` group — the class-balance / source-mixture health number a
+    training-data card carries ("is this shard one-source sludge?").
+    0 = one label only; → 1 as labels even out.
+
+    Exact rational arithmetic end to end: with per-label counts cᵢ and
+    total n, gini = (n² − Σcᵢ²) / n² — both integers — surfaced as
+    gini_num / gini_den plus the standard frac6_half_up 6-decimal
+    division. No floating-point pᵢ ever exists, so the result is
+    bit-identical on any engine and any partitioning (Σpᵢ² in doubles
+    would be accumulation-order-dependent). NULL labels count as a
+    category of their own (a null-flooded shard is NOT diverse).
+
+    Scale shape: two map-side-combined groupBys — (by, label) then (by)
+    — |groups×labels| then |groups| rows; nothing data-sized after the
+    first combine."""
+    groups = [by] if isinstance(by, str) else list(by or [])
+    from notion_spark.functions.exactmath import D38
+
+    counts = df.groupBy(
+        *groups, F.coalesce(F.col(label_col).cast("string"), F.lit("∅")).alias("__lbl")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy(*groups).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum((F.col("c").cast(D38) * F.col("c").cast(D38)).cast(D38)).cast(D38).alias("__sumsq"),
+    )
+    # DECIMAL(38,0) throughout: n² overflows a BIGINT at ~3e9 rows per
+    # group, well inside 100 TB reality. The half-up micro-division is
+    # frac6_half_up's formula inlined on decimals (its bigint casts
+    # would re-introduce the overflow).
+    n38 = F.col("n").cast(D38)
+    num = (n38 * n38 - F.col("__sumsq")).cast(D38)
+    den = (n38 * n38).cast(D38)
+    micro = F.floor((num * F.lit(2000000) + den) / (den * F.lit(2)))
+    return agg.select(
+        *groups,
+        "n",
+        "n_labels",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        (micro.cast("bigint") / F.lit(1000000.0)).alias("gini"),
+    )
+
+
+def compare_profiles(
+    before: DataFrame,
+    after: DataFrame,
+    null_frac_alert_ppm: int = 10_000,
+) -> DataFrame:
+    """Data-card drift check between two `profile_table` outputs (e.g.
+    yesterday's corpus vs today's): per column, row-count change, exact
+    null-fraction delta in integer ppm, distinct-estimate ratio, and
+    min/max boundary changes — the cheap schema/content regression gate
+    a 100 TB ingest runs BEFORE accepting a snapshot (the distribution-
+    level sibling is sketches.histogram_drift).
+
+    Output: (col_name, n_rows_before, n_rows_after, null_ppm_before,
+    null_ppm_after, null_ppm_delta, distinct_ratio, min_changed,
+    max_changed, alert). `alert` fires when |null ppm delta| exceeds
+    ``null_frac_alert_ppm`` or a column disappeared/appeared (full-outer
+    join keeps both sides). ppm values are exact integers (null_frac is
+    frac6, ×1e6 recovers the integer micro-units exactly); the distinct
+    ratio is the one double (estimates are approximate anyway).
+
+    Both inputs are |columns|-sized — everything here is trivially
+    bounded."""
+    b = before.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_before"),
+        (F.col("null_frac") * 1_000_000).cast("long").alias("null_ppm_before"),
+        F.col("est_distinct").alias("dist_before"),
+        F.col("min_value").alias("min_before"),
+        F.col("max_value").alias("max_before"),
+    )
+    a = after.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_after"),
+        (F.col("null_frac") * 1_000_000).cast("long").alias("null_ppm_after"),
+        F.col("est_distinct").alias("dist_after"),
+        F.col("min_value").alias("min_after"),
+        F.col("max_value").alias("max_after"),
+    )
+    j = b.join(a, "col_name", "full_outer")
+    delta = F.col("null_ppm_after") - F.col("null_ppm_before")
+    missing = F.col("n_rows_before").isNull() | F.col("n_rows_after").isNull()
+    return j.select(
+        "col_name",
+        "n_rows_before",
+        "n_rows_after",
+        "null_ppm_before",
+        "null_ppm_after",
+        delta.alias("null_ppm_delta"),
+        F.when(
+            F.col("dist_before") > 0, F.col("dist_after") / F.col("dist_before")
+        ).alias("distinct_ratio"),
+        (~F.col("min_before").eqNullSafe(F.col("min_after"))).alias("min_changed"),
+        (~F.col("max_before").eqNullSafe(F.col("max_after"))).alias("max_changed"),
+        (missing | (F.abs(delta) > F.lit(null_frac_alert_ppm))).alias("alert"),
+    )

@@ -129,6 +129,70 @@ def hard_negatives(
     )
 
 
+# ------------------------------------------------ label-noise detection
+def knn_label_disagreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Confident-learning-style label-noise signal: for each query
+    vector, the fraction of its k nearest neighbors (cosine, self
+    excluded by id) carrying a DIFFERENT label. High disagreement marks
+    likely mislabeled or boundary examples — the rows a label-cleaning
+    pass re-annotates or drops first.
+
+    Output: (query_id, label, n_neighbors, n_disagree, disagreement)
+    with `disagreement` the exact frac6_half_up of integer counts
+    (n_neighbors = min(k, corpus−1) at the edge, never silently k).
+
+    Same scan shape as `brute_force_topk`: broadcast queries × streamed
+    corpus, per-partition partial top-k, then a |queries×k|-row
+    aggregate. Swap in the LSH/IVF candidate generators when the corpus
+    outgrows a full scan per query batch."""
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vid",
+            "clabel",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    agg = nn.groupBy("qid", "qlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.sum((F.col("clabel") != F.col("qlabel")).cast("int")).cast("long").alias("n_disagree"),
+    )
+    return agg.select(
+        F.col("qid").alias(query_id_col),
+        F.col("qlabel").alias(label_col),
+        "n_neighbors",
+        "n_disagree",
+        frac6_half_up(F.col("n_disagree"), F.col("n_neighbors")).alias("disagreement"),
+    )
+
+
 # ------------------------------------------------------------ sign-LSH
 def _splitmix64(x: int) -> int:
     """Deterministic 64-bit mixer (public splitmix64 constants)."""

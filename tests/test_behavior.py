@@ -233,3 +233,90 @@ class TestLinearAttribution:
         ).collect()
         dens = {r["user"]: r["credit_den"] for r in out}
         assert dens == {1: 1, 2: 3}
+
+
+class TestInterArrivalStats:
+    def test_exact_cv2(self, spark):
+        from notion_spark.operators.behavior import inter_arrival_stats
+
+        # gaps: 1s, 3s -> n=2, sum=4e6us, sumsq=1e12+9e12
+        # cv2 = (2*10e12 - 16e12) / 16e12 = 0.25
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:00:01"),
+            (1, "2024-01-01 00:00:04"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        r = inter_arrival_stats(df, "user_id", "ts").collect()[0]
+        assert (r.n_events, r.n_gaps) == (3, 2)
+        assert r.sum_gap_us == 4_000_000
+        assert (r.min_gap_us, r.max_gap_us) == (1_000_000, 3_000_000)
+        assert r.cv2 == 0.25
+
+    def test_metronome_is_zero_and_single_event_null(self, spark):
+        from notion_spark.operators.behavior import inter_arrival_stats
+
+        rows = [(1, f"2024-01-01 00:00:{s:02d}") for s in (0, 10, 20, 30)] + [
+            (2, "2024-01-01 00:00:00")
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        out = {r.user: r for r in inter_arrival_stats(df, "user_id", "ts").collect()}
+        assert out[1].cv2 == 0.0  # perfectly regular
+        assert out[2].n_gaps == 0 and out[2].cv2 is None
+
+
+class TestTrendingTopk:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, ts string").select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    def test_rank_delta_and_new_entry(self, spark):
+        from notion_spark.operators.behavior import trending_topk
+
+        rows = (
+            [("a", "2024-01-01 01:00:00")] * 3
+            + [("b", "2024-01-01 02:00:00")] * 2
+            + [("b", "2024-01-02 01:00:00")] * 5
+            + [("a", "2024-01-02 02:00:00")] * 1
+            + [("c", "2024-01-02 03:00:00")] * 2
+        )
+        out = trending_topk(self._ev(spark, rows), "event_type", "ts", "day", k=3)
+        got = {(str(r.period_start)[:10], r.key): r for r in out.collect()}
+        d1a, d1b = got[("2024-01-01", "a")], got[("2024-01-01", "b")]
+        assert (d1a.rank, d1a.prev_rank) == (1, None)
+        assert d1b.rank == 2
+        d2b, d2a, d2c = (
+            got[("2024-01-02", "b")],
+            got[("2024-01-02", "a")],
+            got[("2024-01-02", "c")],
+        )
+        assert (d2b.rank, d2b.prev_rank, d2b.rank_delta) == (1, 2, 1)  # rose
+        assert (d2a.rank, d2a.prev_rank, d2a.rank_delta) == (3, 1, -2)  # fell
+        assert (d2c.rank, d2c.prev_rank) == (2, None)  # newly charted
+
+    def test_gap_does_not_chain_stale_rank(self, spark):
+        from notion_spark.operators.behavior import trending_topk
+
+        rows = (
+            [("a", "2024-01-01 01:00:00")]
+            + [("b", "2024-01-01 02:00:00")] * 2
+            + [("b", "2024-01-02 01:00:00")]
+            # 'a' absent on day 2, returns day 3: prev_rank must be NULL
+            + [("a", "2024-01-03 01:00:00")]
+        )
+        out = trending_topk(self._ev(spark, rows), "event_type", "ts", "day", k=3)
+        got = {(str(r.period_start)[:10], r.key): r for r in out.collect()}
+        assert got[("2024-01-03", "a")].prev_rank is None
+
+    def test_bad_period_rejected(self, spark):
+        import pytest
+
+        from notion_spark.operators.behavior import trending_topk
+
+        with pytest.raises(ValueError, match="period"):
+            trending_topk(self._ev(spark, []), "event_type", "ts", "minute")

@@ -46,3 +46,73 @@ def test_profile_single_sketch_shuffle(spark):
     # formulation would add a full-cardinality shuffle per column.
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in plan
+
+
+class TestDiversityIndex:
+    def test_gini_exact_values(self, spark):
+        from notion_spark.pipeline.profile import diversity_index
+
+        # one group: labels a,a,b,c -> n=4, sumsq=4+1+1=6, gini=(16-6)/16
+        df = spark.createDataFrame([("a",), ("a",), ("b",), ("c",)], "lbl string")
+        r = diversity_index(df, "lbl").collect()[0]
+        assert (r.n, r.n_labels) == (4, 3)
+        assert (int(r.gini_num), int(r.gini_den)) == (10, 16)
+        assert r.gini == 0.625
+
+    def test_single_label_is_zero_and_nulls_count_as_category(self, spark):
+        from notion_spark.pipeline.profile import diversity_index
+
+        df = spark.createDataFrame([("x",), ("x",)], "lbl string")
+        assert diversity_index(df, "lbl").collect()[0].gini == 0.0
+        # null is its own category: x,x,null -> (9 - (4+1))/9 = 4/9
+        df2 = spark.createDataFrame([("x",), ("x",), (None,)], "lbl string")
+        r = df2.transform(lambda d: diversity_index(d, "lbl")).collect()[0]
+        assert r.n_labels == 2 and r.gini == 0.444444
+
+    def test_per_group(self, spark):
+        from notion_spark.pipeline.profile import diversity_index
+
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "a")],
+            "g string, lbl string",
+        )
+        out = {r.g: r.gini for r in diversity_index(df, "lbl", by="g").collect()}
+        assert out == {"g1": 0.5, "g2": 0.0}
+
+
+class TestCompareProfiles:
+    def test_drift_detection(self, spark):
+        from notion_spark.pipeline.profile import compare_profiles, profile_table
+
+        before = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "id long, s string"
+        )
+        after = spark.createDataFrame(
+            [(1, "x"), (2, None), (3, None), (9, "z")], "id long, s string"
+        )
+        out = {
+            r.col_name: r
+            for r in compare_profiles(
+                profile_table(before), profile_table(after)
+            ).collect()
+        }
+        # s: nulls 0/2 -> 2/4 = 500000 ppm delta -> alert
+        assert out["s"].null_ppm_before == 0
+        assert out["s"].null_ppm_after == 500_000
+        assert out["s"].null_ppm_delta == 500_000 and out["s"].alert
+        # id max moved 2 -> 9
+        assert out["id"].max_changed and not out["id"].min_changed
+        assert not out["id"].alert
+
+    def test_missing_column_alerts(self, spark):
+        from notion_spark.pipeline.profile import compare_profiles, profile_table
+
+        before = spark.createDataFrame([(1, "x")], "id long, s string")
+        after = spark.createDataFrame([(1,)], "id long")
+        out = {
+            r.col_name: r
+            for r in compare_profiles(
+                profile_table(before), profile_table(after)
+            ).collect()
+        }
+        assert out["s"].alert and out["s"].n_rows_after is None

@@ -132,3 +132,54 @@ def test_duplicate_spans_plan_has_no_cartesian(spark):
     plan = duplicate_spans(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_duplicate_spans_plan_single_gram_pass(spark):
+    """Perf pin (r5, measured 2.4x): the gram explode must appear exactly
+    ONCE in the plan — the groupBy+join formulation duplicated the
+    Generate (one per side) and regressed sf1 wall time 5.5s -> 13s."""
+    df = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h")])
+    for op in (duplicate_spans, gram_novelty):
+        plan = op(df, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") + plan.count("Generate posexplode") == 1, op.__name__
+
+
+def test_group_overlap_matrix_exact_jaccard(spark):
+    from notion_spark.pipeline.dedup import group_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),   # grams: {a b c, b c d}
+            (2, "a b c x", "s2"),   # grams: {a b c, b c x}
+            (3, "p q r s", "s3"),   # no overlap with anyone
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.group_a, r.group_b): r for r in group_overlap_matrix(df, "source").collect()}
+    # s1 ∩ s2 = {a b c} -> 1 / (2+2-1) = 1/3 -> 0.333333
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert (r.inter, r.n_a, r.n_b) == (1, 2, 2)
+    assert r.jaccard == 0.333333
+
+
+def test_knn_label_disagreement_counts_and_edge(spark):
+    from notion_spark.pipeline.similarity import knn_label_disagreement
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.2], 1),
+        (3, [0.7, 0.3], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    # k=2: neighbors are 1 (same) and 2 (diff) -> 1/2
+    r = knn_label_disagreement(df, anchors, k=2).collect()[0]
+    assert (r.n_neighbors, r.n_disagree, r.disagreement) == (2, 1, 0.5)
+    # k larger than corpus-1: n_neighbors reports the true 3, not k
+    r = knn_label_disagreement(df, anchors, k=10).collect()[0]
+    assert r.n_neighbors == 3 and r.n_disagree == 2
+    assert r.disagreement == 0.666667
