@@ -109,6 +109,13 @@ def main() -> None:
     queries = selected or BENCH_QUERIES
 
     from notion_spark import parity
+
+    # fail a typo'd name in milliseconds, not with a bare KeyError after
+    # a full Spark startup + warmup
+    unknown = [q for q in queries if q not in parity.QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown} — see notion_spark.parity.QUERIES")
+
     from notion_spark.session import get_spark
 
     spark = get_spark(app_name="notion-spark-bench", extra_conf={"spark.ui.enabled": "false"})

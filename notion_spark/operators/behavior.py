@@ -295,8 +295,30 @@ def inter_arrival_stats(
     s = F.col("sum_gap_us").cast(D38)
     num = (n * F.col("__sumsq") - s * s).cast(D38)
     den = (s * s).cast(D38)
-    micro = F.floor((num * F.lit(2000000) + den) / (den * F.lit(2)))
+    # integral `div`, not floor(decimal-divide): Spark's decimal
+    # division rounds HALF_UP at scale 6 BEFORE floor — off by one
+    # micro-unit whenever the exact fraction lands in
+    # [0.4999995, 0.5)·den, which a million-user corpus hits.
+    micro = F.call_function("div", num * F.lit(2000000) + den, den * F.lit(2))
     valid = (F.col("n_gaps") >= 1) & (F.col("sum_gap_us") > 0)
+    # loud overflow guard (matview/linfit pattern): num·2e6 past
+    # DECIMAL(38,0) would NULL silently with ANSI off — hiding exactly
+    # the heaviest, most bot-like users. Double estimates can't overflow.
+    n_d, s_d = F.col("n_gaps").cast("double"), F.col("sum_gap_us").cast("double")
+    sumsq_d = F.col("__sumsq").cast("double")
+    overflow = F.greatest(n_d * sumsq_d, s_d * s_d) * 2e6 > F.lit(1e37)
+
+    def _guard(expr, typ):
+        return F.when(
+            overflow,
+            F.raise_error(
+                F.lit(
+                    "inter_arrival_stats: gap moments exceed DECIMAL(38,0)"
+                    " micro-units — pre-filter multi-decade gaps"
+                )
+            ).cast(typ),
+        ).otherwise(expr.cast(typ))
+
     return agg.select(
         "user",
         "n_events",
@@ -304,9 +326,9 @@ def inter_arrival_stats(
         "sum_gap_us",
         "min_gap_us",
         "max_gap_us",
-        F.when(valid, num).alias("cv2_num"),
-        F.when(valid, den).alias("cv2_den"),
-        F.when(valid, micro.cast("bigint") / F.lit(1000000.0)).alias("cv2"),
+        _guard(F.when(valid, num), D38).alias("cv2_num"),
+        _guard(F.when(valid, den), D38).alias("cv2_den"),
+        _guard(F.when(valid, micro / F.lit(1000000.0)), "double").alias("cv2"),
     )
 
 

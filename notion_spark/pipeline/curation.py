@@ -511,11 +511,15 @@ def largest_remainder_quotas(
     with_tot = counts.select("*", F.lit(1).alias("__one")).join(
         F.broadcast(total), "__one"
     )
-    # integer `div`, never floor(double-divide): budget·cnt overflows the
-    # 2^53 double mantissa long before it overflows a long
-    base = F.expr(f"({budget} * cnt) div grand")
-    # remainder comparison in exact integers: budget·cnt mod grand
-    rem = (F.lit(budget) * F.col("cnt")) % F.col("grand")
+    # DECIMAL(38,0) `div`, never long arithmetic or floor(double):
+    # budget·cnt wraps a LONG silently (ANSI off) at budget 1e7 × cnt
+    # 1e12 — the 100 TB shape this op targets — and overflows the 2^53
+    # double mantissa far earlier; decimal products are exact to 1e38
+    d38 = "decimal(38,0)"
+    prod = F.lit(budget).cast(d38) * F.col("cnt").cast(d38)
+    base = F.call_function("div", prod, F.col("grand").cast(d38))
+    # remainder comparison in exact integers: budget·cnt − base·grand
+    rem = (prod - base.cast(d38) * F.col("grand").cast(d38)).cast(d38)
     scored = with_tot.select(
         "group", "cnt", base.alias("base"), rem.alias("rem"), "grand"
     )
@@ -562,12 +566,6 @@ def equidepth_value_bins(
         .groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n_distinct = counts.limit(max_distinct + 1).count()
-    if n_distinct > max_distinct:
-        raise ValueError(
-            f"equidepth_value_bins: > {max_distinct} distinct values in"
-            f" {col!r} — use sketches.histogram_bins for continuous data"
-        )
     w = Window.orderBy(F.asc("value"))
     total = Window.orderBy(F.asc("value")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -578,14 +576,28 @@ def equidepth_value_bins(
     grand = F.sum("cnt").over(total)
     # bin = (rank_of_first_row * n_bins) div N: integer-exact (never
     # floor(double) — the product outgrows the 2^53 mantissa at scale),
-    # every boundary lands where the exact quantile does
+    # every boundary lands where the exact quantile does.
+    # The cardinality guard is IN-PLAN, folded into the bin column (the
+    # matview/linfit pattern) rather than an eager limit().count()
+    # probe: the eager form ran the full scan+groupBy twice per call and
+    # made a lazy API eager. count over the unbounded window = |distinct|.
+    n_distinct = F.count(F.lit(1)).over(total)
     return counts.select(
         "value",
         "cnt",
         (run_before * F.lit(n_bins)).alias("__scaled"),
         grand.alias("__grand"),
+        n_distinct.alias("__nd"),
     ).select(
         "value",
         "cnt",
-        F.expr("__scaled div __grand").cast("int").alias("bin"),
+        F.when(
+            F.col("__nd") > F.lit(max_distinct),
+            F.raise_error(
+                F.lit(
+                    f"equidepth_value_bins: > {max_distinct} distinct values in"
+                    f" {col!r} — use sketches.histogram_bins for continuous data"
+                )
+            ).cast("int"),
+        ).otherwise(F.expr("__scaled div __grand").cast("int")).alias("bin"),
     )

@@ -125,20 +125,34 @@ def diversity_index(
         F.sum((F.col("c").cast(D38) * F.col("c").cast(D38)).cast(D38)).cast(D38).alias("__sumsq"),
     )
     # DECIMAL(38,0) throughout: n² overflows a BIGINT at ~3e9 rows per
-    # group, well inside 100 TB reality. The half-up micro-division is
-    # frac6_half_up's formula inlined on decimals (its bigint casts
-    # would re-introduce the overflow).
+    # group, well inside 100 TB reality. The half-up micro-division
+    # uses integral `div` (floor(decimal-divide) rounds HALF_UP at
+    # scale 6 BEFORE floor — off by one micro-unit on ~1e-6 of
+    # inputs); num*2e6 would overflow DECIMAL(38,0) past n ~ 3e15
+    # rows per group, so the same loud double-estimate guard as
+    # matview/linfit is folded into every affected output column.
     n38 = F.col("n").cast(D38)
     num = (n38 * n38 - F.col("__sumsq")).cast(D38)
     den = (n38 * n38).cast(D38)
-    micro = F.floor((num * F.lit(2000000) + den) / (den * F.lit(2)))
+    micro = F.call_function("div", num * F.lit(2000000) + den, den * F.lit(2))
+    n_d = F.col("n").cast("double")
+    overflow = n_d * n_d * 2e6 > F.lit(1e37)
+
+    def _guard(expr, typ):
+        return F.when(
+            overflow,
+            F.raise_error(
+                F.lit("diversity_index: n² micro-units exceed DECIMAL(38,0)")
+            ).cast(typ),
+        ).otherwise(expr.cast(typ))
+
     return agg.select(
         *groups,
         "n",
         "n_labels",
-        num.alias("gini_num"),
-        den.alias("gini_den"),
-        (micro.cast("bigint") / F.lit(1000000.0)).alias("gini"),
+        _guard(num, D38).alias("gini_num"),
+        _guard(den, D38).alias("gini_den"),
+        _guard(micro / F.lit(1000000.0), "double").alias("gini"),
     )
 
 
@@ -164,10 +178,22 @@ def compare_profiles(
 
     Both inputs are |columns|-sized — everything here is trivially
     bounded."""
+    # ppm is RECOMPUTED from the exact integers (n_null, n_rows) with
+    # integral `div` — (null_frac * 1e6).cast(long) truncates the double
+    # roundtrip below the true micro value (249/1e6*1e6 = 248.999...,
+    # casts to 248) and would flip deltas/alerts by one ppm
+    def _ppm(n_null, n_rows):
+        d38 = "decimal(38,0)"
+        return F.call_function(
+            "div",
+            F.col(n_null).cast(d38) * F.lit(2000000) + F.col(n_rows).cast(d38),
+            F.col(n_rows).cast(d38) * F.lit(2),
+        )
+
     b = before.select(
         "col_name",
         F.col("n_rows").alias("n_rows_before"),
-        (F.col("null_frac") * 1_000_000).cast("long").alias("null_ppm_before"),
+        _ppm("n_null", "n_rows").alias("null_ppm_before"),
         F.col("est_distinct").alias("dist_before"),
         F.col("min_value").alias("min_before"),
         F.col("max_value").alias("max_before"),
@@ -175,7 +201,7 @@ def compare_profiles(
     a = after.select(
         "col_name",
         F.col("n_rows").alias("n_rows_after"),
-        (F.col("null_frac") * 1_000_000).cast("long").alias("null_ppm_after"),
+        _ppm("n_null", "n_rows").alias("null_ppm_after"),
         F.col("est_distinct").alias("dist_after"),
         F.col("min_value").alias("min_after"),
         F.col("max_value").alias("max_after"),

@@ -142,12 +142,22 @@ def frac6_half_up(num: Column, den: Column) -> Column:
     Spark and DuckDB, never touches the value). ONE definition, shared
     by repetition stats, KMV Jaccard, and the profiler; oracles mirror
     it as CAST(floor((num*2000000 + den)/(2*den)) AS BIGINT)/1000000.0.
-    Pinned against Python Fraction arithmetic in tests/test_properties."""
-    micro = F.floor(
-        (num.cast("bigint") * F.lit(2000000) + den.cast("bigint"))
-        / (den.cast("bigint") * F.lit(2))
+    Pinned against Python Fraction arithmetic in tests/test_properties.
+
+    The quotient is taken with integral `div` on DECIMAL(38,0) operands
+    — NOT floor(a / b): Spark's bigint/bigint division is a DOUBLE
+    (inexact past 2^53, i.e. num > ~4.5e9) and its decimal division
+    rounds HALF_UP at scale 6 BEFORE floor (confirmed off-by-one at
+    num=666668, den=2000003). `div` floor-divides the exact decimals
+    and the micro quotient (<= 1e6 for num <= den) always fits its
+    LONG result."""
+    d38 = "decimal(38,0)"
+    micro = F.call_function(
+        "div",
+        num.cast(d38) * F.lit(2000000) + den.cast(d38),
+        den.cast(d38) * F.lit(2),
     )
-    return micro.cast("bigint") / F.lit(1000000.0)
+    return micro / F.lit(1000000.0)
 
 
 def repetition_stats(

@@ -121,7 +121,11 @@ def main() -> int:
     }))
 
     # lineitem: Poisson(4) lines per order (driver sf0.1 shows mean ~4.08
-    # with ~2% zero-line orders), shipdate = orderdate + U[1,120] days
+    # with ~2% zero-line orders), shipdate = orderdate + U[1,120] days.
+    # l_linenumber cycles 1..7 and is deliberately NOT unique per order:
+    # the driver's own sf0.1 has 118k duplicate (l_orderkey,
+    # l_linenumber) pairs (max linenumber 7 with up to 17 lines/order),
+    # so the modulo mirrors the driver, not real TPC-H
     per_order = rng.poisson(4.0, n_ord)
     l_okey = np.repeat(okey, per_order)
     n_li = len(l_okey)

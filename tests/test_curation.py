@@ -373,5 +373,7 @@ class TestEquidepthValueBins:
         df = spark.createDataFrame([(1,), (None,), (2,)], "x int")
         out = equidepth_value_bins(df, "x", n_bins=2).collect()
         assert sorted(r.value for r in out) == [1, 2]
-        with pytest.raises(ValueError, match="distinct"):
-            equidepth_value_bins(df, "x", n_bins=2, max_distinct=1)
+        # the guard is lazy-in-plan (no eager count job at call time) —
+        # it fires as a raise_error when the plan actually executes
+        with pytest.raises(Exception, match="distinct"):
+            equidepth_value_bins(df, "x", n_bins=2, max_distinct=1).collect()
