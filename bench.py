@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "behavior_inter_arrival",
     "behavior_trending_topk",
     "profile_drift_documents",
+    "anomaly_rolling_sigma",
 ]
 
 

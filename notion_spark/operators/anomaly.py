@@ -141,3 +141,77 @@ def sigma_outliers_sql(
       AND (st.n * v.mv - st.s) * (st.n * v.mv - st.s)
           > {t * t} * (st.n * st.q - st.s * st.s)
     """
+
+
+def rolling_sigma_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 50,
+    min_periods: int = 10,
+    t: int = 3,
+    micro: int = 1_000_000,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Rows more than ``t`` standard deviations from their key's OWN
+    trailing baseline: the rolling sibling of `sigma_outliers`, flagging
+    against the previous ``window_rows`` observations (current row
+    excluded — a level shift flags immediately instead of polluting its
+    own baseline). The streaming-monitor shape: "this metric just jumped
+    relative to ITS recent history", where the global version asks
+    "relative to its whole group".
+
+    Exactly the same integer algebra — (n·v − s)² > t²·(n·q − s²) over
+    floor(value·micro) micro-units in DECIMAL(38,0) — so verdicts are
+    bit-reproducible on any engine/partitioning; same loud overflow
+    guard, same magnitude contract (module docstring), with n bounded by
+    ``window_rows`` which loosens the row-count side of the contract to
+    the window size. Rows with fewer than ``min_periods`` preceding
+    non-null values never flag (no baseline yet). Output: input +
+    ``is_outlier``.
+
+    One shuffle (the per-key window sort); frame sums are incremental
+    per partition. ``tie_col`` defaults to the value column — pass the
+    event id for a total order when timestamps can tie."""
+    if t < 1 or micro < 1:
+        raise ValueError(f"t and micro must be >= 1, got t={t}, micro={micro}")
+    if window_rows < 2 or min_periods < 2:
+        raise ValueError("window_rows and min_periods must be >= 2")
+    from pyspark.sql.window import Window
+
+    tie = tie_col or value_col
+    base = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie).asc()
+    )
+    w = base.rowsBetween(-window_rows, -1)
+    v = micro_units(value_col, micro)
+    with_v = df.withColumn("__v", v)
+    n = F.count("__v").over(w).cast(D38)
+    s = F.sum("__v").over(w).cast(D38)
+    q = F.sum((F.col("__v") * F.col("__v")).cast(D38)).over(w).cast(D38)
+    lhs = (n * F.col("__v") - s).cast(D38)
+    rhs = (n * q - s * s).cast(D38)
+    n_d = n.cast("double")
+    v_d = F.col("__v").cast("double")
+    s_d = s.cast("double")
+    q_d = q.cast("double")
+    lhs_est = (n_d * v_d - s_d) * (n_d * v_d - s_d)
+    rhs_est = F.lit(float(t * t)) * (n_d * q_d)
+    guard = F.when(
+        F.col("__v").isNotNull()
+        & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
+        F.raise_error(
+            F.lit(
+                "rolling_sigma_outliers: integer algebra would exceed"
+                " DECIMAL(38,0) — reduce `micro`"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    flag = (
+        guard
+        & F.col("__v").isNotNull()
+        & (n >= F.lit(min_periods).cast(D38))
+        & ((lhs * lhs).cast(D38) > (F.lit(t * t).cast(D38) * rhs).cast(D38))
+    )
+    return with_v.withColumn("is_outlier", F.coalesce(flag, F.lit(False))).drop("__v")

@@ -5392,6 +5392,48 @@ def profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "anomaly_rolling_sigma",
+    """
+    WITH v AS (
+        SELECT event_id, event_type, ts,
+               CAST(floor(value * 1000000) AS HUGEINT) AS mv
+        FROM events
+    ),
+    framed AS (
+        SELECT event_id, mv,
+               COUNT(mv) OVER w AS n,
+               SUM(mv) OVER w AS s,
+               SUM(mv * mv) OVER w AS q
+        FROM v
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id,
+           COALESCE(
+               mv IS NOT NULL AND n >= 20
+               AND (n * mv - s) * (n * mv - s) > 9 * (n * q - s * s),
+               FALSE) AS is_outlier
+    FROM framed
+    """,
+)
+def anomaly_rolling_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-baseline outliers
+    (operators/anomaly.rolling_sigma_outliers): per event type, flag
+    values > 3σ from the previous 50 observations' exact integer
+    moments (min 20 preceding points), current row excluded. Same
+    bit-reproducible integer algebra as the global sigma rule; the
+    oracle mirrors the frame in HUGEINT."""
+    from notion_spark.operators.anomaly import rolling_sigma_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_sigma_outliers(
+        ev, "event_type", "ts", "value",
+        window_rows=50, min_periods=20, t=3, tie_col="event_id",
+    )
+    return out.select("event_id", "is_outlier")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -140,3 +140,61 @@ def test_sigma_null_group_still_flagged(spark):
     df = spark.createDataFrame(rows)
     got = {r["id"] for r in sigma_outliers(df, "g", "v", t=2).collect()}
     assert 5 in got  # the NULL group's outlier is detected
+
+
+class TestRollingSigmaOutliers:
+    def _df(self, spark, vals, key="k"):
+        rows = [(key, i, float(v)) for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "k string, ts long, value double").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+
+    def test_spike_flags_against_trailing_baseline(self, spark):
+        from notion_spark.operators.anomaly import rolling_sigma_outliers
+
+        # stable baseline 10,11 alternating, then a spike
+        vals = [10, 11] * 10 + [100]
+        df = self._df(spark, vals)
+        out = rolling_sigma_outliers(
+            df, "k", "ts", "value", window_rows=10, min_periods=5
+        ).collect()
+        flags = {int(r.ts.timestamp()): r.is_outlier for r in out}
+        assert flags[20] is True          # the spike
+        assert not any(flags[i] for i in range(20))  # baseline never flags
+
+    def test_level_shift_flags_first_point_only_the_jump(self, spark):
+        from notion_spark.operators.anomaly import rolling_sigma_outliers
+
+        # current row excluded from its own baseline: the FIRST point of
+        # the new level flags; later points absorb the shift as the
+        # window rolls forward
+        vals = [10, 11] * 8 + [50] * 12
+        df = self._df(spark, vals)
+        out = rolling_sigma_outliers(
+            df, "k", "ts", "value", window_rows=8, min_periods=4
+        ).collect()
+        flags = {int(r.ts.timestamp()): r.is_outlier for r in out}
+        assert flags[16] is True
+        assert flags[27] is False  # window now fully in the new regime
+
+    def test_min_periods_gate(self, spark):
+        from notion_spark.operators.anomaly import rolling_sigma_outliers
+
+        vals = [10, 10, 10, 1000]
+        df = self._df(spark, vals)
+        out = rolling_sigma_outliers(
+            df, "k", "ts", "value", window_rows=10, min_periods=5
+        ).collect()
+        # only 3 preceding points < min_periods=5 -> never flags
+        assert not any(r.is_outlier for r in out)
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from notion_spark.operators.anomaly import rolling_sigma_outliers
+
+        df = self._df(spark, [1.0])
+        with pytest.raises(ValueError):
+            rolling_sigma_outliers(df, "k", "ts", "value", window_rows=1)
+        with pytest.raises(ValueError):
+            rolling_sigma_outliers(df, "k", "ts", "value", t=0)
