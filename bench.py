@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "behavior_trending_topk",
     "profile_drift_documents",
     "anomaly_rolling_sigma",
+    "curation_winsorize",
 ]
 
 

@@ -5434,6 +5434,48 @@ def anomaly_rolling_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "is_outlier")
 
 
+@register(
+    "curation_winsorize",
+    """
+    WITH counts AS (
+        SELECT n_chars AS value, COUNT(*) AS cnt FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    runs AS (
+        SELECT value,
+               SUM(cnt) OVER (ORDER BY value ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               SUM(cnt) OVER () AS grand
+        FROM counts
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN run >= greatest((grand * 10000 + 999999) // 1000000, 1)
+                        THEN value END) AS lo,
+               MIN(CASE WHEN run >= greatest((grand * 990000 + 999999) // 1000000, 1)
+                        THEN value END) AS hi
+        FROM runs
+    )
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars < lo THEN lo
+                WHEN n_chars > hi THEN hi
+                ELSE n_chars END AS n_chars_winsorized
+    FROM documents, bounds
+    """,
+)
+def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact winsorization (pipeline/curation.winsorize) of
+    documents.n_chars at the [1%, 99%] order statistics: boundaries are
+    SELECTED values at integer ranks max(1, ceil(p·N/1e6)) — never
+    interpolated, never approx_percentile — then broadcast back over an
+    untouched corpus scan. NULLs pass through."""
+    from notion_spark.pipeline.curation import winsorize
+
+    d = read_table(spark, sf_dir, "documents")
+    return winsorize(d, "n_chars", lo_ppm=10_000, hi_ppm=990_000).select(
+        "doc_id", "n_chars", "n_chars_winsorized"
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

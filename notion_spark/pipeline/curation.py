@@ -601,3 +601,75 @@ def equidepth_value_bins(
             ).cast("int"),
         ).otherwise(F.expr("__scaled div __grand").cast("int")).alias("bin"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+    out: str | None = None,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Winsorization (outlier clipping) at EXACT order-statistic
+    boundaries: values below the lo_ppm-quantile clip up to it, values
+    above the hi_ppm-quantile clip down — the robust-stats pre-pass
+    (feature clipping, trimmed metrics) without approx_percentile's
+    engine- and run-dependent boundaries.
+
+    Q(p) is the classic order statistic: the value at rank
+    max(1, ceil(p·N/10⁶)) in ascending order — pure integer rank math
+    over the per-value counts frame, so the boundary is the SAME value
+    on any engine/partitioning (it is selected, never interpolated).
+    NULLs pass through unclipped (no rank). Output: input columns plus
+    ``out`` (default ``<col>_winsorized``).
+
+    Scale shape: one map-side-combined per-value count shuffle (bounded
+    by ``max_distinct`` — the equidepth guard), a window over that
+    bounded frame, and a broadcast of the TWO boundary values back onto
+    an untouched corpus scan."""
+    if not (0 <= lo_ppm <= hi_ppm <= 1_000_000):
+        raise ValueError(f"need 0 <= lo_ppm <= hi_ppm <= 1e6, got {lo_ppm}, {hi_ppm}")
+    out = out or f"{col}_winsorized"
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.asc("value"))
+    total = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_distinct = F.count(F.lit(1)).over(total)
+    runs = counts.select(
+        "value",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.sum("cnt").over(total).alias("grand"),
+        F.when(
+            n_distinct > F.lit(max_distinct),
+            F.raise_error(
+                F.lit(
+                    f"winsorize: > {max_distinct} distinct values in {col!r}"
+                    " — use sketches.histogram_quantiles for continuous data"
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("__guard"),
+    )
+    # rank(p) = max(1, ceil(p·N / 1e6)) in exact integers:
+    # ceil(a/b) = (a + b − 1) div b
+    d38 = "decimal(38,0)"
+
+    def _rank(ppm: int):
+        a = F.col("grand").cast(d38) * F.lit(ppm) + F.lit(999_999)
+        return F.greatest(F.call_function("div", a, F.lit(1_000_000).cast(d38)), F.lit(1))
+
+    bounds = runs.select(
+        F.min(F.when(F.col("run") + F.col("__guard") >= _rank(lo_ppm), F.col("value"))).alias("__lo"),
+        F.min(F.when(F.col("run") >= _rank(hi_ppm), F.col("value"))).alias("__hi"),
+    )
+    clipped = F.when(F.col(col) < F.col("__lo"), F.col("__lo")).otherwise(
+        F.when(F.col(col) > F.col("__hi"), F.col("__hi")).otherwise(F.col(col))
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(out, clipped)
+        .drop("__lo", "__hi")
+    )

@@ -320,3 +320,64 @@ class TestTrendingTopk:
 
         with pytest.raises(ValueError, match="period"):
             trending_topk(self._ev(spark, []), "event_type", "ts", "minute")
+
+
+class TestLinearAttributionHotUser:
+    def test_hot_user_bounded_and_correct(self, spark):
+        """VERDICT r4 item 4: one bot user with many touches AND many
+        conversions must complete via the time-bin decomposition (join
+        key = user + bin, never the full per-user cross product) and
+        still produce exactly the interval-correct credit set."""
+        from notion_spark.operators.behavior import linear_attribution
+
+        # 1000 touches spread over ~42 days, 100 conversions over the
+        # same span, 1-day window: full per-user product would be 1e5
+        # pairs; the bins cut it to ~eligible-only
+        rows = []
+        eid = 0
+        for i in range(1000):
+            rows.append((eid, 7, "click", i * 3600))  # hourly clicks
+            eid += 1
+        for j in range(100):
+            rows.append((eid, 7, "purchase", j * 36000 + 1800))
+            eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, off long"
+        ).select(
+            "event_id", "user_id", "event_type",
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("off"))).alias("ts"),
+        )
+        out = linear_attribution(
+            df, "user_id", "ts", "event_type",
+            touch_types=["click"], conversion_type="purchase",
+            window="1 day",
+        )
+        rows_out = out.collect()
+        # brute-force model: per conversion, count clicks in (conv-1d, conv]
+        convs = [(j * 36000 + 1800) for j in range(100)]
+        clicks = [i * 3600 for i in range(1000)]
+        expect = {}
+        for j, c in enumerate(convs):
+            n = sum(1 for t in clicks if c - 86400 <= t <= c)
+            if n:
+                expect[1000 + j] = n
+        got = {}
+        for r in rows_out:
+            got.setdefault(r.conv_id, set()).add(r.credit_den)
+        assert {k: v.pop() for k, v in got.items()} == expect
+        # plan: equi-join on BOTH user and the time bin
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__bin" in plan
+
+    def test_conversion_in_touch_types_rejected(self, spark):
+        import pytest
+
+        from notion_spark.operators.behavior import linear_attribution
+
+        df = spark.createDataFrame([], "event_id long, user_id long, event_type string, ts timestamp")
+        with pytest.raises(ValueError, match="must not appear"):
+            linear_attribution(
+                df, "user_id", "ts", "event_type",
+                touch_types=["view", "purchase"], conversion_type="purchase",
+            )

@@ -377,3 +377,39 @@ class TestEquidepthValueBins:
         # it fires as a raise_error when the plan actually executes
         with pytest.raises(Exception, match="distinct"):
             equidepth_value_bins(df, "x", n_bins=2, max_distinct=1).collect()
+
+
+class TestWinsorize:
+    def test_clips_at_exact_order_statistics(self, spark):
+        from notion_spark.pipeline.curation import winsorize
+
+        # 10 values 1..10; [20%, 80%]: lo = rank ceil(2)=2 -> 2,
+        # hi = rank ceil(8)=8 -> 8
+        df = spark.createDataFrame([(i,) for i in range(1, 11)], "x int")
+        out = {r.x: r.x_winsorized for r in
+               winsorize(df, "x", lo_ppm=200_000, hi_ppm=800_000).collect()}
+        assert out[1] == 2 and out[2] == 2
+        assert out[5] == 5
+        assert out[8] == 8 and out[10] == 8
+
+    def test_nulls_pass_through_and_duplicates_rank_correctly(self, spark):
+        from notion_spark.pipeline.curation import winsorize
+
+        # heavy duplicate mass: 1 appears 8 of 10 times, p=50% -> rank 5
+        # falls inside value 1's run -> lo = 1
+        rows = [(1,)] * 8 + [(100,), (200,), (None,)]
+        df = spark.createDataFrame(rows, "x int")
+        out = winsorize(df, "x", lo_ppm=500_000, hi_ppm=900_000).collect()
+        vals = {(r.x, r.x_winsorized) for r in out}
+        assert (None, None) in vals
+        assert (1, 1) in vals
+        assert (200, 100) in vals  # hi = rank 9 -> 100
+
+    def test_bad_ppm_rejected(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.curation import winsorize
+
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="ppm"):
+            winsorize(df, "x", lo_ppm=900_000, hi_ppm=100_000)
