@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "profile_drift_documents",
     "anomaly_rolling_sigma",
     "curation_winsorize",
+    "text_quantile_rank",
+    "text_bpe_merges",
 ]
 
 

@@ -5476,6 +5476,76 @@ def curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_quantile_rank",
+    """
+    WITH counts AS (
+        SELECT n_chars AS value, COUNT(*) AS cnt FROM documents
+        WHERE n_chars IS NOT NULL GROUP BY 1
+    ),
+    ranks AS (
+        SELECT value,
+               CAST(floor((SUM(cnt) OVER (ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       * 2000000 + SUM(cnt) OVER ())
+                       / (2 * SUM(cnt) OVER ())) AS BIGINT) / 1000000.0
+                   AS n_chars_qrank
+        FROM counts
+    )
+    SELECT d.doc_id, d.n_chars, r.n_chars_qrank
+    FROM documents d LEFT JOIN ranks r ON d.n_chars = r.value
+    """,
+)
+def text_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical-CDF rank transform
+    (pipeline/curation.quantile_rank): each n_chars value maps to
+    frac6_half_up(#rows <= value, N) — the same fraction for equal
+    values, bit-identical on any engine, where float percent_rank() is
+    neither. NULLs rank NULL."""
+    from notion_spark.pipeline.curation import quantile_rank
+
+    d = read_table(spark, sf_dir, "documents")
+    return quantile_rank(d, "n_chars").select("doc_id", "n_chars", "n_chars_qrank")
+
+
+@register(
+    "text_bpe_merges",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+        SELECT tok AS token, COUNT(*) AS cnt
+        FROM toks WHERE tok <> '' GROUP BY tok
+        ORDER BY cnt DESC, token ASC LIMIT 1000
+    ),
+    pairs AS (
+        SELECT substring(token, pos, 2) AS pair, cnt
+        FROM vocab, UNNEST(range(1, length(token))) AS u(pos)
+        WHERE length(token) >= 2
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT) AS rank
+    FROM agg
+    ORDER BY pair_count DESC, pair ASC LIMIT 30
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training step (pipeline/text_analysis
+    .bpe_merge_candidates over build_vocabulary): adjacent character
+    pairs weighted by word corpus counts, top 30 — the exact merge
+    table a byte-pair tokenizer trainer would learn first from this
+    corpus. Explode over vocab TYPES, never the corpus token stream."""
+    d = read_table(spark, sf_dir, "documents")
+    vocab = TA.build_vocabulary(d, top_n=1000).select("token", "cnt")
+    return TA.bpe_merge_candidates(vocab, k=30)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

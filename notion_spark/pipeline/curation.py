@@ -673,3 +673,55 @@ def winsorize(
         .withColumn(out, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def quantile_rank(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Rank transform: replace each value by its exact empirical-CDF
+    position — frac6_half_up(#rows <= value, N) — the
+    distribution-free feature normalization (rank features for GBDTs,
+    calibration curves, percentile badges). Every equal value gets the
+    SAME rank fraction (max-rank/"weak" CDF convention), and the
+    fraction is exact integer micro-division, so the transform is
+    bit-identical on any engine/partitioning — where a float
+    percent_rank() is neither.
+
+    Output: input + ``out`` (default ``<col>_qrank`` in (0, 1]); NULL
+    values get NULL rank. Same shape and ``max_distinct`` guard as the
+    equi-depth/winsorize family: bounded counts frame + window +
+    broadcast join back on the value."""
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    out = out or f"{col}_qrank"
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.asc("__value"))
+    total = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_distinct = F.count(F.lit(1)).over(total)
+    ranks = counts.select(
+        "__value",
+        F.when(
+            n_distinct > F.lit(max_distinct),
+            F.raise_error(
+                F.lit(
+                    f"quantile_rank: > {max_distinct} distinct values in"
+                    f" {col!r} — use sketches.histogram_quantiles"
+                )
+            ).cast("double"),
+        ).otherwise(
+            frac6_half_up(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                F.sum("cnt").over(total),
+            )
+        ).alias(out),
+    )
+    return df.join(
+        F.broadcast(ranks), F.col(col).eqNullSafe(F.col("__value")), "left"
+    ).drop("__value")

@@ -467,3 +467,49 @@ def build_vocabulary(
         "rank",
         frac6_half_up(F.col("__run"), F.col("grand")).alias("cum_frac"),
     )
+
+
+def bpe_merge_candidates(
+    vocab: DataFrame,
+    token_col: str = "token",
+    count_col: str = "cnt",
+    k: int = 100,
+) -> DataFrame:
+    """The first BPE training step over a `build_vocabulary` output:
+    adjacent CHARACTER-pair frequencies across the corpus, each pair
+    weighted by its word's corpus count — the exact table a byte-pair
+    tokenizer trainer ranks to pick its next merge (Sennrich et al.
+    2016). Running it after each merge is the full training loop; one
+    call answers "what would the tokenizer learn first from THIS
+    corpus", a data-selection diagnostic.
+
+    Output: (pair, pair_count, rank), rank 1..k by count desc then pair
+    asc — all-integer, engine-exact. Pairs within a token only
+    (word-boundary-respecting BPE).
+
+    Scale shape: the explode is over vocab TYPES (distinct tokens ×
+    token length), not the corpus token stream — the standard BPE
+    trainer trick; counts ride along as weights. One map-side-combined
+    groupBy + TakeOrderedAndProject."""
+    chars = F.split(F.col(token_col), "")
+    n_pairs = F.size(chars) - 1
+    pairs = vocab.select(
+        F.col(count_col).alias("__w"),
+        F.explode(
+            F.when(n_pairs < 1, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_pairs, F.lit(1))),
+                    lambda i: F.concat(
+                        F.element_at(chars, i), F.element_at(chars, i + 1)
+                    ),
+                )
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("__w").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        agg.orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

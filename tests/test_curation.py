@@ -413,3 +413,16 @@ class TestWinsorize:
         df = spark.createDataFrame([(1,)], "x int")
         with pytest.raises(ValueError, match="ppm"):
             winsorize(df, "x", lo_ppm=900_000, hi_ppm=100_000)
+
+
+class TestQuantileRank:
+    def test_weak_cdf_semantics(self, spark):
+        from notion_spark.pipeline.curation import quantile_rank
+
+        # values 1,2,2,4: ranks 1/4, 3/4 (both 2s), 1.0
+        df = spark.createDataFrame([(1,), (2,), (2,), (4,), (None,)], "x int")
+        out = {(r.x): r.x_qrank for r in quantile_rank(df, "x").collect()}
+        assert out[1] == 0.25
+        assert out[2] == 0.75
+        assert out[4] == 1.0
+        assert out[None] is None

@@ -132,3 +132,26 @@ class TestBuildVocabulary:
         )
         rows = {r.token: r for r in build_vocabulary(df).collect()}
         assert set(rows) == {"a", "b"}
+
+
+class TestBpeMergeCandidates:
+    def test_weighted_pairs_and_ranks(self, spark):
+        from notion_spark.pipeline.text_analysis import bpe_merge_candidates
+
+        vocab = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("a", 9)], "token string, cnt long"
+        )
+        rows = bpe_merge_candidates(vocab, k=10).collect()
+        got = {r.pair: (r.pair_count, r.rank) for r in rows}
+        # 'lo','ow' in both words: 5+2=7; 'we','er' only in lower: 2
+        assert got["lo"] == (7, 1) and got["ow"] == (7, 2)  # tie -> pair asc
+        assert got["er"] == (2, 3) and got["we"] == (2, 4)
+        assert "a" not in got  # single-char token emits nothing
+
+    def test_k_cut(self, spark):
+        from notion_spark.pipeline.text_analysis import bpe_merge_candidates
+
+        vocab = spark.createDataFrame(
+            [("abcdef", 1)], "token string, cnt long"
+        )
+        assert bpe_merge_candidates(vocab, k=2).count() == 2
