@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "curation_winsorize",
     "text_quantile_rank",
     "text_bpe_merges",
+    "text_cooccurrence",
+    "curation_split_leakage",
 ]
 
 

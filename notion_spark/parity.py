@@ -5546,6 +5546,101 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bpe_merge_candidates(vocab, k=30)
 
 
+@register(
+    "text_cooccurrence",
+    """
+    WITH toks AS (
+        SELECT doc_id, pos, t[pos] AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(range(1, len(t) + 1)) AS u(pos)
+        WHERE t[pos] <> ''
+    ),
+    pairs AS (
+        SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 4
+    ),
+    agg AS (
+        SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, tok_a ASC, tok_b ASC) AS INT) AS rank
+    FROM agg ORDER BY cnt DESC, tok_a ASC, tok_b ASC LIMIT 50
+    """,
+)
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe-style co-occurrence table
+    (pipeline/text_analysis.cooccurrence_counts): unordered token pairs
+    within a 4-position window, exact integer counts, top 50. The Spark
+    side folds the window into offset equi-joins (tokens × window,
+    never tokens² per doc); the oracle uses the range formulation —
+    structurally independent derivations of the same table.
+
+    Caveat vs the whitespace-token contract: empty tokens from leading/
+    repeated whitespace are excluded on both sides (ws_tokens filters;
+    the oracle's WHERE t[pos] <> ''). Positions are the FILTERED
+    stream's — consistent because documents here never have interior
+    double spaces; corpora that do should pre-normalize whitespace."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.cooccurrence_counts(d, window=4, k=50)
+
+
+@register(
+    "curation_split_leakage",
+    """
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN mod(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), 10) < 8
+                    THEN 'train'
+                    WHEN mod(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), 10) < 9
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS t
+        FROM assigned WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT DISTINCT split, array_to_string(t[pos:pos+2], ' ') AS g
+        FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(pos)
+    ),
+    totals AS (SELECT split, COUNT(*) AS n_set FROM grams GROUP BY 1),
+    inter AS (
+        SELECT a.split AS group_a, b.split AS group_b, COUNT(*) AS inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.split < b.split
+        GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, CAST(inter AS BIGINT) AS inter,
+           CAST(ta.n_set AS BIGINT) AS n_a, CAST(tb.n_set AS BIGINT) AS n_b,
+           CAST(floor((inter * 2000000 + (ta.n_set + tb.n_set - inter))
+                      / (2 * (ta.n_set + tb.n_set - inter))) AS BIGINT)
+               / 1000000.0 AS jaccard
+    FROM inter
+    JOIN totals ta ON ta.split = inter.group_a
+    JOIN totals tb ON tb.split = inter.group_b
+    """,
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: assign deterministic hash splits
+    (curation.assign_splits' md5-bucket rule, rebuilt identically in the
+    oracle) then measure cross-split shingle overlap with
+    `dedup.group_overlap_matrix` — the composition every dataset release
+    should publish ("how much does test text overlap train?"). The
+    pre-existing answer to a HIGH overlap is canonical-id-keyed
+    splitting (curation.assign_splits' cluster mode)."""
+    from notion_spark.pipeline.text_analysis import md5_hash60
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_hash60(F.col("doc_id").cast("string")), F.lit(10))
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
+    )
+    return DD.group_overlap_matrix(assigned, "split", n=3)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

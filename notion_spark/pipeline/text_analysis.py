@@ -513,3 +513,59 @@ def bpe_merge_candidates(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def cooccurrence_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    k: int = 1000,
+) -> DataFrame:
+    """Token co-occurrence table — the GloVe/word2vec-style corpus
+    statistic (Pennington et al. 2014): how often does each UNORDERED
+    token pair appear within ``window`` positions in the same document?
+    Integer counts only; PMI/log-weighting is a caller-side transform of
+    these exact integers.
+
+    Output: (tok_a <= tok_b, cnt, rank), top ``k`` by count desc then
+    pair asc.
+
+    Scale shape: positional token stream (one explode, linear), then the
+    pair stream comes from ``window`` EQUI-joins folded into one — the
+    left side explodes each position into its `window` forward offsets
+    (rows × window, still linear) and joins on exact (id, position), so
+    per-doc cost is tokens × window, never tokens² (a range-predicate
+    self-join would cross-product each document before filtering). One
+    map-side-combined pair count + TakeOrderedAndProject."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(ws_tokens(F.col(text_col))).alias("p0", "tok"),
+        )
+        .select("id", (F.col("p0") + 1).alias("pos"), "tok")
+    )
+    left = toks.select(
+        "id",
+        "tok",
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos2"),
+    )
+    right = toks.select("id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
+    pairs = left.join(right, ["id", "pos2"]).select(
+        F.least("tok", "tok2").alias("tok_a"),
+        F.greatest("tok", "tok2").alias("tok_b"),
+    )
+    agg = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        agg.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

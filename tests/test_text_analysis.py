@@ -155,3 +155,44 @@ class TestBpeMergeCandidates:
             [("abcdef", 1)], "token string, cnt long"
         )
         assert bpe_merge_candidates(vocab, k=2).count() == 2
+
+
+class TestCooccurrenceCounts:
+    def test_window_and_canonical_pairs(self, spark):
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts
+
+        df = spark.createDataFrame(
+            [(1, "a b c a"), (2, "c a")], "doc_id long, text string"
+        )
+        out = {(r.tok_a, r.tok_b): r.cnt for r in
+               cooccurrence_counts(df, window=2, k=100).collect()}
+        # doc1 pairs (w=2): (a,b),(a,c),(b,c),(b,a),(c,a); doc2: (c,a)
+        # canonical: ab:2 (a-b and b-a), ac:3 (a-c, c-a, c-a doc2), bc:1
+        assert out[("a", "b")] == 2
+        assert out[("a", "c")] == 3
+        assert out[("b", "c")] == 1
+
+    def test_self_pairs_counted_for_repeats(self, spark):
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+        out = {(r.tok_a, r.tok_b): r.cnt for r in
+               cooccurrence_counts(df, window=1, k=10).collect()}
+        assert out[("x", "x")] == 2  # adjacent repeats co-occur
+
+    def test_rank_and_k_cut(self, spark):
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+        rows = cooccurrence_counts(df, window=1, k=1).collect()
+        assert len(rows) == 1 and rows[0].rank == 1
+        assert (rows[0].tok_a, rows[0].tok_b, rows[0].cnt) == ("a", "b", 4)
+
+    def test_bad_window_rejected(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="window"):
+            cooccurrence_counts(df, window=0)
