@@ -536,8 +536,12 @@ def cooccurrence_counts(
     left side explodes each position into its `window` forward offsets
     (rows × window, still linear) and joins on exact (id, position), so
     per-doc cost is tokens × window, never tokens² (a range-predicate
-    self-join would cross-product each document before filtering). One
-    map-side-combined pair count + TakeOrderedAndProject."""
+    self-join would cross-product each document before filtering). The
+    right side carries a shuffle_hash hint: BOTH sides are corpus-sized
+    by construction, and without the hint the local optimizer broadcast
+    the 300+ MB token stream (measured: the hint is 1.8x faster at sf1
+    AND is the only plan that exists at 100 TB). One map-side-combined
+    pair count + TakeOrderedAndProject."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     toks = (
@@ -555,7 +559,9 @@ def cooccurrence_counts(
             F.sequence(F.col("pos") + 1, F.col("pos") + window)
         ).alias("pos2"),
     )
-    right = toks.select("id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2"))
+    right = toks.select(
+        "id", F.col("pos").alias("pos2"), F.col("tok").alias("tok2")
+    ).hint("shuffle_hash")
     pairs = left.join(right, ["id", "pos2"]).select(
         F.least("tok", "tok2").alias("tok_a"),
         F.greatest("tok", "tok2").alias("tok_b"),
