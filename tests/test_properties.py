@@ -599,3 +599,29 @@ def test_equidepth_bins_match_rank_model(spark, values, n_bins):
         assert prev_bin <= expect < n_bins
         prev_bin = expect
         run += counts[v]
+
+
+# ------------------------------------------------------- winsorize (r5)
+@SETTINGS
+@given(
+    values=st.lists(st.integers(0, 9), min_size=1, max_size=15),
+    lo=st.integers(0, 500_000),
+    hi=st.integers(500_000, 1_000_000),
+)
+def test_winsorize_matches_order_statistic_model(spark, values, lo, hi):
+    """Boundaries are the values at ranks max(1, ceil(p·N/1e6)); every
+    output is clipped into [lo_bound, hi_bound]; interior values pass
+    through untouched."""
+    import math
+
+    from notion_spark.pipeline.curation import winsorize
+
+    df = spark.createDataFrame([(v,) for v in values], "x int")
+    out = [(r.x, r.x_winsorized) for r in winsorize(df, "x", lo_ppm=lo, hi_ppm=hi).collect()]
+
+    s = sorted(values)
+    n = len(s)
+    lo_b = s[max(1, math.ceil(lo * n / 1_000_000)) - 1]
+    hi_b = s[max(1, math.ceil(hi * n / 1_000_000)) - 1]
+    for x, w in out:
+        assert w == min(max(x, lo_b), hi_b)
