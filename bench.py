@@ -122,9 +122,12 @@ def main() -> None:
     if unknown:
         sys.exit(f"unknown queries: {unknown} — see notion_spark.parity.QUERIES")
 
-    from notion_spark.session import get_spark
+    from notion_spark.session import BENCH_DRIVER_MEMORY_CONF, get_spark
 
-    spark = get_spark(app_name="notion-spark-bench", extra_conf={"spark.ui.enabled": "false"})
+    spark = get_spark(
+        app_name="notion-spark-bench",
+        extra_conf={"spark.ui.enabled": "false", **BENCH_DRIVER_MEMORY_CONF},
+    )
 
     # Warmup: JVM JIT + codegen + parquet footer caches.
     parity.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
@@ -134,6 +137,14 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name in queries:
         fn = parity.QUERIES[name]
+        # Isolation barrier: a heavy neighbor's shuffle garbage otherwise
+        # bleeds GC pauses into the NEXT query's timing (measured: one
+        # query read 17.1x scale slope in sequence vs 3.0x isolated —
+        # SCALE.md). Clear cached frames, force a full JVM GC, and let the
+        # heap settle before the first timed iteration.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(0.3)
         runs = []
         for _ in range(iters):
             t0 = time.time()

@@ -202,17 +202,18 @@ def linear_attribution(
             f"touch_types {touch_types!r}"
         )
 
-    _unit_secs = {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
-    }
+    base = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    # literal singular AND plural forms only — rstrip('s') would strip
+    # every trailing s, letting 'weekss' through to fail late inside
+    # F.expr(interval ...) with an opaque parse error
+    _unit_secs = {**base, **{u + "s": s for u, s in base.items()}}
     parts = window.split()
-    unit = parts[-1].rstrip("s") if parts else ""
-    if len(parts) != 2 or not parts[0].isdigit() or unit not in _unit_secs:
+    if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in _unit_secs:
         raise ValueError(
             f"unsupported window {window!r}: expected '<n> "
             "seconds/minutes/hours/days/weeks'"
         )
-    bin_secs = int(parts[0]) * _unit_secs[unit]
+    bin_secs = int(parts[0]) * _unit_secs[parts[1]]
     if bin_secs <= 0:
         raise ValueError(f"window {window!r} must be positive")
 

@@ -5212,6 +5212,7 @@ def dedup_group_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY round({_COS}, 6) DESC, b.vec_id ASC) AS rank
         FROM embeddings a JOIN embeddings b
           ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+         AND a.label IS NOT NULL AND b.label IS NOT NULL
     )
     SELECT qid AS query_id, qlabel AS label,
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,

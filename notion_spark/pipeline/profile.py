@@ -171,8 +171,9 @@ def compare_profiles(
     Output: (col_name, n_rows_before, n_rows_after, null_ppm_before,
     null_ppm_after, null_ppm_delta, distinct_ratio, min_changed,
     max_changed, alert). `alert` fires when |null ppm delta| exceeds
-    ``null_frac_alert_ppm`` or a column disappeared/appeared (full-outer
-    join keeps both sides). ppm values are exact integers (null_frac is
+    ``null_frac_alert_ppm``, a column disappeared/appeared (full-outer
+    join keeps both sides), or a present column has no computable ppm
+    (an empty n_rows=0 snapshot side) — never NULL. ppm values are exact integers (null_frac is
     frac6, ×1e6 recovers the integer micro-units exactly); the distinct
     ratio is the one double (estimates are approximate anyway).
 
@@ -209,6 +210,13 @@ def compare_profiles(
     j = b.join(a, "col_name", "full_outer")
     delta = F.col("null_ppm_after") - F.col("null_ppm_before")
     missing = F.col("n_rows_before").isNull() | F.col("n_rows_after").isNull()
+    # An EMPTY snapshot side (n_rows=0) yields NULL ppm for a column that
+    # is still present; |delta| > threshold would then evaluate NULL and
+    # the gate would silently not fire. No computable null fraction is
+    # itself a drift signal — alert.
+    no_ppm = ~missing & (
+        F.col("null_ppm_before").isNull() | F.col("null_ppm_after").isNull()
+    )
     return j.select(
         "col_name",
         "n_rows_before",
@@ -221,5 +229,9 @@ def compare_profiles(
         ).alias("distinct_ratio"),
         (~F.col("min_before").eqNullSafe(F.col("min_after"))).alias("min_changed"),
         (~F.col("max_before").eqNullSafe(F.col("max_after"))).alias("max_changed"),
-        (missing | (F.abs(delta) > F.lit(null_frac_alert_ppm))).alias("alert"),
+        (
+            missing
+            | no_ppm
+            | F.coalesce(F.abs(delta) > F.lit(null_frac_alert_ppm), F.lit(False))
+        ).alias("alert"),
     )

@@ -4,10 +4,11 @@ Two paths:
 
 - `brute_force_topk` — exact cosine top-k per query. The query set is
   broadcast (it is small by definition); the corpus streams through one
-  narrow stage and each partition keeps only its local top-k before the
-  final merge (TakeOrderedAndProject via window row_number + filter with
-  partial aggregation pushed down). Cost: O(corpus × queries), the right
-  baseline and the recall oracle.
+  narrow scoring stage, then a qid-keyed window ranks each anchor's
+  scored candidates (one shuffle of the scored stream by qid — the
+  merge is not the bottleneck; the per-anchor corpus scan is, which is
+  what the LSH/IVF candidate generators replace). Cost:
+  O(corpus × queries), the right baseline and the recall oracle.
 - `random_hyperplane_bucket` + `lsh_topk` — approximate path: sign-LSH
   (random hyperplanes derived deterministically from xxhash64 of the
   dimension index) buckets the corpus; queries probe only their bucket.
@@ -79,6 +80,66 @@ def brute_force_topk(
     )
 
 
+# ------------------------------------------------ candidate generation
+def _candidate_pairs(
+    c: DataFrame,
+    q: DataFrame,
+    method: str = "exact",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    n_probes: int = 1,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Join corpus rows (``vid``/``cv`` + carried cols) to broadcast query
+    rows (``qid``/``qv`` + carried cols) under a candidate-generation
+    method — the one lever that decides whether a per-anchor similarity
+    op scans the full corpus or a bucket of it:
+
+    - ``exact``: broadcast cross join — every (query, corpus) pair. The
+      recall-1.0 baseline; cost grows with |corpus| per anchor.
+    - ``lsh``: sign-LSH bucket equi-join with multi-probe on the query
+      side (same probe set as `lsh_topk`) — corpus hashed once, each
+      anchor scores only its bucket(s).
+    - ``ivf``: nearest-centroid cell equi-join (same machinery as
+      `ivf_topk`, requires a trained/static ``centroids`` codebook) —
+      at scale the corpus side is written partitioned by cell, so a
+      probe is a partition-pruned scan.
+
+    Each (qid, vid) pair appears at most once for every method (LSH
+    probes are array_distinct; IVF cells are distinct per query), so
+    downstream top-k windows need no dedup."""
+    if method == "exact":
+        return c.crossJoin(F.broadcast(q))
+    if method == "lsh":
+        bucket = lambda v: random_hyperplane_bucket(v, n_planes, seed, dim)  # noqa: E731
+        cb = c.withColumn("__bkt", bucket(F.col("cv")))
+        probes = F.array(
+            F.col("__bkt0"),
+            *[F.col("__bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(min(n_probes - 1, n_planes))],
+        )
+        qb = (
+            q.withColumn("__bkt0", bucket(F.col("qv")))
+            .withColumn("__bkt", F.explode(F.array_distinct(probes)))
+            .drop("__bkt0")
+        )
+        return cb.join(F.broadcast(qb), "__bkt").drop("__bkt")
+    if method == "ivf":
+        if centroids is None:
+            raise ValueError("method='ivf' requires a centroids codebook "
+                             "(train_ivf_centroids / a static codebook)")
+        cc = assign_cells(c, centroids, vec_col="cv", out_col="__cell")
+        cells = probe_cells(
+            q.select("qid", "qv"), centroids, nprobe, query_id_col="qid", vec_col="qv"
+        ).withColumnRenamed("cell", "__cell")
+        # join the probe cells back to the full query row set (labels and
+        # any other carried columns) — both frames are anchor-sized
+        qc = cells.join(q.drop("qv"), "qid")
+        return cc.join(F.broadcast(qc), "__cell").drop("__cell")
+    raise ValueError(f"unknown method {method!r}: expected 'exact', 'lsh' or 'ivf'")
+
+
 # ------------------------------------------------------------ hard negatives
 def hard_negatives(
     corpus: DataFrame,
@@ -88,6 +149,13 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    method: str = "exact",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    n_probes: int = 1,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor (query), the k
     most-similar corpus vectors with a DIFFERENT label — the negatives
@@ -97,26 +165,34 @@ def hard_negatives(
 
     Same execution shape as `brute_force_topk`: broadcast anchors ×
     streamed corpus, label filter evaluated inside the join (codegen,
-    before any score math), per-partition partial top-k then one merge.
-    Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
-    vec_id. Swap the corpus for an LSH- or IVF-bucketed candidate set
-    (lsh_topk/ivf_topk machinery) when the corpus outgrows a full scan
-    per anchor batch — the label predicate composes unchanged."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("qid"),
-            F.col(vec_col).alias("qv"),
-            F.col(label_col).alias("qlabel"),
-        )
-    )
+    before any score math), then one qid-keyed top-k window over the
+    scored stream (|corpus|×|anchors| rows shuffle by qid — fine while
+    anchors are broadcast-small; the scale lever is shrinking the
+    CANDIDATE set, not the merge). NULL-label rows are dropped from both
+    sides up front — a NULL label matches no inequality, so keeping
+    them would only burn scoring work on rows that can never emit.
+
+    ``method`` makes the candidate-generation swap executable:
+    ``"exact"`` (default, the oracle-checked baseline) scores the full
+    corpus per anchor; ``"lsh"`` scores only the anchor's sign-LSH
+    bucket probes (``n_planes``/``seed``/``dim``/``n_probes`` as in
+    `lsh_topk`); ``"ivf"`` scores the anchor's ``nprobe`` nearest IVF
+    cells (requires ``centroids``). The label predicate composes
+    unchanged; approximate methods trade recall for a corpus scan that
+    no longer grows with |corpus| per anchor."""
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).filter(F.col("qlabel").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("clabel"),
-    )
+    ).filter(F.col("clabel").isNotNull())
+    pairs = _candidate_pairs(c, q, method, n_planes, seed, dim, n_probes, centroids, nprobe)
     scored = (
-        c.crossJoin(q)
-        .filter(F.col("clabel") != F.col("qlabel"))
+        pairs.filter(F.col("clabel") != F.col("qlabel"))
         .select(
             "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
         )
@@ -138,6 +214,13 @@ def knn_label_disagreement(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    method: str = "exact",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    n_probes: int = 1,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Confident-learning-style label-noise signal: for each query
     vector, the fraction of its k nearest neighbors (cosine, self
@@ -145,31 +228,38 @@ def knn_label_disagreement(
     likely mislabeled or boundary examples — the rows a label-cleaning
     pass re-annotates or drops first.
 
+    NULL-label policy: rows with a NULL label are dropped from BOTH
+    sides before scoring. An unlabeled neighbor can neither agree nor
+    disagree — keeping it in the top-k while the inequality sum skips it
+    would silently count it as agreement and deflate the score (NULL
+    semantics), so the neighborhood is defined over labeled rows only.
+
     Output: (query_id, label, n_neighbors, n_disagree, disagreement)
     with `disagreement` the exact frac6_half_up of integer counts
-    (n_neighbors = min(k, corpus−1) at the edge, never silently k).
+    (n_neighbors = min(k, labeled corpus−1) at the edge, never
+    silently k).
 
-    Same scan shape as `brute_force_topk`: broadcast queries × streamed
-    corpus, per-partition partial top-k, then a |queries×k|-row
-    aggregate. Swap in the LSH/IVF candidate generators when the corpus
-    outgrows a full scan per query batch."""
+    Scan shape: broadcast queries × candidate corpus, then one qid-keyed
+    top-k window over the scored stream (the window sorts all scored
+    candidates per anchor — no partial top-k; the scale lever is
+    ``method``). ``method="lsh"``/``"ivf"`` swap the full corpus scan
+    for the bucketed candidate generators (see `_candidate_pairs`) —
+    approximate neighborhoods, same disagreement math."""
     from notion_spark.pipeline.text_analysis import frac6_half_up
 
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("qid"),
-            F.col(vec_col).alias("qv"),
-            F.col(label_col).alias("qlabel"),
-        )
-    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).filter(F.col("qlabel").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("clabel"),
-    )
+    ).filter(F.col("clabel").isNotNull())
+    pairs = _candidate_pairs(c, q, method, n_planes, seed, dim, n_probes, centroids, nprobe)
     scored = (
-        c.crossJoin(q)
-        .filter(F.col("vid") != F.col("qid"))
+        pairs.filter(F.col("vid") != F.col("qid"))
         .select(
             "qid",
             "qlabel",

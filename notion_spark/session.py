@@ -38,15 +38,16 @@ _DEFAULT_CONF = {
     "spark.sql.ansi.enabled": "false",
     # Timestamps written by our sinks stay comparable with other engines.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
-    # Local-mode JVM heap: the single local JVM IS the whole cluster
-    # (driver + all 32 executor threads), yet Spark's default is 1g —
-    # repeated sf1-scale shuffles/broadcasts OOM it (observed: full-set
-    # bench at sf1, java.lang.OutOfMemoryError after ~40 queries). 16g
-    # on the 128 GiB harness. Only effective when THIS process launches
-    # the JVM; under spark-submit the cluster conf wins (the setting is
-    # ignored post-launch, which is the desired precedence).
-    "spark.driver.memory": "16g",
 }
+
+# Local-mode JVM heap for the BENCH/PARITY entrypoints (the single local
+# JVM is driver + all 32 executor threads; Spark's 1g default OOMs on
+# repeated sf1-scale shuffles — observed after ~40 queries of a full-set
+# bench). Deliberately NOT in _DEFAULT_CONF: a library consumer on a
+# small host must not inherit a 16g heap request from an import. Bench
+# and parity scripts pass this via ``extra_conf``; under spark-submit
+# the cluster conf wins anyway (memory is fixed at JVM launch).
+BENCH_DRIVER_MEMORY_CONF = {"spark.driver.memory": "16g"}
 
 
 def get_spark(

@@ -116,7 +116,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from notion_spark.session import get_spark
 
-    spark = get_spark(app_name="parity-check", extra_conf={"spark.ui.enabled": "false"})
+    from notion_spark.session import BENCH_DRIVER_MEMORY_CONF
+
+    spark = get_spark(
+        app_name="parity-check",
+        extra_conf={"spark.ui.enabled": "false", **BENCH_DRIVER_MEMORY_CONF},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -167,6 +172,7 @@ def main() -> int:
             rows[name] = {
                 "rows_match": True, "schema_match": None, "hash_match": None,
                 "spark_rows": len(spdf), "oracle_rows": None, "err": None,
+                "secs": round(time.time() - t0, 3),
             }
             n_rows_only += 1
             continue
@@ -224,6 +230,7 @@ def main() -> int:
             "spark_rows": len(spdf),
             "oracle_rows": len(opdf),
             "err": None if ok else "; ".join(problems)[:500],
+            "secs": round(time.time() - t0, 3),
         }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")

@@ -381,3 +381,24 @@ class TestLinearAttributionHotUser:
                 df, "user_id", "ts", "event_type",
                 touch_types=["view", "purchase"], conversion_type="purchase",
             )
+
+    def test_malformed_window_unit_rejected_early(self, spark):
+        import pytest
+
+        from notion_spark.operators.behavior import linear_attribution
+
+        df = spark.createDataFrame([], "event_id long, user_id long, event_type string, ts timestamp")
+        # 'weekss'/'dayss' used to survive rstrip('s') and fail late inside
+        # F.expr(interval ...) with an opaque parse error
+        for bad in ("7 weekss", "1 dayss", "3 fortnights", "seven days", "7"):
+            with pytest.raises(ValueError, match="unsupported window"):
+                linear_attribution(
+                    df, "user_id", "ts", "event_type",
+                    touch_types=["view"], conversion_type="purchase", window=bad,
+                )
+        # both singular and plural literal forms pass validation
+        for ok in ("1 week", "7 days"):
+            linear_attribution(
+                df, "user_id", "ts", "event_type",
+                touch_types=["view"], conversion_type="purchase", window=ok,
+            )

@@ -116,3 +116,22 @@ class TestCompareProfiles:
             ).collect()
         }
         assert out["s"].alert and out["s"].n_rows_after is None
+
+    def test_empty_snapshot_side_still_alerts(self, spark):
+        from pyspark.sql import functions as F
+
+        from notion_spark.pipeline.profile import compare_profiles, profile_table
+
+        before = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+        empty = before.filter(F.lit(False))
+        out = {
+            r.col_name: r
+            for r in compare_profiles(
+                profile_table(before), profile_table(empty)
+            ).collect()
+        }
+        # n_rows=0 on the after side -> ppm is NULL; the gate must fire
+        # (true), never evaluate to NULL and silently pass
+        for c in ("id", "s"):
+            assert out[c].null_ppm_after is None
+            assert out[c].alert is True
