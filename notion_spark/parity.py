@@ -947,24 +947,120 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_clusters(d, pairs).select("doc_id", "source", "lang")
 
 
-@register("sim_ann_ivf")  # rows-only: see docstring
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: deterministic codebook, nprobe=2 cell probes per
-    query; recall vs brute force covered in tests/test_similarity.py
-    (nprobe=K recovers exact top-k).
+def _ivf_scaled_oracle(
+    n_centroids: int = 8, iterations: int = 2, nprobe: int = 2, k: int = 5, dim: int = 64
+) -> str:
+    """Unrolled integer-scaled Lloyd training + IVF probe
+    (pipeline/similarity.train_ivf_centroids_scaled / ivf_topk_scaled):
+    one CTE pair per iteration, every training op integer — offset-
+    shifted fixed-point vectors keep all quantities positive so DuckDB's
+    truncating `//` equals Python's floor `//`; the round-half-up mean
+    is (2·s + n) // (2·n). Final cosine on the raw float vectors (the
+    proven-parity expression). Same unroll pattern as
+    `_pagerank_oracle`."""
+    n = dim + 1
 
-    The ONE remaining rows-only query, deliberately: Lloyd training
-    aggregates float means whose accumulation ORDER differs between
-    engines (and across Spark partitionings), so cross-engine equality of
-    the trained centroids is ill-defined — unlike every hash/sign-based
-    op (minhash, simhash, sign-LSH, winnowing), which round 2 upgraded to
-    full hash checks via engine-neutral constants."""
+    def d2(va: str, vb: str) -> str:
+        return (
+            f"list_sum([({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i]) "
+            f"for i in range(1, {n})])"
+        )
+
+    parts = [
+        f"""
+    WITH iv AS (
+        SELECT vec_id, embedding,
+               [CAST(floor((CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0) AS BIGINT)
+                for i in range(1, {n})] AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT vec_id, v FROM iv ORDER BY vec_id LIMIT {n_centroids})
+    )"""
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""
+    a{it} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT iv.vec_id, iv.v, s.c,
+                   row_number() OVER (PARTITION BY iv.vec_id
+                                      ORDER BY {d2('iv.v', 's.v')}, s.c) AS rn
+            FROM iv CROSS JOIN c{it - 1} s)
+        WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT c, list(m ORDER BY d) AS v
+        FROM (SELECT c, d, CAST((2 * SUM(val) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m
+              FROM (SELECT c, u.d AS d, v[u.d] AS val
+                    FROM a{it}, UNNEST(range(1, {n})) AS u(d))
+              GROUP BY c, d)
+        GROUP BY c
+    ),
+    c{it} AS (SELECT s.c, COALESCE(m.v, s.v) AS v
+              FROM c{it - 1} s LEFT JOIN m{it} m USING (c))"""
+        )
+    cos = (
+        "list_sum([CAST(qc.qv[i] AS DOUBLE) * CAST(cells.embedding[i] AS DOUBLE) "
+        f"for i in range(1, {n})]) / "
+        "(sqrt(list_sum([CAST(qc.qv[i] AS DOUBLE) * CAST(qc.qv[i] AS DOUBLE) "
+        f"for i in range(1, {n})])) * "
+        "sqrt(list_sum([CAST(cells.embedding[i] AS DOUBLE) * CAST(cells.embedding[i] AS DOUBLE) "
+        f"for i in range(1, {n})])))"
+    )
+    final = iterations
+    parts.append(
+        f"""
+    cells AS (
+        SELECT vec_id, embedding, c AS cell FROM (
+            SELECT iv.vec_id, iv.embedding, cc.c,
+                   row_number() OVER (PARTITION BY iv.vec_id
+                                      ORDER BY {d2('iv.v', 'cc.v')}, cc.c) AS rn
+            FROM iv CROSS JOIN c{final} cc)
+        WHERE rn = 1
+    ),
+    qc AS (
+        SELECT qid, qv, c AS cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, cc.c,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d2('q.v', 'cc.v')}, cc.c) AS rn
+            FROM (SELECT * FROM iv WHERE vec_id < 3) q CROSS JOIN c{final} cc)
+        WHERE rn <= {nprobe}
+    )"""
+    )
+    return ",".join(parts) + f"""
+    SELECT qc.qid AS query_id, cells.vec_id AS vec_id,
+           round({cos}, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY qc.qid
+                                   ORDER BY round({cos}, 6) DESC,
+                                            cells.vec_id ASC) AS INT) AS rank
+    FROM cells JOIN qc ON cells.cell = qc.cell
+    QUALIFY rank <= {k}
+    """
+
+
+@register("sim_ann_ivf", _ivf_scaled_oracle())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the codebook TRAINED IN THE QUERY — hash-checked
+    end to end since r6: Lloyd iterations run in offset-shifted
+    fixed-point integers (pipeline/similarity.train_ivf_centroids_scaled
+    — the same integer-reformulation pattern that made PageRank
+    oracle-exact, operators/graph.pagerank_scaled), so seed selection,
+    assignment ties, per-cell means, probe selection, and final ranks
+    are all bit-identical cross-engine; the oracle unrolls the identical
+    recurrence per iteration. Recall vs brute force covered in
+    tests/test_similarity.py (nprobe=K recovers exact top-k).
+
+    (Through r5 this was the registry's one rows-only query: FLOAT mean
+    accumulation order differs between engines, making centroid equality
+    ill-defined. The float trainer remains for recall-only use.)"""
     emb = read_table(spark, sf_dir, "embeddings")
-    centroids = SIM.train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    centroids = SIM.train_ivf_centroids_scaled(emb, n_centroids=8, iterations=2)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    return SIM.ivf_topk_scaled(emb, queries, centroids, k=5, nprobe=2)
 
 
 _COS_AB = (

@@ -419,6 +419,154 @@ def train_ivf_centroids(
     return centroids
 
 
+# ---------------------------------------------- integer-scaled IVF (exact)
+def scaled_int_vector(vec: Column, scale: int = 1_000_000, offset: float = 10.0) -> Column:
+    """Offset-shifted fixed-point image of a float vector:
+    ``floor((v + offset) * scale)`` per element, BIGINT.
+
+    The offset makes every quantity in the scaled trainer NON-NEGATIVE
+    (squared distances are translation-invariant, so assignment is
+    unchanged), which is what makes the arithmetic engine-portable:
+    integer division on negatives is floor in Python but truncation in
+    DuckDB/Spark's ``div``, and the one disagreement case disappears
+    when nothing is negative. floor() of an IEEE double product is
+    deterministic on every engine. Inputs must satisfy v > -offset."""
+    return F.transform(
+        vec,
+        lambda v: F.floor((v.cast("double") + F.lit(float(offset))) * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+
+
+def _nearest_centroid_int(vec: Column, centroids: list[list[int]]) -> Column:
+    """Integer argmin over squared L2 to each literal scaled centroid —
+    exact BIGINT arithmetic, ties -> lowest index. The fixed-point twin
+    of `_nearest_centroid` (same unrolled K-fold shape, same
+    IVF_LITERAL_MAX_K regime applies)."""
+    best = None
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        pair = F.struct(d2.alias("d"), F.lit(ci).alias("i"))
+        best = pair if best is None else F.least(best, pair)
+    return best["i"]
+
+
+def train_ivf_centroids_scaled(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> list[list[int]]:
+    """Deterministic, ENGINE-EXACT IVF codebook: Lloyd iterations in
+    offset-shifted fixed-point integers, so the trained centroids are
+    bit-identical on any engine and any partitioning — the reformulation
+    that lets the full IVF path be hash-checked cross-engine (the float
+    trainer's mean accumulation order is not reproducible; the same fix
+    pattern as operators/graph.pagerank_scaled).
+
+    Per iteration: integer argmin assignment (ties -> lowest index),
+    then per-cell per-dim INTEGER sums (order-independent) and the
+    round-half-up mean ``(2·s + n) // (2·n)`` — all-positive thanks to
+    the offset, so floor/truncation division agree everywhere. Empty
+    cells keep their previous centroid. Seeds are the ``n_centroids``
+    lowest-id vectors. Returns scaled-integer centroids for
+    `ivf_topk_scaled`. Driver holds only the K×dim codebook; each
+    iteration is one map-side-combined groupBy over K cells."""
+    df = corpus.select(
+        F.col(id_col).alias("__id"),
+        scaled_int_vector(F.col(vec_col), scale, offset).alias("__v"),
+    )
+    seeds = [
+        [int(x) for x in r.v]
+        for r in df.select(F.col("__v").alias("v")).orderBy(F.col("__id").asc())
+        .limit(n_centroids)
+        .collect()
+    ]
+    cents = seeds
+    dim = len(seeds[0])
+    for _ in range(iterations):
+        assigned = df.select(_nearest_centroid_int(F.col("__v"), cents).alias("__c"), "__v")
+        rows = (
+            assigned.groupBy("__c")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("__v", d + 1)).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            r["__c"]: [(2 * r[f"s{d}"] + r["n"]) // (2 * r["n"]) for d in range(dim)]
+            for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk_scaled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> DataFrame:
+    """IVF-flat search over a SCALED-INTEGER codebook (from
+    `train_ivf_centroids_scaled`): cell assignment and probe selection
+    in exact integer arithmetic (engine-reproducible end to end), final
+    cosine on the raw float vectors (the already-parity-proven
+    expression). Same output shape and plan shape as `ivf_topk`:
+    corpus assigned once, ``nprobe`` nearest cells per broadcast query,
+    bucket equi-join, per-query rank window. At scale the corpus is
+    written partitioned by cell -> partition-pruned probes."""
+    sv = lambda col: scaled_int_vector(col, scale, offset)  # noqa: E731
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")).withColumn(
+        "cell", _nearest_centroid_int(sv(F.col("cv")), centroids)
+    )
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sv(F.col("qv")),
+                    F.array(*[F.lit(int(x)).cast("long") for x in cen]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cen in centroids
+        ]
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "cell")
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin over squared L2 distance to each literal centroid; the
     centroid loop unrolls into the plan (K small by design — above

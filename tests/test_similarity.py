@@ -228,3 +228,35 @@ def test_hard_negatives_unknown_method(spark):
         S.hard_negatives(df, df.withColumnRenamed("vec_id", "query_id"), method="annoy").collect()
     with pytest.raises(ValueError, match="requires a centroids"):
         S.hard_negatives(df, df.withColumnRenamed("vec_id", "query_id"), method="ivf").collect()
+
+
+def test_scaled_ivf_trainer_partition_invariant(spark, sf_dir):
+    # the whole point of the fixed-point reformulation: identical
+    # centroids regardless of how the corpus is partitioned
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = S.train_ivf_centroids_scaled(emb.repartition(13), n_centroids=8, iterations=2)
+    b = S.train_ivf_centroids_scaled(emb.coalesce(1), n_centroids=8, iterations=2)
+    assert a == b
+    assert all(isinstance(x, int) for row in a for x in row)
+
+
+def test_scaled_ivf_topk_exact_at_full_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.train_ivf_centroids_scaled(emb, n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    full = S.ivf_topk_scaled(emb, queries, cents, k=5, nprobe=8)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+    part = S.ivf_topk_scaled(emb, queries, cents, k=5, nprobe=2)
+    assert S.recall_at_k(exact, part) > 0.3
+    # self-hit at rank 1: a query always lands in its own probe set
+    assert part.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count() == 5
+
+
+def test_scaled_int_vector_fixed_point_contract(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.0])], "id long, v array<float>")
+    out = df.select(S.scaled_int_vector(F.col("v")).alias("s")).collect()[0].s
+    # floor((x + 10) * 1e6): all positive by construction
+    assert list(out) == [10_500_000, 9_750_000, 10_000_000]
