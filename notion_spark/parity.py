@@ -5685,6 +5685,48 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cooccurrence_pruned",
+    """
+    WITH toks AS (
+        SELECT doc_id, pos, t[pos] AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(range(1, len(t) + 1)) AS u(pos)
+        WHERE t[pos] <> ''
+    ),
+    kept AS (
+        SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+        WHERE c >= 3
+    ),
+    pairs AS (
+        SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 4
+        WHERE a.tok IN (SELECT tok FROM kept)
+          AND b.tok IN (SELECT tok FROM kept)
+    ),
+    agg AS (
+        SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, tok_a ASC, tok_b ASC) AS INT) AS rank
+    FROM agg ORDER BY cnt DESC, tok_a ASC, tok_b ASC LIMIT 50
+    """,
+)
+def text_cooccurrence_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence with the opt-in min_count=3 vocabulary prune
+    (pipeline/text_analysis.cooccurrence_counts): rare tokens leave the
+    positional stream before the pair join, so the pair stream shrinks
+    to the co-occurring HEAD of the vocabulary — the scale lever for
+    the heaviest honest-linear op in the suite. Positions stay original,
+    so surviving pairs keep exact unpruned counts (the oracle filters
+    the same way, structurally independent range-join formulation)."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.cooccurrence_counts(d, window=4, k=50, min_count=3)
+
+
+@register(
     "curation_split_leakage",
     """
     WITH assigned AS (

@@ -521,6 +521,7 @@ def cooccurrence_counts(
     id_col: str = "doc_id",
     window: int = 4,
     k: int = 1000,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Token co-occurrence table — the GloVe/word2vec-style corpus
     statistic (Pennington et al. 2014): how often does each UNORDERED
@@ -541,7 +542,22 @@ def cooccurrence_counts(
     by construction, and without the hint the local optimizer broadcast
     the 300+ MB token stream (measured: the hint is 1.8x faster at sf1
     AND is the only plan that exists at 100 TB). One map-side-combined
-    pair count + TakeOrderedAndProject."""
+    pair count + TakeOrderedAndProject.
+
+    ``min_count`` (opt-in) prunes tokens with corpus frequency below the
+    threshold from the positional stream BEFORE the pair join — one
+    extra map-side-combined count pass plus a kept-vocab join. Pairs
+    between two surviving tokens keep their exact counts (positions are
+    the ORIGINAL ones, so dropping rare rows only removes pairs that
+    involve a rare token); the output is exactly the unpruned table
+    filtered to pairs whose both tokens meet the threshold, re-ranked.
+    This changes the result (opt-in, own oracle: parity
+    text_cooccurrence_pruned) but cuts the dominant cost at scale: the
+    long tail of rare tokens can never reach top-k at production ``k``
+    yet dominates the pair stream. The kept vocab is usually
+    broadcast-small after the cut; if it outgrows the broadcast
+    threshold AQE falls back to a shuffle join on `tok` — both plans
+    are linear."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     toks = (
@@ -552,6 +568,14 @@ def cooccurrence_counts(
         )
         .select("id", (F.col("p0") + 1).alias("pos"), "tok")
     )
+    if min_count is not None and min_count > 1:
+        kept = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= min_count)
+            .select("tok")
+        )
+        toks = toks.join(kept, "tok")
     left = toks.select(
         "id",
         "tok",

@@ -196,3 +196,42 @@ class TestCooccurrenceCounts:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError, match="window"):
             cooccurrence_counts(df, window=0)
+
+    def test_min_count_prune_is_a_filter_of_the_unpruned_table(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts, ws_tokens
+
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        full = cooccurrence_counts(df, window=3, k=10**6).drop("rank")
+        pruned = cooccurrence_counts(df, window=3, k=10**6, min_count=3).drop("rank")
+        counts = {
+            r.tok: r.c
+            for r in df.filter(F.col("text").isNotNull())
+            .select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        expect = sorted(
+            (r.tok_a, r.tok_b, r.cnt)
+            for r in full.collect()
+            if counts[r.tok_a] >= 3 and counts[r.tok_b] >= 3
+        )
+        got = sorted((r.tok_a, r.tok_b, r.cnt) for r in pruned.collect())
+        # surviving pairs keep EXACT unpruned counts; only rare-token
+        # pairs disappear (at tiny SF the vocab may have no rare tokens
+        # at all, in which case the tables are identical)
+        assert got == expect and len(got) <= full.count()
+
+    def test_min_count_gap_positions_not_rebased(self, spark):
+        from notion_spark.pipeline.text_analysis import cooccurrence_counts
+
+        # 'rare' appears once and sits BETWEEN a and b: pruning it must
+        # not shrink the a<->b distance (positions are original), so at
+        # window=1 the (a, b) pair must NOT appear after the prune
+        df = spark.createDataFrame(
+            [(1, "a rare b c a c b")], "doc_id long, text string"
+        )
+        out = {(r.tok_a, r.tok_b): r.cnt for r in
+               cooccurrence_counts(df, window=1, k=100, min_count=2).collect()}
+        assert ("a", "b") not in out  # only adjacency via the pruned gap
+        assert out[("a", "c")] == 2 and out[("b", "c")] == 2
