@@ -58,3 +58,34 @@ def halfup_micro_div_sql(num_expr: str, den_expr: str) -> str:
         f"CAST((CAST({num_expr} AS HUGEINT) * 2000000 + CAST({den_expr} AS HUGEINT)) "
         f"// (CAST({den_expr} AS HUGEINT) * 2) AS BIGINT)"
     )
+
+
+def guarded(condition: Column, message: Column | str):
+    """Factory for the repo's IN-PLAN overflow/cardinality guard: returns
+    ``guard(expr, typ=None)`` which folds ``raise_error(message)`` into
+    an output column when ``condition`` holds for that row, else the
+    expression (cast to ``typ`` when given).
+
+    Two rules this encodes (learned the hard way — linfit r5, matview
+    r4):
+
+    - the guard must ride EVERY output column, not just one: Catalyst
+      column pruning drops an un-referenced guard column when a caller
+      selects only the others, and the out-of-contract row silently
+      NULLs — the exact failure the guard exists to prevent. With a
+      factory, attaching it everywhere is one call per column.
+    - the guard is LAZY (evaluated inside the plan, per row), never an
+      eager count()/collect() probe: probes run the upstream scan twice
+      and make a lazy API eager.
+
+    ``message`` may be a Column (e.g. concat with the offending key) or
+    a plain string."""
+    msg = F.lit(message) if isinstance(message, str) else message
+
+    def guard(expr: Column, typ: str | None = None) -> Column:
+        err = F.raise_error(msg)
+        if typ:
+            err = err.cast(typ)
+        return F.when(condition, err).otherwise(expr.cast(typ) if typ else expr)
+
+    return guard

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.functions.exactmath import D38, micro_units
+from notion_spark.functions.exactmath import D38, guarded, micro_units
 
 
 def sigma_outliers(
@@ -89,17 +89,12 @@ def sigma_outliers(
     )
     lhs_est = (n_d * v_d - s_d) * (n_d * v_d - s_d)
     rhs_est = F.lit(float(t * t)) * (n_d * q_d)
-    guard = F.when(
-        F.col("__v").isNotNull()
-        & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
-        F.raise_error(
-            F.lit(
-                "sigma_outliers: integer algebra would exceed DECIMAL(38,0)"
-                " — reduce `micro` (see magnitude contract in the module"
-                " docstring)"
-            )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
+    guard = guarded(
+        F.col("__v").isNotNull() & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
+        "sigma_outliers: integer algebra would exceed DECIMAL(38,0)"
+        " — reduce `micro` (see magnitude contract in the module"
+        " docstring)",
+    )(F.lit(True), "boolean")
     flag = (
         guard
         & F.col("__v").isNotNull()
@@ -198,16 +193,11 @@ def rolling_sigma_outliers(
     q_d = q.cast("double")
     lhs_est = (n_d * v_d - s_d) * (n_d * v_d - s_d)
     rhs_est = F.lit(float(t * t)) * (n_d * q_d)
-    guard = F.when(
-        F.col("__v").isNotNull()
-        & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
-        F.raise_error(
-            F.lit(
-                "rolling_sigma_outliers: integer algebra would exceed"
-                " DECIMAL(38,0) — reduce `micro`"
-            )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
+    guard = guarded(
+        F.col("__v").isNotNull() & (F.greatest(lhs_est, rhs_est) > F.lit(1e36)),
+        "rolling_sigma_outliers: integer algebra would exceed"
+        " DECIMAL(38,0) — reduce `micro`",
+    )(F.lit(True), "boolean")
     flag = (
         guard
         & F.col("__v").isNotNull()

@@ -305,20 +305,15 @@ def inter_arrival_stats(
     # loud overflow guard (matview/linfit pattern): num·2e6 past
     # DECIMAL(38,0) would NULL silently with ANSI off — hiding exactly
     # the heaviest, most bot-like users. Double estimates can't overflow.
+    from notion_spark.functions.exactmath import guarded
+
     n_d, s_d = F.col("n_gaps").cast("double"), F.col("sum_gap_us").cast("double")
     sumsq_d = F.col("__sumsq").cast("double")
-    overflow = F.greatest(n_d * sumsq_d, s_d * s_d) * 2e6 > F.lit(1e37)
-
-    def _guard(expr, typ):
-        return F.when(
-            overflow,
-            F.raise_error(
-                F.lit(
-                    "inter_arrival_stats: gap moments exceed DECIMAL(38,0)"
-                    " micro-units — pre-filter multi-decade gaps"
-                )
-            ).cast(typ),
-        ).otherwise(expr.cast(typ))
+    _guard = guarded(
+        F.greatest(n_d * sumsq_d, s_d * s_d) * 2e6 > F.lit(1e37),
+        "inter_arrival_stats: gap moments exceed DECIMAL(38,0)"
+        " micro-units — pre-filter multi-decade gaps",
+    )
 
     return agg.select(
         "user",

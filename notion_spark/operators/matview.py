@@ -44,23 +44,16 @@ _MAG_LIMIT = 1e25
 
 
 def _guarded_sum(c: str) -> "F.Column":
+    from notion_spark.functions.exactmath import guarded
+
     est = F.greatest(
         F.max(F.abs(F.col(c).cast("double"))),
         F.abs(F.sum(F.col(c).cast("double"))),
     )
-    return (
-        F.when(
-            est > F.lit(_MAG_LIMIT),
-            F.raise_error(
-                F.lit(
-                    f"matview: |{c}| magnitude exceeds the DECIMAL(28,2)"
-                    " state contract (~1e25)"
-                )
-            ).cast(DEC),
-        )
-        .otherwise(F.sum(F.col(c).cast(DEC)).cast(DEC))
-        .alias(f"sum_{c}")
-    )
+    return guarded(
+        est > F.lit(_MAG_LIMIT),
+        f"matview: |{c}| magnitude exceeds the DECIMAL(28,2) state contract (~1e25)",
+    )(F.sum(F.col(c).cast(DEC)), DEC).alias(f"sum_{c}")
 
 
 def _state_cols(sums: Sequence[str], mins: Sequence[str], maxs: Sequence[str]) -> list[str]:

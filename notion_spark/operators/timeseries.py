@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from notion_spark.functions.exactmath import D38, micro_units
+from notion_spark.functions.exactmath import D38, guarded, micro_units
 
 
 def resample_fill(
@@ -97,15 +97,13 @@ def resample_fill(
     too_big = n_hours > F.lit(max_periods) * F.lit(
         {"hour": 1, "day": 24, "week": 168, "month": 744}[unit]
     )
-    guarded_lo = F.when(
+    guarded_lo = guarded(
         too_big,
-        F.raise_error(
-            F.concat(
-                F.lit("resample_fill: key span exceeds max_periods: "),
-                F.col("k").cast("string"),
-            )
-        ).cast("timestamp"),
-    ).otherwise(F.col("lo"))
+        F.concat(
+            F.lit("resample_fill: key span exceeds max_periods: "),
+            F.col("k").cast("string"),
+        ),
+    )(F.col("lo"), "timestamp")
     dense = spans.select(
         "k",
         F.explode(
@@ -170,23 +168,10 @@ def groupwise_linfit(
     est = F.greatest(
         F.abs(n_d * sxy_d), F.abs(sx_d * sy_d), F.abs(n_d * sxx_d), sx_d * sx_d
     )
-    overflow = est > F.lit(1e36)
-
-    def _guard(expr, typ):
-        # The guard must live inside EVERY output column: if it were
-        # attached only to `n`, Catalyst column pruning would drop it
-        # when a caller selects just the slope columns, and the
-        # out-of-contract group would silently emit NULL slope — the
-        # exact failure the guard exists to prevent.
-        return F.when(
-            overflow,
-            F.raise_error(
-                F.lit(
-                    "groupwise_linfit: integer moments would exceed"
-                    " DECIMAL(38,0) — reduce `micro`"
-                )
-            ).cast(typ),
-        ).otherwise(expr.cast(typ))
+    _guard = guarded(
+        est > F.lit(1e36),
+        "groupwise_linfit: integer moments would exceed DECIMAL(38,0) — reduce `micro`",
+    )
 
     return agg.select(
         *groups,

@@ -5780,6 +5780,115 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.group_overlap_matrix(assigned, "split", n=3)
 
 
+@register(
+    "curation_temperature_mix",
+    """
+    WITH counts AS (
+        SELECT source AS "group", COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    wts AS (
+        SELECT "group", cnt,
+               CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT SUM(CAST(w AS HUGEINT)) AS grand FROM wts),
+    scored AS (
+        SELECT "group", cnt, w,
+               (1234 * CAST(w AS HUGEINT)) // grand AS base,
+               (1234 * CAST(w AS HUGEINT)) % grand AS rem
+        FROM wts, tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rn,
+               SUM(base) OVER () AS base_sum
+        FROM scored
+    )
+    SELECT "group", CAST(cnt AS BIGINT) AS cnt, CAST(w AS BIGINT) AS weight_micro,
+           CAST(base + CASE WHEN rn <= 1234 - base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing
+    (pipeline/curation.temperature_mix_quotas): a 1234-row budget
+    apportioned by cnt^0.5 — rare sources upweighted, quotas exact
+    Hamilton over integer micro-weights. alpha=0.5 is the hash-checked
+    configuration because IEEE sqrt is correctly rounded (pow is not)."""
+    from notion_spark.pipeline.curation import temperature_mix_quotas
+
+    d = read_table(spark, sf_dir, "documents")
+    return temperature_mix_quotas(d, "source", budget=1234, alpha=0.5)
+
+
+@register(
+    "curation_class_weights",
+    """
+    WITH counts AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS k FROM counts)
+    SELECT label, CAST(cnt AS BIGINT) AS cnt,
+           CAST((n * 2000000 + cnt * k) // (2 * cnt * k) AS BIGINT) AS weight_micro,
+           CAST((n * 2000000 + cnt * k) // (2 * cnt * k) AS BIGINT) / 1000000.0
+               AS weight
+    FROM counts, tot
+    """,
+)
+def curation_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (pipeline/curation.class_weights):
+    sklearn's "balanced" N/(K·n_l) in exact half-up micro-units over the
+    embeddings label column — the loss-reweighting table for a skewed
+    labeled corpus."""
+    from notion_spark.pipeline.curation import class_weights
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return class_weights(emb, "label")
+
+
+@register(
+    "text_token_runs",
+    r"""
+    WITH toks AS (
+        SELECT id, pos, t[pos] AS tok
+        FROM (SELECT doc_id AS id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(range(1, len(t) + 1)) AS u(pos)
+    ),
+    marked AS (
+        SELECT id, pos,
+               CASE WHEN lag(tok) OVER w IS NULL OR lag(tok) OVER w <> tok
+                    THEN 1 ELSE 0 END AS new_run
+        FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    runs AS (
+        SELECT id, run_id, COUNT(*) AS run_len
+        FROM (SELECT id, SUM(new_run) OVER (PARTITION BY id ORDER BY pos)
+                         AS run_id
+              FROM marked)
+        GROUP BY id, run_id
+    )
+    SELECT id AS doc_id, CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(COALESCE(SUM(CASE WHEN run_len >= 3 THEN run_len END), 0)
+                AS BIGINT) AS n_loop_tokens,
+           CAST(floor((COALESCE(SUM(CASE WHEN run_len >= 3 THEN run_len END), 0)
+                       * 2000000 + SUM(run_len))
+                      / (2 * SUM(run_len))) AS BIGINT) / 1000000.0 AS loop_frac
+    FROM runs GROUP BY id
+    """,
+)
+def text_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition (loop) detector
+    (pipeline/text_analysis.token_run_stats): per document the longest
+    consecutive-identical-token run and the exact fraction of tokens in
+    runs >= 3 — the model-generated-text loop signal. Gaps-and-islands
+    inside one doc-keyed shuffle on both engines (independent lag /
+    running-sum formulations)."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.token_run_stats(d, min_run=3)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================
@@ -5793,15 +5902,7 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update after each round from CORRECTNESS_r{N}.json keys.
 DRIVER_CHECKED: tuple[str, ...] = (
     # --- round 2 (CORRECTNESS_r02.json: 49 all-green + 1 rows-only) ---
-    "agg_avg_completion_days", "agg_crosstab_status_priority", "agg_union_pie",
-    "filter_tag_overlap", "filter_active_items", "filter_immediate_action", "filter_window_anti",
-    "filter_backlog_topk", "filter_not_in", "filter_substring_count", "filter_goals_overflow",
-    "join_parent_name", "join_multi_hop_revenue", "join_semi_customers", "join_anti_customers",
-    "merge_keep_last", "incr_changed_rows", "topk_oldest_pending", "window_group_boundaries",
-    "proj_status_priority_scores", "proj_json_extract", "text_truncate", "text_sanitize_filename",
-    "text_line_slice", "text_week_label", "dedup_exact", "dedup_fingerprint",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "sim_topk_cosine",
-    "dedup_cluster_collapse", "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap",
+    "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap",
     "sim_ann_lsh", "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion",
     "text_quality", "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun",
     "agg_distinct_users", "filter_pushdown_parts",
@@ -5832,6 +5933,20 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "window_daily_delta", "agg_cube_counts", "dedup_semantic_pairs", "attr_linear_credit",
     "session_native_aggregates", "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts",
     "agg_weekly_velocity", "agg_created_per_week",
+    # --- r05 (50 driver-checked this round) ---
+    "dedup_substring_spans", "text_gram_novelty", "sim_hard_negatives", "text_vocab_coverage",
+    "curation_quota_mix", "curation_equidepth_bins", "profile_diversity_by_lang", "dedup_group_overlap",
+    "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
+    "anomaly_rolling_sigma", "curation_winsorize", "text_quantile_rank", "text_bpe_merges",
+    "text_cooccurrence", "curation_split_leakage", "agg_avg_completion_days", "agg_crosstab_status_priority",
+    "agg_union_pie", "filter_tag_overlap", "filter_active_items", "filter_immediate_action",
+    "filter_window_anti", "filter_backlog_topk", "filter_not_in", "filter_substring_count",
+    "filter_goals_overflow", "join_parent_name", "join_multi_hop_revenue", "join_semi_customers",
+    "join_anti_customers", "merge_keep_last", "incr_changed_rows", "topk_oldest_pending",
+    "window_group_boundaries", "proj_status_priority_scores", "proj_json_extract", "text_truncate",
+    "text_sanitize_filename", "text_line_slice", "text_week_label", "dedup_exact",
+    "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk_cosine", "dedup_cluster_collapse",
 )
 
 

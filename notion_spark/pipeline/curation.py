@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from notion_spark.functions.exactmath import guarded
 from notion_spark.pipeline.dedup import shingle_hashes
 
 
@@ -537,6 +538,108 @@ def largest_remainder_quotas(
     )
 
 
+def class_weights(df: DataFrame, label_col: str) -> DataFrame:
+    """Inverse-frequency class weights — scikit-learn's "balanced"
+    convention w_l = N / (K · n_l) (N rows, K classes) in EXACT integer
+    micro-units, the loss-reweighting table a trainer joins against a
+    skewed labeled corpus. NULL labels form their own class (they are
+    rows the loss will see).
+
+    Output: (label, cnt, weight_micro, weight) with weight_micro =
+    half-up micro-division of N by K·n_l and weight = weight_micro/10⁶
+    (a double that is an exact function of integers — engine-neutral).
+
+    Scale shape: one map-side-combined count to |labels| rows; N and K
+    ride in as a broadcast one-row frame."""
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__k")
+    ).select("__n", "__k", F.lit(1).alias("__one"))
+    d38 = "decimal(38,0)"
+    den = F.col("cnt").cast(d38) * F.col("__k").cast(d38)
+    micro = F.call_function(
+        "div",
+        F.col("__n").cast(d38) * F.lit(2_000_000) + den,
+        den * F.lit(2),
+    ).cast("long")
+    return (
+        counts.select("*", F.lit(1).alias("__one"))
+        .join(F.broadcast(tot), "__one")
+        .select(
+            "label",
+            F.col("cnt").cast("long").alias("cnt"),
+            micro.alias("weight_micro"),
+            (micro / F.lit(1_000_000.0)).alias("weight"),
+        )
+    )
+
+
+def temperature_mix_quotas(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: apportion an integer sampling
+    ``budget`` across groups proportional to ``cnt^alpha`` instead of raw
+    counts — the standard multilingual/multi-source rebalancing rule
+    (alpha < 1 upweights rare sources; the GPT-3 / mC4 / LLaMA data-card
+    "sampling temperature"). Hamilton largest-remainder over INTEGER
+    weights, so quotas sum to exactly ``budget``.
+
+    Weight = floor(cnt^alpha · 10⁶), one weight per group. For
+    ``alpha=0.5`` (the default and the oracle-checked configuration) the
+    power is computed with IEEE sqrt, which is CORRECTLY ROUNDED and
+    therefore bit-identical on every engine; other alphas go through
+    pow(), whose last-ulp rounding is libm-dependent — fine for mixing,
+    not for cross-engine hash parity (documented, recall-grade).
+
+    Output: (group, cnt, weight_micro, quota).
+
+    Scale shape: identical to `largest_remainder_quotas` — one
+    map-side-combined count to |groups| rows, a window over that bounded
+    frame, DECIMAL(38,0) products (budget·weight wraps a LONG at the
+    100 TB shape)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cnt_d = F.col("cnt").cast("double")
+    powed = F.sqrt(cnt_d) if alpha == 0.5 else F.pow(cnt_d, F.lit(float(alpha)))
+    wts = counts.select(
+        "group", "cnt", F.floor(powed * F.lit(1_000_000.0)).cast("long").alias("weight_micro")
+    )
+    total = wts.agg(F.sum(F.col("weight_micro").cast("long")).alias("grand")).select(
+        "grand", F.lit(1).alias("__one")
+    )
+    with_tot = wts.select("*", F.lit(1).alias("__one")).join(F.broadcast(total), "__one")
+    d38 = "decimal(38,0)"
+    prod = F.lit(budget).cast(d38) * F.col("weight_micro").cast(d38)
+    base = F.call_function("div", prod, F.col("grand").cast(d38))
+    rem = (prod - base.cast(d38) * F.col("grand").cast(d38)).cast(d38)
+    scored = with_tot.select(
+        "group", "cnt", "weight_micro", base.alias("base"), rem.alias("rem")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("group"))
+    leftover = F.lit(budget) - F.sum("base").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        "group",
+        "cnt",
+        "weight_micro",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w) <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("quota"),
+    )
+
+
 # ------------------------------------------------------ equi-depth binning
 def equidepth_value_bins(
     df: DataFrame,
@@ -591,15 +694,11 @@ def equidepth_value_bins(
     ).select(
         "value",
         "cnt",
-        F.when(
+        guarded(
             F.col("__nd") > F.lit(max_distinct),
-            F.raise_error(
-                F.lit(
-                    f"equidepth_value_bins: > {max_distinct} distinct values in"
-                    f" {col!r} — use sketches.histogram_bins for continuous data"
-                )
-            ).cast("int"),
-        ).otherwise(F.expr("__scaled div __grand").cast("int")).alias("bin"),
+            f"equidepth_value_bins: > {max_distinct} distinct values in"
+            f" {col!r} — use sketches.histogram_bins for continuous data",
+        )(F.expr("__scaled div __grand"), "int").alias("bin"),
     )
 
 
@@ -643,15 +742,7 @@ def winsorize(
         "value",
         F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
         F.sum("cnt").over(total).alias("grand"),
-        F.when(
-            n_distinct > F.lit(max_distinct),
-            F.raise_error(
-                F.lit(
-                    f"winsorize: > {max_distinct} distinct values in {col!r}"
-                    " — use sketches.histogram_quantiles for continuous data"
-                )
-            ).cast("long"),
-        ).otherwise(F.lit(0)).alias("__guard"),
+        n_distinct.alias("__nd"),
     )
     # rank(p) = max(1, ceil(p·N / 1e6)) in exact integers:
     # ceil(a/b) = (a + b − 1) div b
@@ -661,9 +752,17 @@ def winsorize(
         a = F.col("grand").cast(d38) * F.lit(ppm) + F.lit(999_999)
         return F.greatest(F.call_function("div", a, F.lit(1_000_000).cast(d38)), F.lit(1))
 
+    # the cardinality guard rides BOTH bound columns (the "guard in
+    # every output column" rule): either bound alone referenced by a
+    # downstream plan still fires it
+    _guard = guarded(
+        F.col("__nd") > F.lit(max_distinct),
+        f"winsorize: > {max_distinct} distinct values in {col!r}"
+        " — use sketches.histogram_quantiles for continuous data",
+    )
     bounds = runs.select(
-        F.min(F.when(F.col("run") + F.col("__guard") >= _rank(lo_ppm), F.col("value"))).alias("__lo"),
-        F.min(F.when(F.col("run") >= _rank(hi_ppm), F.col("value"))).alias("__hi"),
+        F.min(_guard(F.when(F.col("run") >= _rank(lo_ppm), F.col("value")))).alias("__lo"),
+        F.min(_guard(F.when(F.col("run") >= _rank(hi_ppm), F.col("value")))).alias("__hi"),
     )
     clipped = F.when(F.col(col) < F.col("__lo"), F.col("__lo")).otherwise(
         F.when(F.col(col) > F.col("__hi"), F.col("__hi")).otherwise(F.col(col))
@@ -707,19 +806,16 @@ def quantile_rank(
     n_distinct = F.count(F.lit(1)).over(total)
     ranks = counts.select(
         "__value",
-        F.when(
+        guarded(
             n_distinct > F.lit(max_distinct),
-            F.raise_error(
-                F.lit(
-                    f"quantile_rank: > {max_distinct} distinct values in"
-                    f" {col!r} — use sketches.histogram_quantiles"
-                )
-            ).cast("double"),
-        ).otherwise(
+            f"quantile_rank: > {max_distinct} distinct values in"
+            f" {col!r} — use sketches.histogram_quantiles",
+        )(
             frac6_half_up(
                 F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
                 F.sum("cnt").over(total),
-            )
+            ),
+            "double",
         ).alias(out),
     )
     return df.join(

@@ -135,16 +135,13 @@ def diversity_index(
     num = (n38 * n38 - F.col("__sumsq")).cast(D38)
     den = (n38 * n38).cast(D38)
     micro = F.call_function("div", num * F.lit(2000000) + den, den * F.lit(2))
-    n_d = F.col("n").cast("double")
-    overflow = n_d * n_d * 2e6 > F.lit(1e37)
+    from notion_spark.functions.exactmath import guarded
 
-    def _guard(expr, typ):
-        return F.when(
-            overflow,
-            F.raise_error(
-                F.lit("diversity_index: n² micro-units exceed DECIMAL(38,0)")
-            ).cast(typ),
-        ).otherwise(expr.cast(typ))
+    n_d = F.col("n").cast("double")
+    _guard = guarded(
+        n_d * n_d * 2e6 > F.lit(1e37),
+        "diversity_index: n² micro-units exceed DECIMAL(38,0)",
+    )
 
     return agg.select(
         *groups,

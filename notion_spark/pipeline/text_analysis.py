@@ -515,6 +515,59 @@ def bpe_merge_candidates(
     )
 
 
+def token_run_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run: int = 3,
+) -> DataFrame:
+    """Degenerate-repetition detector: per document, the longest run of
+    CONSECUTIVE identical tokens and the fraction of tokens sitting
+    inside runs of length >= ``min_run`` — the cheap loop signal that
+    catches model-generated text stuck repeating itself ("the the the
+    ...") and boilerplate spam, which n-gram-level repetition_stats
+    (dup lines/paragraphs) does not isolate.
+
+    Output: (doc_id, n_tokens, max_run, n_loop_tokens, loop_frac) with
+    ``loop_frac`` the exact frac6_half_up of integer counts; documents
+    with NULL text are excluded, an all-distinct document scores
+    max_run=1, loop_frac=0.
+
+    Scale shape: one posexplode (linear), then gaps-and-islands entirely
+    within ONE doc-keyed shuffle — run boundaries via lag(tok), run ids
+    via a running sum over the same (id ORDER BY pos) window (stacked
+    windows on one key sort once), a (id, run_id) count, and a per-doc
+    aggregate. Every window frame is bounded by document length."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    new_run = F.when(
+        F.lag("tok").over(w).isNull() | (F.lag("tok").over(w) != F.col("tok")), 1
+    ).otherwise(0)
+    run_ids = toks.select(
+        "id", "tok", F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id")
+    )
+    runs = run_ids.groupBy("id", "run_id").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("id").agg(
+        F.sum("run_len").cast("long").alias("n_tokens"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.coalesce(
+            F.sum(F.when(F.col("run_len") >= min_run, F.col("run_len"))), F.lit(0)
+        ).cast("long").alias("n_loop_tokens"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "max_run",
+        "n_loop_tokens",
+        frac6_half_up(F.col("n_loop_tokens"), F.col("n_tokens")).alias("loop_frac"),
+    )
+
+
 def cooccurrence_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -426,3 +426,58 @@ class TestQuantileRank:
         assert out[2] == 0.75
         assert out[4] == 1.0
         assert out[None] is None
+
+
+class TestTemperatureMix:
+    def test_quotas_sum_to_budget_and_flatten_skew(self, spark):
+        from notion_spark.pipeline.curation import (
+            largest_remainder_quotas,
+            temperature_mix_quotas,
+        )
+
+        rows = [(i, "big") for i in range(900)] + [(i, "rare") for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = {r.group: r for r in temperature_mix_quotas(df, "src", budget=100).collect()}
+        assert sum(r.quota for r in out.values()) == 100
+        # sqrt weighting: rare share rises from 10% to sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+        assert out["rare"].quota == 25 and out["big"].quota == 75
+        prop = {r.group: r.quota for r in largest_remainder_quotas(df, "src", budget=100).collect()}
+        assert out["rare"].quota > prop["rare"]
+        # weight_micro is the exact floor(sqrt(cnt)*1e6)
+        assert out["rare"].weight_micro == 10_000_000
+        assert out["big"].weight_micro == 30_000_000
+
+    def test_bad_args_rejected(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.curation import temperature_mix_quotas
+
+        df = spark.createDataFrame([(1, "a")], "id long, src string")
+        with pytest.raises(ValueError, match="budget"):
+            temperature_mix_quotas(df, "src", budget=-1)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mix_quotas(df, "src", budget=1, alpha=0.0)
+
+
+class TestClassWeights:
+    def test_balanced_convention_exact(self, spark):
+        from notion_spark.pipeline.curation import class_weights
+
+        # N=6, K=3: weights 6/(3*3)=0.666667 (half-up), 6/(3*2)=1.0, 6/(3*1)=2.0
+        df = spark.createDataFrame(
+            [(1, "a")] * 3 + [(2, "b")] * 2 + [(3, "c")],
+            "id long, lbl string",
+        )
+        out = {r.label: r for r in class_weights(df, "lbl").collect()}
+        assert out["a"].weight_micro == 666_667  # half-up, not 666666
+        assert out["b"].weight == 1.0
+        assert out["c"].weight == 2.0
+        # balanced property: sum over rows of their weight ~= N
+        assert sum(out[l].cnt * out[l].weight_micro for l in out) == 6_000_001  # exact ints
+
+    def test_null_label_is_a_class(self, spark):
+        from notion_spark.pipeline.curation import class_weights
+
+        df = spark.createDataFrame([(1, "a"), (2, None)], "id long, lbl string")
+        out = {r.label: r for r in class_weights(df, "lbl").collect()}
+        assert out[None].cnt == 1 and out[None].weight == 1.0

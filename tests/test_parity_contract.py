@@ -69,9 +69,9 @@ def test_multimodal_parity_features_serialized(spark, sf_dir):
 def test_full_mirror_artifact_green():
     """The committed full-registry mirror artifact (PARITY_LOCAL_r{N}.json,
     written by `scripts/check_parity.py --json` each round) must cover
-    every registered query and show all-green except the ONE documented
-    rows-only query (sim_ann_ivf: Lloyd float accumulation order; its
-    probe path is hash-checked via sim_ann_ivf_probe). This is the
+    every registered query and show all-green with ZERO rows-only rows —
+    since r6 every query has a hash-checked oracle (the last holdout,
+    sim_ann_ivf, trains in fixed-point integers now). This is the
     regression net for queries outside the driver's 50-row window."""
     import glob
     import json
@@ -94,7 +94,7 @@ def test_full_mirror_artifact_green():
     }
     assert not bad, f"mirror failures: {bad}"
     rows_only = sorted(n for n, row in data.items() if row["hash_match"] is None)
-    assert rows_only == ["sim_ann_ivf"], (
+    assert rows_only == [], (
         f"rows-only set changed: {rows_only} — every new query needs an oracle"
     )
 

@@ -235,3 +235,35 @@ class TestCooccurrenceCounts:
                cooccurrence_counts(df, window=1, k=100, min_count=2).collect()}
         assert ("a", "b") not in out  # only adjacency via the pruned gap
         assert out[("a", "c")] == 2 and out[("b", "c")] == 2
+
+
+class TestTokenRunStats:
+    def test_runs_and_loop_fraction(self, spark):
+        from notion_spark.pipeline.text_analysis import token_run_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "go go go stop go"),          # run of 3 at min_run=3
+                (2, "a b a b a b"),               # alternation: no runs
+                (3, "x x y y y y z"),             # runs 2 and 4
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in token_run_stats(df, min_run=3).collect()}
+        assert set(out) == {1, 2, 3}
+        assert (out[1].n_tokens, out[1].max_run, out[1].n_loop_tokens) == (5, 3, 3)
+        assert out[1].loop_frac == 0.6
+        assert (out[2].max_run, out[2].n_loop_tokens, out[2].loop_frac) == (1, 0, 0.0)
+        assert (out[3].n_tokens, out[3].max_run, out[3].n_loop_tokens) == (7, 4, 4)
+        # 4/7 half-up = 0.571429
+        assert out[3].loop_frac == 0.571429
+
+    def test_single_doc_shuffle_key(self, spark):
+        from notion_spark.pipeline.text_analysis import token_run_stats
+
+        df = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+        plan = token_run_stats(df)._jdf.queryExecution().executedPlan().toString()
+        # both stacked windows share the doc-keyed sort; no extra
+        # (id, tok)-keyed exchange sneaks in
+        assert plan.count("Window") <= 2
