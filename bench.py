@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_cooccurrence",
     "curation_split_leakage",
+    # r6 additions (trained-in-query scaled IVF, pruned co-occurrence,
+    # mixing/weights/loop-detector families), benched from birth
+    "sim_ann_ivf",
+    "text_cooccurrence_pruned",
+    "curation_temperature_mix",
+    "curation_class_weights",
+    "text_token_runs",
 ]
 
 
