@@ -457,6 +457,45 @@ def _nearest_centroid_int(vec: Column, centroids: list[list[int]]) -> Column:
     return best["i"]
 
 
+def _assign_cells_scaled(
+    df: DataFrame,
+    centroids: list[list[int]],
+    svec_col: str,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest scaled-integer centroid for a pre-scaled BIGINT vector
+    column: literal K-fold inside codegen for small K, exact int64
+    numpy argmin above IVF_LITERAL_MAX_K. Unlike the float pandas path
+    (norm-expansion trick, tie behavior differs on exact-distance
+    ties), this computes the SAME elementwise (v−c)² sum in int64 —
+    exact, so literal and numpy paths agree on every input, ties
+    included (np.argmin takes the first minimum = lowest index)."""
+    if len(centroids) <= IVF_LITERAL_MAX_K:
+        return df.withColumn(out_col, _nearest_centroid_int(F.col(svec_col), centroids))
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.int64)  # K x dim
+    schema = StructType([*df.schema.fields, StructField(out_col, IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[svec_col]])
+            # (n, 1, dim) - (K, dim) -> (n, K, dim); int64 squares exact
+            # for the offset-scaled magnitude contract (~1e7 per element,
+            # dim·(1.2e6)² ≈ 1e14 « 2^63)
+            diff = vecs[:, None, :] - cent[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            out = pdf.copy()
+            out[out_col] = np.argmin(d2, axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(assign, schema=schema)
+
+
 def train_ivf_centroids_scaled(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -494,7 +533,7 @@ def train_ivf_centroids_scaled(
     cents = seeds
     dim = len(seeds[0])
     for _ in range(iterations):
-        assigned = df.select(_nearest_centroid_int(F.col("__v"), cents).alias("__c"), "__v")
+        assigned = _assign_cells_scaled(df, cents, "__v", "__c").select("__c", "__v")
         rows = (
             assigned.groupBy("__c")
             .agg(
@@ -532,30 +571,65 @@ def ivf_topk_scaled(
     bucket equi-join, per-query rank window. At scale the corpus is
     written partitioned by cell -> partition-pruned probes."""
     sv = lambda col: scaled_int_vector(col, scale, offset)  # noqa: E731
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")).withColumn(
-        "cell", _nearest_centroid_int(sv(F.col("cv")), centroids)
+    c = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+        .withColumn("__sv", sv(F.col("cv")))
     )
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    sv(F.col("qv")),
-                    F.array(*[F.lit(int(x)).cast("long") for x in cen]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+    c = _assign_cells_scaled(c, centroids, "__sv").drop("__sv")
+    qbase = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("__sv", sv(F.col("qv")))
+    if len(centroids) <= IVF_LITERAL_MAX_K:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__sv"),
+                        F.array(*[F.lit(int(x)).cast("long") for x in cen]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for cen in centroids
+            ]
+        )
+        q = (
+            qbase.select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell"))
             )
-            for cen in centroids
-        ]
-    )
-    q = (
-        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "qv", "cell")
-    )
+            .filter(F.col("rn") <= nprobe)
+            .select("qid", "qv", "cell")
+        )
+    else:
+        import numpy as np
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cent = np.asarray(centroids, dtype=np.int64)
+        n_take = min(nprobe, len(centroids))
+        qsel = qbase.select("qid", "qv", "__sv")
+        schema = StructType(
+            [*qsel.drop("__sv").schema.fields, StructField("cell", IntegerType())]
+        )
+
+        def probe(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__sv"]])
+                diff = vecs[:, None, :] - cent[None, :, :]
+                d2 = (diff * diff).sum(axis=2)
+                # stable argsort: exact-distance ties keep ascending cell
+                nearest = np.argsort(d2, axis=1, kind="stable")[:, :n_take]
+                out = pdf.drop(columns=["__sv"]).loc[
+                    pdf.index.repeat(n_take)
+                ].reset_index(drop=True)
+                out["cell"] = nearest.reshape(-1).astype("int32")
+                yield out
+
+        q = qsel.mapInPandas(probe, schema=schema)
     scored = c.join(F.broadcast(q), "cell").select(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )

@@ -625,3 +625,57 @@ def test_winsorize_matches_order_statistic_model(spark, values, lo, hi):
     hi_b = s[max(1, math.ceil(hi * n / 1_000_000)) - 1]
     for x, w in out:
         assert w == min(max(x, lo_b), hi_b)
+
+
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(1, 400), min_size=1, max_size=6),
+    budget=st.integers(0, 500),
+)
+def test_temperature_mix_matches_python_model(spark, sizes, budget):
+    """Quotas sum to exactly the budget and match a pure-Python Hamilton
+    apportionment over floor(sqrt(cnt)*1e6) weights."""
+    import math
+
+    from notion_spark.pipeline.curation import temperature_mix_quotas
+
+    rows = [(i, f"g{gi}") for gi, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = {r.group: (r.weight_micro, r.quota) for r in
+           temperature_mix_quotas(df, "src", budget=budget).collect()}
+
+    w = {f"g{gi}": math.floor(math.sqrt(n) * 1_000_000) for gi, n in enumerate(sizes)}
+    grand = sum(w.values())
+    base = {g: budget * wv // grand for g, wv in w.items()}
+    rem = sorted(w, key=lambda g: (-(budget * w[g] % grand), g))
+    left = budget - sum(base.values())
+    for g in rem[:left]:
+        base[g] += 1
+    assert {g: q for g, (_, q) in got.items()} == base
+    assert {g: wm for g, (wm, _) in got.items()} == w
+    assert sum(q for _, q in got.values()) == budget
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("aab"), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    min_run=st.integers(2, 4),
+)
+def test_token_run_stats_matches_python_model(spark, texts, min_run):
+    from itertools import groupby
+
+    from notion_spark.pipeline.text_analysis import token_run_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.max_run, r.n_loop_tokens)
+           for r in token_run_stats(df, min_run=min_run).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        runs = [len(list(g)) for _, g in groupby(toks)]
+        assert got[i] == (
+            len(toks), max(runs), sum(r for r in runs if r >= min_run)
+        )

@@ -260,3 +260,39 @@ def test_scaled_int_vector_fixed_point_contract(spark):
     out = df.select(S.scaled_int_vector(F.col("v")).alias("s")).collect()[0].s
     # floor((x + 10) * 1e6): all positive by construction
     assert list(out) == [10_500_000, 9_750_000, 10_000_000]
+
+
+def test_scaled_ivf_large_k_paths_match_literal(spark, monkeypatch):
+    # the int64 numpy argmin must agree with the literal fold on EVERY
+    # input (exact same arithmetic, first-min ties) — unlike the float
+    # pandas path, where only tie behavior may differ
+    rows = _synth_vectors(200, 16, n_clusters=8)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids_scaled(df, n_centroids=8, iterations=1)
+    queries = spark.createDataFrame(rows[:4], "query_id long, embedding array<float>")
+    lit = sorted(map(tuple, S.ivf_topk_scaled(df, queries, cents, k=5, nprobe=3).collect()))
+    monkeypatch.setattr(S, "IVF_LITERAL_MAX_K", 0)  # force numpy everywhere
+    pan = sorted(map(tuple, S.ivf_topk_scaled(df, queries, cents, k=5, nprobe=3).collect()))
+    assert lit == pan
+    # trainer too: identical centroids through the numpy assignment
+    cents2 = S.train_ivf_centroids_scaled(df, n_centroids=8, iterations=1)
+    assert cents == cents2
+
+
+def test_ann_swap_plans_no_cartesian(spark):
+    rows = _labeled_vectors(100, 16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = spark.createDataFrame(
+        rows[:3], "query_id long, embedding array<float>, label int"
+    )
+    cents = S.train_ivf_centroids(df, n_centroids=4, iterations=1)
+    for approx in (
+        S.hard_negatives(df, anchors, k=3, method="lsh", n_planes=4, dim=16),
+        S.hard_negatives(df, anchors, k=3, method="ivf", centroids=cents, nprobe=2),
+        S.knn_label_disagreement(df, anchors, k=3, method="lsh", n_planes=4, dim=16),
+    ):
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        # the whole point of the swap: a bucket/cell EQUI-join replaces
+        # the broadcast cross join of the exact baseline
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
