@@ -5889,6 +5889,89 @@ def text_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.token_run_stats(d, min_run=3)
 
 
+@register(
+    "curation_semantic_decontam",
+    f"""
+    WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT c.vec_id,
+               {_COS_AB.replace('a.embedding', 'c.embedding').replace('b.embedding', 'b.bv')} AS cos
+        FROM embeddings c CROSS JOIN b
+    )
+    SELECT vec_id, round(MAX(cos), 6) AS max_cosine
+    FROM scored GROUP BY vec_id
+    HAVING round(MAX(cos), 6) >= 0.8
+    """,
+)
+def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (pipeline/curation.semantic_contaminated_ids): corpus vectors whose
+    max cosine vs a broadcast benchmark set (every 50th vector) reaches
+    0.8 — the paraphrase-robust sibling of n-gram decontam
+    (curation_decontam). Max over exact doubles, ONE deterministic
+    round after the max."""
+    from notion_spark.pipeline.curation import semantic_contaminated_ids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    return semantic_contaminated_ids(emb, bench, threshold=0.8)
+
+
+@register(
+    "curation_token_budget",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(round(least(length(text), 2000) / 2000.0 * 1000000.0)
+                    AS BIGINT) AS su,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT su, SUM(toks) AS btoks FROM scored GROUP BY su),
+    runs AS (SELECT su, btoks,
+                    SUM(btoks) OVER (ORDER BY su DESC) AS run
+             FROM counts),
+    bounds AS (SELECT
+        MIN(CASE WHEN run <= 10000 THEN su END) AS full_min,
+        MAX(CASE WHEN run > 10000 AND run - btoks < 10000 THEN su END) AS bsu,
+        MAX(CASE WHEN run > 10000 AND run - btoks < 10000
+                 THEN 10000 - (run - btoks) END) AS rem
+      FROM runs),
+    bdocs AS (
+        SELECT doc_id, toks FROM (
+            SELECT s.doc_id, s.toks,
+                   SUM(s.toks) OVER (ORDER BY s.doc_id ASC) AS brun, b.rem
+            FROM scored s, bounds b
+            WHERE b.bsu IS NOT NULL AND s.su = b.bsu)
+        WHERE brun <= rem)
+    SELECT s.doc_id, CAST(s.toks AS BIGINT) AS n_tokens
+    FROM scored s, bounds b
+    WHERE b.full_min IS NOT NULL AND s.su >= b.full_min
+    UNION ALL
+    SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens FROM bdocs
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget fill (pipeline/curation.select_token_budget):
+    the best-scored documents (length-based frac score, whitespace
+    token counts) whose cumulative tokens never exceed 10,000 — kept
+    buckets resolved over the bounded per-score frame, the single
+    boundary bucket ranked by doc_id. No global corpus sort on either
+    engine (the oracle mirrors the two-pass bucket derivation)."""
+    from notion_spark.pipeline.curation import select_token_budget
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        "doc_id",
+        (F.least(F.length("text"), F.lit(2000)) / F.lit(2000.0)).alias("score"),
+        TA.ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return select_token_budget(scored, "score", "n_tokens", budget=10_000).select(
+        "doc_id", "n_tokens"
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -51,6 +51,45 @@ def contaminated_ids(
     )
 
 
+def semantic_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: corpus vectors whose
+    max cosine against ANY benchmark vector reaches ``threshold`` — the
+    semantic sibling of the n-gram `contaminated_ids` (catches
+    paraphrased/translated eval leakage that exact 13-gram overlap
+    misses; both passes run before a release, per current data-card
+    practice).
+
+    Output: (id_col, max_cosine) for flagged ids only, max_cosine
+    rounded to 6 decimals AFTER the max (order-independent: max of
+    exact doubles, one deterministic round).
+
+    Scale shape: the benchmark side is broadcast (eval sets are small by
+    definition); the corpus streams once through a codegen'd scoring
+    stage and a map-side-combined per-id max — no shuffle of the
+    pairwise stream beyond the id-key combine. For a benchmark too big
+    to broadcast, bucket both sides with the similarity LSH machinery
+    first (`similarity._candidate_pairs`)."""
+    from notion_spark.pipeline.similarity import cosine
+
+    b = F.broadcast(benchmark.select(F.col(vec_col).alias("__bv")))
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv"))
+    scored = c.crossJoin(b).select(
+        "__id", cosine(F.col("__cv"), F.col("__bv")).alias("__cos")
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(F.round(F.max("__cos"), 6).alias("max_cosine"))
+        .filter(F.col("max_cosine") >= threshold)
+        .select(F.col("__id").alias(id_col), "max_cosine")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -638,6 +677,79 @@ def temperature_mix_quotas(
             + F.when(F.row_number().over(w) <= leftover, F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("quota"),
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    micro: int = 1_000_000,
+    max_boundary: int = 10_000_000,
+) -> DataFrame:
+    """Fill an exact token budget by descending quality: keep the
+    best-scored documents whose cumulative token count never exceeds
+    ``budget`` — the "take the best 1B tokens" curation step, with a
+    deterministic boundary rule (within the cut-off score, ids ascending
+    fill the remainder) instead of sort-and-truncate drift.
+
+    ``score_col`` must hold exact multiples of 1/``micro`` (the repo's
+    frac6 outputs: quality_score, gram_novelty, quantile_rank...); it is
+    converted to integer micro-units so bucket identity is engine-exact.
+    Zero-token documents never consume budget and are kept whenever
+    their score bucket is reached.
+
+    Scale shape — the point of this op: NO global sort of the corpus.
+    Pass 1 is a map-side-combined per-score-bucket token sum (bounded by
+    ``micro``+1 rows), a descending cumulative over that bounded frame,
+    and a one-row broadcast of (lowest fully-kept bucket, boundary
+    bucket, remaining tokens). Pass 2 filters the corpus by bucket and
+    ranks ONLY the boundary bucket by id — whose size is guarded
+    (``max_boundary``, in-plan raise) because a degenerate all-one-score
+    corpus would otherwise globally sort."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    units = F.round(F.col(score_col).cast("double") * F.lit(float(micro))).cast("long")
+    wdf = df.withColumn("__su", units)
+    counts = wdf.groupBy("__su").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__toks")
+    )
+    w = Window.orderBy(F.desc("__su"))
+    runs = counts.select(
+        "__su",
+        "__toks",
+        F.sum("__toks").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__run"),
+    )
+    b = F.lit(int(budget)).cast("long")
+    at_boundary = (F.col("__run") > b) & (F.col("__run") - F.col("__toks") < b)
+    bounds = runs.agg(
+        F.min(F.when(F.col("__run") <= b, F.col("__su"))).alias("__full_min"),
+        F.max(F.when(at_boundary, F.col("__su"))).alias("__bsu"),
+        F.max(F.when(at_boundary, b - (F.col("__run") - F.col("__toks")))).alias("__rem"),
+    )
+    j = wdf.join(F.broadcast(bounds))
+    aux = ["__su", "__full_min", "__bsu", "__rem"]
+    full = j.filter(
+        F.col("__full_min").isNotNull() & (F.col("__su") >= F.col("__full_min"))
+    ).drop(*aux)
+    bw = Window.orderBy(F.asc(id_col))
+    frame = bw.rowsBetween(Window.unboundedPreceding, 0)
+    whole = bw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    boundary = j.filter(F.col("__bsu").isNotNull() & (F.col("__su") == F.col("__bsu")))
+    from notion_spark.functions.exactmath import guarded
+
+    brun = guarded(
+        F.count(F.lit(1)).over(whole) > F.lit(max_boundary),
+        f"select_token_budget: boundary score bucket exceeds {max_boundary}"
+        " rows — scores are too coarse for a rank-within-bucket boundary",
+    )(F.sum(F.col(token_col).cast("long")).over(frame), "long")
+    bdocs = (
+        boundary.withColumn("__brun", brun)
+        .filter(F.col("__brun") <= F.col("__rem"))
+        .drop("__brun", *aux)
+    )
+    return full.unionByName(bdocs)
 
 
 # ------------------------------------------------------ equi-depth binning

@@ -481,3 +481,73 @@ class TestClassWeights:
         df = spark.createDataFrame([(1, "a"), (2, None)], "id long, lbl string")
         out = {r.label: r for r in class_weights(df, "lbl").collect()}
         assert out[None].cnt == 1 and out[None].weight == 1.0
+
+
+class TestSelectTokenBudget:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, score double, toks long")
+
+    def test_exact_boundary_fill(self, spark):
+        from notion_spark.pipeline.curation import select_token_budget
+
+        # buckets: score 1.0 -> 40 tokens (docs 1,2); 0.5 -> 30+30 (3,4); 0.2 -> 100 (5)
+        df = self._df(spark, [
+            (1, 1.0, 25), (2, 1.0, 15),
+            (3, 0.5, 30), (4, 0.5, 30),
+            (5, 0.2, 100),
+        ])
+        # budget 75: full bucket 1.0 (40), boundary 0.5 with rem=35 ->
+        # doc 3 (30 <= 35) in, doc 4 (60 > 35) out
+        got = sorted(r.doc_id for r in
+                     select_token_budget(df, "score", "toks", budget=75).collect())
+        assert got == [1, 2, 3]
+
+    def test_budget_never_exceeded_and_extremes(self, spark):
+        from notion_spark.pipeline.curation import select_token_budget
+
+        df = self._df(spark, [(i, (i % 7) / 10.0, i % 13) for i in range(60)])
+        total = sum(i % 13 for i in range(60))
+        for budget in (0, 17, 100, total, total + 50):
+            sel = select_token_budget(df, "score", "toks", budget=budget).collect()
+            assert sum(r.toks for r in sel) <= budget
+            if budget >= total:
+                assert len(sel) == 60
+        # zero-token docs are free: with budget 0, every 0-token doc whose
+        # bucket is reached stays; here the TOP bucket (score .6) has
+        # nonzero tokens so nothing is fully kept, but a planted
+        # zero-token top doc survives
+        df2 = self._df(spark, [(1, 0.9, 0), (2, 0.5, 10)])
+        got = sorted(r.doc_id for r in
+                     select_token_budget(df2, "score", "toks", budget=0).collect())
+        assert got == [1]
+
+    def test_boundary_guard_fires(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.curation import select_token_budget
+
+        df = self._df(spark, [(i, 0.5, 10) for i in range(20)])
+        with pytest.raises(Exception, match="boundary score bucket"):
+            select_token_budget(
+                df, "score", "toks", budget=50, max_boundary=5
+            ).collect()
+
+
+class TestSemanticDecontam:
+    def test_planted_near_duplicates_flagged(self, spark):
+        from notion_spark.pipeline.curation import semantic_contaminated_ids
+
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [0.99, 0.01, 0.0]),   # near-dup of the benchmark
+                (2, [0.0, 1.0, 0.0]),     # orthogonal
+                (3, [-1.0, 0.0, 0.0]),    # anti-parallel
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r.max_cosine for r in
+               semantic_contaminated_ids(corpus, bench, threshold=0.9).collect()}
+        assert set(got) == {1} and got[1] > 0.99
