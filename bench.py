@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "curation_temperature_mix",
     "curation_class_weights",
     "text_token_runs",
+    "curation_semantic_decontam",
+    "curation_token_budget",
+    "text_hashed_classifier",
+    "dedup_cluster_keep_best",
+    "layout_bucketed_join",
 ]
 
 

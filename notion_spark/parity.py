@@ -5972,6 +5972,132 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_hashed_classifier",
+    r"""
+    WITH raw AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM raw
+    ),
+    feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    cls AS (SELECT lang AS label, bucket, COUNT(*) AS ccnt FROM toks GROUP BY 1, 2),
+    tot AS (SELECT label, SUM(ccnt) AS ctot FROM cls GROUP BY 1),
+    w AS (SELECT c.label, c.bucket,
+                 CAST((CAST(c.ccnt AS HUGEINT) * 2000000 + CAST(t.ctot AS HUGEINT))
+                      // (CAST(t.ctot AS HUGEINT) * 2) AS BIGINT) AS weight
+          FROM cls c JOIN tot t USING (label)),
+    sc AS (SELECT f.doc_id, w.label,
+                  CAST(SUM(f.cnt * w.weight) AS BIGINT) AS score
+           FROM feats f JOIN w ON f.bucket = w.bucket GROUP BY 1, 2)
+    SELECT doc_id, label, score FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, label ASC) = 1
+    """,
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference
+    (pipeline/classify.classify) — the fastText-style "score every
+    document with a tiny model" pass: 512-bucket hashing-trick
+    bag-of-words, per-class relative-frequency weights in half-up
+    micro-units trained from the corpus's own lang labels
+    (train_class_weights), argmax label per document with ties to the
+    lexicographically smallest class. All-integer scores, so the whole
+    train→infer flow hash-checks; the weight table is
+    |classes|×buckets-bounded and broadcast."""
+    from notion_spark.pipeline import classify as CL
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    weights = CL.train_class_weights(d, "lang", n_buckets=512)
+    return CL.classify(d, weights, n_buckets=512)
+
+
+@register(
+    "dedup_cluster_keep_best",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, source, lang, length(text) AS len,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                       '\s+', ' ', 'g'))) AS f
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY f ORDER BY len DESC, doc_id ASC) AS rk
+        FROM fp)
+    WHERE rk = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware collapse (pipeline/dedup.dedup_clusters_keep_best):
+    fingerprint-dup clusters keep their LONGEST raw text (tie → lowest
+    doc_id) instead of the min id — "keep the best surviving version",
+    the curation-grade last mile. Spark resolves clusters through
+    connected_components over star edges (each dup → its group min);
+    the oracle collapses the same clusters directly per fingerprint, so
+    the component machinery is cross-checked against an independent
+    formulation."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = TA.with_fingerprint(d)
+    mins = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("__min"))
+    pairs = (
+        fp.join(mins, "fingerprint")
+        .filter(F.col("doc_id") != F.col("__min"))
+        .select(F.col("__min").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    best = DD.dedup_clusters_keep_best(
+        d, pairs, [F.desc(F.length("text")), F.asc("doc_id")]
+    )
+    return best.select("doc_id", "source", "lang")
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (pipeline/layout.write_bucketed +
+    bucketed_join): both sides pre-bucketed on the join key, so the
+    sort-merge join runs with ZERO shuffle exchanges (plan-pinned in
+    tests/test_layout.py) — the pay-one-shuffle-at-write-time layout
+    that keeps fact-to-fact joins feasible at 100 TB. The value-parity
+    here checks the round trip (bucketed write → catalog read → join →
+    agg) against the plain relational answer."""
+    import os
+    import tempfile
+
+    from notion_spark.pipeline.layout import bucketed_join, write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="ns_bucketed_")
+    write_bucketed(orders, "ns_bucketed_orders", "custkey", 8,
+                   path=os.path.join(base, "orders"))
+    write_bucketed(cust, "ns_bucketed_customer", "custkey", 8,
+                   path=os.path.join(base, "customer"))
+    j = bucketed_join(spark, "ns_bucketed_orders", "ns_bucketed_customer", "custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -954,6 +954,39 @@ def dedup_clusters(
     return df.join(dupes, id_col, "left_anti")
 
 
+def dedup_clusters_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_by: list[Column],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full collapse keeping the BEST row per near-dup cluster under an
+    explicit total order (e.g. ``[F.desc("quality"), F.asc("doc_id")]``)
+    instead of `dedup_clusters`' min-id canonical — the curation-aware
+    variant: when five near-copies survive crawling, keep the longest /
+    highest-quality one, not whichever got the smallest id. Singletons
+    (no pair) survive untouched.
+
+    ``order_by`` must be a deterministic total order within any cluster
+    (append the id as final tiebreaker). Scale shape: components come
+    from `connected_components` (bounded driver union-find or
+    pointer-doubling fixpoint), the membership join keys on the id, and
+    the pick-one window partitions by component — frames are
+    cluster-sized (dup clusters are small by construction; a
+    pathological mega-cluster means the upstream pair threshold is
+    wrong, not this operator)."""
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    labelled = df.join(comp, id_col, "left").withColumn(
+        "__comp", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("__comp").orderBy(*order_by)
+    return (
+        labelled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__comp", "component")
+    )
+
+
 # --------------------------------------------------- embedding near-dup
 def embedding_dup_pairs(
     df: DataFrame,

@@ -88,6 +88,66 @@ def write_zordered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a hash-bucketed parquet table: rows land in
+    ``n_buckets`` files by Murmur3(key) pmod buckets, each file sorted
+    by ``key``.
+
+    Why this exists — the co-located-join story the 100 TB plan leans
+    on: a join or aggregation keyed on ``key`` between tables bucketed
+    the same way (same key, same bucket count) runs with **no shuffle
+    exchange at all** — Catalyst proves both children's partitioning
+    already satisfies the join's distribution requirement (pinned in
+    tests/test_layout.py: the fact-to-fact join plan contains zero
+    Exchange nodes; the per-side Sorts that remain are in-partition
+    and shuffle-free — since Spark 3 the bucketed scan no longer
+    reports sort order to the optimizer, SPARK-28632, but the sorted
+    files still pay off through parquet row-group min/max pruning).
+    Pre-paying ONE shuffle at write time amortizes across every
+    subsequent join/agg on that key — the open-source equivalent of a
+    co-located fact/fact layout.
+
+    The pre-``repartition(n_buckets, key)`` uses the same hash bucketing
+    as ``bucketBy``, so each writer task owns exactly one bucket →
+    exactly one file per bucket (without it, every task writes a file
+    per bucket it touches: tasks×buckets small files)."""
+    out = df.repartition(n_buckets, F.col(key)).write.format("parquet").mode(
+        "overwrite"
+    )
+    if path is not None:
+        out = out.option("path", path)
+    out = out.bucketBy(n_buckets, key)
+    if sort:
+        out = out.sortBy(key)
+    out.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key, shuffle-free.
+
+    The `merge` hint pins sort-merge: without it a small-enough side
+    gets broadcast (also shuffle-free, but that plan evaporates when
+    both sides are large — the bucketed SMJ is the one that still
+    exists at 100 TB, which is the whole point of paying the bucketed
+    write)."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.hint("merge").join(rt, key, how)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

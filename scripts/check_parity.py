@@ -27,6 +27,11 @@ Usage: python scripts/check_parity.py [--json OUT.json] [sf_dir] [query ...]
 With --json, every row is also written to OUT.json in the driver's
 exact CORRECTNESS row format ({rows_match, schema_match, hash_match,
 spark_rows, oracle_rows, err}; rows-only queries get hash_match=null),
+plus timing: `spark_secs` (plan build + toPandas of OUR engine),
+`oracle_secs` (the DuckDB oracle alone — some oracles, e.g. the
+recursive union-find SQL behind dedup_cluster_collapse, cost far more
+than the Spark side and must not be read as engine time), and `secs`
+(total including canonicalize+hash),
 so the full-registry mirror run becomes a committed per-round artifact
 (PARITY_LOCAL_r{N}.json) — the regression net for every query outside
 the driver's 50-row window.
@@ -134,6 +139,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        spark_secs = None
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
@@ -156,6 +162,7 @@ def main() -> int:
                     failures.append(name)
                     continue
             spdf = sdf.toPandas()
+            spark_secs = round(time.time() - t0, 3)
         except Exception as e:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
@@ -173,11 +180,14 @@ def main() -> int:
                 "rows_match": True, "schema_match": None, "hash_match": None,
                 "spark_rows": len(spdf), "oracle_rows": None, "err": None,
                 "secs": round(time.time() - t0, 3),
+                "spark_secs": spark_secs,
             }
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             opdf = con.execute(oracles[name]).df()
+            oracle_secs = round(time.time() - t1, 3)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             rows[name] = {
@@ -231,6 +241,8 @@ def main() -> int:
             "oracle_rows": len(opdf),
             "err": None if ok else "; ".join(problems)[:500],
             "secs": round(time.time() - t0, 3),
+            "spark_secs": spark_secs,
+            "oracle_secs": oracle_secs,
         }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")

@@ -160,6 +160,33 @@ def test_dedup_clusters_keeps_canonical_and_singletons(spark):
     assert kept == [1, 10, 99]
 
 
+def test_dedup_clusters_keep_best_picks_quality_not_min_id(spark):
+    # cluster {1,2,3}: best quality is doc 3; cluster {10,11}: tie on
+    # quality -> id tiebreak keeps 10; 99 is a singleton and survives.
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 12), (10, 7), (11, 7), (99, 1)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id
+        for r in D.dedup_clusters_keep_best(
+            df, pairs, [F.desc("quality"), F.asc("doc_id")]
+        ).collect()
+    )
+    assert kept == [3, 10, 99]
+    # same graph, min-id policy: different survivors
+    assert sorted(r.doc_id for r in D.dedup_clusters(df, pairs).collect()) == [1, 10, 99]
+
+
+def test_dedup_clusters_keep_best_drops_helper_columns(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "doc_id long, quality long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = D.dedup_clusters_keep_best(df, pairs, [F.desc("quality"), F.asc("doc_id")])
+    assert out.columns == ["doc_id", "quality"]
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
 def test_end_to_end_minhash_collapse(spark):
     docs = _docs(spark)
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)

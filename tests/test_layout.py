@@ -120,3 +120,45 @@ def test_compact_rejects_hive_partitioned_store(spark, tmp_path):
     ).parquet(path)
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_files(spark, path)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    """The whole point of the bucketed layout: a key-aligned fact join
+    whose physical plan contains NO shuffle exchange (and no broadcast —
+    the merge hint pins the plan that still exists when both sides are
+    100 TB). Per-side local Sorts remain (since Spark 3 the bucketed
+    scan does not report sort order to the optimizer, SPARK-28632) but
+    they are in-partition, shuffle-free, and spill-safe."""
+    from notion_spark.pipeline.layout import bucketed_join, write_bucketed
+
+    left = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 2000).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    write_bucketed(left, "t_bj_left", "k", 8, path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bj_right", "k", 8, path=str(tmp_path / "r"))
+    j = bucketed_join(spark, "t_bj_left", "t_bj_right", "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+    # value correctness vs a plain join
+    expect = left.join(right, "k").count()
+    assert j.count() == expect
+
+
+def test_bucketed_groupby_reuses_bucketing(spark, tmp_path):
+    """Aggregating a bucketed table on its bucket key must not shuffle."""
+    from notion_spark.pipeline.layout import write_bucketed
+
+    df = spark.range(0, 3000).select((F.col("id") % 11).alias("k"), "id")
+    write_bucketed(df, "t_bg", "k", 4, path=str(tmp_path / "g"))
+    agg = spark.table("t_bg").groupBy("k").agg(F.sum("id").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r.k: r.s for r in agg.collect()}
+    exp = {r.k: r.s for r in df.groupBy("k").agg(F.sum("id").alias("s")).collect()}
+    assert got == exp
