@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_hashed_classifier",
     "dedup_cluster_keep_best",
     "layout_bucketed_join",
+    "text_bigram_familiarity",
 ]
 
 

@@ -6019,6 +6019,47 @@ def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_familiarity",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+        SELECT doc_id, unnest([{'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]}
+                               for i in range(1, len(toks))]) AS u
+        FROM t WHERE len(toks) >= 2
+    ),
+    o2 AS (SELECT doc_id, (u).w1 AS w1, (u).bg AS bg FROM occ),
+    bc AS (SELECT w1, bg, COUNT(*) AS b FROM o2 GROUP BY 1, 2),
+    hc AS (SELECT w1, SUM(b) AS h FROM bc GROUP BY 1),
+    fam AS (
+        SELECT o2.doc_id,
+               CAST((CAST(bc.b AS HUGEINT) * 2000000 + CAST(hc.h AS HUGEINT))
+                    // (CAST(hc.h AS HUGEINT) * 2) AS BIGINT) AS f
+        FROM o2 JOIN bc USING (w1, bg) JOIN hc USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST((CAST(SUM(f) AS HUGEINT) * 2 + COUNT(*))
+                // (CAST(COUNT(*) AS HUGEINT) * 2) AS BIGINT) AS familiarity_micro
+    FROM fam GROUP BY 1
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics fluency proxy
+    (pipeline/text_analysis.bigram_familiarity): per-document mean
+    conditional bigram probability p(w2|w1) = B/H in exact half-up
+    micro-units — the no-external-LM stand-in for a CCNet-style
+    perplexity filter. The oracle rebuilds per-OCCURRENCE scoring;
+    Spark scores per distinct (doc, bigram) × multiplicity — equal by
+    construction since every occurrence of a bigram carries the same
+    rounded score."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return TA.bigram_familiarity(d)
+
+
+@register(
     "dedup_cluster_keep_best",
     r"""
     WITH fp AS (

@@ -652,3 +652,66 @@ def cooccurrence_counts(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ------------------------------------------------- bigram familiarity
+def bigram_familiarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average conditional bigram probability against the
+    corpus's own bigram statistics — the lightweight fluency proxy a
+    CCNet-style quality pipeline uses when no external LM is at hand:
+    fluent prose is built from bigrams the corpus has seen in context
+    (high p(w2|w1)), while gibberish, shuffled text, and OCR noise sit
+    in the tail. Complements `gram_novelty` (which measures *duplicated*
+    grams): a document can be 100% novel yet perfectly fluent, or
+    wholly made of seen-once junk.
+
+    Exact integer math end to end: p(w2|w1) = B(w1,w2)/H(w1) with
+    H(w1) = Σ_w2 B(w1,w2) (so the conditionals sum to exactly 1 per
+    history), each occurrence scored as half-up micro-units and the
+    per-document mean again half-up — engine-exact, hash-checkable
+    (parity: text_bigram_familiarity). Documents with < 2 tokens have
+    no bigrams and emit no row — route them explicitly.
+
+    Scale shape: the bigram stream comes from an in-row array zip (NO
+    join, no shuffle to form bigrams); per-doc distinct-bigram counts
+    collapse repeated bigrams BEFORE the count join-back, so the join
+    input is distinct-bigrams-per-doc, not corpus tokens; the count
+    tables are vocabulary-sized and join on (w1, bigram) — linear,
+    no fan-out, Zipf-head skew left to AQE's skew-join split. Σfam ≤
+    n·10⁶ keeps every accumulator int64-safe for any real document."""
+    toks = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    n = F.size("__t")
+    occ = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n - 1),
+                F.slice("__t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("u"),
+    ).select(id_col, "u.w1", "u.bg")
+    docbg = occ.groupBy(id_col, "w1", "bg").agg(F.count(F.lit(1)).alias("k"))
+    bc = docbg.groupBy("w1", "bg").agg(F.sum("k").alias("b"))
+    hc = bc.groupBy("w1").agg(F.sum("b").alias("h"))
+    counts = bc.join(hc, "w1")
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    fam = docbg.join(counts, ["w1", "bg"]).select(
+        id_col,
+        "k",
+        (F.col("k") * halfup_micro_div_cols("b", "h")).alias("__fk"),
+    )
+    return fam.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST((CAST(sum(__fk) AS DECIMAL(38,0)) * 2 + CAST(sum(k) AS DECIMAL(38,0)))"
+            " div (CAST(sum(k) AS DECIMAL(38,0)) * 2) AS BIGINT)"
+        ).alias("familiarity_micro"),
+    )

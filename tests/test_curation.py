@@ -551,3 +551,36 @@ class TestSemanticDecontam:
         got = {r.vec_id: r.max_cosine for r in
                semantic_contaminated_ids(corpus, bench, threshold=0.9).collect()}
         assert set(got) == {1} and got[1] > 0.99
+
+
+def test_bigram_familiarity_exact_values(spark):
+    from notion_spark.pipeline.text_analysis import bigram_familiarity
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "zz"),          # <2 tokens -> no row
+            (4, "qq ww"),       # unique bigram -> familiarity 1.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_familiarity(df).collect()}
+    assert set(rows) == {1, 2, 4}
+    # corpus: B(the cat)=2 H(the)=3 -> 666667; cat sat=2/2; sat on,
+    # on the = 1/1; the mat=1/3 -> 333333
+    # doc1 mean over 5 = 4000000/5
+    assert (rows[1].n_bigrams, rows[1].familiarity_micro) == (5, 800000)
+    # doc2 (666667+1000000)/2 = 833333.5 -> half-up 833334
+    assert (rows[2].n_bigrams, rows[2].familiarity_micro) == (2, 833334)
+    assert (rows[4].n_bigrams, rows[4].familiarity_micro) == (1, 1000000)
+
+
+def test_bigram_familiarity_repeated_bigram_weighting(spark):
+    from notion_spark.pipeline.text_analysis import bigram_familiarity
+
+    # "a b a b a" -> bigrams: a b, b a, a b, b a. B(a b)=2 H(a)=2 -> 1.0;
+    # B(b a)=2 H(b)=2 -> 1.0; mean = 1.0 over 4 bigrams
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
+    r = bigram_familiarity(df).collect()[0]
+    assert (r.n_bigrams, r.familiarity_micro) == (4, 1000000)
