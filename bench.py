@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "dedup_cluster_keep_best",
     "layout_bucketed_join",
     "text_bigram_familiarity",
+    "anomaly_mad_events",
 ]
 
 

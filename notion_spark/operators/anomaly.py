@@ -205,3 +205,136 @@ def rolling_sigma_outliers(
         & ((lhs * lhs).cast(D38) > (F.lit(t * t).cast(D38) * rhs).cast(D38))
     )
     return with_v.withColumn("is_outlier", F.coalesce(flag, F.lit(False))).drop("__v")
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    t: int = 3,
+    micro: int = 1_000_000,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Rows deviating more than ``t``×MAD from their group's MEDIAN —
+    the robust sibling of `sigma_outliers`: one genuine extreme value
+    inflates a group's mean AND its σ (masking itself and flagging good
+    rows); the median and the median-absolute-deviation barely move.
+    The standard robust monitoring rule (Hampel identifier, without the
+    1.4826 normal-consistency factor — fold it into ``t`` if needed).
+
+    Exact and engine-neutral: values become floor(v·micro) integers,
+    "median" is the LOWER-median order statistic (rank ceil(n/2) in
+    ascending order — a value from the data, never an interpolation,
+    so no float arithmetic exists anywhere), MAD is the same order
+    statistic of |v − median|, and the verdict compares integers
+    |v − median| > t·MAD. NULL values never flag. Groups where ≥ half
+    the values equal the median have MAD = 0 and flag EVERY off-median
+    row — the textbook MAD degeneracy; use `sigma_outliers` for
+    near-constant feeds.
+
+    Scale shape: medians come from cumulative windows over per-group
+    PER-VALUE COUNT frames (bounded by distinct values per group, not
+    rows), partitioned by the group key — never a global sort; the
+    (group, median, mad) frame is |groups| rows and broadcasts back
+    onto an untouched corpus scan."""
+    if t < 1 or micro < 1:
+        raise ValueError(f"t and micro must be >= 1, got t={t}, micro={micro}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    from pyspark.sql.window import Window
+
+    def lower_median(counts: DataFrame, col: str) -> DataFrame:
+        """(groups..., col, cnt, __n) -> (groups..., median of col)."""
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(F.asc(col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = counts.withColumn("__cum", F.sum("cnt").over(w))
+        # rank ceil(n/2) = (n+1) div 2 in pure integer form
+        r = F.expr("CAST((__n + 1) div 2 AS BIGINT)")
+        return (
+            cum.filter(F.col("__cum") >= r)
+            .groupBy(*groups)
+            .agg(F.min(col).alias("__med_out"))
+        )
+
+    v = micro_units(value_col, micro)
+    vals = df.withColumn("__v", v).filter(F.col("__v").isNotNull())
+    counts = vals.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy(*groups))
+    )
+    med = lower_median(counts, "__v").withColumnRenamed("__med_out", "__med")
+    dev = (
+        counts.join(med, groups)
+        .groupBy(*groups, F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+        .agg(F.sum("cnt").alias("cnt"), F.max("__n").alias("__n"))
+    )
+    mad = lower_median(dev, "__d").withColumnRenamed("__med_out", "__mad")
+    frame = med.join(mad, groups).select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups], "__med", "__mad"
+    )
+    # null-SAFE join back (same rationale as sigma_outliers: a NULL
+    # group key must keep its stats)
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    marked = (
+        df.withColumn("__v", v)
+        .join(F.broadcast(frame), on=cond, how="left")
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.col("__v").isNotNull()
+                & (F.abs(F.col("__v") - F.col("__med")) > F.lit(t) * F.col("__mad")),
+                F.lit(False),
+            ),
+        )
+        .drop("__v", "__med", "__mad", *[f"__g_{g}" for g in groups])
+    )
+    if mark_only:
+        return marked
+    return marked.filter(F.col("is_outlier")).drop("is_outlier")
+
+
+def mad_outliers_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    t: int = 3,
+    micro: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of `mad_outliers` (filtering form, single group
+    column): the same lower-median order statistics via per-row ranks
+    (rank and counts-frame formulations select the identical order
+    statistic), HUGEINT integer compare."""
+    return f"""
+    WITH vals AS (
+        SELECT *, CAST(floor({value_col} * {micro}) AS HUGEINT) AS __v
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    st AS (SELECT {group_col}, COUNT(*) AS n FROM vals GROUP BY 1),
+    ranked AS (
+        SELECT {group_col}, __v,
+               row_number() OVER (PARTITION BY {group_col} ORDER BY __v) AS rn
+        FROM vals
+    ),
+    med AS (
+        SELECT r.{group_col}, r.__v AS m
+        FROM ranked r JOIN st USING ({group_col}) WHERE r.rn = (st.n + 1) // 2
+    ),
+    devr AS (
+        SELECT v.{group_col}, abs(v.__v - med.m) AS d,
+               row_number() OVER (PARTITION BY v.{group_col}
+                                  ORDER BY abs(v.__v - med.m)) AS rn
+        FROM vals v JOIN med USING ({group_col})
+    ),
+    mad AS (
+        SELECT d.{group_col}, d.d AS mad
+        FROM devr d JOIN st USING ({group_col}) WHERE d.rn = (st.n + 1) // 2
+    )
+    SELECT vals.* EXCLUDE (__v)
+    FROM vals JOIN med USING ({group_col}) JOIN mad USING ({group_col})
+    WHERE abs(__v - m) > {t} * mad
+    """

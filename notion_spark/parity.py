@@ -6139,6 +6139,32 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mad_oracle() -> str:
+    from notion_spark.operators.anomaly import mad_outliers_sql
+
+    inner = mad_outliers_sql("events", "event_type", "value", t=3)
+    return f"SELECT event_id, event_type, value FROM ({inner})"
+
+
+@register("anomaly_mad_events", _mad_oracle())
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (operators/anomaly.mad_outliers):
+    flag rows beyond t×MAD of their group's lower-median — the Hampel
+    identifier, immune to the self-masking that extreme values inflict
+    on mean/σ monitoring (anomaly_sigma_events). Medians are exact
+    order statistics over per-group per-value COUNT frames (windows
+    partitioned by group, never a global sort); the (group, median,
+    mad) frame broadcasts back. Integer verdicts |v−med| > t·MAD, so
+    both engines flag identical rows; the oracle re-derives the same
+    order statistics via per-row ranks (anomaly.mad_outliers_sql)."""
+    from notion_spark.operators.anomaly import mad_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", t=3).select(
+        "event_id", "event_type", "value"
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

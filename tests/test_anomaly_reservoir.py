@@ -198,3 +198,85 @@ class TestRollingSigmaOutliers:
             rolling_sigma_outliers(df, "k", "ts", "value", window_rows=1)
         with pytest.raises(ValueError):
             rolling_sigma_outliers(df, "k", "ts", "value", t=0)
+
+
+class TestMadOutliers:
+    def _df(self, spark):
+        # group a: median 10, MAD 1 (deviations 0,1,1,2,90 -> lower
+        # median of sorted [0,1,1,2,90] is 1); 100 deviates 90 > 3*1.
+        # The 100 also shows WHY MAD: it drags the mean to 26.6 and
+        # sigma to ~35, so the z-score rule flags nothing here.
+        rows = [("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 12.0), ("a", 100.0),
+                ("b", 5.0), ("b", 5.0), ("b", 5.0)]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_flags_extreme_row_sigma_misses(self, spark):
+        from notion_spark.operators.anomaly import mad_outliers, sigma_outliers
+
+        df = self._df(spark)
+        got = [(r.g, r.v) for r in mad_outliers(df, "g", "v", t=3).collect()]
+        assert got == [("a", 100.0)]
+        assert sigma_outliers(df, "g", "v", t=3).count() == 0  # masked
+
+    def test_even_count_uses_lower_median(self, spark):
+        from notion_spark.operators.anomaly import mad_outliers
+
+        # n=4: values 1,2,3,1000 -> lower median is 2 (rank (4+1)div2=2);
+        # devs |.|: 1,0,1,998 -> lower MAD = 1 -> 1000 flags at t=3
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 1000.0)], "g string, v double"
+        )
+        got = [r.v for r in mad_outliers(df, "g", "v", t=3).collect()]
+        assert got == [1000.0]
+
+    def test_mad_zero_flags_every_off_median_row(self, spark):
+        from notion_spark.operators.anomaly import mad_outliers
+
+        # >= half equal -> MAD 0: any deviation flags (documented degeneracy)
+        df = spark.createDataFrame(
+            [("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.1)], "g string, v double"
+        )
+        got = [r.v for r in mad_outliers(df, "g", "v", t=3).collect()]
+        assert got == [5.1]
+
+    def test_nulls_and_mark_only(self, spark):
+        from notion_spark.operators.anomaly import mad_outliers
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 1.0), ("g", None), ("g", 50.0)], "g string, v double"
+        )
+        marked = mad_outliers(df, "g", "v", t=3, mark_only=True)
+        assert marked.count() == 4  # every row survives, incl. the NULL
+        flags = {r.v: r.is_outlier for r in marked.collect()}
+        assert flags[None] is False and flags[50.0] is True
+
+    def test_duckdb_mirror_identical(self, spark, sf_dir):
+        import duckdb as _dd
+
+        from notion_spark.operators.anomaly import mad_outliers, mad_outliers_sql
+
+        from notion_spark.sources.io import read_table
+
+        ev = read_table(spark, sf_dir, "events")
+        got = sorted(
+            r.event_id for r in mad_outliers(ev, "event_type", "value", t=3).collect()
+        )
+        con = _dd.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+        )
+        inner = mad_outliers_sql("events", "event_type", "value", t=3)
+        exp = sorted(
+            x[0] for x in con.execute(f"SELECT event_id FROM ({inner})").fetchall()
+        )
+        assert got == exp
+
+    def test_stable_under_repartition(self, spark):
+        from notion_spark.operators.anomaly import mad_outliers
+
+        df = self._df(spark)
+        a = sorted((r.g, r.v) for r in mad_outliers(df, "g", "v").collect())
+        b = sorted(
+            (r.g, r.v) for r in mad_outliers(df.repartition(7), "g", "v").collect()
+        )
+        assert a == b
