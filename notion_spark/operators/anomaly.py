@@ -258,6 +258,22 @@ def mad_outliers(
             .agg(F.min(col).alias("__med_out"))
         )
 
+    # EVERY join on the group key must be null-safe, not just the final
+    # join-back: groupBy keeps a NULL-keyed group, but an equality join
+    # would drop it at counts⋈median (and again at median⋈mad), so the
+    # un-keyed feed's outliers would silently never flag — the exact
+    # failure sigma_outliers' null-safe join documents.
+    def nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right.select(
+            *[F.col(g).alias(f"__r_{g}") for g in groups],
+            *[c for c in right.columns if c not in groups],
+        )
+        cond = None
+        for g in groups:
+            c = left[g].eqNullSafe(r[f"__r_{g}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(r, cond).drop(*[f"__r_{g}" for g in groups])
+
     v = micro_units(value_col, micro)
     vals = df.withColumn("__v", v).filter(F.col("__v").isNotNull())
     counts = vals.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("cnt"))
@@ -266,16 +282,14 @@ def mad_outliers(
     )
     med = lower_median(counts, "__v").withColumnRenamed("__med_out", "__med")
     dev = (
-        counts.join(med, groups)
+        nsjoin(counts, med)
         .groupBy(*groups, F.abs(F.col("__v") - F.col("__med")).alias("__d"))
         .agg(F.sum("cnt").alias("cnt"), F.max("__n").alias("__n"))
     )
     mad = lower_median(dev, "__d").withColumnRenamed("__med_out", "__mad")
-    frame = med.join(mad, groups).select(
+    frame = nsjoin(med, mad).select(
         *[F.col(g).alias(f"__g_{g}") for g in groups], "__med", "__mad"
     )
-    # null-SAFE join back (same rationale as sigma_outliers: a NULL
-    # group key must keep its stats)
     cond = None
     for g in groups:
         c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
@@ -308,33 +322,39 @@ def mad_outliers_sql(
     """DuckDB mirror of `mad_outliers` (filtering form, single group
     column): the same lower-median order statistics via per-row ranks
     (rank and counts-frame formulations select the identical order
-    statistic), HUGEINT integer compare."""
+    statistic), HUGEINT integer compare. Joins use IS NOT DISTINCT
+    FROM so a NULL-keyed group keeps its stats, matching the Spark
+    side's null-safe joins."""
+    g = group_col
     return f"""
     WITH vals AS (
         SELECT *, CAST(floor({value_col} * {micro}) AS HUGEINT) AS __v
         FROM {table} WHERE {value_col} IS NOT NULL
     ),
-    st AS (SELECT {group_col}, COUNT(*) AS n FROM vals GROUP BY 1),
+    st AS (SELECT {g} AS sg, COUNT(*) AS n FROM vals GROUP BY 1),
     ranked AS (
-        SELECT {group_col}, __v,
-               row_number() OVER (PARTITION BY {group_col} ORDER BY __v) AS rn
+        SELECT {g} AS rg, __v,
+               row_number() OVER (PARTITION BY {g} ORDER BY __v) AS rn
         FROM vals
     ),
     med AS (
-        SELECT r.{group_col}, r.__v AS m
-        FROM ranked r JOIN st USING ({group_col}) WHERE r.rn = (st.n + 1) // 2
+        SELECT r.rg AS mg, r.__v AS m
+        FROM ranked r JOIN st ON r.rg IS NOT DISTINCT FROM st.sg
+        WHERE r.rn = (st.n + 1) // 2
     ),
     devr AS (
-        SELECT v.{group_col}, abs(v.__v - med.m) AS d,
-               row_number() OVER (PARTITION BY v.{group_col}
+        SELECT v.{g} AS dg, abs(v.__v - med.m) AS d,
+               row_number() OVER (PARTITION BY v.{g}
                                   ORDER BY abs(v.__v - med.m)) AS rn
-        FROM vals v JOIN med USING ({group_col})
+        FROM vals v JOIN med ON v.{g} IS NOT DISTINCT FROM med.mg
     ),
     mad AS (
-        SELECT d.{group_col}, d.d AS mad
-        FROM devr d JOIN st USING ({group_col}) WHERE d.rn = (st.n + 1) // 2
+        SELECT d.dg AS xg, d.d AS mad
+        FROM devr d JOIN st ON d.dg IS NOT DISTINCT FROM st.sg
+        WHERE d.rn = (st.n + 1) // 2
     )
     SELECT vals.* EXCLUDE (__v)
-    FROM vals JOIN med USING ({group_col}) JOIN mad USING ({group_col})
+    FROM vals JOIN med ON vals.{g} IS NOT DISTINCT FROM med.mg
+              JOIN mad ON vals.{g} IS NOT DISTINCT FROM mad.xg
     WHERE abs(__v - m) > {t} * mad
     """

@@ -280,3 +280,29 @@ class TestMadOutliers:
             (r.g, r.v) for r in mad_outliers(df.repartition(7), "g", "v").collect()
         )
         assert a == b
+
+    def test_null_group_key_still_flags(self, spark):
+        """Regression: the intermediate counts->median and median->mad
+        joins must be null-safe too — an equality join would drop the
+        NULL-keyed group's stats and silently exempt its outliers."""
+        from notion_spark.operators.anomaly import mad_outliers, mad_outliers_sql
+
+        rows = [(None, 9.0), (None, 10.0), (None, 11.0), (None, 12.0),
+                (None, 100.0), ("b", 5.0), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = [(r.g, r.v) for r in mad_outliers(df, "g", "v", t=3).collect()]
+        assert got == [(None, 100.0)]
+        # mirror agrees on the NULL group
+        import duckdb as _dd
+
+        con = _dd.connect()
+        con.execute(
+            "CREATE TABLE tt AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({'NULL' if g is None else repr(g)}, {v})" for g, v in rows
+            )
+            + ") AS t(g, v)"
+        )
+        inner = mad_outliers_sql("tt", "g", "v", t=3)
+        exp = con.execute(f"SELECT g, v FROM ({inner})").fetchall()
+        assert [(g, v) for g, v in exp] == [(None, 100.0)]
