@@ -77,8 +77,13 @@ def train_class_weights(
     total keeps a big class from outscoring everything merely by
     volume. One token pass, aggregated to the bounded
     |classes|×n_buckets grid; the class totals join is |classes| rows,
-    broadcast."""
-    toks = df.select(
+    broadcast.
+
+    NULL labels mean "unlabeled" and are EXCLUDED from the model
+    (filtered explicitly — without the filter they would fall out
+    silently at the totals equi-join). Treat missing-label as its own
+    class by coalescing the label column first if that is the intent."""
+    toks = df.filter(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"),
         F.explode(ws_tokens(F.col(text_col))).alias("__tok"),
     )

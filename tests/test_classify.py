@@ -75,3 +75,15 @@ def test_scores_plan_broadcasts_weights(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # the weight table never shuffles the corpus
+
+
+def test_null_labels_excluded_from_model(spark):
+    d = spark.createDataFrame(
+        [(1, "aa bb", "A"), (2, "aa bb", None), (3, "zz", "Z")],
+        "doc_id long, text string, lab string",
+    )
+    w = train_class_weights(d, "lab", n_buckets=64)
+    assert {r.label for r in w.select("label").distinct().collect()} == {"A", "Z"}
+    # the unlabeled doc still gets CLASSIFIED (inference needs no label)
+    got = {r.doc_id: r.label for r in classify(d, w, n_buckets=64).collect()}
+    assert got[2] == "A"
