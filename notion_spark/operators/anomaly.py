@@ -233,10 +233,17 @@ def mad_outliers(
     near-constant feeds.
 
     Scale shape: medians come from cumulative windows over per-group
-    PER-VALUE COUNT frames (bounded by distinct values per group, not
-    rows), partitioned by the group key — never a global sort; the
-    (group, median, mad) frame is |groups| rows and broadcasts back
-    onto an untouched corpus scan."""
+    PER-VALUE COUNT frames, partitioned by the group key — never a
+    global sort; the (group, median, mad) frame is |groups| rows and
+    broadcasts back onto an untouched corpus scan. The counts frame is
+    bounded by DISTINCT micro-values per group — for an already-
+    discrete feed that is far below the row count, but a continuous
+    double at micro=10⁶ has ~every value distinct, making the frame
+    row-sized and each group's window a single sorted task. ``micro``
+    is the explicit knob: a coarser encoding (10³, 10²) re-bounds the
+    frame to ~range·micro buckets while keeping the verdict exact
+    with respect to the quantized values — the right trade for
+    few-group continuous feeds at scale."""
     if t < 1 or micro < 1:
         raise ValueError(f"t and micro must be >= 1, got t={t}, micro={micro}")
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
