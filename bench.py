@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "layout_bucketed_join",
     "text_bigram_familiarity",
     "anomaly_mad_events",
+    "behavior_covisitation",
 ]
 
 

@@ -385,3 +385,49 @@ def trending_topk(
             (prev_rank - F.col("rank")).alias("rank_delta"),
         )
     )
+
+
+def covisitation_counts(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    order_by: Sequence[str],
+    cap: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Item-to-item co-visitation counts — "users who touched A also
+    touched B": for every unordered item pair, how many distinct users
+    touched both. The classic co-occurrence recommender signal and the
+    first join of a candidate-generation pipeline.
+
+    Skew safety is the whole design: the quadratic term is bounded
+    PER USER before any pair forms. Each user's events are capped to
+    their first ``cap`` under the deterministic total order
+    ``order_by`` (pass e.g. ("ts", "event_id") — ties must break), and
+    items dedup per user after the cap, so a bot with 10⁶ events
+    contributes at most C(cap, 2) pairs — never 10¹²; an organic user
+    below the cap is untouched. The pair self-join keys on the user
+    (linear shuffle); pair counting is map-side combined;
+    ``min_count`` prunes the long tail before it reaches the output.
+
+    Output: (item_a, item_b, n_users) with item_a < item_b and
+    n_users >= min_count."""
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_by])
+    capped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__item"))
+        .distinct()
+    )
+    a = capped.select("__u", F.col("__item").alias("item_a"))
+    b = capped.select(F.col("__u").alias("__u2"), F.col("__item").alias("item_b"))
+    pairs = a.join(
+        b, on=[a["__u"] == b["__u2"], a["item_a"] < b["item_b"]]
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_count)
+    )

@@ -6139,6 +6139,41 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "behavior_covisitation",
+    """
+    WITH capped AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM (SELECT user_id, props,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn <= 50
+    ),
+    items AS (SELECT DISTINCT user_id, item FROM capped)
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def behavior_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-visitation counts (operators/behavior.covisitation_counts)
+    over the events JSON item key — the co-occurrence recommender
+    signal with the quadratic term bounded PER USER (first 50 events
+    under the deterministic (ts, event_id) order, items deduped per
+    user) so a bot contributes C(50,2) pairs, never |events|². The
+    oracle rebuilds cap → dedup → pair join → count independently."""
+    from notion_spark.operators.behavior import covisitation_counts
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    return covisitation_counts(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+
+
 def _mad_oracle() -> str:
     from notion_spark.operators.anomaly import mad_outliers_sql
 

@@ -402,3 +402,52 @@ class TestLinearAttributionHotUser:
                 df, "user_id", "ts", "event_type",
                 touch_types=["view"], conversion_type="purchase", window=ok,
             )
+
+
+class TestCovisitation:
+    def test_pairs_and_min_count(self, spark):
+        from notion_spark.operators.behavior import covisitation_counts
+
+        # u1: items 1,2,3; u2: items 1,2; u3: item 1 only
+        rows = [(1, 1, 10), (1, 2, 11), (1, 3, 12),
+                (2, 1, 10), (2, 2, 11), (3, 1, 10)]
+        df = spark.createDataFrame(rows, "u long, item long, ts long")
+        got = {
+            (r.item_a, r.item_b): r.n_users
+            for r in covisitation_counts(df, "u", "item", ("ts",), min_count=2).collect()
+        }
+        assert got == {(1, 2): 2}  # (1,3),(2,3) seen once -> pruned
+
+    def test_cap_bounds_a_bot_user(self, spark):
+        from notion_spark.operators.behavior import covisitation_counts
+
+        # bot user touches 100 distinct items; cap=10 keeps only the
+        # first 10 under the (ts) order -> C(10,2)=45 pairs, all from
+        # items 0..9
+        rows = [(1, i, i) for i in range(100)] + [(2, 0, 0), (2, 5, 1)]
+        df = spark.createDataFrame(rows, "u long, item long, ts long")
+        out = covisitation_counts(df, "u", "item", ("ts",), cap=10, min_count=1)
+        pairs = [(r.item_a, r.item_b) for r in out.collect()]
+        assert len(pairs) == 45
+        assert all(a < b <= 9 for a, b in pairs)
+
+    def test_repeat_touches_dedup_per_user(self, spark):
+        from notion_spark.operators.behavior import covisitation_counts
+
+        # one user hammering the same two items counts ONCE
+        rows = [(1, 7, t) for t in range(5)] + [(1, 8, t) for t in range(5, 9)]
+        df = spark.createDataFrame(rows, "u long, item long, ts long")
+        got = [
+            (r.item_a, r.item_b, r.n_users)
+            for r in covisitation_counts(df, "u", "item", ("ts",), min_count=1).collect()
+        ]
+        assert got == [(7, 8, 1)]
+
+    def test_rejects_degenerate_cap(self, spark):
+        import pytest
+
+        from notion_spark.operators.behavior import covisitation_counts
+
+        df = spark.createDataFrame([(1, 1, 1)], "u long, item long, ts long")
+        with pytest.raises(ValueError):
+            covisitation_counts(df, "u", "item", ("ts",), cap=1)
