@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "text_bigram_familiarity",
     "anomaly_mad_events",
     "behavior_covisitation",
+    "behavior_covisitation_lift",
+    "behavior_decayed_counts",
 ]
 
 

@@ -431,3 +431,119 @@ def covisitation_counts(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .filter(F.col("n_users") >= min_count)
     )
+
+
+def covisitation_lift(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    order_by: Sequence[str],
+    cap: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """`covisitation_counts` plus the exact LIFT normalization —
+    n_ab·N / (n_a·n_b), the observed-over-expected co-occurrence ratio
+    that separates "A and B genuinely go together" from "A and B are
+    both popular" (raw counts always rank the head items together).
+    Lift > 1 means positive association; reported in half-up
+    micro-units (1 000 000 = independence) as exact integers.
+
+    Same bounded envelope as `covisitation_counts` (per-user cap +
+    dedup before the pair join); the per-item user counts are an
+    |items|-row frame and the distinct-user total a one-row broadcast,
+    so the normalization adds no corpus-scale shuffle."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_by])
+    capped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__item"))
+        .distinct()
+    )
+    item_users = capped.groupBy("__item").agg(F.count(F.lit(1)).alias("__nu"))
+    total = capped.select(F.countDistinct("__u").alias("__nt"))
+    a = capped.select("__u", F.col("__item").alias("item_a"))
+    b = capped.select(F.col("__u").alias("__u2"), F.col("__item").alias("item_b"))
+    pairs = (
+        a.join(b, on=[a["__u"] == b["__u2"], a["item_a"] < b["item_b"]])
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_count)
+    )
+    na = item_users.select(
+        F.col("__item").alias("item_a"), F.col("__nu").alias("__na")
+    )
+    nb = item_users.select(
+        F.col("__item").alias("item_b"), F.col("__nu").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .join(F.broadcast(total))
+        .withColumn("__num", F.col("n_users") * F.col("__nt"))
+        .withColumn("__den", F.col("__na") * F.col("__nb"))
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            halfup_micro_div_cols("__num", "__den").alias("lift_micro"),
+        )
+    )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    now,
+    period_seconds: int = 86_400,
+    halflife_periods: int = 7,
+) -> DataFrame:
+    """Exponentially time-decayed counts per key with EXACT integer
+    decay — the "what's hot, weighted toward now" score. Each event
+    contributes weight 2^-(age_periods div halflife) in micro-units,
+    computed as the integer shift 1 000 000 >> (age div halflife):
+    no float pow, so the score is bit-identical on any engine or
+    partitioning (oracle: behavior_decayed_counts). Events older than
+    ~20 half-lives shift to exactly zero — a built-in horizon that
+    also documents itself.
+
+    ``now`` is an explicit timestamp (pass your batch watermark) —
+    determinism forbids wall-clock defaults. Events after ``now``
+    (late/future data) count at full weight, age clamped to 0.
+
+    One map-side-combined groupBy; weights are per-row expressions on
+    the scan. Output: (*keys, decayed_micro, n_events)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if period_seconds < 1 or halflife_periods < 1:
+        raise ValueError("period_seconds and halflife_periods must be >= 1")
+    now_us = F.unix_micros(F.lit(now).cast("timestamp"))
+    # integer `div` end to end: a double division here could round UP
+    # across a period boundary for ages within ulps of an exact
+    # multiple, flipping a weight by a factor of 2 on one engine only
+    staged = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "__age_us", now_us - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    staged = staged.withColumn(
+        "__periods",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"CAST(__age_us div {period_seconds * 1_000_000} AS LONG)"),
+        ),
+    )
+    staged = staged.withColumn(
+        "__shift",
+        F.least(
+            F.expr(f"CAST(__periods div {halflife_periods} AS LONG)"),
+            F.lit(62).cast("long"),
+        ),
+    )
+    # SQL form: the DataFrame shiftright() only takes a literal bit count
+    weight = F.expr("shiftright(CAST(1000000 AS BIGINT), CAST(__shift AS INT))")
+    return staged.groupBy(*keys).agg(
+        F.sum(weight).cast("long").alias("decayed_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

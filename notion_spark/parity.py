@@ -6174,6 +6174,85 @@ def behavior_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "behavior_covisitation_lift",
+    """
+    WITH capped AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM (SELECT user_id, props,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn <= 50
+    ),
+    items AS (SELECT DISTINCT user_id, item FROM capped),
+    iu AS (SELECT item, COUNT(*) AS nu FROM items GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS nt FROM items),
+    prs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM items a JOIN items b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_users,
+           CAST((CAST(p.n_users * tot.nt AS HUGEINT) * 2000000
+                 + CAST(na.nu * nb.nu AS HUGEINT))
+                // (CAST(na.nu * nb.nu AS HUGEINT) * 2) AS BIGINT) AS lift_micro
+    FROM prs p
+    JOIN iu na ON p.item_a = na.item
+    JOIN iu nb ON p.item_b = nb.item
+    CROSS JOIN tot
+    """,
+)
+def behavior_covisitation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift-normalized co-visitation (operators/behavior.covisitation_lift):
+    observed-over-expected co-occurrence n_ab·N/(n_a·n_b) in exact
+    half-up micro-units — separates genuine association from shared
+    popularity; same per-user-capped pair envelope as
+    behavior_covisitation, plus an |items|-row count frame and a
+    one-row distinct-user total, both broadcast."""
+    from notion_spark.operators.behavior import covisitation_lift
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    return covisitation_lift(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+
+
+@register(
+    "behavior_decayed_counts",
+    """
+    WITH mx AS (SELECT max(ts) AS mts FROM events),
+    st AS (
+        SELECT event_type,
+               greatest(0, (epoch_us(mx.mts) - epoch_us(ts)) // 86400000000)
+                   AS periods
+        FROM events, mx WHERE ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(1000000 AS BIGINT)
+                    >> CAST(least(periods // 7, 62) AS INT)) AS BIGINT)
+               AS decayed_micro,
+           COUNT(*) AS n_events
+    FROM st GROUP BY 1
+    """,
+)
+def behavior_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed event counts (operators/behavior.decayed_counts):
+    weight 2^-(age_days div 7) as the exact integer shift
+    1e6 >> shift — no float pow, so the 'what's hot now' score is
+    bit-identical on any engine/partitioning. `now` anchors to the
+    corpus max timestamp (deterministic); one map-side-combined
+    groupBy over per-row weights on the scan."""
+    from notion_spark.operators.behavior import decayed_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    return decayed_counts(ev, "event_type", "ts", now)
+
+
 def _mad_oracle() -> str:
     from notion_spark.operators.anomaly import mad_outliers_sql
 

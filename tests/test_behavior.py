@@ -451,3 +451,71 @@ class TestCovisitation:
         df = spark.createDataFrame([(1, 1, 1)], "u long, item long, ts long")
         with pytest.raises(ValueError):
             covisitation_counts(df, "u", "item", ("ts",), cap=1)
+
+
+class TestCovisitationLift:
+    def test_exact_lift_values(self, spark):
+        from notion_spark.operators.behavior import covisitation_lift
+
+        # users: 1:{10,20} 2:{10,20} 3:{10,30} 4:{40}; N=4
+        rows = [(1, 10, 1), (1, 20, 2), (2, 10, 3), (2, 20, 4),
+                (3, 10, 5), (3, 30, 6), (4, 40, 7)]
+        df = spark.createDataFrame(rows, "u long, item long, ts long")
+        got = {
+            (r.item_a, r.item_b): (r.n_users, r.lift_micro)
+            for r in covisitation_lift(df, "u", "item", ("ts",), min_count=1).collect()
+        }
+        # lift(10,20) = 2*4/(3*2) = 4/3 -> 1333333 (half-up)
+        assert got[(10, 20)] == (2, 1333333)
+        assert got[(10, 30)] == (1, 1333333)
+
+    def test_independence_reads_one_million(self, spark):
+        from notion_spark.operators.behavior import covisitation_lift
+
+        # every user touches both items -> n_ab=N, n_a=n_b=N -> lift 1.0
+        rows = [(u, i, u * 10 + i) for u in range(4) for i in (1, 2)]
+        df = spark.createDataFrame(rows, "u long, item long, ts long")
+        r = covisitation_lift(df, "u", "item", ("ts",), min_count=1).collect()[0]
+        assert r.lift_micro == 1_000_000
+
+
+class TestDecayedCounts:
+    def test_exact_shift_weights(self, spark):
+        from notion_spark.operators.behavior import decayed_counts
+
+        df = spark.createDataFrame(
+            [("a", "2026-01-15 00:00:00"),   # age 0  -> 1e6
+             ("a", "2026-01-10 00:00:00"),   # 5d    -> shift 0 -> 1e6
+             ("a", "2026-01-01 00:00:00"),   # 14d   -> shift 2 -> 250000
+             ("b", "2025-01-15 00:00:00"),   # 365d  -> shift 52 -> 0
+             ("b", "2026-01-16 00:00:00")],  # future -> clamp -> 1e6
+            "k string, ts string",
+        )
+        got = {
+            r.k: (r.decayed_micro, r.n_events)
+            for r in decayed_counts(df, "k", "ts", "2026-01-15 00:00:00").collect()
+        }
+        assert got == {"a": (2_250_000, 3), "b": (1_000_000, 2)}
+
+    def test_boundary_is_integer_exact(self, spark):
+        from notion_spark.operators.behavior import decayed_counts
+
+        # exactly 7 periods -> shift 1; one microsecond less -> shift 0
+        df = spark.createDataFrame(
+            [("x", "2026-01-08 00:00:00"), ("y", "2026-01-08 00:00:00.000001")],
+            "k string, ts string",
+        )
+        got = {
+            r.k: r.decayed_micro
+            for r in decayed_counts(df, "k", "ts", "2026-01-15 00:00:00").collect()
+        }
+        assert got == {"x": 500_000, "y": 1_000_000}
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from notion_spark.operators.behavior import decayed_counts
+
+        df = spark.createDataFrame([("a", "2026-01-01")], "k string, ts string")
+        with pytest.raises(ValueError):
+            decayed_counts(df, "k", "ts", "2026-01-02", period_seconds=0)
