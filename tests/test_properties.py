@@ -679,3 +679,199 @@ def test_token_run_stats_matches_python_model(spark, texts, min_run):
         assert got[i] == (
             len(toks), max(runs), sum(r for r in runs if r >= min_run)
         )
+
+
+# ------------------------- r6-late operators vs pure-Python references
+HEAVY = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_tok = st.text(alphabet="ab", min_size=1, max_size=2)
+_doc = st.lists(_tok, min_size=0, max_size=8).map(" ".join)
+
+
+def _halfup(num: int, den: int) -> int:
+    return (2 * num * 10**6 + den) // (2 * den)
+
+
+@HEAVY
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+def test_bigram_familiarity_matches_fraction_model(spark, texts):
+    from collections import Counter, defaultdict
+
+    from notion_spark.pipeline.text_analysis import bigram_familiarity
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    B: Counter = Counter()
+    per_doc: dict[int, list] = defaultdict(list)
+    for i, t in rows:
+        toks = [x for x in t.split() if x]
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        B.update(bgs)
+    H: Counter = Counter()
+    for (w1, _), c in B.items():
+        H[w1] += c
+    want = {}
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        fams = [_halfup(B[bg], H[bg[0]]) for bg in bgs]
+        s, n = sum(fams), len(fams)
+        want[i] = (n, (2 * s + n) // (2 * n))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.familiarity_micro)
+        for r in bigram_familiarity(df).collect()
+    }
+    assert got == want
+
+
+@HEAVY
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(-40, 40)),
+        min_size=1,
+        max_size=14,
+    ),
+    t=st.integers(1, 4),
+)
+def test_mad_outliers_match_order_statistic_model(spark, rows, t):
+    import math
+    from collections import defaultdict
+
+    from notion_spark.operators.anomaly import mad_outliers
+
+    data = [(g, q / 4.0) for g, q in rows]  # exact quarters
+    groups = defaultdict(list)
+    for g, v in data:
+        groups[g].append(math.floor(v * 1_000_000))
+    want = []
+    for g, v in data:
+        vs = sorted(groups[g])
+        r = (len(vs) + 1) // 2
+        med = vs[r - 1]
+        mad = sorted(abs(x - med) for x in vs)[r - 1]
+        if abs(math.floor(v * 1_000_000) - med) > t * mad:
+            want.append((g, v))
+    df = spark.createDataFrame(data, "g string, v double")
+    got = sorted((r.g, r.v) for r in mad_outliers(df, "g", "v", t=t).collect())
+    assert got == sorted(want)
+
+
+@HEAVY
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 4), st.integers(0, 20)),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda e: (e[0], e[2]),  # unique (user, ts) = total order
+    ),
+    cap=st.integers(2, 5),
+)
+def test_covisitation_lift_matches_set_model(spark, events, cap):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from notion_spark.operators.behavior import covisitation_lift
+
+    per_user = defaultdict(list)
+    for u, item, ts in events:
+        per_user[u].append((ts, item))
+    sets = {
+        u: set(i for _, i in sorted(evs)[:cap]) for u, evs in per_user.items()
+    }
+    n_tot = len(sets)
+    item_users: dict[int, int] = defaultdict(int)
+    for s in sets.values():
+        for i in s:
+            item_users[i] += 1
+    pair_users: dict[tuple, int] = defaultdict(int)
+    for s in sets.values():
+        for a, b in combinations(sorted(s), 2):
+            pair_users[(a, b)] += 1
+    want = {
+        p: (n, _halfup(n * n_tot, item_users[p[0]] * item_users[p[1]]))
+        for p, n in pair_users.items()
+        if n >= 1
+    }
+    df = spark.createDataFrame(events, "u long, item long, ts long")
+    got = {
+        (r.item_a, r.item_b): (r.n_users, r.lift_micro)
+        for r in covisitation_lift(
+            df, "u", "item", ("ts",), cap=cap, min_count=1
+        ).collect()
+    }
+    assert got == want
+
+
+@HEAVY
+@given(
+    offsets=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+    period=st.integers(1, 5),
+    halflife=st.integers(1, 4),
+)
+def test_decayed_counts_match_shift_model(spark, offsets, period, halflife):
+    import datetime
+
+    from notion_spark.operators.behavior import decayed_counts
+
+    now = datetime.datetime(2026, 1, 15)
+    rows = [("k", now - datetime.timedelta(seconds=o)) for o in offsets]
+    want = sum(
+        1_000_000 >> min((o // period) // halflife, 62) for o in offsets
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    r = decayed_counts(
+        df, "k", "ts", now, period_seconds=period, halflife_periods=halflife
+    ).collect()[0]
+    assert (r.decayed_micro, r.n_events) == (want, len(offsets))
+
+
+@HEAVY
+@given(
+    docs=st.lists(
+        st.tuples(_doc, st.sampled_from(["X", "Y"])), min_size=1, max_size=6
+    )
+)
+def test_classifier_matches_hash_model(spark, docs):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from notion_spark.pipeline.classify import classify, train_class_weights
+
+    NB = 32
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % NB
+
+    cls_counts: dict[str, Counter] = defaultdict(Counter)
+    for text, lab in docs:
+        for tok in text.split():
+            cls_counts[lab][bucket(tok)] += 1
+    weights = {
+        (lab, b): _halfup(c, sum(cnts.values()))
+        for lab, cnts in cls_counts.items()
+        for b, c in cnts.items()
+    }
+    want = {}
+    for i, (text, _) in enumerate(docs):
+        feats = Counter(bucket(t) for t in text.split())
+        scores: dict[str, int] = defaultdict(int)
+        for (lab, b), w in weights.items():
+            if b in feats:
+                scores[lab] += feats[b] * w
+        if scores:
+            best = min(sorted(scores), key=lambda L: (-scores[L], L))
+            want[i] = (best, scores[best])
+    rows = [(i, t, lab) for i, (t, lab) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    w = train_class_weights(df, "lab", n_buckets=NB)
+    got = {
+        r.doc_id: (r.label, r.score)
+        for r in classify(df, w, n_buckets=NB).collect()
+    }
+    assert got == want
