@@ -112,11 +112,15 @@ def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 64, path: str | None = None
 ) -> None:
     """Bucketed save for shuffle-free upsert/join on ``key`` (the M2 merge
-    and J-series joins co-locate when both sides are bucketed)."""
-    w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
-    if path:
-        w = w.option("path", path)
-    w.saveAsTable(table_name)
+    and J-series joins co-locate when both sides are bucketed).
+
+    Thin alias over pipeline/layout.write_bucketed — ONE implementation
+    (which also pre-repartitions so each bucket is exactly one sorted
+    file); see that docstring and `layout.bucketed_join` for the
+    zero-Exchange join story and plan pins."""
+    from notion_spark.pipeline.layout import write_bucketed as _impl
+
+    _impl(df, table_name, key, n_buckets=buckets, path=path)
 
 
 # --------------------------------------------------------------- S6 (CSV)

@@ -291,3 +291,45 @@ def test_native_session_single_shuffle_no_python(spark, sf_dir):
     plan = plan_of(parity.QUERIES["session_native_aggregates"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_decayed_counts_single_exchange_mapside(spark, sf_dir):
+    """r6: per-row integer weights on the scan, ONE groupBy exchange,
+    map-side combined, zero Python."""
+    plan = plan_of(parity.QUERIES["behavior_decayed_counts"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_mad_outliers_broadcast_back_no_global_sort(spark, sf_dir):
+    """r6: the (group, median, mad) frame broadcasts back onto the scan;
+    every window partitions by the group key (no global ordering)."""
+    plan = plan_of(parity.QUERIES["anomaly_mad_events"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covisitation_no_cartesian_user_keyed(spark, sf_dir):
+    """r6: the pair join keys on the user (bounded C(cap,2) fan-out per
+    user) — never a cartesian, and pair counting map-side combines."""
+    for q in ("behavior_covisitation", "behavior_covisitation_lift"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "partial_count" in plan or "partial_sum" in plan, q
+
+
+def test_bigram_familiarity_no_cartesian_mapside(spark, sf_dir):
+    """r6: bigrams form in-row (zip_with over slices — no join to build
+    them); counts map-side combine; no pairwise path anywhere."""
+    plan = plan_of(parity.QUERIES["text_bigram_familiarity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_keep_best_collapse_no_cartesian(spark, sf_dir):
+    plan = plan_of(parity.QUERIES["dedup_cluster_keep_best"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
