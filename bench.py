@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "behavior_covisitation",
     "behavior_covisitation_lift",
     "behavior_decayed_counts",
+    "sim_ann_pq",
 ]
 
 

@@ -1040,6 +1040,115 @@ def _ivf_scaled_oracle(
     """
 
 
+def _pq_oracle(
+    n_subspaces: int = 4, n_centroids: int = 8, iterations: int = 2, k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Product-quantization oracle: per SUBSPACE, the same unrolled
+    fixed-point Lloyd recurrence as `_ivf_scaled_oracle` (seeds =
+    lowest-id slices, integer argmin with ties to the lowest index,
+    (2s+n)//(2n) means), then codes = final-codebook assignment and
+    ADC = Σ_m d²(query sub-vector, coded sub-centroid) joined across
+    subspaces. All integers until the final BIGINT cast."""
+    dsub = dim // n_subspaces
+    n = dsub + 1
+
+    def d2(va: str, vb: str) -> str:
+        return (
+            f"list_sum([({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i]) "
+            f"for i in range(1, {n})])"
+        )
+
+    parts = []
+    for s in range(n_subspaces):
+        lo = s * dsub + 1
+        parts.append(
+            f"""
+    iv{s} AS (
+        SELECT vec_id,
+               [CAST(floor((CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0) AS BIGINT)
+                for i in range({lo}, {lo + dsub})] AS v
+        FROM embeddings
+    ),
+    c0_{s} AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT vec_id, v FROM iv{s} ORDER BY vec_id LIMIT {n_centroids})
+    )"""
+        )
+        for it in range(1, iterations + 1):
+            parts.append(
+                f"""
+    a{it}_{s} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT iv{s}.vec_id, iv{s}.v, t.c,
+                   row_number() OVER (PARTITION BY iv{s}.vec_id
+                                      ORDER BY {d2(f'iv{s}.v', 't.v')}, t.c) AS rn
+            FROM iv{s} CROSS JOIN c{it - 1}_{s} t)
+        WHERE rn = 1
+    ),
+    m{it}_{s} AS (
+        SELECT c, list(m ORDER BY d) AS v
+        FROM (SELECT c, d, CAST((2 * SUM(val) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m
+              FROM (SELECT c, u.d AS d, v[u.d] AS val
+                    FROM a{it}_{s}, UNNEST(range(1, {n})) AS u(d))
+              GROUP BY c, d)
+        GROUP BY c
+    ),
+    c{it}_{s} AS (SELECT t.c, COALESCE(m.v, t.v) AS v
+                  FROM c{it - 1}_{s} t LEFT JOIN m{it}_{s} m USING (c))"""
+            )
+        fin = iterations
+        parts.append(
+            f"""
+    codes{s} AS (
+        SELECT vec_id, c AS code FROM (
+            SELECT iv{s}.vec_id, cc.c,
+                   row_number() OVER (PARTITION BY iv{s}.vec_id
+                                      ORDER BY {d2(f'iv{s}.v', 'cc.v')}, cc.c) AS rn
+            FROM iv{s} CROSS JOIN c{fin}_{s} cc)
+        WHERE rn = 1
+    ),
+    qd{s} AS (
+        SELECT q.vec_id AS qid, x.vec_id AS vid, {d2('q.v', 'cc.v')} AS d
+        FROM (SELECT * FROM iv{s} WHERE vec_id < 3) q
+        CROSS JOIN codes{s} x
+        JOIN c{fin}_{s} cc ON x.code = cc.c
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN qd{s} ON qd0.qid = qd{s}.qid AND qd0.vid = qd{s}.vid"
+        for s in range(1, n_subspaces)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(n_subspaces))
+    return "WITH " + ",".join(parts) + f"""
+    SELECT qd0.qid AS query_id, qd0.vid AS vec_id,
+           CAST({total} AS BIGINT) AS adc,
+           CAST(row_number() OVER (PARTITION BY qd0.qid
+                                   ORDER BY {total} ASC, qd0.vid ASC) AS INT) AS rank
+    FROM qd0 {joins}
+    QUALIFY rank <= {k}
+    """
+
+
+@register("sim_ann_pq", _pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-checked END TO END including
+    training (pipeline/similarity.train_pq_codebooks / pq_encode /
+    pq_adc_topk): 4 subspaces × 8 centroids trained with the
+    fixed-point Lloyd recurrence per subspace, codes assigned by exact
+    integer argmin, asymmetric distances Σ_m d²(q_m, c_{m,code}) in
+    pure int64. THE memory-scale search path: a 256-byte float vector
+    becomes 4 code bytes (64× smaller scan); the oracle unrolls all
+    four subspace trainings and re-derives codes and ADC ranks
+    independently."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = SIM.train_pq_codebooks(emb, n_subspaces=4, n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_adc_topk(emb, queries, books, k=5)
+
+
 @register("sim_ann_ivf", _ivf_scaled_oracle())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with the codebook TRAINED IN THE QUERY — hash-checked

@@ -893,3 +893,132 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, query_id_col: str = "query_
     hits = e.join(approx.select(query_id_col, id_col), on=[query_id_col, id_col], how="inner").count()
     total = e.count()
     return hits / total if total else math.nan
+
+
+# ----------------------------------------------------- product quantization
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into ``n_subspaces`` contiguous sub-vectors and each
+    subspace trains its OWN k-means codebook — ``n_centroids^M``
+    effective cells from only M·K stored centroids. Every subspace
+    trains with `train_ivf_centroids_scaled` (offset-shifted
+    fixed-point Lloyd), so the whole PQ pipeline inherits its
+    engine-exactness: codebooks, codes, and ADC distances are
+    bit-identical on any engine/partitioning and hash-check against a
+    DuckDB oracle (sim_ann_pq). Returns books[m][cid] = scaled-int
+    sub-centroid."""
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            train_ivf_centroids_scaled(
+                sub, n_centroids, id_col, vec_col, iterations, scale, offset
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> DataFrame:
+    """(id, code_0..code_{M-1}): each sub-vector's nearest sub-centroid
+    (exact integer argmin, ties → lowest index). THIS is the 100 TB
+    memory story: a 64-dim float32 vector is 256 bytes; its M=4 codes
+    fit in 4 bytes — a 64× smaller scan for every subsequent search.
+    Scaling commutes with slicing, so the full vector scales once and
+    slices feed each subspace's assignment."""
+    dsub = len(books[0][0])
+    out = corpus.select(
+        F.col(id_col), scaled_int_vector(F.col(vec_col), scale, offset).alias("__sv")
+    )
+    for m, book in enumerate(books):
+        out = out.withColumn(
+            f"code_{m}",
+            _nearest_centroid_int(F.slice(F.col("__sv"), m * dsub + 1, dsub), book),
+        )
+    return out.drop("__sv")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: score(q, x) =
+    Σ_m d²(q_m, c_{m, code_m(x)}) — the query stays exact, the corpus
+    is its quantized reconstruction. All-integer (scaled query vs
+    scaled centroids), so ranks are engine-exact; ties → vec_id asc.
+
+    Plan shape: corpus encodes once (codes survive as small ints — at
+    scale they are precomputed by `pq_encode` and WRITTEN, and the
+    search scans codes only); queries broadcast; per-subspace
+    distances resolve through the literal codebook (element_at on an
+    M·K-literal array — no join, stays in codegen); one per-query
+    rank window. Output: (query_id, vec_id, adc, rank)."""
+    n_sub = len(books)
+    dsub = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col, scale, offset).select(
+        F.col(id_col).alias("vid"), *[f"code_{m}" for m in range(n_sub)]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        scaled_int_vector(F.col(vec_col), scale, offset).alias("__qv"),
+    )
+    joined = codes.join(F.broadcast(q))
+    adc = None
+    for m, book in enumerate(books):
+        book_lit = F.array(
+            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in book]
+        )
+        recon = F.element_at(book_lit, F.col(f"code_{m}") + 1)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), m * dsub + 1, dsub),
+                recon,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        adc = d2 if adc is None else (adc + d2)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vid"))
+    return (
+        joined.withColumn("__adc", adc)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.col("__adc").alias("adc"),
+            "rank",
+        )
+    )

@@ -296,3 +296,81 @@ def test_ann_swap_plans_no_cartesian(spark):
         # the broadcast cross join of the exact baseline
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestProductQuantization:
+    def _clustered(self, spark):
+        # 4 well-separated clusters of identical 8-dim vectors
+        base = {0: [0.0] * 8, 1: [5.0] * 8, 2: [-5.0] * 8,
+                3: [5.0] * 4 + [-5.0] * 4}
+        rows = [(c * 10 + i, base[c]) for c in range(4) for i in range(5)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), base
+
+    def test_adc_matches_python_reference(self, spark):
+        import math
+
+        from notion_spark.pipeline.similarity import (
+            pq_adc_topk,
+            train_pq_codebooks,
+        )
+
+        df, _ = self._clustered(spark)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        q = df.filter("vec_id = 31").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        got = {
+            r.vec_id: r.adc
+            for r in pq_adc_topk(df, q, books, k=20, ).collect()
+        }
+        # Python reference: scale every vector, code = argmin per
+        # subspace, adc = sum of subspace distances to coded centroid
+        vecs = {r.vec_id: r.embedding for r in df.collect()}
+        def scaled(v): return [math.floor((x + 10.0) * 1e6) for x in v]
+        qv = scaled(vecs[31])
+        want = {}
+        for vid, v in vecs.items():
+            sv = scaled(v)
+            adc = 0
+            for m, book in enumerate(books):
+                sub = sv[m * 4:(m + 1) * 4]
+                d2s = [sum((a - b) ** 2 for a, b in zip(sub, c)) for c in book]
+                code = d2s.index(min(d2s))
+                qsub = qv[m * 4:(m + 1) * 4]
+                adc += sum((a - b) ** 2 for a, b in zip(qsub, book[code]))
+            want[vid] = adc
+        assert got == want  # k=20 >= corpus size -> every adc compared
+
+    def test_clustered_corpus_retrieves_own_cluster_first(self, spark):
+        from notion_spark.pipeline.similarity import (
+            pq_adc_topk,
+            train_pq_codebooks,
+        )
+
+        df, _ = self._clustered(spark)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        q = df.filter("vec_id = 20").selectExpr("vec_id AS query_id", "embedding")
+        top5 = [r.vec_id for r in pq_adc_topk(df, q, books, k=5).collect()]
+        assert top5 == [20, 21, 22, 23, 24]  # identical vectors, id ties
+
+    def test_codes_in_range_and_stable_under_repartition(self, spark):
+        from notion_spark.pipeline.similarity import pq_encode, train_pq_codebooks
+
+        df, _ = self._clustered(spark)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        a = {tuple(r) for r in pq_encode(df, books).collect()}
+        b = {tuple(r) for r in pq_encode(df.repartition(7), books).collect()}
+        assert a == b
+        assert all(0 <= r[1] < 4 and 0 <= r[2] < 4 for r in a)
+
+    def test_rejects_indivisible_dim(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.similarity import train_pq_codebooks
+
+        df, _ = self._clustered(spark)
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(df, n_subspaces=3, dim=8)
