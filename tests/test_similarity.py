@@ -374,3 +374,54 @@ class TestProductQuantization:
         df, _ = self._clustered(spark)
         with pytest.raises(ValueError, match="divisible"):
             train_pq_codebooks(df, n_subspaces=3, dim=8)
+
+    def test_recall_floor_and_budget_monotonicity(self, spark, sf_dir):
+        """Recall gate vs EXACT scaled-L2 top-k (PQ ranks by L2 — a
+        cosine baseline would conflate metric mismatch with
+        quantization loss). The synthetic embeddings are near-random —
+        PQ's worst case (no cluster structure to exploit) — so the
+        floor is modest; the REAL check is that recall is deterministic
+        and rises with codebook budget (4x8 -> 8x32 subspaces x
+        centroids), the accuracy/memory dial a user actually turns."""
+        from pyspark.sql.window import Window
+
+        from notion_spark.pipeline.similarity import (
+            pq_adc_topk,
+            recall_at_k,
+            scaled_int_vector,
+            train_pq_codebooks,
+        )
+        from notion_spark.sources.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        c = emb.select(
+            F.col("vec_id").alias("vid"),
+            scaled_int_vector(F.col("embedding")).alias("cv"),
+        )
+        qq = q.select(
+            F.col("query_id").alias("qid"),
+            scaled_int_vector(F.col("embedding")).alias("qv"),
+        )
+        d2 = F.aggregate(
+            F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+        w = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vid"))
+        exact = (
+            c.join(F.broadcast(qq))
+            .withColumn("d", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 10")
+            .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"))
+        )
+        exact.cache().count()
+        small = train_pq_codebooks(emb, n_subspaces=4, n_centroids=8, iterations=3)
+        big = train_pq_codebooks(emb, n_subspaces=8, n_centroids=32, iterations=3)
+        r_small = recall_at_k(exact, pq_adc_topk(emb, q, small, k=10))
+        r_big = recall_at_k(exact, pq_adc_topk(emb, q, big, k=10))
+        assert r_small >= 0.25, r_small
+        assert r_big > r_small, (r_small, r_big)
