@@ -1130,6 +1130,171 @@ def _pq_oracle(
     """
 
 
+def _ivfpq_oracle(
+    n_subspaces: int = 4, n_centroids: int = 8, coarse_k: int = 8,
+    coarse_iterations: int = 2, iterations: int = 2, k: int = 5, nprobe: int = 2,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ oracle: the coarse full-dim Lloyd recurrence (same unroll
+    as `_ivf_scaled_oracle`) for cell routing + the per-subspace PQ
+    recurrences (same as `_pq_oracle`) for ADC scoring, composed by a
+    final probe-match join — so routing, codes, and ranks are all
+    re-derived independently of the Spark implementation."""
+    dsub = dim // n_subspaces
+    nfull = dim + 1
+    nsub = dsub + 1
+
+    def d2(va: str, vb: str, n: int) -> str:
+        return (
+            f"list_sum([({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i]) "
+            f"for i in range(1, {n})])"
+        )
+
+    parts = [
+        f"""
+    ivf AS (
+        SELECT vec_id,
+               [CAST(floor((CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0) AS BIGINT)
+                for i in range(1, {nfull})] AS v
+        FROM embeddings
+    ),
+    cf0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT vec_id, v FROM ivf ORDER BY vec_id LIMIT {coarse_k})
+    )"""
+    ]
+    for it in range(1, coarse_iterations + 1):
+        parts.append(
+            f"""
+    acf{it} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT ivf.vec_id, ivf.v, t.c,
+                   row_number() OVER (PARTITION BY ivf.vec_id
+                                      ORDER BY {d2('ivf.v', 't.v', nfull)}, t.c) AS rn
+            FROM ivf CROSS JOIN cf{it - 1} t)
+        WHERE rn = 1
+    ),
+    mcf{it} AS (
+        SELECT c, list(m ORDER BY d) AS v
+        FROM (SELECT c, d, CAST((2 * SUM(val) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m
+              FROM (SELECT c, u.d AS d, v[u.d] AS val
+                    FROM acf{it}, UNNEST(range(1, {nfull})) AS u(d))
+              GROUP BY c, d)
+        GROUP BY c
+    ),
+    cf{it} AS (SELECT t.c, COALESCE(m.v, t.v) AS v
+               FROM cf{it - 1} t LEFT JOIN mcf{it} m USING (c))"""
+        )
+    cfin = coarse_iterations
+    parts.append(
+        f"""
+    cellsf AS (
+        SELECT vec_id, c AS cell FROM (
+            SELECT ivf.vec_id, cc.c,
+                   row_number() OVER (PARTITION BY ivf.vec_id
+                                      ORDER BY {d2('ivf.v', 'cc.v', nfull)}, cc.c) AS rn
+            FROM ivf CROSS JOIN cf{cfin} cc)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, cc.c AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {d2('q.v', 'cc.v', nfull)}, cc.c) AS rn
+            FROM (SELECT * FROM ivf WHERE vec_id < 3) q CROSS JOIN cf{cfin} cc)
+        WHERE rn <= {nprobe}
+    )"""
+    )
+    for s in range(n_subspaces):
+        lo = s * dsub + 1
+        parts.append(
+            f"""
+    iv{s} AS (
+        SELECT vec_id,
+               [CAST(floor((CAST(embedding[i] AS DOUBLE) + 10.0) * 1000000.0) AS BIGINT)
+                for i in range({lo}, {lo + dsub})] AS v
+        FROM embeddings
+    ),
+    c0_{s} AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v
+        FROM (SELECT vec_id, v FROM iv{s} ORDER BY vec_id LIMIT {n_centroids})
+    )"""
+        )
+        for it in range(1, iterations + 1):
+            parts.append(
+                f"""
+    a{it}_{s} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT iv{s}.vec_id, iv{s}.v, t.c,
+                   row_number() OVER (PARTITION BY iv{s}.vec_id
+                                      ORDER BY {d2(f'iv{s}.v', 't.v', nsub)}, t.c) AS rn
+            FROM iv{s} CROSS JOIN c{it - 1}_{s} t)
+        WHERE rn = 1
+    ),
+    m{it}_{s} AS (
+        SELECT c, list(m ORDER BY d) AS v
+        FROM (SELECT c, d, CAST((2 * SUM(val) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS m
+              FROM (SELECT c, u.d AS d, v[u.d] AS val
+                    FROM a{it}_{s}, UNNEST(range(1, {nsub})) AS u(d))
+              GROUP BY c, d)
+        GROUP BY c
+    ),
+    c{it}_{s} AS (SELECT t.c, COALESCE(m.v, t.v) AS v
+                  FROM c{it - 1}_{s} t LEFT JOIN m{it}_{s} m USING (c))"""
+            )
+        fin = iterations
+        parts.append(
+            f"""
+    codes{s} AS (
+        SELECT vec_id, c AS code FROM (
+            SELECT iv{s}.vec_id, cc.c,
+                   row_number() OVER (PARTITION BY iv{s}.vec_id
+                                      ORDER BY {d2(f'iv{s}.v', 'cc.v', nsub)}, cc.c) AS rn
+            FROM iv{s} CROSS JOIN c{fin}_{s} cc)
+        WHERE rn = 1
+    ),
+    qd{s} AS (
+        SELECT q.vec_id AS qid, x.vec_id AS vid, {d2('q.v', 'cc.v', nsub)} AS d
+        FROM (SELECT * FROM iv{s} WHERE vec_id < 3) q
+        CROSS JOIN codes{s} x
+        JOIN c{fin}_{s} cc ON x.code = cc.c
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN qd{s} ON qd0.qid = qd{s}.qid AND qd0.vid = qd{s}.vid"
+        for s in range(1, n_subspaces)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(n_subspaces))
+    return "WITH " + ",".join(parts) + f"""
+    SELECT qd0.qid AS query_id, qd0.vid AS vec_id,
+           CAST({total} AS BIGINT) AS adc,
+           CAST(row_number() OVER (PARTITION BY qd0.qid
+                                   ORDER BY {total} ASC, qd0.vid ASC) AS INT) AS rank
+    FROM qd0 {joins}
+    JOIN cellsf x ON qd0.vid = x.vec_id
+    JOIN probes p ON p.qid = qd0.qid AND p.cell = x.cell
+    QUALIFY rank <= {k}
+    """
+
+
+@register("sim_ann_ivfpq", _ivfpq_oracle())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (pipeline/similarity.ivfpq_topk) — the composed
+    billion-scale layout: a fixed-point coarse codebook routes each
+    query to its nprobe nearest cells, and PQ codes score only the
+    probed rows in pure-integer ADC. Training (coarse AND all four
+    subspace codebooks), routing, codes, and ranks are re-derived
+    independently by the oracle — the entire FAISS-style pipeline is
+    hash-checked cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse = SIM.train_ivf_centroids_scaled(emb, n_centroids=8, iterations=2)
+    books = SIM.train_pq_codebooks(emb, n_subspaces=4, n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(emb, queries, coarse, books, k=5, nprobe=2)
+
+
 @register("sim_ann_pq", _pq_oracle())
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, hash-checked END TO END including

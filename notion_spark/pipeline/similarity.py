@@ -1029,3 +1029,108 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    books: list[list[list[int]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+) -> DataFrame:
+    """IVF-PQ (the FAISS billion-scale layout, Jégou et al. 2011):
+    coarse cells PRUNE — each query touches only its ``nprobe`` nearest
+    cells' codes — and PQ codes SCORE, so the probed scan reads M code
+    ints per row instead of the float vector. Both stages run in the
+    proven fixed-point integer arithmetic (`train_ivf_centroids_scaled`
+    for the coarse codebook, `train_pq_codebooks` for the subspace
+    codebooks), so cell routing, codes, ADC distances, and ranks are
+    all engine-exact and the WHOLE pipeline hash-checks (sim_ann_ivfpq).
+
+    At scale: write codes partitioned by cell (the `ivf_topk_scaled`
+    partition-pruning note applies unchanged) — a probe then reads
+    nprobe/|cells| of a codes table that is itself ~64× smaller than
+    the vectors. Ties: probe selection and ADC ranks both break to the
+    lowest index / id. Output: (query_id, vec_id, adc, rank)."""
+    if len(coarse) > IVF_LITERAL_MAX_K:
+        raise ValueError(
+            f"ivfpq_topk literal probe path supports <= {IVF_LITERAL_MAX_K}"
+            " coarse cells; train fewer or extend with the pandas probe"
+        )
+    n_sub = len(books)
+    dsub = len(books[0][0])
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        scaled_int_vector(F.col(vec_col), scale, offset).alias("__sv"),
+    )
+    c = _assign_cells_scaled(c, coarse, "__sv", "cell")
+    for m, book in enumerate(books):
+        c = c.withColumn(
+            f"code_{m}",
+            _nearest_centroid_int(F.slice(F.col("__sv"), m * dsub + 1, dsub), book),
+        )
+    codes = c.select("vid", "cell", *[f"code_{m}" for m in range(n_sub)])
+    qbase = queries.select(
+        F.col(query_id_col).alias("qid"),
+        scaled_int_vector(F.col(vec_col), scale, offset).alias("__qv"),
+    )
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(int(x)).cast("long") for x in cen]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for cen in coarse
+        ]
+    )
+    from pyspark.sql.window import Window
+
+    q = (
+        qbase.select("qid", "__qv", F.posexplode(dists).alias("cell", "d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "__qv", "cell")
+    )
+    joined = codes.join(F.broadcast(q), "cell")
+    adc = None
+    for m, book in enumerate(books):
+        book_lit = F.array(
+            *[F.array(*[F.lit(int(x)).cast("long") for x in cc]) for cc in book]
+        )
+        recon = F.element_at(book_lit, F.col(f"code_{m}") + 1)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qv"), m * dsub + 1, dsub),
+                recon,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        adc = d2 if adc is None else (adc + d2)
+    w = Window.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vid"))
+    return (
+        joined.withColumn("__adc", adc)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("vid").alias(id_col),
+            F.col("__adc").alias("adc"),
+            "rank",
+        )
+    )

@@ -445,3 +445,56 @@ class TestProductQuantization:
         a = sorted(map(tuple, pq_adc_topk(df, q, books, k=5).collect()))
         b = sorted(map(tuple, pq_adc_topk(df, q, books, k=5, codes=codes).collect()))
         assert a == b
+
+    def test_ivfpq_full_probe_equals_pq(self, spark):
+        """nprobe = |cells| removes the pruning, leaving pure PQ-ADC —
+        the composed path must then equal pq_adc_topk exactly."""
+        from notion_spark.pipeline.similarity import (
+            ivfpq_topk,
+            pq_adc_topk,
+            train_ivf_centroids_scaled,
+            train_pq_codebooks,
+        )
+
+        df, _ = self._clustered(spark)
+        coarse = train_ivf_centroids_scaled(df, n_centroids=4, iterations=2)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        q = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        a = sorted(map(tuple, ivfpq_topk(df, q, coarse, books, k=5, nprobe=4).collect()))
+        b = sorted(map(tuple, pq_adc_topk(df, q, books, k=5).collect()))
+        assert a == b
+
+    def test_ivfpq_probe_results_subset_of_pq(self, spark):
+        """With pruning on, every returned (query, hit, adc) must carry
+        the same ADC the unpruned scorer assigns — pruning changes the
+        candidate set, never a distance."""
+        from notion_spark.pipeline.similarity import (
+            ivfpq_topk,
+            pq_adc_topk,
+            train_ivf_centroids_scaled,
+            train_pq_codebooks,
+        )
+
+        df, _ = self._clustered(spark)
+        coarse = train_ivf_centroids_scaled(df, n_centroids=4, iterations=2)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        q = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        pruned = {(r.query_id, r.vec_id): r.adc
+                  for r in ivfpq_topk(df, q, coarse, books, k=20, nprobe=1).collect()}
+        full = {(r.query_id, r.vec_id): r.adc
+                for r in pq_adc_topk(df, q, books, k=20).collect()}
+        assert pruned and set(pruned) <= set(full)
+        assert all(full[p] == a for p, a in pruned.items())
+
+    def test_ivfpq_rejects_oversized_coarse_codebook(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.similarity import IVF_LITERAL_MAX_K, ivfpq_topk
+
+        df, _ = self._clustered(spark)
+        fake = [[0] * 8] * (IVF_LITERAL_MAX_K + 1)
+        q = df.filter("vec_id < 1").selectExpr("vec_id AS query_id", "embedding")
+        with pytest.raises(ValueError, match="coarse"):
+            ivfpq_topk(df, q, fake, [[[0] * 4] * 4] * 2)
