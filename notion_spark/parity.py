@@ -6208,8 +6208,8 @@ def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM counts),
     bounds AS (SELECT
         MIN(CASE WHEN run <= 10000 THEN su END) AS full_min,
-        MAX(CASE WHEN run > 10000 AND run - btoks < 10000 THEN su END) AS bsu,
-        MAX(CASE WHEN run > 10000 AND run - btoks < 10000
+        MAX(CASE WHEN run > 10000 AND run - btoks <= 10000 THEN su END) AS bsu,
+        MAX(CASE WHEN run > 10000 AND run - btoks <= 10000
                  THEN 10000 - (run - btoks) END) AS rem
       FROM runs),
     bdocs AS (
@@ -6218,7 +6218,7 @@ def curation_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(s.toks) OVER (ORDER BY s.doc_id ASC) AS brun, b.rem
             FROM scored s, bounds b
             WHERE b.bsu IS NOT NULL AND s.su = b.bsu)
-        WHERE brun <= rem)
+        WHERE toks = 0 OR brun <= rem)
     SELECT s.doc_id, CAST(s.toks AS BIGINT) AS n_tokens
     FROM scored s, bounds b
     WHERE b.full_min IS NOT NULL AND s.su >= b.full_min

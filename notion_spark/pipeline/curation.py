@@ -691,8 +691,11 @@ def select_token_budget(
     """Fill an exact token budget by descending quality: keep the
     best-scored documents whose cumulative token count never exceeds
     ``budget`` — the "take the best 1B tokens" curation step, with a
-    deterministic boundary rule (within the cut-off score, ids ascending
-    fill the remainder) instead of sort-and-truncate drift.
+    deterministic boundary rule instead of sort-and-truncate drift:
+    within the cut-off score bucket, ids ascending take the PREFIX
+    whose running token sum fits the remainder, and zero-token docs
+    are kept unconditionally (they consume nothing — even when an
+    earlier heavy doc already exhausted the remainder).
 
     ``score_col`` must hold exact multiples of 1/``micro`` (the repo's
     frac6 outputs: quality_score, gram_novelty, quantile_rank...); it is
@@ -722,7 +725,12 @@ def select_token_budget(
         F.sum("__toks").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__run"),
     )
     b = F.lit(int(budget)).cast("long")
-    at_boundary = (F.col("__run") > b) & (F.col("__run") - F.col("__toks") < b)
+    # boundary = first bucket the cumulative CROSSES: prior run <= b
+    # (not <) so a bucket reached with exactly zero budget left still
+    # surfaces its zero-token documents — they consume nothing and the
+    # docstring promises they are kept whenever their bucket is reached
+    # (property-tested: budget=0 with a zero-token doc in the bucket)
+    at_boundary = (F.col("__run") > b) & (F.col("__run") - F.col("__toks") <= b)
     bounds = runs.agg(
         F.min(F.when(F.col("__run") <= b, F.col("__su"))).alias("__full_min"),
         F.max(F.when(at_boundary, F.col("__su"))).alias("__bsu"),
@@ -739,15 +747,24 @@ def select_token_budget(
     boundary = j.filter(F.col("__bsu").isNotNull() & (F.col("__su") == F.col("__bsu")))
     from notion_spark.functions.exactmath import guarded
 
-    brun = guarded(
+    guard = guarded(
         F.count(F.lit(1)).over(whole) > F.lit(max_boundary),
         f"select_token_budget: boundary score bucket exceeds {max_boundary}"
         " rows — scores are too coarse for a rank-within-bucket boundary",
-    )(F.sum(F.col(token_col).cast("long")).over(frame), "long")
+    )
+    # boundary fill: ids ascending take the PREFIX that fits; a
+    # zero-token doc bypasses the prefix test (it consumes nothing, and
+    # the zero-token promise holds even when an earlier heavy doc
+    # already exhausted the remainder — property-tested). One guarded
+    # boolean so the size guard rides the only output-deciding column.
+    brun = F.sum(F.col(token_col).cast("long")).over(frame)
+    keep = guard(
+        (F.col(token_col).cast("long") == 0) | (brun <= F.col("__rem")), "boolean"
+    )
     bdocs = (
-        boundary.withColumn("__brun", brun)
-        .filter(F.col("__brun") <= F.col("__rem"))
-        .drop("__brun", *aux)
+        boundary.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("__keep", *aux)
     )
     return full.unionByName(bdocs)
 

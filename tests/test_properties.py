@@ -875,3 +875,48 @@ def test_classifier_matches_hash_model(spark, docs):
         for r in classify(df, w, n_buckets=NB).collect()
     }
     assert got == want
+
+
+@HEAVY
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20)),  # (score quarter, toks)
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(0, 80),
+)
+def test_select_token_budget_matches_greedy_model(spark, docs, budget):
+    """Reference of the documented rule: whole score-buckets by
+    descending score while the running total fits; the single boundary
+    bucket keeps the id-ascending PREFIX whose running sum fits, plus
+    every zero-token doc (they never consume budget and are kept
+    whenever their bucket is reached)."""
+    from collections import defaultdict
+
+    from notion_spark.pipeline.curation import select_token_budget
+
+    rows = [(i, q / 4.0, t) for i, (q, t) in enumerate(docs)]
+    su = {i: round(s * 1_000_000) for i, s, _ in rows}
+    buckets = defaultdict(list)
+    for i, _, t in rows:
+        buckets[su[i]].append((i, t))
+    want, run = set(), 0
+    for b in sorted(buckets, reverse=True):
+        btoks = sum(t for _, t in buckets[b])
+        if run + btoks <= budget:
+            want.update(i for i, _ in buckets[b])
+            run += btoks
+        else:
+            rem, acc = budget - run, 0
+            for i, t in sorted(buckets[b]):
+                acc += t
+                if t == 0 or acc <= rem:
+                    want.add(i)
+            break
+    df = spark.createDataFrame(rows, "doc_id long, score double, toks long")
+    got = {
+        r.doc_id
+        for r in select_token_budget(df, "score", "toks", budget=budget).collect()
+    }
+    assert got == want
