@@ -6566,17 +6566,8 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update after each round from CORRECTNESS_r{N}.json keys.
 DRIVER_CHECKED: tuple[str, ...] = (
     # --- round 2 (CORRECTNESS_r02.json: 49 all-green + 1 rows-only) ---
-    "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap",
-    "sim_ann_lsh", "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion",
-    "text_quality", "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun",
-    "agg_distinct_users", "filter_pushdown_parts",
     # --- r03 (47 driver-checked this round) ---
-    "join_supplier_nation", "proj_timestamp_roundtrip", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "agg_rollup_counts", "agg_price_histogram", "window_running_count",
-    "text_clean", "join_asof_last_click", "topk_per_group", "text_top_words",
-    "stats_percentiles", "tasks_adapter_summary", "tasks_adapter_immediate", "q4_order_priority_check",
-    "q14_promo_revenue_pct", "text_top_bigrams", "events_transition_matrix", "events_sessionize",
-    "q10_returned_items", "agg_argminmax", "filter_array_exists", "join_range_events_in_user_windows",
+    "agg_argminmax", "filter_array_exists", "join_range_events_in_user_windows",
     "window_moving_avg", "agg_grouping_sets", "q7_volume_shipping", "q8_market_share",
     "q18_large_orders", "q19_discounted_revenue", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q12_priority_by_status", "q13_customer_distribution", "q15_top_supplier",
@@ -6611,6 +6602,20 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "text_sanitize_filename", "text_line_slice", "text_week_label", "dedup_exact",
     "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_cosine", "dedup_cluster_collapse",
+    # --- r06 (50 driver-checked this round) ---
+    "sim_ann_ivfpq", "sim_ann_pq", "text_cooccurrence_pruned", "curation_temperature_mix",
+    "curation_class_weights", "text_token_runs", "curation_semantic_decontam", "curation_token_budget",
+    "text_hashed_classifier", "text_bigram_familiarity", "dedup_cluster_keep_best", "layout_bucketed_join",
+    "behavior_covisitation", "behavior_covisitation_lift", "behavior_decayed_counts", "anomaly_mad_events",
+    "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap", "sim_ann_lsh",
+    "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion", "text_quality",
+    "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun", "agg_distinct_users",
+    "filter_pushdown_parts", "join_supplier_nation", "proj_timestamp_roundtrip", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "agg_rollup_counts", "agg_price_histogram",
+    "window_running_count", "text_clean", "join_asof_last_click", "topk_per_group",
+    "text_top_words", "stats_percentiles", "tasks_adapter_summary", "tasks_adapter_immediate",
+    "q4_order_priority_check", "q14_promo_revenue_pct", "text_top_bigrams", "events_transition_matrix",
+    "events_sessionize", "q10_returned_items",
 )
 
 
