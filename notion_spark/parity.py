@@ -6389,9 +6389,17 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_layout.py) — the pay-one-shuffle-at-write-time layout
     that keeps fact-to-fact joins feasible at 100 TB. The value-parity
     here checks the round trip (bucketed write → catalog read → join →
-    agg) against the plain relational answer."""
+    agg) against the plain relational answer.
+
+    Harness hygiene: table names and the temp dir carry a per-run token
+    (concurrent parity runs against one shared metastore cannot clash),
+    and the |segments|-row result is materialized EAGERLY so the
+    catalog tables and temp dir can be dropped in a ``finally`` — the
+    returned frame must not reference state this function cleans up."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from notion_spark.pipeline.layout import bucketed_join, write_bucketed
 
@@ -6401,16 +6409,25 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    base = tempfile.mkdtemp(prefix="ns_bucketed_")
-    write_bucketed(orders, "ns_bucketed_orders", "custkey", 8,
-                   path=os.path.join(base, "orders"))
-    write_bucketed(cust, "ns_bucketed_customer", "custkey", 8,
-                   path=os.path.join(base, "customer"))
-    j = bucketed_join(spark, "ns_bucketed_orders", "ns_bucketed_customer", "custkey")
-    return j.groupBy("c_mktsegment").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
+    token = uuid.uuid4().hex[:12]
+    t_orders = f"ns_bucketed_orders_{token}"
+    t_cust = f"ns_bucketed_customer_{token}"
+    base = tempfile.mkdtemp(prefix=f"ns_bucketed_{token}_")
+    try:
+        write_bucketed(orders, t_orders, "custkey", 8,
+                       path=os.path.join(base, "orders"))
+        write_bucketed(cust, t_cust, "custkey", 8,
+                       path=os.path.join(base, "customer"))
+        j = bucketed_join(spark, t_orders, t_cust, "custkey")
+        out = j.groupBy("c_mktsegment").agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

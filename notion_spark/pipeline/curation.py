@@ -701,7 +701,12 @@ def select_token_budget(
     frac6 outputs: quality_score, gram_novelty, quantile_rank...); it is
     converted to integer micro-units so bucket identity is engine-exact.
     Zero-token documents never consume budget and are kept whenever
-    their score bucket is reached.
+    their score bucket is reached. A NULL token count is treated as
+    zero everywhere (coalesced once, up front), so NULL-token docs
+    follow the same rule — the aggregate sums already skipped NULLs
+    (consuming no budget), and without the coalesce the boundary keep
+    predicate would evaluate to NULL and silently drop them unless the
+    prefix happened to fit.
 
     Scale shape — the point of this op: NO global sort of the corpus.
     Pass 1 is a map-side-combined per-score-bucket token sum (bounded by
@@ -714,10 +719,9 @@ def select_token_budget(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     units = F.round(F.col(score_col).cast("double") * F.lit(float(micro))).cast("long")
-    wdf = df.withColumn("__su", units)
-    counts = wdf.groupBy("__su").agg(
-        F.sum(F.col(token_col).cast("long")).alias("__toks")
-    )
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0).cast("long"))
+    wdf = df.withColumn("__su", units).withColumn("__tok", tok)
+    counts = wdf.groupBy("__su").agg(F.sum(F.col("__tok")).alias("__toks"))
     w = Window.orderBy(F.desc("__su"))
     runs = counts.select(
         "__su",
@@ -737,7 +741,7 @@ def select_token_budget(
         F.max(F.when(at_boundary, b - (F.col("__run") - F.col("__toks")))).alias("__rem"),
     )
     j = wdf.join(F.broadcast(bounds))
-    aux = ["__su", "__full_min", "__bsu", "__rem"]
+    aux = ["__su", "__tok", "__full_min", "__bsu", "__rem"]
     full = j.filter(
         F.col("__full_min").isNotNull() & (F.col("__su") >= F.col("__full_min"))
     ).drop(*aux)
@@ -753,14 +757,13 @@ def select_token_budget(
         " rows — scores are too coarse for a rank-within-bucket boundary",
     )
     # boundary fill: ids ascending take the PREFIX that fits; a
-    # zero-token doc bypasses the prefix test (it consumes nothing, and
-    # the zero-token promise holds even when an earlier heavy doc
-    # already exhausted the remainder — property-tested). One guarded
-    # boolean so the size guard rides the only output-deciding column.
-    brun = F.sum(F.col(token_col).cast("long")).over(frame)
-    keep = guard(
-        (F.col(token_col).cast("long") == 0) | (brun <= F.col("__rem")), "boolean"
-    )
+    # zero-token (or NULL-token, coalesced above) doc bypasses the
+    # prefix test (it consumes nothing, and the zero-token promise
+    # holds even when an earlier heavy doc already exhausted the
+    # remainder — property-tested). One guarded boolean so the size
+    # guard rides the only output-deciding column.
+    brun = F.sum(F.col("__tok")).over(frame)
+    keep = guard((F.col("__tok") == 0) | (brun <= F.col("__rem")), "boolean")
     bdocs = (
         boundary.withColumn("__keep", keep)
         .filter(F.col("__keep"))

@@ -420,7 +420,25 @@ def train_ivf_centroids(
 
 
 # ---------------------------------------------- integer-scaled IVF (exact)
-def scaled_int_vector(vec: Column, scale: int = 1_000_000, offset: float = 10.0) -> Column:
+def scaled_int_safe_abs(dim: int, scale: int = 1_000_000, offset: float = 10.0) -> float:
+    """Largest element magnitude ``|v|`` for which an int64 squared-L2
+    sum over ``dim`` scaled elements cannot wrap: the worst per-element
+    squared diff is ``((|v| + offset) * scale)²`` (one operand at the
+    positive extreme, the other at the scaled zero point), so the sum
+    stays below 2⁶³−1 when ``|v| ≤ sqrt((2⁶³−1)/dim)/scale − offset``.
+    At the defaults (dim=64, scale=1e6, offset=10) this is ≈ 369.6 —
+    unit-norm or feature-scaled embeddings are orders of magnitude
+    inside it, but Spark (ANSI off) and numpy both wrap silently past
+    it, hence the in-plan guard in `scaled_int_vector`."""
+    return math.sqrt((2**63 - 1) / dim) / scale - offset
+
+
+def scaled_int_vector(
+    vec: Column,
+    scale: int = 1_000_000,
+    offset: float = 10.0,
+    guard_dim: int | None = None,
+) -> Column:
     """Offset-shifted fixed-point image of a float vector:
     ``floor((v + offset) * scale)`` per element, BIGINT.
 
@@ -430,13 +448,39 @@ def scaled_int_vector(vec: Column, scale: int = 1_000_000, offset: float = 10.0)
     integer division on negatives is floor in Python but truncation in
     DuckDB/Spark's ``div``, and the one disagreement case disappears
     when nothing is negative. floor() of an IEEE double product is
-    deterministic on every engine. Inputs must satisfy v > -offset."""
-    return F.transform(
-        vec,
-        lambda v: F.floor((v.cast("double") + F.lit(float(offset))) * F.lit(float(scale))).cast(
-            "long"
-        ),
+    deterministic on every engine.
+
+    MAGNITUDE CONTRACT: inputs must satisfy ``-offset < v`` AND
+    ``|v| <= scaled_int_safe_abs(dim, scale, offset)`` (≈ 369.6 at the
+    defaults with dim=64) — beyond that the downstream int64 squared
+    -distance sums in `_nearest_centroid_int` / `_assign_cells_scaled`
+    wrap silently (ANSI off on Spark; numpy wraps too). Pass
+    ``guard_dim`` (the vector dimensionality the scaled values will be
+    distance-summed over) to fold a LAZY per-element ``raise_error``
+    into the plan — the same loud in-plan convention as
+    `exactmath.guarded` (sigma_outliers/matview), riding the array
+    column itself so Catalyst cannot prune it away."""
+    if guard_dim is None:
+        return F.transform(
+            vec,
+            lambda v: F.floor(
+                (v.cast("double") + F.lit(float(offset))) * F.lit(float(scale))
+            ).cast("long"),
+        )
+    bound = scaled_int_safe_abs(guard_dim, scale, offset)
+    msg = F.lit(
+        "scaled_int_vector: element out of the fixed-point contract "
+        f"(need -{offset} < v and |v| <= {bound:.3f} for dim={guard_dim}; "
+        "int64 squared-distance sums would wrap silently)"
     )
+
+    def elem(v: Column) -> Column:
+        vd = v.cast("double")
+        bad = (vd <= F.lit(-float(offset))) | (F.abs(vd) > F.lit(float(bound)))
+        scaled = F.floor((vd + F.lit(float(offset))) * F.lit(float(scale))).cast("long")
+        return F.when(bad, F.raise_error(msg).cast("long")).otherwise(scaled)
+
+    return F.transform(vec, elem)
 
 
 def _nearest_centroid_int(vec: Column, centroids: list[list[int]]) -> Column:
@@ -532,6 +576,13 @@ def train_ivf_centroids_scaled(
     ]
     cents = seeds
     dim = len(seeds[0])
+    # dim is now known: rebuild the scaled column with the magnitude
+    # guard so every Lloyd iteration raises (in-plan, lazily) instead of
+    # wrapping int64 on out-of-contract inputs.
+    df = corpus.select(
+        F.col(id_col).alias("__id"),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=dim).alias("__v"),
+    )
     for _ in range(iterations):
         assigned = _assign_cells_scaled(df, cents, "__v", "__c").select("__c", "__v")
         rows = (
@@ -570,7 +621,8 @@ def ivf_topk_scaled(
     corpus assigned once, ``nprobe`` nearest cells per broadcast query,
     bucket equi-join, per-query rank window. At scale the corpus is
     written partitioned by cell -> partition-pruned probes."""
-    sv = lambda col: scaled_int_vector(col, scale, offset)  # noqa: E731
+    dim = len(centroids[0])
+    sv = lambda col: scaled_int_vector(col, scale, offset, guard_dim=dim)  # noqa: E731
     c = (
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
         .withColumn("__sv", sv(F.col("cv")))
@@ -949,8 +1001,10 @@ def pq_encode(
     Scaling commutes with slicing, so the full vector scales once and
     slices feed each subspace's assignment."""
     dsub = len(books[0][0])
+    full_dim = dsub * len(books)
     out = corpus.select(
-        F.col(id_col), scaled_int_vector(F.col(vec_col), scale, offset).alias("__sv")
+        F.col(id_col),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__sv"),
     )
     for m, book in enumerate(books):
         out = out.withColumn(
@@ -996,7 +1050,9 @@ def pq_adc_topk(
     )
     q = queries.select(
         F.col(query_id_col).alias("qid"),
-        scaled_int_vector(F.col(vec_col), scale, offset).alias("__qv"),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=n_sub * dsub).alias(
+            "__qv"
+        ),
     )
     joined = codes.join(F.broadcast(q))
     adc = None
@@ -1065,9 +1121,10 @@ def ivfpq_topk(
         )
     n_sub = len(books)
     dsub = len(books[0][0])
+    full_dim = len(coarse[0])
     c = corpus.select(
         F.col(id_col).alias("vid"),
-        scaled_int_vector(F.col(vec_col), scale, offset).alias("__sv"),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__sv"),
     )
     c = _assign_cells_scaled(c, coarse, "__sv", "cell")
     for m, book in enumerate(books):
@@ -1078,7 +1135,7 @@ def ivfpq_topk(
     codes = c.select("vid", "cell", *[f"code_{m}" for m in range(n_sub)])
     qbase = queries.select(
         F.col(query_id_col).alias("qid"),
-        scaled_int_vector(F.col(vec_col), scale, offset).alias("__qv"),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__qv"),
     )
     dists = F.array(
         *[

@@ -532,6 +532,33 @@ class TestSelectTokenBudget:
                 df, "score", "toks", budget=50, max_boundary=5
             ).collect()
 
+    def test_null_tokens_follow_zero_token_rule(self, spark):
+        from notion_spark.pipeline.curation import select_token_budget
+
+        # NULL token count == zero tokens: consumes no budget and is
+        # kept whenever its bucket is reached — including in a boundary
+        # bucket AFTER a heavy doc exhausted the remainder (the case
+        # that used to NULL out of the keep predicate), and in an
+        # all-NULL bucket (whose sum used to poison the cumulative run).
+        df = self._df(spark, [
+            (1, 1.0, 25),
+            (2, 0.5, 30), (3, 0.5, None), (4, 0.5, 30),
+            (5, 0.2, None),
+        ])
+        # budget 60: bucket 1.0 full (25), boundary 0.5 rem=35 -> doc 2
+        # (30<=35) in, doc 3 NULL->free in (used to be dropped: the keep
+        # predicate evaluated NULL), doc 4 (60>35) out; bucket 0.2 is
+        # below the boundary -> never reached, dropped.
+        got = sorted(r.doc_id for r in
+                     select_token_budget(df, "score", "toks", budget=60).collect())
+        assert got == [1, 2, 3]
+        # an all-NULL bucket must not poison the cumulative run with a
+        # NULL sum: everything fits, all docs kept
+        df2 = self._df(spark, [(1, 0.9, None), (2, 0.9, None), (3, 0.5, 10)])
+        got2 = sorted(r.doc_id for r in
+                      select_token_budget(df2, "score", "toks", budget=10).collect())
+        assert got2 == [1, 2, 3]
+
 
 class TestSemanticDecontam:
     def test_planted_near_duplicates_flagged(self, spark):

@@ -162,3 +162,18 @@ def test_bucketed_groupby_reuses_bucketing(spark, tmp_path):
     got = {r.k: r.s for r in agg.collect()}
     exp = {r.k: r.s for r in df.groupBy("k").agg(F.sum("id").alias("s")).collect()}
     assert got == exp
+
+
+def test_parity_bucketed_join_cleans_up_catalog_and_dirs(spark, sf_dir):
+    """The layout_bucketed_join parity harness must leave NOTHING
+    behind: per-run-token table names (concurrent runs can't clash)
+    dropped in a finally, temp dir removed, result still usable after
+    cleanup (it is materialized eagerly)."""
+    from notion_spark import parity
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = parity.QUERIES["layout_bucketed_join"](spark, sf_dir)
+    assert out.count() > 0  # frame survives the cleanup
+    after = {t.name for t in spark.catalog.listTables()}
+    leaked = {t for t in after - before if t.startswith("ns_bucketed")}
+    assert leaked == set(), leaked

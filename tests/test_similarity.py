@@ -262,6 +262,40 @@ def test_scaled_int_vector_fixed_point_contract(spark):
     assert list(out) == [10_500_000, 9_750_000, 10_000_000]
 
 
+def test_scaled_int_vector_magnitude_guard(spark):
+    import pytest
+
+    # the safe bound: dim * ((|v|+offset)*scale)^2 stays under 2^63-1
+    bound = S.scaled_int_safe_abs(64)
+    assert 369.0 < bound < 370.5
+    # in-contract values are unchanged by the guard
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.0])], "id long, v array<float>")
+    plain = df.select(S.scaled_int_vector(F.col("v")).alias("s")).collect()[0].s
+    guarded = df.select(
+        S.scaled_int_vector(F.col("v"), guard_dim=64).alias("s")
+    ).collect()[0].s
+    assert list(plain) == list(guarded)
+    # out-of-contract magnitude raises IN-PLAN instead of wrapping int64
+    big = spark.createDataFrame([(1, [500.0, 0.0])], "id long, v array<float>")
+    with pytest.raises(Exception, match="fixed-point contract"):
+        big.select(S.scaled_int_vector(F.col("v"), guard_dim=64).alias("s")).collect()
+    # ...and so does the lower bound (v <= -offset)
+    low = spark.createDataFrame([(1, [-10.0, 0.0])], "id long, v array<float>")
+    with pytest.raises(Exception, match="fixed-point contract"):
+        low.select(S.scaled_int_vector(F.col("v"), guard_dim=64).alias("s")).collect()
+    # the guard rides the full IVF path end to end: an out-of-contract
+    # corpus vector fails loudly inside ivf_topk_scaled
+    rows = _synth_vectors(50, 16, n_clusters=4)
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids_scaled(df2, n_centroids=4, iterations=1)
+    bad = spark.createDataFrame(
+        [(999, [1e6] * 16)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(rows[:2], "query_id long, embedding array<float>")
+    with pytest.raises(Exception, match="fixed-point contract"):
+        S.ivf_topk_scaled(df2.unionByName(bad), queries, cents, k=3).collect()
+
+
 def test_scaled_ivf_large_k_paths_match_literal(spark, monkeypatch):
     # the int64 numpy argmin must agree with the literal fold on EVERY
     # input (exact same arithmetic, first-min ties) — unlike the float
