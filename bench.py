@@ -121,6 +121,19 @@ BENCH_QUERIES = [
     "behavior_covisitation_lift",
     "behavior_decayed_counts",
     "sim_ann_pq",
+    # r7 additions: the registry's heaviest previously-unbenched rows
+    # (levenshtein was 4x the heaviest benched query in
+    # PARITY_TIMED_r06.json with no wall-clock tracking), benched from
+    # birth so "inherently heavy" becomes a measured slope
+    "dedup_levenshtein_pairs",
+    "dedup_embedding_pairs",
+    "dedup_ngram_jaccard",
+    "sketch_hll_users",
+    # r7: static-codebook ANN probe rows — the amortized steady-state
+    # search numbers (their trained-in-query siblings deliberately pay
+    # training inside the timed row)
+    "sim_ann_pq_probe",
+    "sim_ann_ivfpq_probe",
 ]
 
 

@@ -8,10 +8,14 @@ slope instead of a plan-shape argument (SCALE.md).
 Distributions were measured from the driver's sf0.01/sf0.1 tables and
 reproduced shape-for-shape (row-count ratios, key cardinalities,
 category sets and frequencies, value ranges, per-order lineitem
-fan-out, 31-word document vocabulary, 10-cluster unit-norm embeddings,
-~0.2% exact-duplicate documents). Values will not match the driver's
-bit-for-bit — this data is for BENCHMARKING slopes, not oracle parity;
-correctness stays pinned at the driver's own sf0.01.
+fan-out, 10-cluster unit-norm embeddings, ~0.2% exact-duplicate
+documents). One deliberate r7 DEPARTURE from the driver's shape: the
+document token stream is bounded-Zipf over a corpus-scaled vocabulary
+(see the documents section below) instead of the driver's 31-type flat
+salad, because a flat vocabulary cannot demonstrate any Zipf-tail
+scale lever. Values will not match the driver's bit-for-bit — this
+data is for BENCHMARKING slopes, not oracle parity; correctness stays
+pinned at the driver's own sf0.01.
 
 Usage: python scripts/gen_testdata.py SF OUTDIR   # e.g. 1 .localdata/sf1
 """
@@ -158,12 +162,40 @@ def main() -> int:
         "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_evt)],
     }))
 
-    # documents: 10-100-word salads over the 31-word vocab; ~2% are
-    # near-duplicates of an earlier doc (1-3 tokens swapped) and ~0.2%
-    # exact duplicates — the structure the dedup family banks on
+    # documents: 10-100-word texts whose tokens follow a bounded Zipf
+    # (P(rank r) ∝ 1/r over a vocab that SCALES with the corpus,
+    # V ≈ n_tokens/10 — the Heaps-law tail real corpora have). The head
+    # 31 ranks map to the legacy flat vocabulary (so queries that pin
+    # those words keep seeing them); rank r > 31 becomes "w{r}". This
+    # replaced the r1-r6 31-type flat vocabulary, whose zero rare
+    # tokens made every Zipf-tail lever (min_count co-occurrence
+    # pruning, BPE merges, vocab coverage, bigram familiarity, hashed
+    # classifier) unmeasurable: at V=n_tokens/10 and s=1, ~15% of token
+    # INSTANCES and ~85% of distinct types sit below min_count=5, which
+    # is what the pruned-vs-unpruned slope needs to mean something.
+    # Dup structure is unchanged: ~2% near-duplicates of an earlier doc
+    # (1-3 tokens swapped) and ~0.2% exact duplicates — what the dedup
+    # family banks on.
     vocab = np.array(VOCAB)
     lens = rng.integers(10, 101, n_doc)
+    total = int(lens.sum())
+    V = int(max(1000, min(4_000_000, total // 10)))
+    cdf = np.cumsum(1.0 / np.arange(1, V + 1, dtype="float64"))
+    cdf /= cdf[-1]
+    ranks = np.searchsorted(cdf, rng.random(total), side="left") + 1
+    tok_pool = np.where(
+        ranks <= 31,
+        vocab[np.minimum(ranks, 31) - 1],
+        np.char.add("w", ranks.astype("U7")),
+    )
+    swap_ranks = np.searchsorted(cdf, rng.random(n_doc * 3), side="left") + 1
+    swap_pool = np.where(
+        swap_ranks <= 31,
+        vocab[np.minimum(swap_ranks, 31) - 1],
+        np.char.add("w", swap_ranks.astype("U7")),
+    )
     texts: list[str] = []
+    pool_at = swap_at = 0
     for i in range(n_doc):
         r = rng.random()
         if i > 10 and r < 0.002:
@@ -172,10 +204,12 @@ def main() -> int:
         if i > 10 and r < 0.022:
             base = texts[int(rng.integers(0, i))].split()
             for _ in range(int(rng.integers(1, 4))):
-                base[int(rng.integers(0, len(base)))] = vocab[int(rng.integers(0, 31))]
+                base[int(rng.integers(0, len(base)))] = swap_pool[swap_at]
+                swap_at += 1
             texts.append(" ".join(base))
             continue
-        texts.append(" ".join(vocab[rng.integers(0, 31, lens[i])]))
+        texts.append(" ".join(tok_pool[pool_at:pool_at + lens[i]]))
+        pool_at += int(lens[i])
     write(outdir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
