@@ -601,6 +601,72 @@ def train_ivf_centroids_scaled(
     return cents
 
 
+def _probe_cells_scaled(
+    qbase: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    svec_col: str = "__sv",
+    keep: tuple[str, ...] = ("qid", "qv"),
+) -> DataFrame:
+    """``nprobe`` nearest scaled-integer cells per query, shared by
+    `ivf_topk_scaled` and `ivfpq_topk`: the literal K-fold + posexplode
+    rank for K <= IVF_LITERAL_MAX_K, a STABLE Arrow-batched numpy
+    argsort above it — exact same int64 arithmetic on both paths,
+    exact-distance ties keep ascending cell. ``keep`` columns (must
+    include ``qid``) are carried through; output is keep + (cell,)."""
+    keep = list(keep)
+    if len(centroids) <= IVF_LITERAL_MAX_K:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(svec_col),
+                        F.array(*[F.lit(int(x)).cast("long") for x in cen]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for cen in centroids
+            ]
+        )
+        return (
+            qbase.select(*keep, F.posexplode(dists).alias("cell", "d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")),
+            )
+            .filter(F.col("rn") <= nprobe)
+            .select(*keep, "cell")
+        )
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = np.asarray(centroids, dtype=np.int64)
+    n_take = min(nprobe, len(centroids))
+    cols = keep + ([svec_col] if svec_col not in keep else [])
+    qsel = qbase.select(*cols)
+    schema = StructType(
+        [*[qsel.schema[c] for c in keep], StructField("cell", IntegerType())]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[svec_col]])
+            diff = vecs[:, None, :] - cent[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            # stable argsort: exact-distance ties keep ascending cell
+            nearest = np.argsort(d2, axis=1, kind="stable")[:, :n_take]
+            out = pdf[keep].loc[pdf.index.repeat(n_take)].reset_index(drop=True)
+            out["cell"] = nearest.reshape(-1).astype("int32")
+            yield out
+
+    return qsel.mapInPandas(probe, schema=schema)
+
+
 def ivf_topk_scaled(
     corpus: DataFrame,
     queries: DataFrame,
@@ -631,57 +697,7 @@ def ivf_topk_scaled(
     qbase = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).withColumn("__sv", sv(F.col("qv")))
-    if len(centroids) <= IVF_LITERAL_MAX_K:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__sv"),
-                        F.array(*[F.lit(int(x)).cast("long") for x in cen]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                for cen in centroids
-            ]
-        )
-        q = (
-            qbase.select("qid", "qv", F.posexplode(dists).alias("cell", "d2"))
-            .withColumn(
-                "rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell"))
-            )
-            .filter(F.col("rn") <= nprobe)
-            .select("qid", "qv", "cell")
-        )
-    else:
-        import numpy as np
-
-        from pyspark.sql.types import IntegerType, StructField, StructType
-
-        cent = np.asarray(centroids, dtype=np.int64)
-        n_take = min(nprobe, len(centroids))
-        qsel = qbase.select("qid", "qv", "__sv")
-        schema = StructType(
-            [*qsel.drop("__sv").schema.fields, StructField("cell", IntegerType())]
-        )
-
-        def probe(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vecs = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__sv"]])
-                diff = vecs[:, None, :] - cent[None, :, :]
-                d2 = (diff * diff).sum(axis=2)
-                # stable argsort: exact-distance ties keep ascending cell
-                nearest = np.argsort(d2, axis=1, kind="stable")[:, :n_take]
-                out = pdf.drop(columns=["__sv"]).loc[
-                    pdf.index.repeat(n_take)
-                ].reset_index(drop=True)
-                out["cell"] = nearest.reshape(-1).astype("int32")
-                yield out
-
-        q = qsel.mapInPandas(probe, schema=schema)
+    q = _probe_cells_scaled(qbase, centroids, nprobe, "__sv", keep=("qid", "qv"))
     scored = c.join(F.broadcast(q), "cell").select(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
@@ -1113,12 +1129,13 @@ def ivfpq_topk(
     partition-pruning note applies unchanged) — a probe then reads
     nprobe/|cells| of a codes table that is itself ~64× smaller than
     the vectors. Ties: probe selection and ADC ranks both break to the
-    lowest index / id. Output: (query_id, vec_id, adc, rank)."""
-    if len(coarse) > IVF_LITERAL_MAX_K:
-        raise ValueError(
-            f"ivfpq_topk literal probe path supports <= {IVF_LITERAL_MAX_K}"
-            " coarse cells; train fewer or extend with the pandas probe"
-        )
+    lowest index / id. Output: (query_id, vec_id, adc, rank).
+
+    Past IVF_LITERAL_MAX_K coarse cells, corpus assignment
+    (`_assign_cells_scaled`) and query probe selection
+    (`_probe_cells_scaled`) both switch to the exact-int64 Arrow/numpy
+    paths — same arithmetic, same ties — so a production-sized coarse
+    codebook (hundreds to thousands of cells) works unchanged."""
     n_sub = len(books)
     dsub = len(books[0][0])
     full_dim = len(coarse[0])
@@ -1137,31 +1154,7 @@ def ivfpq_topk(
         F.col(query_id_col).alias("qid"),
         scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__qv"),
     )
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.array(*[F.lit(int(x)).cast("long") for x in cen]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for cen in coarse
-        ]
-    )
-    from pyspark.sql.window import Window
-
-    q = (
-        qbase.select("qid", "__qv", F.posexplode(dists).alias("cell", "d2"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("qid").orderBy("d2", "cell")),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "__qv", "cell")
-    )
+    q = _probe_cells_scaled(qbase, coarse, nprobe, "__qv", keep=("qid", "__qv"))
     joined = codes.join(F.broadcast(q), "cell")
     adc = None
     for m, book in enumerate(books):

@@ -522,13 +522,24 @@ class TestProductQuantization:
         assert pruned and set(pruned) <= set(full)
         assert all(full[p] == a for p, a in pruned.items())
 
-    def test_ivfpq_rejects_oversized_coarse_codebook(self, spark):
-        import pytest
-
-        from notion_spark.pipeline.similarity import IVF_LITERAL_MAX_K, ivfpq_topk
+    def test_ivfpq_large_k_pandas_probe_matches_literal(self, spark, monkeypatch):
+        """Past IVF_LITERAL_MAX_K coarse cells, ivfpq_topk must route
+        probe selection through the exact-int64 numpy path and return
+        the identical result (same arithmetic, same ties) — the r6
+        version raised here."""
+        from notion_spark.pipeline import similarity as S2
+        from notion_spark.pipeline.similarity import (
+            ivfpq_topk,
+            train_ivf_centroids_scaled,
+            train_pq_codebooks,
+        )
 
         df, _ = self._clustered(spark)
-        fake = [[0] * 8] * (IVF_LITERAL_MAX_K + 1)
-        q = df.filter("vec_id < 1").selectExpr("vec_id AS query_id", "embedding")
-        with pytest.raises(ValueError, match="coarse"):
-            ivfpq_topk(df, q, fake, [[[0] * 4] * 4] * 2)
+        coarse = train_ivf_centroids_scaled(df, n_centroids=4, iterations=2)
+        books = train_pq_codebooks(df, n_subspaces=2, n_centroids=4,
+                                   iterations=2, dim=8)
+        q = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+        lit = sorted(map(tuple, ivfpq_topk(df, q, coarse, books, k=5, nprobe=2).collect()))
+        monkeypatch.setattr(S2, "IVF_LITERAL_MAX_K", 0)  # force numpy probe + assign
+        pan = sorted(map(tuple, ivfpq_topk(df, q, coarse, books, k=5, nprobe=2).collect()))
+        assert lit == pan and len(lit) > 0
