@@ -6286,6 +6286,72 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_temperature_take",
+    """
+    WITH counts AS (
+        SELECT source AS "group", COUNT(*) AS cnt FROM documents GROUP BY 1
+    ),
+    wts AS (
+        SELECT "group", cnt,
+               CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT SUM(CAST(w AS HUGEINT)) AS grand FROM wts),
+    scored AS (
+        SELECT "group", cnt, w,
+               (1234 * CAST(w AS HUGEINT)) // grand AS base,
+               (1234 * CAST(w AS HUGEINT)) % grand AS rem
+        FROM wts, tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rn,
+               SUM(base) OVER () AS base_sum
+        FROM scored
+    ),
+    quotas AS (
+        SELECT "group",
+               base + CASE WHEN rn <= 1234 - base_sum THEN 1 ELSE 0 END AS quota
+        FROM ranked
+    ),
+    taken AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY d.doc_id ASC) AS rk,
+               q.quota
+        FROM documents d JOIN quotas q ON d.source = q."group"
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_taken,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM taken WHERE rk <= quota
+    GROUP BY source
+    """,
+)
+def curation_temperature_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix stage of the r7 curate_corpus preset end to end
+    (pipeline/curation.temperature_mix_quotas + take_group_quotas):
+    apportion 1234 rows across sources by cnt^0.5 Hamilton, then
+    materialize each quota as the quota lowest doc_ids. The oracle
+    re-derives the apportionment AND the per-group rank take; output
+    summarized per source (n_taken, id range) so the row count stays
+    |sources|-bounded while still pinning exactly WHICH ids were
+    taken."""
+    from notion_spark.pipeline.curation import (
+        take_group_quotas,
+        temperature_mix_quotas,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    quotas = temperature_mix_quotas(d, "source", budget=1234, alpha=0.5)
+    taken = take_group_quotas(d, quotas, "source", "doc_id")
+    return taken.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_taken"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+@register(
     "curation_class_weights",
     """
     WITH counts AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY 1),

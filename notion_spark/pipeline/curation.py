@@ -679,6 +679,36 @@ def temperature_mix_quotas(
     )
 
 
+def take_group_quotas(
+    df: DataFrame,
+    quotas: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a quota table (`largest_remainder_quotas` /
+    `temperature_mix_quotas` output: (group, ..., quota)) into actual
+    rows: per group, the ``quota`` lowest-``id_col`` rows — the
+    deterministic take that turns an apportionment into a corpus (the
+    mix stage of `corpus.curate_corpus`). A group absent from the
+    quota table contributes nothing; a quota larger than the group
+    keeps the whole group.
+
+    Scale shape: the quota side is |groups|-row and broadcast; the rank
+    is ONE window per group key (the per-group shuffle any
+    order-respecting quota take needs — the order is the contract, id
+    ascending, so reruns and engines agree). No global sort."""
+    q = F.broadcast(
+        quotas.select(F.col("group").alias("__g"), F.col("quota").alias("__q"))
+    )
+    joined = df.join(q, F.col(group_col) == F.col("__g"))
+    w = Window.partitionBy("__g").orderBy(F.asc(id_col))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__q"))
+        .drop("__g", "__q", "__rk")
+    )
+
+
 def select_token_budget(
     df: DataFrame,
     score_col: str,
