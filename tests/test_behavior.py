@@ -519,3 +519,31 @@ class TestDecayedCounts:
         df = spark.createDataFrame([("a", "2026-01-01")], "k string, ts string")
         with pytest.raises(ValueError):
             decayed_counts(df, "k", "ts", "2026-01-02", period_seconds=0)
+
+
+def test_levenshtein_length_bands_equal_unbanded(spark):
+    """r7 banded join: same-band + adjacent-band passes must reproduce
+    the unbanded result EXACTLY — including boundary pairs whose length
+    gap equals the bound (bands differ by exactly 1) and cross-band
+    pairs where the lower id sits in the higher band (id normalization
+    in the adjacent pass)."""
+    rows = []
+    # lengths spread across many bands of width 3 (max_distance=3);
+    # ids deliberately anti-correlated with length for half the docs
+    for i in range(40):
+        ln = 2 + (i * 7) % 23
+        rows.append((i if i % 2 == 0 else 1000 - i, "a" * ln, f"s{i % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    banded = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(
+            df, block_key=F.col("src"), max_distance=3
+        ).collect()
+    }
+    plain = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(
+            df, block_key=F.col("src"), max_distance=3, length_bands=False
+        ).collect()
+    }
+    assert banded == plain and len(banded) > 0
