@@ -6107,6 +6107,40 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bpe_merge_candidates(vocab, k=30)
 
 
+def _bpe_encode_oracle() -> str:
+    from notion_spark.pipeline.text_analysis import DEFAULT_BPE_MERGES
+
+    seg = "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')"
+    for a, b in DEFAULT_BPE_MERGES:
+        seg = f"replace({seg}, ' {a} {b} ', ' {a}{b} ')"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS (SELECT doc_id, {seg} AS s FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_subwords
+    FROM seg GROUP BY 1
+    """
+
+
+@register("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of BPE (pipeline/text_analysis.bpe_encode_stats)
+    — run a priority-ordered merge table (8 rules incl. second-order
+    chains) over every token and count the resulting subword units per
+    document, the tokenizer-cost statistic budget/packing stages
+    consume. The encoder is |merges| literal engine-native replace
+    passes over the spaced-character form — identical left-to-right
+    non-overlapping scan semantics on both engines, so the oracle
+    replays the exact same replace chain and the counts hash-match."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.bpe_encode_stats(d)
+
+
 @register(
     "text_cooccurrence",
     """
@@ -6349,6 +6383,51 @@ def curation_temperature_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
     )
+
+
+@register(
+    "curation_importance_score",
+    r"""
+    WITH raw AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM (SELECT doc_id, lang,
+                     unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    tp AS (SELECT bucket, COUNT(*) AS c FROM raw WHERE lang = 'en' GROUP BY 1),
+    tt AS (SELECT SUM(CAST(c AS HUGEINT)) AS t FROM tp),
+    tprof AS (SELECT bucket,
+                     CAST((CAST(c AS HUGEINT) * 2000000 + t) // (2 * t) AS BIGINT) AS m
+              FROM tp, tt),
+    rp AS (SELECT bucket, COUNT(*) AS c FROM raw GROUP BY 1),
+    rt AS (SELECT SUM(CAST(c AS HUGEINT)) AS t FROM rp),
+    rprof AS (SELECT bucket,
+                     CAST((CAST(c AS HUGEINT) * 2000000 + t) // (2 * t) AS BIGINT) AS m
+              FROM rp, rt),
+    w AS (SELECT COALESCE(tprof.bucket, rprof.bucket) AS bucket,
+                 COALESCE(tprof.m, 0) - COALESCE(rprof.m, 0) AS wt
+          FROM tprof FULL OUTER JOIN rprof ON tprof.bucket = rprof.bucket),
+    feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM raw GROUP BY 1, 2)
+    SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.cnt * w.wt) AS BIGINT) AS importance
+    FROM feats f JOIN w USING (bucket) GROUP BY 1
+    """,
+)
+def curation_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored hashed importance scoring
+    (pipeline/curation.importance_scores): target profile = the 'en'
+    slice of the corpus, raw profile = the whole corpus, both as
+    512-bucket hashed-token micro-frequencies; per-doc importance =
+    Σ cnt·(target − raw). All-integer linear-space variant of Xie et
+    al. 2023 (documented deviation: no float log), so the full
+    profile→weights→score flow hash-checks. Two bounded profile
+    passes + one broadcast-join score pass — nothing corpus×corpus."""
+    from notion_spark.pipeline.curation import importance_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return importance_scores(d, d.filter(F.col("lang") == "en"))
 
 
 @register(

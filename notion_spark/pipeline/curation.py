@@ -679,6 +679,85 @@ def temperature_mix_quotas(
     )
 
 
+def importance_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """DSIR-flavored hashed importance scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    hashed-n-gram importance estimator, in LINEAR space): build the
+    target corpus's hashed-token frequency profile and the raw corpus's
+    own profile, both in exact half-up micro-units; a document's
+    importance is Σ_tokens (target_micro[bucket] − raw_micro[bucket]).
+    Documents whose token distribution leans toward the target relative
+    to the base rate score positive — the "pick web text that looks
+    like Wikipedia" selection signal, rankable or thresholdable.
+
+    Deliberate deviation, documented: canonical DSIR scores log
+    p_target/p_raw; the linear difference keeps every quantity an exact
+    integer (micro-frequencies and counts — no float log), so the whole
+    pass is engine-exact and hash-checked (parity
+    curation_importance_score). The ranking intent — up-weight
+    target-typical tokens, down-weight corpus-typical ones — survives
+    the linearization; absolute magnitudes are not log-likelihoods.
+
+    Output: (id_col, n_tokens, importance) — importance BIGINT
+    (|importance| ≤ n_tokens·10⁶, int64-safe for any real document).
+
+    Scale shape: two token passes (target + corpus) each collapsing
+    map-side to ≤ ``n_buckets`` rows; the weight table (≤ n_buckets
+    rows) broadcasts; the per-doc score is one map-side-combined sum
+    keyed on the doc id. Nothing is corpus×corpus; the target corpus is
+    scanned once regardless of its size."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+    from notion_spark.pipeline.text_analysis import md5_hash60, ws_tokens
+
+    def profile(df: DataFrame, out: str) -> DataFrame:
+        toks = df.filter(F.col(text_col).isNotNull()).select(
+            F.explode(ws_tokens(F.col(text_col))).alias("__tok")
+        )
+        pb = toks.groupBy(
+            F.pmod(md5_hash60(F.col("__tok")), F.lit(n_buckets)).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        tot = pb.agg(F.sum("__cnt").alias("__tot")).select(
+            "__tot", F.lit(1).alias("__one")
+        )
+        return (
+            pb.select("*", F.lit(1).alias("__one"))
+            .join(F.broadcast(tot), "__one")
+            .select("bucket", halfup_micro_div_cols("__cnt", "__tot").alias(out))
+        )
+
+    tp = profile(target, "__t")
+    rp = profile(corpus, "__r")
+    weights = (
+        tp.join(rp, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("__t"), F.lit(0)) - F.coalesce(F.col("__r"), F.lit(0))
+            ).alias("__w"),
+        )
+    )
+    toks = corpus.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__tok")
+    )
+    feats = toks.groupBy(
+        id_col, F.pmod(md5_hash60(F.col("__tok")), F.lit(n_buckets)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("__cnt") * F.col("__w")).cast("long").alias("importance"),
+        )
+    )
+
+
 def take_group_quotas(
     df: DataFrame,
     quotas: DataFrame,

@@ -515,6 +515,71 @@ def bpe_merge_candidates(
     )
 
 
+# Deterministic default merge table for `bpe_encode_stats`: hand-ranked
+# over common English digraphs that also appear across the test corpus's
+# head vocabulary, INCLUDING second-order merges (("ar","k") needs
+# ("a","r") first; ("in","e") needs ("i","n")) so the priority-order
+# semantics are actually exercised.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("a", "r"),
+    ("e", "r"),
+    ("i", "n"),
+    ("ar", "k"),
+    ("s", "h"),
+    ("in", "e"),
+    ("s", "c"),
+    ("t", "a"),
+)
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY half of byte-pair encoding (Sennrich et al. 2016) —
+    `bpe_merge_candidates` learns the merge table, this runs it over
+    the corpus: each whitespace token splits to characters, then every
+    merge rule (in priority order) collapses its pair greedily left to
+    right; the per-doc subword count is the tokenizer-cost statistic
+    ("how many BPE units does this doc cost") that budget/packing
+    stages consume. Output: (id_col, n_tokens, n_subwords).
+
+    Exact semantics, documented: each rule runs as ONE left-to-right
+    non-overlapping replace pass over the spaced-character form
+    (`' a b '` → `' ab '`). Adjacent occurrences that share a boundary
+    space collapse first-occurrence-only per pass (rule (a,r) on
+    "arar" yields [ar, a, r], where exhaustive BPE gives [ar, ar]) —
+    the trade that keeps the whole encoder inside engine-native
+    `replace` with IDENTICAL scan semantics on Spark and DuckDB, hence
+    hash-checkable (parity text_bpe_encode). Rules chain across
+    priorities exactly ("a"+"r" → "ar", then "ar"+"k" → "ark").
+
+    Scale shape: one explode (linear in corpus tokens), a per-row
+    codegen'd string pipeline (regexp char-spacing + |merges| literal
+    replaces — no UDF, no join), one map-side-combined doc-keyed
+    aggregate. The merge table is a literal in the plan, the 100 TB
+    analogue of broadcasting a tokenizer."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    seg = F.concat(F.lit(" "), F.regexp_replace(F.col("tok"), "(.)", "$1 "))
+    for a, b in merges:
+        seg = F.replace(seg, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    nsub = F.size(F.split(F.trim(seg), " "))
+    return (
+        toks.withColumn("__nsub", nsub)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__nsub").cast("long").alias("n_subwords"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_subwords")
+    )
+
+
 def token_run_stats(
     df: DataFrame,
     text_col: str = "text",

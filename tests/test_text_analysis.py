@@ -267,3 +267,27 @@ class TestTokenRunStats:
         # both stacked windows share the doc-keyed sort; no extra
         # (id, tok)-keyed exchange sneaks in
         assert plan.count("Window") <= 2
+
+
+def test_bpe_encode_stats_chained_merges_and_single_pass(spark):
+    """Merge rules apply in priority order and chain across priorities
+    ("a"+"r" then "ar"+"k" turns spark into [sp? no — s p ark]); the
+    documented single-pass boundary case: "arar" under rule (a,r)
+    yields 3 units, not exhaustive-BPE's 2."""
+    from notion_spark.pipeline.text_analysis import bpe_encode_stats
+
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "arar"), (3, "shine"), (4, "a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_subwords) for r in bpe_encode_stats(df).collect()}
+    # spark: s p a r k -> (a,r) -> s p ar k -> (ar,k) -> s p ark = 3
+    assert got[1] == (1, 3)
+    # arar: a r a r -> first ' a r ' merges, shared boundary blocks the
+    # second in the same pass -> ar a r = 3
+    assert got[2] == (1, 3)
+    # shine: s h i n e -> (i,n) -> s h in e -> (s,h) -> sh in e
+    #        -> (in,e) -> sh ine = 2
+    assert got[3] == (1, 2)
+    # single char: no merge applies
+    assert got[4] == (1, 1)
