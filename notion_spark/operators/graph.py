@@ -80,3 +80,65 @@ def pagerank_scaled(
         if (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=False)
     return scores
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, label) communities by DETERMINISTIC synchronous label
+    propagation (Raghavan et al. 2007's LPA, made engine-exact): every
+    node starts labelled with its own id; each round, every node
+    simultaneously adopts the most frequent label among its neighbors
+    (the edge set is symmetrized and deduplicated first), frequency
+    ties breaking to the SMALLEST label. Canonical LPA randomizes visit
+    order and tie-breaks — fine for exploration, useless for a
+    hash-checked pipeline; the synchronous + smallest-label variant is
+    a pure integer function of the edge set, bit-identical on any
+    engine/partitioning (same reformulation move as `pagerank_scaled`,
+    and the oracle unrolls the identical rounds in SQL —
+    graph_label_propagation). Fixed ``iterations`` keeps determinism:
+    synchronous LPA can oscillate on bipartite structures, and a
+    run-to-convergence loop would make the output depend on detecting
+    that oscillation; k rounds is the contract.
+
+    A node keeps its current label when no neighbor beats it only via
+    the count itself (its own label is not a vote); isolated nodes
+    cannot occur (the node set is derived from the edges).
+
+    Scale shape: per round, ONE edge⋈labels equi-join (shuffle keyed on
+    the neighbor id, linear in |E|), one map-side-combined
+    (node, label) count, and a per-node top-1 window over that node's
+    distinct neighbor labels (frame bounded by degree). Lineage is cut
+    with localCheckpoint every ``checkpoint_every`` rounds, same as
+    `pagerank_scaled`."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for i in range(iterations):
+        nb = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -4790,6 +4790,72 @@ def graph_pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, iterations=3)
 
 
+def _label_propagation_oracle(iters: int = 3) -> str:
+    parts = [
+        """
+    capped AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM (SELECT user_id, props,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn <= 50
+    ),
+    its AS (SELECT DISTINCT user_id, item FROM capped),
+    prs AS (
+        SELECT a.item AS s, b.item AS d
+        FROM its a JOIN its b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (SELECT s AS src, d AS dst FROM prs
+            UNION SELECT d, s FROM prs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    n{i} AS (SELECT u.src AS node, l.label, COUNT(*) AS c
+             FROM und u JOIN l{i - 1} l ON u.dst = l.node
+             GROUP BY 1, 2),
+    l{i} AS (SELECT node, label FROM (
+                 SELECT node, label,
+                        row_number() OVER (PARTITION BY node
+                                           ORDER BY c DESC, label ASC) AS rn
+                 FROM n{i})
+             WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\n    SELECT CAST(node AS INT) AS node, CAST(label AS INT) AS label"
+        f" FROM l{iters}"
+    )
+
+
+@register("graph_label_propagation", _label_propagation_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of DETERMINISTIC synchronous label propagation
+    (operators/graph.label_propagation — Raghavan et al. 2007 LPA with
+    smallest-label tie-break instead of randomized order) over the item
+    co-visitation graph (operators/behavior.covisitation_counts, the
+    per-user-capped pair stream): item communities from co-engagement,
+    the clustering signal recommender and topic-bucketing pipelines
+    feed on. Pure integer function of the edge set; the oracle rebuilds
+    the capped covisitation graph AND unrolls the identical rounds."""
+    from notion_spark.operators.behavior import covisitation_counts
+    from notion_spark.operators.graph import label_propagation
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    pairs = covisitation_counts(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+    return label_propagation(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        iterations=3,
+    )
+
+
 def _zorder_oracle() -> str:
     from notion_spark.pipeline.layout import zorder_sql
 

@@ -49,3 +49,33 @@ def test_pagerank_ranking_and_determinism(spark):
     assert s1["a"] == max(s1.values())
     base = min(s1.values())
     assert s1["d"] == base
+
+
+def test_label_propagation_finds_two_cliques(spark):
+    from notion_spark.operators.graph import label_propagation
+
+    # two triangles joined by one weak bridge: 0-1-2 and 10-11-12
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    # within each triangle every node converges to the same label, and
+    # the two triangles keep distinct labels (bridge not strong enough)
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11] == got[12]
+    assert got[0] != got[10]
+    # partitioning-independent: deterministic synchronous rounds
+    got2 = {
+        r.node: r.label
+        for r in label_propagation(df.repartition(5), iterations=3).collect()
+    }
+    assert got == got2
+
+
+def test_label_propagation_smallest_label_tiebreak(spark):
+    from notion_spark.operators.graph import label_propagation
+
+    # node 5's neighbors 1 and 9 each contribute one vote -> tie ->
+    # smallest label wins after round 1
+    df = spark.createDataFrame([(1, 5), (9, 5)], "src int, dst int")
+    got = {r.node: r.label for r in label_propagation(df, iterations=1).collect()}
+    assert got[5] == 1
