@@ -4077,6 +4077,36 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_qgram",
+    """
+    WITH d AS (
+        SELECT doc_id, text
+        FROM documents WHERE text IS NOT NULL AND doc_id < 500
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS distance
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 20
+    WHERE levenshtein(a.text, b.text) <= 20
+    """,
+)
+def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-FREE exact edit-distance pairs via Ed-Join q-gram
+    prefix filtering (pipeline/dedup.levenshtein_pairs_qgram, Xiao et
+    al. VLDB 2008): candidates from an inverted index over each doc's
+    rare-first prefix q-grams plus the exhaustively-paired
+    low-diversity pool — no blocking key at all, the capability the
+    source-blocked sibling lacks. The oracle is the full brute-force
+    quadratic join (what the filter exists to avoid), so every
+    candidate the filter keeps AND every pair it may not drop are both
+    verified. Fixed doc_id slice keeps the oracle's O(n²) honest-check
+    bounded at every sf."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return DD.levenshtein_pairs_qgram(d, max_distance=20, q=3)
+
+
+@register(
     "dedup_incremental_cross",
     r"""
     WITH docs AS (

@@ -547,3 +547,50 @@ def test_levenshtein_length_bands_equal_unbanded(spark):
         ).collect()
     }
     assert banded == plain and len(banded) > 0
+
+
+def test_levenshtein_qgram_equals_bruteforce(spark):
+    """Blocking-free Ed-Join prefix filter must reproduce the brute
+    force exactly — including the adversarial low-diversity cases a
+    naive distinct-gram prefix filter misses: repetitive strings whose
+    distinct q-gram count is below q*d ("aaaa" vs "aaba" share ZERO
+    distinct 3-grams at distance 1), strings shorter than q, and
+    ordinary near-dup text."""
+    rows = [
+        (1, "aaaaaaaaaa"),          # repetitive: 1 distinct 3-gram
+        (2, "aaaabaaaaa"),          # ed 1 from #1, disjoint gram types
+        (3, "ab"),                  # shorter than q
+        (4, "ba"),                  # ed 2 from #3
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "the quick brown fox jumps over the hazy dog"),   # ed 2 from #5
+        (7, "completely different sentence about spark plans"),
+        (8, "zzzz"),                # short-ish, far from everything
+        (9, "abababababab"),        # low diversity, 2 distinct grams
+        (10, "babababababa"),       # ed 2 from #9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs_qgram(df, max_distance=3, q=3).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(
+            df, block_key=F.lit(1), max_distance=3, length_bands=False
+        ).collect()
+    }
+    assert got == brute
+    assert (1, 2) in got and (5, 6) in got and (9, 10) in got and (3, 4) in got
+
+
+def test_levenshtein_qgram_hot_bucket_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of shared boilerplate text "
+             "padding the length far enough to leave the low-diversity pool")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="prefix gram bucket"):
+        D.levenshtein_pairs_qgram(df, max_distance=3, q=3, max_gram_bucket=2).collect()
