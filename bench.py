@@ -134,6 +134,12 @@ BENCH_QUERIES = [
     # training inside the timed row)
     "sim_ann_pq_probe",
     "sim_ann_ivfpq_probe",
+    # r7 operator families, benched from birth
+    "dedup_levenshtein_qgram",
+    "graph_label_propagation",
+    "curation_importance_score",
+    "text_bpe_encode",
+    "curation_temperature_take",
 ]
 
 

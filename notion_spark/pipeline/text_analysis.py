@@ -686,14 +686,83 @@ def cooccurrence_counts(
         )
         .select("id", (F.col("p0") + 1).alias("pos"), "tok")
     )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
     if min_count is not None and min_count > 1:
-        kept = (
+        # r7 restructure (measured at sf1: the r6 shape recomputed the
+        # count pass once PER JOIN SIDE — Catalyst sees two independent
+        # broadcast subtrees — and still paired on strings):
+        #   1. ONE count pass builds the kept vocab; localCheckpoint
+        #      cuts the lineage so both pair-join sides reuse the same
+        #      materialized dictionary instead of re-counting the
+        #      corpus.
+        #   2. The count pass DOUBLES AS A DICTIONARY ENCODE: each kept
+        #      token gets a dense integer id (rank by cnt desc, tok asc
+        #      — deterministic), the positional stream carries ids, and
+        #      the heavy pair join + groupBy shuffle (long, long) keys
+        #      instead of (string, string). Ids map back to strings on
+        #      the vocab²-bounded AGGREGATED stream, and pairs are
+        #      re-canonicalized with least/greatest on the strings so
+        #      output identity, ordering, and ties exactly match the
+        #      unpruned contract (and the unchanged oracle).
+        # The kept vocab is provably <= n_tokens/min_count rows; the
+        # in-plan guard enforces the rank window's bound explicitly.
+        from notion_spark.functions.exactmath import guarded
+
+        max_vocab = 2_000_000
+        counts = (
             toks.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") >= min_count)
-            .select("tok")
         )
-        toks = toks.join(kept, "tok")
+        whole = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        guard = guarded(
+            F.count(F.lit(1)).over(whole) > F.lit(max_vocab),
+            f"cooccurrence_counts: kept vocabulary exceeds {max_vocab} types —"
+            " raise min_count (the dictionary rank window is bounded by"
+            " n_tokens/min_count)",
+        )
+        vw = Window.orderBy(F.desc("__cnt"), F.asc("tok"))
+        vocab = counts.select(
+            "tok", guard(F.row_number().over(vw), "long").alias("tid")
+        ).localCheckpoint(eager=False)
+        enc = toks.join(F.broadcast(vocab), "tok").select("id", "pos", "tid")
+        left = enc.select(
+            "id",
+            "tid",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + window)).alias(
+                "pos2"
+            ),
+        )
+        right = enc.select(
+            "id", F.col("pos").alias("pos2"), F.col("tid").alias("tid2")
+        )
+        agg = (
+            left.join(right, ["id", "pos2"])
+            .select(
+                F.least("tid", "tid2").alias("ta"),
+                F.greatest("tid", "tid2").alias("tb"),
+            )
+            .groupBy("ta", "tb")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        va = vocab.select(F.col("tid").alias("ta"), F.col("tok").alias("__sa"))
+        vb = vocab.select(F.col("tid").alias("tb"), F.col("tok").alias("__sb"))
+        mapped = (
+            agg.join(F.broadcast(va), "ta")
+            .join(F.broadcast(vb), "tb")
+            .select(
+                F.least("__sa", "__sb").alias("tok_a"),
+                F.greatest("__sa", "__sb").alias("tok_b"),
+                "cnt",
+            )
+        )
+        return (
+            mapped.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
     left = toks.select(
         "id",
         "tok",
@@ -711,7 +780,6 @@ def cooccurrence_counts(
     agg = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
     return (
         agg.orderBy(F.desc("cnt"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(k)
