@@ -142,3 +142,138 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree, triangles, clustering_micro): exact per-node
+    triangle counts and local clustering coefficient over the
+    undirected simple graph induced by ``edges`` (self-loops dropped,
+    parallel/reversed edges collapsed).
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009's MapReduce
+    triangle counting; the node-iterator bound of Schank & Wagner
+    2005). Every canonical edge is oriented from its lower endpoint to
+    its higher endpoint under the total order (degree, node-id); each
+    triangle x<y<z in that order then appears EXACTLY once, as the
+    wedge (y,z) pivoting at x closed by the oriented edge y→z. The
+    orientation caps every out-degree at O(√|E|), so the wedge
+    self-join — the only super-linear term — does Σ outdeg² ≤ O(|E|^1.5)
+    work, the optimal bound for exact triangle enumeration; without it
+    a single hub of degree d contributes C(d,2) wedges.
+
+    Clustering coefficient = 2·triangles / (deg·(deg−1)) in half-up
+    micro-units (exact integer arithmetic end to end — the same
+    engine-neutral encoding as `pagerank_scaled`'s fixed-point scores);
+    degree-1 nodes report 0.
+
+    Scale shape: one groupBy for degrees, two node-keyed joins to
+    attach them, one node-keyed wedge self-join, one pair-keyed closing
+    equi-join, one explode(3)+groupBy for per-corner counts — every
+    shuffle keyed, nothing quadratic in the node universe, no driver
+    materialization. Skewed hubs are exactly what the degree ordering
+    neutralizes (a hub receives wedges instead of emitting C(d,2) of
+    them)."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    canon = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    withd = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    # orient toward the (degree, id)-larger endpoint; a<b breaks deg ties
+    fwd = F.col("da") <= F.col("db")
+    oriented = withd.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            halfup_micro_div_cols(
+                "(2 * coalesce(triangles, 0))", "(deg * (deg - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_micro"),
+    )
+    return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, degree) for nodes surviving ``iterations`` rounds of
+    k-core peeling (Seidman 1983 coreness, the Batagelj–Zaveršnik
+    peel made engine-exact): each round simultaneously deletes every
+    node whose degree in the CURRENT subgraph is < k, then recomputes
+    degrees. Peeling is monotone, so a fixed round count is an exact
+    upper approximation that converges to the true k-core from above —
+    and fixed ``iterations`` is the determinism contract (the same move
+    as `label_propagation`: a run-to-convergence loop would make the
+    plan depend on a runtime property; k rounds is a pure function of
+    the edge set, and the oracle unrolls the identical rounds in SQL).
+    ``degree`` is the node's degree in the final surviving subgraph.
+
+    Scale shape: per round, one groupBy for degrees and two semi-joins
+    (both edge endpoints against the survivor set) — all keyed on node
+    id, linear in |E|; lineage cut with localCheckpoint every few
+    rounds like the other iterative operators here."""
+    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    und = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    alive = und
+    for i in range(iterations):
+        degs = alive.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = degs.filter(F.col("deg") >= k).select("s")
+        alive = alive.join(keep, "s", "left_semi").join(
+            keep.select(F.col("s").alias("d")), "d", "left_semi"
+        )
+        if (i + 1) % 3 == 0:
+            alive = alive.localCheckpoint(eager=False)
+    return (
+        alive.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("s").alias("node"), "degree")
+    )

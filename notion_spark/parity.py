@@ -7001,6 +7001,134 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COVIS_PAIRS_CTE = """
+    capped AS (
+        SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+        FROM (SELECT user_id, props,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn <= 50
+    ),
+    its AS (SELECT DISTINCT user_id, item FROM capped),
+    prs AS (
+        SELECT a.item AS s, b.item AS d
+        FROM its a JOIN its b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+
+
+def _triangle_oracle() -> str:
+    from notion_spark.functions.exactmath import halfup_micro_div_sql
+
+    cc = halfup_micro_div_sql(
+        "2 * COALESCE(pn.triangles, 0)", "dg.deg * (dg.deg - 1)"
+    )
+    return f"""
+    WITH {_COVIS_PAIRS_CTE},
+    canon AS (SELECT s AS a, d AS b FROM prs),
+    dg AS (SELECT node, COUNT(*) AS deg
+           FROM (SELECT a AS node FROM canon
+                 UNION ALL SELECT b FROM canon)
+           GROUP BY node),
+    withd AS (SELECT c.a, c.b, da.deg AS da, db.deg AS db
+              FROM canon c JOIN dg da ON c.a = da.node
+                           JOIN dg db ON c.b = db.node),
+    oriented AS (SELECT CASE WHEN da <= db THEN a ELSE b END AS u,
+                        CASE WHEN da <= db THEN b ELSE a END AS v,
+                        CASE WHEN da <= db THEN db ELSE da END AS dv
+                 FROM withd),
+    wedges AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+               FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+               WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+    tris AS (SELECT w.u, w.v1, w.v2
+             FROM wedges w JOIN oriented o ON w.v1 = o.u AND w.v2 = o.v),
+    pn AS (SELECT node, COUNT(*) AS triangles
+           FROM (SELECT u AS node FROM tris
+                 UNION ALL SELECT v1 FROM tris
+                 UNION ALL SELECT v2 FROM tris)
+           GROUP BY node)
+    SELECT CAST(dg.node AS INT) AS node,
+           CAST(dg.deg AS BIGINT) AS degree,
+           CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN dg.deg >= 2 THEN {cc} ELSE 0 END AS BIGINT)
+               AS clustering_micro
+    FROM dg LEFT JOIN pn ON dg.node = pn.node
+    """
+
+
+@register("graph_triangle_stats", _triangle_oracle())
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_stats — Cohen 2009 degree-ordered
+    orientation, Σ outdeg² ≤ O(|E|^1.5) wedge work) over the item
+    co-visitation graph: the community-density signal that separates
+    genuinely clustered items from hub artifacts PageRank alone can't
+    distinguish. Clustering coefficient in half-up micro-units — pure
+    integer end to end; the oracle rebuilds the same orientation and
+    wedge-close in SQL."""
+    from notion_spark.operators.behavior import covisitation_counts
+    from notion_spark.operators.graph import triangle_stats
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    pairs = covisitation_counts(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+    return triangle_stats(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    parts = [
+        _COVIS_PAIRS_CTE,
+        """
+    a0 AS (SELECT s AS src, d AS dst FROM prs
+           UNION SELECT d, s FROM prs)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""
+    d{i} AS (SELECT src, COUNT(*) AS deg FROM a{i - 1} GROUP BY src),
+    k{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+    a{i} AS (SELECT e.src, e.dst FROM a{i - 1} e
+             JOIN k{i} x ON e.src = x.src
+             JOIN k{i} y ON e.dst = y.src)"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT CAST(src AS INT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM a{iters} GROUP BY src"""
+    )
+
+
+@register("graph_kcore", _kcore_oracle(3, 3))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of 3-core peeling (operators/graph.k_core —
+    Seidman 1983 coreness via synchronous Batagelj–Zaveršnik peel,
+    fixed rounds as the determinism contract) over the co-visitation
+    graph: the dense-engagement backbone, with fringe items shed
+    iteratively. Output is each survivor's degree inside the surviving
+    subgraph; the oracle unrolls the identical peel rounds in SQL."""
+    from notion_spark.operators.behavior import covisitation_counts
+    from notion_spark.operators.graph import k_core
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    pairs = covisitation_counts(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+    return k_core(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        k=3,
+        iterations=3,
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================
