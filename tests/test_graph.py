@@ -79,3 +79,88 @@ def test_label_propagation_smallest_label_tiebreak(spark):
     df = spark.createDataFrame([(1, 5), (9, 5)], "src int, dst int")
     got = {r.node: r.label for r in label_propagation(df, iterations=1).collect()}
     assert got[5] == 1
+
+
+def _ref_triangles(edges):
+    """Brute-force exact reference: adjacency sets, count triangles per
+    node, clustering = half-up micro of 2t/(d(d-1))."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, nb in adj.items():
+        t = sum(1 for x in nb for y in nb if x < y and y in adj.get(x, ()))
+        d = len(nb)
+        cc = (2 * (2 * t) * 10**6 + (d * (d - 1))) // (2 * d * (d - 1)) if d >= 2 else 0
+        out[v] = (d, t, cc)
+    return out
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    from notion_spark.operators.graph import triangle_stats
+
+    # two overlapping triangles + a pendant + a hub, with dupes/reverses
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (4, 5),
+             (2, 1), (5, 4), (6, 1), (6, 2), (6, 3), (6, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering_micro)
+        for r in triangle_stats(df).collect()
+    }
+    assert got == _ref_triangles(edges)
+    # partitioning-independent (pure integer function of the edge set)
+    got2 = {
+        r.node: (r.degree, r.triangles, r.clustering_micro)
+        for r in triangle_stats(df.repartition(7)).collect()
+    }
+    assert got == got2
+
+
+def test_triangle_stats_no_triangles_and_self_loops(spark):
+    from notion_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 2)], "src int, dst int"
+    )
+    got = {r.node: r.triangles for r in triangle_stats(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def _ref_kcore(edges, k, rounds):
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(rounds):
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_kcore_matches_reference_peel(spark):
+    from notion_spark.operators.graph import k_core
+
+    # a 3-clique core with a chain hanging off it
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for k, rounds in [(2, 1), (2, 3), (3, 2)]:
+        got = {r.node: r.degree for r in k_core(df, k=k, iterations=rounds).collect()}
+        assert got == _ref_kcore(edges, k, rounds), (k, rounds)
+
+
+def test_kcore_peels_iteratively_not_once(spark):
+    from notion_spark.operators.graph import k_core
+
+    # chain 1-2-3-4: one round of 2-core removes endpoints only; the
+    # second round must see the UPDATED degrees and remove the rest
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    one = {r.node for r in k_core(df, k=2, iterations=1).collect()}
+    two = {r.node for r in k_core(df, k=2, iterations=2).collect()}
+    assert one == {2, 3}
+    assert two == set()
