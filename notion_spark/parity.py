@@ -7001,6 +7001,49 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_diversity_oracle() -> str:
+    from notion_spark.functions.exactmath import halfup_micro_div_sql
+
+    gini = halfup_micro_div_sql("pd.n * pd.n - pd.sumsq", "pd.n * pd.n")
+    share = halfup_micro_div_sql("pd.maxc", "pd.n")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, t[pos] AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+             UNNEST(range(1, len(t) + 1)) AS u(pos)
+        WHERE t[pos] <> ''
+    ),
+    pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    pd AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS types,
+                  SUM(c * c) AS sumsq, MAX(c) AS maxc
+           FROM pt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.types, 0) AS BIGINT) AS n_types,
+           CAST(CASE WHEN pd.n > 0 THEN {gini} ELSE 0 END AS BIGINT)
+               AS gini_micro,
+           CAST(CASE WHEN pd.n > 0 THEN {share} ELSE 0 END AS BIGINT)
+               AS top_share_micro
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """
+
+
+@register("text_token_diversity", _token_diversity_oracle())
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gini–Simpson unigram diversity + single-token
+    domination share (pipeline/text_analysis.token_diversity): the
+    rational-arithmetic entropy stand-in — (n²−Σc²)/n² in half-up
+    micro-units — that flags keyword-stuffed and template documents the
+    length/stopword quality gates miss. One (doc, token)-keyed shuffle
+    then a doc-keyed agg; pure integer end to end."""
+    from notion_spark.pipeline.text_analysis import token_diversity
+
+    d = read_table(spark, sf_dir, "documents")
+    return token_diversity(d, "text", "doc_id")
+
+
 _COVIS_PAIRS_CTE = """
     capped AS (
         SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item

@@ -848,3 +848,62 @@ def bigram_familiarity(
             " div (CAST(sum(k) AS DECIMAL(38,0)) * 2) AS BIGINT)"
         ).alias("familiarity_micro"),
     )
+
+
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram-distribution diversity: (doc_id, n_tokens,
+    n_types, gini_micro, top_share_micro).
+
+    gini = 1 − Σ(cᵢ/n)² — the Gini–Simpson diversity of the document's
+    token distribution (Simpson 1949), the rational-arithmetic stand-in
+    for Shannon entropy: a transcendental log never hash-matches across
+    engines, but (n² − Σcᵢ²)/n² is a pure integer ratio, rendered in
+    half-up micro-units exactly like `repetition_stats`' fractions.
+    top_share = max cᵢ / n, the single-token domination signal (the
+    unigram twin of repetition_stats' top_bigram_frac). Together these
+    catch keyword-stuffed and template documents that length/stopword
+    quality gates miss.
+
+    Scale shape: one shuffle keyed (doc, token) for per-doc counts —
+    high-cardinality keys, no hot spots — then one doc-keyed agg;
+    Σcᵢ² ≤ n² caps at ~10¹⁰ for a 100k-token document, safely int64.
+    Empty/whitespace-only docs report n=0, types=0, gini 0, share 0."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("tok")
+    )
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_tok.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+        F.max("c").cast("long").alias("maxc"),
+    )
+    base = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.when(
+                F.col("n_tokens") > 0,
+                halfup_micro_div_cols(
+                    "(n_tokens * n_tokens - sumsq)", "(n_tokens * n_tokens)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("gini_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                halfup_micro_div_cols("maxc", "n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_share_micro"),
+        )
+    )

@@ -291,3 +291,44 @@ def test_bpe_encode_stats_chained_merges_and_single_pass(spark):
     assert got[3] == (1, 2)
     # single char: no merge applies
     assert got[4] == (1, 1)
+
+
+def test_token_diversity_exact_fractions(spark):
+    from notion_spark.pipeline.text_analysis import token_diversity
+
+    rows = [
+        ("a", "x x x x"),          # one type: gini 0, share 1
+        ("b", "p q r s"),          # uniform 4: gini 1-4/16=0.75
+        ("c", "w w w z"),          # 1-(9+1)/16 = 0.375, share 3/4
+        ("d", ""),                 # empty
+        ("e", None),               # null
+        ("f", "   "),              # whitespace only
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.gini_micro, r.top_share_micro)
+        for r in token_diversity(df).collect()
+    }
+    assert got == {
+        "a": (4, 1, 0, 1000000),
+        "b": (4, 4, 750000, 250000),
+        "c": (4, 2, 375000, 750000),
+        "d": (0, 0, 0, 0),
+        "e": (0, 0, 0, 0),
+        "f": (0, 0, 0, 0),
+    }
+
+
+def test_token_diversity_halfup_rounding(spark):
+    from fractions import Fraction
+
+    from notion_spark.pipeline.text_analysis import token_diversity
+
+    # 3 tokens, counts (2,1): gini = 1-5/9 = 4/9 -> 444444.44.. rounds
+    # half-up to 444444; share 2/3 -> 666666.66.. -> 666667
+    df = spark.createDataFrame([("a", "t t u")], "doc_id string, text string")
+    r = token_diversity(df).collect()[0]
+    def half_up(fr):
+        return (2 * fr.numerator * 10**6 + fr.denominator) // (2 * fr.denominator)
+    assert r.gini_micro == half_up(Fraction(4, 9)) == 444444
+    assert r.top_share_micro == half_up(Fraction(2, 3)) == 666667
