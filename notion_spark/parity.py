@@ -7001,6 +7001,46 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_pairs",
+    """
+    WITH h AS (
+        SELECT concat('img-', CAST(doc_id AS VARCHAR)) AS id,
+               substr(sha256(text), 1, 16) AS hx
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sig AS (
+        SELECT id,
+               CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) AS hi,
+               CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) AS lo,
+               hx
+        FROM h
+    ),
+    banded AS (
+        SELECT id, hi, lo, b.x AS band,
+               CAST(concat('0x', substr(hx, 1 + 4 * b.x, 4)) AS INT) AS bucket
+        FROM sig, UNNEST(range(0, 4)) AS b(x)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi))
+                + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 64-bit pHash near-dup candidates over binary asset
+    payloads (pipeline/multimodal.phash_hamming_pairs): the image twin
+    of dedup_simhash — 4×16-bit LSH bands, exact xor+bit_count Hamming
+    verify, hot-bucket star guard, payload bytes hashed once and never
+    shuffled. The hash itself is the documented sha256 stand-in (no
+    image decoder in this container); the banding/verify plumbing is
+    the real contract and is what this row hash-checks end to end."""
+    from notion_spark.pipeline.multimodal import phash_hamming_pairs
+
+    return phash_hamming_pairs(_doc_assets(spark, sf_dir))
+
+
 def _token_diversity_oracle() -> str:
     from notion_spark.functions.exactmath import halfup_micro_div_sql
 

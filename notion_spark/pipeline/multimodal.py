@@ -184,3 +184,82 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return assets.mapInPandas(batches, schema=assets.schema)
+
+
+def phash_signatures(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """(id, hex16, hi, lo): a 64-bit perceptual-hash STAND-IN per asset —
+    the first 16 hex chars of sha256(payload), split into two 32-bit
+    halves so every integer stays comfortably inside signed int64 on
+    any engine (assembling one signed 64-bit value from unsigned hex
+    needs shift tricks Spark tolerates and DuckDB rejects as overflow).
+
+    A real pHash (Zauner 2010: DCT of the downscaled grayscale image,
+    sign-of-coefficient bits) needs an image decoder this container
+    doesn't ship; per the stub convention of this module the hash is
+    derived from the payload bytes deterministically instead. The
+    CONTRACT is the real one: any per-asset 64-bit locality-sensitive
+    hash, as hex, drops into `hex16` (e.g. from a pandas_udf decoding
+    real images) and everything downstream — banding, candidate join,
+    Hamming verify — is unchanged."""
+    h = F.sha2(F.col(payload_col), 256)
+    return assets.select(
+        F.col(id_col).alias("id"),
+        F.substring(h, 1, 16).alias("hex16"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+
+def phash_hamming_pairs(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate asset candidates by banded 64-bit pHash:
+    (id_a, id_b, hamming), every pair sharing at least one of four
+    16-bit hash bands, with the exact pairwise Hamming distance.
+    Pigeonhole guarantee: any pair within Hamming distance 3 collides
+    on >= 1 band and is therefore ALWAYS found; callers filter the
+    `hamming` column to their threshold. Same LSH shape as
+    `dedup.simhash_candidates` and the same hot-bucket star guard
+    (`max_bucket`), reused directly.
+
+    Scale shape: 4 banded rows per asset, ONE (band, bucket)-keyed
+    shuffle for the candidate join, O(bucket²) bounded by the star
+    guard; the Hamming verify is per-pair bit arithmetic (xor +
+    bit_count, whole-stage codegen). Payload bytes are read ONCE for
+    the hash and never shuffled — only 16-char signatures move."""
+    from notion_spark.pipeline.dedup import _banded_candidates
+
+    sig = phash_signatures(assets, payload_col, id_col)
+    banded = sig.select(
+        "id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.conv(F.substring("hex16", 1 + 4 * b, 4), 16, 10)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket", "hi", "lo")
+    ham = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        _banded_candidates(banded, max_bucket, extra_cols=["hi", "lo"])
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )

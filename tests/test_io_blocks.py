@@ -170,3 +170,43 @@ def test_multimodal_audio_and_codec_injection(spark):
     assert {(r.asset_id, r.width, r.height) for r in flipped} == {
         (r.asset_id, r.height, r.width) for r in straight
     }
+
+
+def test_phash_hamming_pairs_matches_python_reference(spark):
+    import hashlib
+
+    from notion_spark.pipeline.multimodal import phash_hamming_pairs
+
+    payloads = {
+        "a1": b"the same bytes",
+        "a2": b"the same bytes",      # exact dup of a1 -> hamming 0
+        "a3": b"different payload",
+        "a4": b"another thing",
+        "a5": b"the same bytes ",     # one byte off -> unrelated hash
+    }
+    rows = [(k, bytearray(v)) for k, v in payloads.items()]
+    assets = spark.createDataFrame(rows, "asset_id string, payload binary")
+
+    def ref_pairs():
+        hx = {k: hashlib.sha256(v).hexdigest()[:16] for k, v in payloads.items()}
+        out = {}
+        ids = sorted(payloads)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                shares = any(
+                    hx[a][4 * t : 4 * t + 4] == hx[b][4 * t : 4 * t + 4]
+                    for t in range(4)
+                )
+                if shares:
+                    d = bin(int(hx[a], 16) ^ int(hx[b], 16)).count("1")
+                    out[(a, b)] = d
+        return out
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_hamming_pairs(assets).collect()
+    }
+    expected = ref_pairs()
+    assert got == expected
+    assert got[("a1", "a2")] == 0           # the exact dup is always found
+    assert ("a1", "a5") not in got or got[("a1", "a5")] > 3
