@@ -7002,6 +7002,34 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_interleave",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                   AS rank
+        FROM documents WHERE source IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(rank AS BIGINT) AS rank,
+           CAST(row_number() OVER (ORDER BY rank, source) - 1 AS BIGINT)
+               AS position
+    FROM ranked
+    """,
+)
+def curation_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order across sources
+    (pipeline/curation.interleave_order): position computed
+    ARITHMETICALLY from the broadcast |groups|-row size frame — no
+    global sort, no single-partition window — while the oracle builds
+    the identical permutation WITH the global sort; the hash match is
+    the proof the arithmetic shortcut equals the sorted order."""
+    from notion_spark.pipeline.curation import interleave_order
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    return interleave_order(d, "source", "doc_id")
+
+
+@register(
     "multimodal_phash_pairs",
     """
     WITH h AS (

@@ -1062,3 +1062,65 @@ def quantile_rank(
     return df.join(
         F.broadcast(ranks), F.col(col).eqNullSafe(F.col("__value")), "left"
     ).drop("__value")
+
+
+def interleave_order(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group, rank, position): the deterministic round-robin
+    training order — position sorts the corpus as rank-0 of every
+    group (groups in ascending order), then rank-1 of every group, and
+    so on, where rank is each doc's 0-based position within its group
+    (ordered by id). Training on a source-sorted corpus front-loads one
+    domain per epoch segment; round-robin interleave gives maximal
+    same-group spacing with zero randomness — the data-ORDER half of
+    curriculum control (the data-MIX half is temperature_mix_quotas).
+
+    The point at scale: position is computed ARITHMETICALLY, not by a
+    global sort. Sorting by (rank, group) and numbering rows needs a
+    single-partition window (the classic scale-killer); instead, for a
+    doc at (group g, rank r):
+
+        position = Σ_g' min(size_g', r)            docs in earlier blocks
+                 + #{g' < g : size_g' > r}          earlier groups in block r
+
+    Both terms come from ONE broadcast of the |groups|-row size frame
+    (crossJoin bounded by the group universe — sources/domains number
+    dozens, not millions) aggregated per doc. No shuffle wider than the
+    per-group rank window; the oracle DOES the global sort and the
+    hash check proves the arithmetic permutation identical."""
+    sizes = (
+        df.groupBy(F.col(group_col).alias("g2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+    )
+    fan = ranked.crossJoin(F.broadcast(sizes))
+    return (
+        fan.groupBy("id", "g", "rank")
+        .agg(
+            (
+                F.sum(F.least(F.col("sz"), F.col("rank")))
+                + F.sum(
+                    F.when(
+                        (F.col("g2") < F.col("g")) & (F.col("sz") > F.col("rank")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("position")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("g").alias(group_col),
+            "rank",
+            "position",
+        )
+    )

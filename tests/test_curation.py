@@ -611,3 +611,34 @@ def test_bigram_familiarity_repeated_bigram_weighting(spark):
     df = spark.createDataFrame([(1, "a b a b a")], "doc_id long, text string")
     r = bigram_familiarity(df).collect()[0]
     assert (r.n_bigrams, r.familiarity_micro) == (4, 1000000)
+
+
+def test_interleave_order_is_round_robin(spark):
+    from notion_spark.pipeline.curation import interleave_order
+
+    rows = [(f"{g}{i}", g) for g, n in [("a", 3), ("b", 1), ("c", 2)] for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {r.doc_id: r.position for r in interleave_order(df).collect()}
+    # blocks: rank0 = a0,b0,c0; rank1 = a1,c1 (b exhausted); rank2 = a2
+    assert got == {"a0": 0, "b0": 1, "c0": 2, "a1": 3, "c1": 4, "a2": 5}
+    # the permutation is total and 0-based contiguous
+    assert sorted(got.values()) == list(range(6))
+
+
+def test_interleave_order_matches_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.curation import interleave_order
+
+    df = (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("source"),
+        )
+    )
+    out = interleave_order(df).orderBy("position").collect()
+    # arithmetic position == the (rank, source) sort order
+    resorted = sorted(out, key=lambda r: (r.rank, r.source))
+    assert [r.doc_id for r in out] == [r.doc_id for r in resorted]
+    assert [r.position for r in out] == list(range(200))
