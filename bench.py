@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "curation_importance_score",
     "text_bpe_encode",
     "curation_temperature_take",
+    "graph_triangle_stats",
+    "graph_kcore",
+    "text_token_diversity",
+    "multimodal_phash_pairs",
+    "curation_interleave",
 ]
 
 
