@@ -7240,6 +7240,184 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_corpus_e2e",
+    r"""
+    WITH RECURSIVE
+    base AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        FROM documents WHERE doc_id >= 20
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_words,
+               round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / greatest(len(t), 1), 6) AS mean_word_len,
+               round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                     / greatest(len(t), 1), 6) AS symbol_ratio,
+               len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with')))
+                   AS n_stopwords
+        FROM base
+    ),
+    dq AS (
+        SELECT base.* FROM base JOIN m USING (doc_id)
+        WHERE (m.n_words BETWEEN 50 AND 100000)
+          AND (m.mean_word_len BETWEEN 3.0 AND 10.0)
+          AND m.symbol_ratio < 0.1 AND m.n_stopwords >= 2
+    ),
+    e AS (
+        SELECT dq.* FROM dq
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS cid FROM dq GROUP BY 1) c
+          ON dq.doc_id = c.cid
+    ),
+    docs AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                              for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+        FROM e
+    ),
+    jpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / greatest(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    ),
+    prs AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+    reach AS (
+        SELECT a AS id, a AS lbl FROM edges
+        UNION
+        SELECT r.id, g.b AS lbl FROM reach r JOIN edges g ON r.lbl = g.a
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    nd AS (
+        SELECT e.* FROM e LEFT JOIN comp c ON e.doc_id = c.id
+        WHERE c.id IS NULL OR e.doc_id = c.component
+    ),
+    bg AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                    for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS gram
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 20 AND text IS NOT NULL)
+    ),
+    ng AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                    for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS gram
+        FROM nd
+    ),
+    flagged AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bg USING (gram)),
+    dc AS (SELECT nd.* FROM nd LEFT JOIN flagged f ON nd.doc_id = f.doc_id
+           WHERE f.doc_id IS NULL),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(round(least(length(text), 2000) / 2000.0 * 1000000.0)
+                    AS BIGINT) AS su,
+               CAST(len(t) AS BIGINT) AS toks
+        FROM dc
+    ),
+    counts AS (SELECT su, SUM(toks) AS btoks FROM scored GROUP BY su),
+    runs AS (SELECT su, btoks,
+                    SUM(btoks) OVER (ORDER BY su DESC) AS run
+             FROM counts),
+    bounds AS (SELECT
+        MIN(CASE WHEN run <= 10000 THEN su END) AS full_min,
+        MAX(CASE WHEN run > 10000 AND run - btoks <= 10000 THEN su END) AS bsu,
+        MAX(CASE WHEN run > 10000 AND run - btoks <= 10000
+                 THEN 10000 - (run - btoks) END) AS rem
+      FROM runs),
+    bdocs AS (
+        SELECT doc_id FROM (
+            SELECT s.doc_id, s.toks,
+                   SUM(s.toks) OVER (ORDER BY s.doc_id ASC) AS brun, b.rem
+            FROM scored s, bounds b
+            WHERE b.bsu IS NOT NULL AND s.su = b.bsu)
+        WHERE toks = 0 OR brun <= rem),
+    tb AS (
+        SELECT s.doc_id, s.source FROM scored s, bounds b
+        WHERE b.full_min IS NOT NULL AND s.su >= b.full_min
+        UNION ALL
+        SELECT s.doc_id, s.source FROM scored s JOIN bdocs USING (doc_id)
+    ),
+    gcounts AS (SELECT source AS grp, COUNT(*) AS cnt FROM tb GROUP BY 1),
+    wts AS (SELECT grp, cnt,
+                   CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+            FROM gcounts),
+    tot AS (SELECT SUM(CAST(w AS HUGEINT)) AS grand FROM wts),
+    qsc AS (SELECT grp, w,
+                   (100 * CAST(w AS HUGEINT)) // grand AS qbase,
+                   (100 * CAST(w AS HUGEINT)) % grand AS qrem
+            FROM wts, tot),
+    qrk AS (SELECT *, row_number() OVER (ORDER BY qrem DESC, grp ASC) AS rn,
+                   SUM(qbase) OVER () AS base_sum
+            FROM qsc),
+    quotas AS (SELECT grp,
+                      qbase + CASE WHEN rn <= 100 - base_sum THEN 1 ELSE 0 END AS quota
+               FROM qrk),
+    taken AS (
+        SELECT t.doc_id, t.source,
+               row_number() OVER (PARTITION BY t.source
+                                  ORDER BY t.doc_id ASC) AS rk,
+               q.quota
+        FROM tb t JOIN quotas q ON t.source = q.grp
+    )
+    SELECT doc_id, source,
+           CASE WHEN bkt < 9000 THEN 'train'
+                WHEN bkt < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 10000 AS bkt
+          FROM taken WHERE rk <= quota)
+    """,
+)
+def curation_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full `corpus.curate_corpus` preset END TO END (pipeline/
+    corpus.py): quality rules → exact dedup → MinHash-LSH near-dedup
+    with min-id cluster collapse → 5-gram benchmark decontamination
+    (doc_id < 20 plays the held-out eval set) → exact 10k-token budget
+    fill → temperature mix (100 rows, cnt^0.5 Hamilton) → hash-range
+    split assignment. Every single stage already hash-checks on its own
+    (curation_quality_rules, dedup_exact, dedup_minhash_lsh +
+    dedup_cluster_collapse, curation_decontam, curation_token_budget,
+    curation_temperature_take, curation_split_assignment); this row
+    certifies the COMPOSITION — stage order, the survivor set each
+    stage hands the next, and the audit thread — by pinning exactly
+    which (doc_id, source) rows exit the preset and the split each one
+    lands in. The oracle chains the same verified SQL fragments over
+    the same shrinking survivor CTEs."""
+    from notion_spark.pipeline.corpus import curate_corpus
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") >= 20)
+        .withColumn("score", F.least(F.length("text"), F.lit(2000)) / F.lit(2000.0))
+        .withColumn("n_toks", TA.ws_token_count(F.col("text")).cast("long"))
+    )
+    bench = d.filter(F.col("doc_id") < 20)
+    out, _ = curate_corpus(
+        corpus,
+        benchmark=bench,
+        near_dup_threshold=0.5,
+        decontam_ngram=5,
+        split_fractions={"train": 0.90, "val": 0.05, "test": 0.05},
+        token_budget=10_000,
+        token_budget_score_col="score",
+        token_budget_token_col="n_toks",
+        mix_group_col="source",
+        mix_budget=100,
+        mix_alpha=0.5,
+        persist_intermediate=False,
+    )
+    return out.select("doc_id", "source", "split")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

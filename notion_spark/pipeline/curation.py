@@ -1068,6 +1068,7 @@ def interleave_order(
     df: DataFrame,
     group_col: str = "source",
     id_col: str = "doc_id",
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """(id, group, rank, position): the deterministic round-robin
     training order — position sorts the corpus as rank-0 of every
@@ -1090,10 +1091,29 @@ def interleave_order(
     (crossJoin bounded by the group universe — sources/domains number
     dozens, not millions) aggregated per doc. No shuffle wider than the
     per-group rank window; the oracle DOES the global sort and the
-    hash check proves the arithmetic permutation identical."""
+    hash check proves the arithmetic permutation identical.
+
+    ``max_groups`` enforces the "dozens, not millions" assumption
+    in-plan (the repo's `guarded` idiom): the guard rides the size
+    frame's columns, so it raises while BUILDING the broadcast — before
+    a single |docs|·|groups| fan-out row is produced."""
+    ng = F.count(F.lit(1)).over(Window.partitionBy())
+    gg = guarded(
+        ng > max_groups,
+        F.concat(
+            F.lit("interleave_order: "),
+            ng.cast("string"),
+            F.lit(
+                f" groups exceeds max_groups={max_groups} — the crossJoin"
+                " fan-out is |docs|*|groups|; raise max_groups only if"
+                " that product is affordable"
+            ),
+        ),
+    )
     sizes = (
         df.groupBy(F.col(group_col).alias("g2"))
         .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .select(gg(F.col("g2")).alias("g2"), gg(F.col("sz"), "long").alias("sz"))
     )
     w = Window.partitionBy(group_col).orderBy(id_col)
     ranked = df.select(

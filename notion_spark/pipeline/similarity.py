@@ -116,8 +116,7 @@ def _candidate_pairs(
         bucket = lambda v: random_hyperplane_bucket(v, n_planes, seed, dim)  # noqa: E731
         cb = c.withColumn("__bkt", bucket(F.col("cv")))
         probes = F.array(
-            F.col("__bkt0"),
-            *[F.col("__bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(min(n_probes - 1, n_planes))],
+            *[F.col("__bkt0").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_planes, n_probes)],
         )
         qb = (
             q.withColumn("__bkt0", bucket(F.col("qv")))
@@ -284,6 +283,25 @@ def knn_label_disagreement(
 
 
 # ------------------------------------------------------------ sign-LSH
+def _probe_masks(n_planes: int, n_probes: int) -> list[int]:
+    """Deterministic multi-probe XOR mask sequence, truncated to
+    ``n_probes`` entries: identity, every Hamming-1 flip in plane order,
+    then Hamming-2 flips lexicographically, then Hamming-3. The first
+    ``n_planes + 1`` entries reproduce the original single-bit probe
+    order exactly, so every registered small-``n_probes`` query keeps
+    its byte-identical output; larger ``n_probes`` now extends into
+    2- and 3-bit probes instead of silently capping at ``n_planes + 1``
+    buckets (the cap behind the r7 recall-0.046 measurement — 8 planes
+    could never probe more than 9/256 buckets, see SCALE.md)."""
+    from itertools import combinations
+
+    masks = [0] + [1 << p for p in range(n_planes)]
+    for r in (2, 3):
+        for combo in combinations(range(n_planes), r):
+            masks.append(sum(1 << p for p in combo))
+    return masks[: max(1, n_probes)]
+
+
 def _splitmix64(x: int) -> int:
     """Deterministic 64-bit mixer (public splitmix64 constants)."""
     x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
@@ -343,17 +361,18 @@ def lsh_topk(
     probing the n_probes-1 one-bit-flipped buckets (standard multi-probe
     LSH) recovers most single-plane misses without touching the corpus
     side at all — the QUERY side explodes (tiny, broadcast), the corpus
-    stays bucketed once. Probe set: [bucket] + [bucket XOR (1<<p) for the
-    first n_probes-1 planes]. The deterministic plane order keeps output
-    reproducible; same output shape as `brute_force_topk`.
+    stays bucketed once. Probe set: `_probe_masks` — identity, Hamming-1
+    flips in plane order (byte-identical to the original sequence), then
+    Hamming-2/3 combinations for n_probes > n_planes + 1. The
+    deterministic order keeps output reproducible; same output shape as
+    `brute_force_topk`.
     """
     bucket = lambda v: random_hyperplane_bucket(v, n_planes, seed, dim)  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"), bucket(F.col(vec_col)).alias("bkt")
     )
     probes = F.array(
-        F.col("bkt0"),
-        *[F.col("bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(min(n_probes - 1, n_planes))],
+        *[F.col("bkt0").bitwiseXOR(F.lit(m)) for m in _probe_masks(n_planes, n_probes)],
     )
     q = F.broadcast(
         queries.select(

@@ -642,3 +642,20 @@ def test_interleave_order_matches_global_sort(spark):
     resorted = sorted(out, key=lambda r: (r.rank, r.source))
     assert [r.doc_id for r in out] == [r.doc_id for r in resorted]
     assert [r.position for r in out] == list(range(200))
+
+
+def test_interleave_order_guards_group_fanout(spark):
+    """The |docs|*|groups| crossJoin is bounded in-plan: exceeding
+    max_groups raises from the guarded size frame (while building the
+    broadcast), and the boundary |groups| == max_groups still runs."""
+    import pytest
+
+    from notion_spark.pipeline.curation import interleave_order
+
+    rows = [(f"{g}{i}", g) for g in ("a", "b", "c") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    with pytest.raises(Exception, match="max_groups=2"):
+        interleave_order(df, max_groups=2).collect()
+    # exactly at the bound: unchanged output
+    got = interleave_order(df, max_groups=3).collect()
+    assert sorted(r.position for r in got) == list(range(6))

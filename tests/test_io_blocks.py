@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import json
 
+import pandas as pd
+
 from notion_spark.schema import BLOCKS_SCHEMA
 from notion_spark.sources.blocks import flatten_body
 from notion_spark.sources.io import export_tasks_csv, read_tasks_csv
@@ -210,3 +212,59 @@ def test_phash_hamming_pairs_matches_python_reference(spark):
     assert got == expected
     assert got[("a1", "a2")] == 0           # the exact dup is always found
     assert ("a1", "a5") not in got or got[("a1", "a5")] > 3
+
+
+def test_phash_decoder_swap_contract(spark):
+    """The claimed drop-in: a REAL per-asset 64-bit hash (here a
+    pandas_udf 'decoder' producing hand-chosen hex16 values) replaces
+    the sha256 stand-in via `signatures=`, and banding + star guard +
+    Hamming verify behave identically — near hashes (Hamming <= 3,
+    pigeonhole: >= 1 shared 16-bit band) are found with exact
+    distances; far hashes that share no band are not candidates."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from notion_spark.pipeline.multimodal import (
+        phash_hamming_pairs,
+        signatures_from_hex,
+    )
+
+    # a pandas_udf standing in for "decode image bytes -> DCT pHash":
+    # deterministic per payload, emits 16 hex chars
+    table = {
+        b"img-a": "00000000000000ff",   # a vs b: differ in bits 0,1 -> ham 2
+        b"img-b": "00000000000000fc",
+        b"img-c": "a5a5b4b4c3c3d2d2",   # shares no band with a/b
+        b"img-d": "a5a5b4b4c3c3d2d3",   # 1 bit off c -> ham 1
+    }
+
+    def _decode(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: table[bytes(b)])
+
+    fake_decoder = F.pandas_udf(_decode, StringType())
+
+    assets = spark.createDataFrame(
+        [(k.decode(), bytearray(k)) for k in table],
+        "asset_id string, payload binary",
+    )
+    sig = assets.select("asset_id", fake_decoder("payload").alias("hex16"))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_hamming_pairs(None, signatures=sig).collect()
+    }
+    assert got == {("img-a", "img-b"): 2, ("img-c", "img-d"): 1}
+
+    # the hex -> (hi, lo) split is exact (verify path depends on it)
+    hilo = {r.id: (r.hi, r.lo) for r in signatures_from_hex(sig).collect()}
+    for k, hx in table.items():
+        assert hilo[k.decode()] == (int(hx[:8], 16), int(hx[8:], 16))
+
+    # and the injected path agrees with the built-in path when the
+    # custom hash EQUALS the stand-in (same hex -> same pairs)
+    builtin = phash_hamming_pairs(assets)
+    stand_in = assets.select(
+        "asset_id", F.substring(F.sha2("payload", 256), 1, 16).alias("hex16")
+    )
+    injected = phash_hamming_pairs(None, signatures=stand_in)
+    as_set = lambda df: {(r.id_a, r.id_b, r.hamming) for r in df.collect()}  # noqa: E731
+    assert as_set(builtin) == as_set(injected)
