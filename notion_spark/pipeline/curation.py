@@ -943,6 +943,72 @@ def equidepth_value_bins(
     )
 
 
+def grouped_score_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_bins: int = 3,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Per-group exact equi-depth buckets by DESCENDING score — the
+    CCNet selection step (Wenzek et al., LREC 2020: order each
+    language's documents by LM quality, cut into equal thirds, train on
+    head/middle). Generic over any bounded-cardinality integer score
+    (the repo's *_micro outputs — e.g. `text_analysis.
+    bigram_familiarity` as the no-external-LM perplexity stand-in).
+
+    Output: (group_col, score_col, cnt, bucket) — join back on
+    (group, score) to tag rows. bucket 0 holds the HIGHEST scores
+    (CCNet's head); a value's whole tie-class lands in one bucket
+    (the `equidepth_value_bins` tie rule, applied per group); bucket
+    boundaries are integer-exact ((run_before · n_bins) div group_n),
+    never floor(double).
+
+    Scale shape: one map-side-combined (group, value) count shuffle
+    (bounded by |groups| · min(|values|, max_distinct) rows), then a
+    window over that bounded frame PARTITIONED BY GROUP — per-group
+    parallelism, no single-partition global window — and nothing
+    touching the corpus itself (callers broadcast-join the boundary
+    frame back). The per-group cardinality guard is in-plan, riding
+    the bucket column."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    counts = (
+        df.filter(F.col(score_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), F.col(score_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("__v"))
+    total = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run_before = F.coalesce(
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return counts.select(
+        "__g",
+        "__v",
+        "cnt",
+        (run_before * F.lit(n_bins)).alias("__scaled"),
+        F.sum("cnt").over(total).alias("__grand"),
+        F.count(F.lit(1)).over(total).alias("__nd"),
+    ).select(
+        F.col("__g").alias(group_col),
+        F.col("__v").alias(score_col),
+        "cnt",
+        guarded(
+            F.col("__nd") > F.lit(max_distinct),
+            F.concat(
+                F.lit("grouped_score_buckets: group "),
+                F.col("__g").cast("string"),
+                F.lit(
+                    f" has > {max_distinct} distinct {score_col!r} values —"
+                    " quantize the score (micro-units) or use"
+                    " sketches.histogram_bins"
+                ),
+            ),
+        )(F.expr("__scaled div __grand"), "int").alias("bucket"),
+    )
+
+
 def winsorize(
     df: DataFrame,
     col: str,

@@ -644,6 +644,48 @@ def test_interleave_order_matches_global_sort(spark):
     assert [r.position for r in out] == list(range(200))
 
 
+def test_grouped_score_buckets_ccnet_thirds(spark):
+    """Equal-depth thirds per group by DESCENDING score; a tie-class
+    lands whole in one bucket; groups bucket independently."""
+    from notion_spark.pipeline.curation import grouped_score_buckets
+
+    rows = (
+        # lang en: scores 90..10 in 9 distinct values -> clean thirds
+        [(f"e{i}", "en", 100 - 10 * i) for i in range(1, 10)]
+        # lang de: 4 docs share score 50 (tie class) + 2 extremes
+        + [("d1", "de", 99), ("d2", "de", 50), ("d3", "de", 50),
+           ("d4", "de", 50), ("d5", "de", 50), ("d6", "de", 1)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score long")
+    got = {
+        (r.lang, r.score): r.bucket
+        for r in grouped_score_buckets(df, "score", "lang", n_bins=3).collect()
+    }
+    # en: 90,80,70 -> 0; 60,50,40 -> 1; 30,20,10 -> 2
+    assert [got[("en", s)] for s in (90, 80, 70)] == [0, 0, 0]
+    assert [got[("en", s)] for s in (60, 50, 40)] == [1, 1, 1]
+    assert [got[("en", s)] for s in (30, 20, 10)] == [2, 2, 2]
+    # de: 99 starts at run 0 -> bucket 0; the 50-tie-class starts at
+    # run 1 (1*3 div 6 = 0) -> bucket 0 WHOLE; 1 starts at run 5 -> 2
+    assert got[("de", 99)] == 0
+    assert got[("de", 50)] == 0
+    assert got[("de", 1)] == 2
+
+
+def test_grouped_score_buckets_guard(spark):
+    import pytest
+
+    from notion_spark.pipeline.curation import grouped_score_buckets
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en", i) for i in range(10)],
+        "doc_id string, lang string, score long",
+    )
+    with pytest.raises(Exception, match="distinct"):
+        grouped_score_buckets(df, "score", "lang", max_distinct=5).collect()
+    assert grouped_score_buckets(df, "score", "lang", max_distinct=10).count() == 10
+
+
 def test_interleave_order_guards_group_fanout(spark):
     """The |docs|*|groups| crossJoin is bounded in-plan: exceeding
     max_groups raises from the guarded size frame (while building the
