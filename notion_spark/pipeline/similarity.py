@@ -85,12 +85,12 @@ def _candidate_pairs(
     c: DataFrame,
     q: DataFrame,
     method: str = "exact",
-    n_planes: int = 8,
+    n_planes: int = 5,
     seed: int = 42,
     dim: int = 64,
-    n_probes: int = 1,
+    n_probes: int = 16,
     centroids: list[list[float]] | None = None,
-    nprobe: int = 2,
+    nprobe: int = 24,
 ) -> DataFrame:
     """Join corpus rows (``vid``/``cv`` + carried cols) to broadcast query
     rows (``qid``/``qv`` + carried cols) under a candidate-generation
@@ -109,7 +109,19 @@ def _candidate_pairs(
 
     Each (qid, vid) pair appears at most once for every method (LSH
     probes are array_distinct; IVF cells are distinct per query), so
-    downstream top-k windows need no dedup."""
+    downstream top-k windows need no dedup.
+
+    Defaults are the MEASURED r8 operating points (SCALE_r08_annswap
+    sweep at sf1, 20k vectors, recall@10 vs exact — table in SCALE.md
+    'ANN operating points'): ivf with a 64-centroid codebook at
+    nprobe=24 gives recall 0.861 at 3.0x over exact (the recommended
+    config; a smaller codebook degrades toward exhaustive probing —
+    the recall-SAFE direction); lsh at n_planes=5/n_probes=16 is the
+    best measured LSH point (recall 0.745, 1.81x) — IVF dominates LSH
+    at every recall level on this corpus, keep lsh only where training
+    a codebook is impossible. The r7-shipped defaults (8 planes /
+    2 probes, 16 cells / nprobe 2) measured recall 0.046 / 0.353 —
+    NOT operating points; that artifact is SCALE_r07_annswap.json."""
     if method == "exact":
         return c.crossJoin(F.broadcast(q))
     if method == "lsh":
@@ -149,12 +161,12 @@ def hard_negatives(
     label_col: str = "label",
     query_id_col: str = "query_id",
     method: str = "exact",
-    n_planes: int = 8,
+    n_planes: int = 5,
     seed: int = 42,
     dim: int = 64,
-    n_probes: int = 1,
+    n_probes: int = 16,
     centroids: list[list[float]] | None = None,
-    nprobe: int = 2,
+    nprobe: int = 24,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor (query), the k
     most-similar corpus vectors with a DIFFERENT label — the negatives
@@ -178,7 +190,11 @@ def hard_negatives(
     `lsh_topk`); ``"ivf"`` scores the anchor's ``nprobe`` nearest IVF
     cells (requires ``centroids``). The label predicate composes
     unchanged; approximate methods trade recall for a corpus scan that
-    no longer grows with |corpus| per anchor."""
+    no longer grows with |corpus| per anchor. Recommended approximate
+    config (measured, SCALE.md 'ANN operating points'): a 64-centroid
+    codebook at the default nprobe=24 — recall 0.861 at 3.0x over
+    exact; the lsh defaults are the best measured LSH point (0.745 at
+    1.81x), dominated by ivf whenever a codebook is available."""
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -214,12 +230,12 @@ def knn_label_disagreement(
     label_col: str = "label",
     query_id_col: str = "query_id",
     method: str = "exact",
-    n_planes: int = 8,
+    n_planes: int = 5,
     seed: int = 42,
     dim: int = 64,
-    n_probes: int = 1,
+    n_probes: int = 16,
     centroids: list[list[float]] | None = None,
-    nprobe: int = 2,
+    nprobe: int = 24,
 ) -> DataFrame:
     """Confident-learning-style label-noise signal: for each query
     vector, the fraction of its k nearest neighbors (cosine, self

@@ -139,8 +139,11 @@ def main() -> int:
         }
         print(json.dumps({key: result["methods"][key]}), flush=True)
 
-    lsh_grid = LSH_GRID if ns.sweep else [(8, 2)]
-    ivf_grid = IVF_GRID if ns.sweep else [(16, 2)]
+    # non-sweep defaults = the r8 RECOMMENDED operating points (SCALE.md
+    # 'ANN operating points'), so a plain run re-measures the shipped
+    # configuration rather than the r7 low-recall one
+    lsh_grid = LSH_GRID if ns.sweep else [(5, 16)]
+    ivf_grid = IVF_GRID if ns.sweep else [(64, 24)]
 
     for n_planes, n_probes in lsh_grid:
         record(
