@@ -1501,6 +1501,42 @@ def _ivf_probe_oracle(k: int = 4, dim: int = 64) -> str:
     """
 
 
+@register("sim_ann_ivf_partitioned", _ivf_probe_oracle())
+def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-partitioned IVF LAYOUT round trip
+    (pipeline/similarity.write_ivf_partitioned + ivf_partitioned_topk):
+    corpus written parquet-partitioned by its IVF cell, probe executed
+    as a literal partition filter (only the probed cell directories are
+    scanned — PartitionFilters plan-pinned in tests/test_similarity.py),
+    and the SAME oracle as sim_ann_ivf_probe proves the layout changes
+    the plan, never the answer. Same harness hygiene as
+    layout_bucketed_join: per-run temp dir, eager materialization,
+    cleanup in finally."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from notion_spark.pipeline.similarity import (
+        ivf_partitioned_topk,
+        write_ivf_partitioned,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = tempfile.mkdtemp(prefix=f"ns_ivfpart_{uuid.uuid4().hex[:12]}_")
+    try:
+        write_ivf_partitioned(emb, base, _ivf_static_codebook())
+        out = ivf_partitioned_topk(
+            spark, base, queries, _ivf_static_codebook(), k=5, nprobe=2
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 @register("sim_ann_ivf_probe", _ivf_probe_oracle())
 def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe path, hash-checked with a STATIC literal codebook: cell

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -894,6 +894,66 @@ def ivf_topk(
         vec_col="cv",
     )
     q_cells = probe_cells(queries, centroids, nprobe, query_id_col, vec_col)
+    scored = c.join(F.broadcast(q_cells), "cell").select(
+        "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), F.col("vid").alias(id_col), "cosine", "rank")
+    )
+
+
+# ------------------------------------------------ cell-partitioned layout
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Write the corpus parquet PARTITIONED BY its IVF cell — the
+    pay-once layout that turns every probe into a partition-pruned scan
+    (the claim `ivf_topk`'s docstring makes; `ivf_partitioned_topk` is
+    the executable other half). One assignment pass, one partitioned
+    write; cell becomes a directory-level partition column, so probing
+    nprobe cells reads nprobe directories and nothing else."""
+    assign_cells(corpus, centroids, vec_col=vec_col, out_col="cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_partitioned_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat search over a `write_ivf_partitioned` layout: identical
+    output to `ivf_topk` on the same codebook/nprobe (layout changes
+    the PLAN, never the answer — parity row sim_ann_ivf_partitioned
+    hash-checks this against the same oracle as sim_ann_ivf_probe),
+    but the corpus scan carries the probed cells as a LITERAL partition
+    filter, so only the probed cell directories are read
+    (PartitionFilters in the scan node — plan-pinned in
+    tests/test_similarity.py).
+
+    The probe-cell set is collected driver-side first: |queries|·nprobe
+    integers, bounded by the same contract that broadcast-joins the
+    query side — this is the one place a tiny eager action buys STATIC
+    partition pruning instead of hoping dynamic pruning triggers."""
+    q_cells = probe_cells(queries, centroids, nprobe, query_id_col, vec_col)
+    cells = sorted({r["cell"] for r in q_cells.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(x) for x in cells]))
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"), "cell")
+    )
     scored = c.join(F.broadcast(q_cells), "cell").select(
         "qid", "vid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )

@@ -71,6 +71,32 @@ def test_ivf_topk(spark, sf_dir):
     assert approx.filter((F.col("query_id") == F.col("vec_id")) & (F.col("rank") == 1)).count() == 5
 
 
+def test_ivf_partitioned_layout_same_answer_pruned_scan(spark, sf_dir, tmp_path):
+    """write_ivf_partitioned + ivf_partitioned_topk: (a) byte-identical
+    results to ivf_topk on the same codebook/nprobe — layout changes
+    the plan, not the answer; (b) the corpus scan carries the probed
+    cells as PartitionFilters (static partition pruning), the 100 TB
+    point of the layout."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = S.train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_layout")
+    S.write_ivf_partitioned(emb, path, centroids)
+    part = S.ivf_partitioned_topk(spark, path, queries, centroids, k=5, nprobe=2)
+    plain = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(part) == as_set(plain)
+    # plan pin: the parquet scan prunes by the probed cell partitions
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "cell" in scan_line and " IN " in scan_line
+
+
 def _synth_vectors(n, dim, n_clusters=16):
     # deterministic clustered vectors: cluster center c has coords
     # derived from (c, d) hashing; members jitter around it
