@@ -7455,6 +7455,32 @@ def curation_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position
+    FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM documents)
+    """,
+)
+def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (pipeline/curation.shuffle_order):
+    the training-order permutation as the global rank of a keyed
+    engine-neutral hash, computed WITHOUT a single-partition window —
+    hash-prefix range buckets (a monotone prefix of the sort key),
+    per-bucket parallel rank, broadcast bucket offsets. The oracle IS
+    the flat global row_number over the same hash; the hash match
+    proves the two-level distributed rank produces the identical
+    permutation (the interleave_order contract, applied to shuffling)."""
+    from notion_spark.pipeline.curation import shuffle_order
+
+    d = read_table(spark, sf_dir, "documents")
+    return shuffle_order(d, "doc_id", seed=42)
+
+
+@register(
     "curation_ccnet_buckets",
     r"""
     WITH t AS (

@@ -149,6 +149,61 @@ def hash_bucket(col: Column | str, buckets: int = 10_000) -> Column:
     return F.pmod(md5_hash60(c.cast("string")), F.lit(buckets))
 
 
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 4096,
+    out: str = "position",
+) -> DataFrame:
+    """Deterministic pseudorandom training-order permutation — the
+    epoch shuffle every training pipeline applies, with NO RNG state
+    and NO single-partition global window: position = global rank of
+    an engine-neutral keyed hash (md5 of ``seed:id``, the repo's
+    60-bit cross-engine contract), ties broken by id.
+
+    Scale shape — the distributed-rank construction: the hash's TOP
+    bits pick one of ``n_buckets`` range buckets (a monotone prefix of
+    the sort key, so bucket-major order IS global order), rank runs
+    per bucket (parallel windows, ~|docs|/n_buckets rows each), and a
+    bounded |n_buckets|-row offset frame (one groupBy + one cumsum
+    window over it) broadcasts back. The oracle computes the same
+    permutation with a flat global ``row_number() OVER (ORDER BY hash,
+    id)`` — the hash match proves the two-level rank identical, the
+    same oracle-does-the-sort contract as `interleave_order`.
+
+    Output: (id_col, ``out``) with positions exactly 0..N-1. Reshuffle
+    an epoch by changing ``seed``."""
+    if not 1 <= n_buckets <= 1 << 20:
+        raise ValueError(f"n_buckets must be in [1, 2^20], got {n_buckets}")
+    from notion_spark.pipeline.text_analysis import md5_hash60
+
+    h = md5_hash60(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    # top bits of the 60-bit hash: monotone in h, so ordering by
+    # (bucket, h, id) equals ordering by (h, id)
+    shift = 1 << 60
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        h.alias("__h"),
+    ).withColumn("__b", F.expr(f"CAST(__h div {shift // n_buckets} AS INT)"))
+    wb = Window.partitionBy("__b").orderBy(F.asc("__h"), F.asc("__id"))
+    ranked = hashed.withColumn("__r", F.row_number().over(wb) - 1)
+    sizes = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy(F.asc("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__b", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__b")
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__off") + F.col("__r")).cast("long").alias(out),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

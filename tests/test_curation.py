@@ -644,6 +644,25 @@ def test_interleave_order_matches_global_sort(spark):
     assert [r.position for r in out] == list(range(200))
 
 
+def test_shuffle_order_is_total_permutation(spark):
+    """Positions are exactly 0..N-1; tiny n_buckets (forcing many docs
+    per bucket) and large n_buckets (mostly empty) agree — the
+    two-level rank is bucket-count-invariant; a different seed gives a
+    different permutation."""
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.curation import shuffle_order
+
+    df = spark.range(500).select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    a = {r.doc_id: r.position for r in shuffle_order(df, n_buckets=4).collect()}
+    b = {r.doc_id: r.position for r in shuffle_order(df, n_buckets=4096).collect()}
+    assert sorted(a.values()) == list(range(500))
+    assert a == b
+    c = {r.doc_id: r.position for r in shuffle_order(df, seed=7).collect()}
+    assert sorted(c.values()) == list(range(500))
+    assert c != a
+
+
 def test_grouped_score_buckets_ccnet_thirds(spark):
     """Equal-depth thirds per group by DESCENDING score; a tie-class
     lands whole in one bucket; groups bucket independently."""
