@@ -7455,6 +7455,58 @@ def curation_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_semantic_split_leakage",
+    """
+    WITH a AS (
+        SELECT vec_id, embedding,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT vec_id, embedding,
+                     CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10000 AS b
+              FROM embeddings)
+    ),
+    t AS (SELECT embedding FROM a WHERE split = 'train'),
+    e AS (SELECT vec_id, split, embedding FROM a WHERE split <> 'train'),
+    s AS (
+        SELECT e.vec_id, e.split,
+               round(MAX(
+                 list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)
+                           for i in range(1, 65)]) /
+                 (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                 for i in range(1, 65)])) *
+                  sqrt(list_sum([CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)
+                                 for i in range(1, 65)])))
+               ), 6) AS max_train_cosine
+        FROM e CROSS JOIN t
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, split, max_train_cosine FROM s WHERE max_train_cosine >= 0.42
+    """,
+)
+def curation_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level split-leakage audit
+    (pipeline/curation.semantic_split_leakage): hash-range 80/10/10
+    splits over the embeddings table, then every val/test vector's max
+    cosine vs ANY train vector — the paraphrase-robust release check
+    the n-gram overlap matrix (curation_split_leakage) cannot give.
+    Threshold 0.42 here because the synthetic embeddings carry no
+    PLANTED cross-split semantic dups (measured max 0.51 at sf0.01):
+    0.42 sits at ~p90 of the per-eval max-cosine distribution, so the
+    row pins a real flagged set (12 rows at sf0.01) instead of
+    hash-matching on empty; production audits run 0.9. Eval side
+    broadcast, train mass streamed once into a map-side-combined
+    per-eval max; max over exact doubles, one deterministic round."""
+    from notion_spark.pipeline.curation import assign_splits, semantic_split_leakage
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = assign_splits(
+        emb, "vec_id", {"train": 0.80, "val": 0.10, "test": 0.10}
+    )
+    return semantic_split_leakage(assigned, threshold=0.42)
+
+
+@register(
     "curation_shuffle_order",
     """
     SELECT doc_id,

@@ -90,6 +90,59 @@ def semantic_contaminated_ids(
     )
 
 
+def semantic_split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level train/eval leakage audit: for every NON-train row,
+    the max cosine against ANY train row; rows reaching ``threshold``
+    are flagged — the semantic sibling of the n-gram
+    `group_overlap_matrix` audit (curation_split_leakage): hash-range
+    splits guarantee a near-duplicate CLUSTER never straddles splits
+    only when keyed on cluster representatives, and paraphrased
+    near-dups evade n-grams entirely; this is the release check that
+    catches both. Output: (id_col, split, max_train_cosine), flagged
+    rows only; max over exact doubles, ONE deterministic round after
+    the max (the `semantic_contaminated_ids` contract).
+
+    Scale shape — deliberately the TRANSPOSE of
+    `semantic_contaminated_ids`: there the benchmark is the small side
+    and gets broadcast; here the EVAL split is the small side by
+    definition (val+test are a few percent), so eval broadcasts and
+    the train mass streams once through a codegen'd scoring stage into
+    a map-side-combined per-eval-id max. Nothing |train|×|train|;
+    never broadcast the train side."""
+    from notion_spark.pipeline.similarity import cosine
+
+    ev = F.broadcast(
+        df.filter(F.col(split_col) != train_split).select(
+            F.col(id_col).alias("__eid"),
+            F.col(split_col).alias("__esplit"),
+            F.col(vec_col).alias("__ev"),
+        )
+    )
+    tr = df.filter(F.col(split_col) == train_split).select(
+        F.col(vec_col).alias("__tv")
+    )
+    scored = tr.crossJoin(ev).select(
+        "__eid", "__esplit", cosine(F.col("__ev"), F.col("__tv")).alias("__cos")
+    )
+    return (
+        scored.groupBy("__eid", "__esplit")
+        .agg(F.round(F.max("__cos"), 6).alias("max_train_cosine"))
+        .filter(F.col("max_train_cosine") >= threshold)
+        .select(
+            F.col("__eid").alias(id_col),
+            F.col("__esplit").alias(split_col),
+            "max_train_cosine",
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
