@@ -145,6 +145,14 @@ BENCH_QUERIES = [
     "text_token_diversity",
     "multimodal_phash_pairs",
     "curation_interleave",
+    # r8 operator families, benched from birth (curation_corpus_e2e
+    # stays OUT: its Spark side is a seven-stage composition ~30 s at
+    # sf0.01 — wall-clock coverage lives in the parity mirror's
+    # spark_secs, the sim_ann_pq/ivfpq precedent)
+    "curation_ccnet_buckets",
+    "curation_shuffle_order",
+    "curation_semantic_split_leakage",
+    "sim_ann_ivf_partitioned",
 ]
 
 

@@ -7455,6 +7455,71 @@ def curation_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    """
+    SELECT s_nationkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way salted shuffle join (operators/skew.salted_join): the big
+    side salted into 16 deterministic sub-keys (xxhash64 of the row,
+    never random — retry-safe), the dim side exploded across salts —
+    the manual fix for a hot join key AQE's skew splitting can't reach
+    (e.g. broadcast-ineligible dim, stubborn single-key hotness). The
+    oracle is the PLAIN join + agg: salting changes the shuffle
+    layout, never the answer."""
+    from notion_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, "suppkey", salts=16)
+    return j.groupBy("s_nationkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_hot_split_skew",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def join_hot_split_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-path skew join (operators/skew.hot_key_split_join): the 50
+    runtime-detected heaviest keys take a broadcast path, the long tail
+    the normal shuffle join, results unioned. WHICH keys count as hot
+    is tie-unstable by design and irrelevant: both paths compute the
+    same join, so the oracle is again the plain join + agg — path
+    assignment changes the plan, never the answer."""
+    from notion_spark.operators.skew import hot_key_split_join
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = hot_key_split_join(o, c, "custkey", top_n=50)
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "curation_semantic_split_leakage",
     """
     WITH a AS (
