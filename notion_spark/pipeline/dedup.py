@@ -1250,7 +1250,16 @@ def embedding_dup_pairs(
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
         )
         cand = (
-            a.join(b, on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]])
+            # shuffle_hash hint, NOT broadcast: AQE happily broadcasts the
+            # table side (n_tables x |corpus| rows still fits), which
+            # collapses the whole bucket-squared pair evaluation onto the
+            # stream side's INPUT partitioning — one parquet file in, ONE
+            # task doing every interpreted per-pair cosine (measured r8:
+            # the sf1 run degenerated to a single 10-minute task). The
+            # shuffle-hash join partitions the pair work by (tbl, bkt) —
+            # the bucket-parallel shape this operator promises.
+            a.hint("shuffle_hash")
+            .join(b, on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]])
             # OR-semantics: a pair colliding in several tables scores once
             .dropDuplicates(["id_a", "id_b"])
         )

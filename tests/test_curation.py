@@ -663,6 +663,24 @@ def test_shuffle_order_is_total_permutation(spark):
     assert c != a
 
 
+def test_shuffle_order_plan_has_no_global_rank_window(spark):
+    """The SCALE property, pinned: the row_number window that ranks the
+    corpus is partitioned by the hash-prefix bucket (__b), never a
+    single-partition global window. (The offsets cumsum window IS
+    unpartitioned — over the bounded |buckets|-row frame, the
+    documented idiom — and computes sum, not row_number.)"""
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.curation import shuffle_order
+
+    df = spark.range(100).select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    plan = shuffle_order(df)._jdf.queryExecution().executedPlan().toString()
+    rank_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rank_lines, "expected a row_number window in the plan"
+    for ln in rank_lines:
+        assert "__b" in ln, f"global (unpartitioned) rank window: {ln}"
+
+
 def test_grouped_score_buckets_ccnet_thirds(spark):
     """Equal-depth thirds per group by DESCENDING score; a tie-class
     lands whole in one bucket; groups bucket independently."""
