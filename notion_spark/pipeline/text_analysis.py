@@ -538,7 +538,10 @@ def bpe_encode_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The APPLY half of byte-pair encoding (Sennrich et al. 2016) —
+    """Greedy-per-pass BPE encode — a documented deviation from
+    exhaustive BPE: adjacent same-pair occurrences merge
+    first-occurrence-only per pass (see Exact semantics below).
+    The APPLY half of byte-pair encoding (Sennrich et al. 2016) —
     `bpe_merge_candidates` learns the merge table, this runs it over
     the corpus: each whitespace token splits to characters, then every
     merge rule (in priority order) collapses its pair greedily left to
