@@ -150,6 +150,25 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 # ------------------------------------------------------------ exact Jaccard
+def _pair_join(a: DataFrame, b: DataFrame, on) -> DataFrame:
+    """Pair-GENERATING equi-join, forced to shuffle on its block keys.
+
+    Left unhinted, AQE broadcasts the b side (a blocked corpus
+    projection always fits the broadcast threshold at test scale),
+    which collapses the quadratic pair evaluation onto the stream
+    side's INPUT partitioning — one local parquet file in means ONE
+    task computing every per-pair verify. Measured live in r8 at sf1:
+    the embedding-cosine verify (interpreted ArrayAggregate) and the
+    banded levenshtein verify both degenerated to single 10-30 min
+    tasks this way. The shuffle_hash hint forces a shuffle on the
+    equi-keys, so pair work distributes by block/band/bucket — the
+    shape every blocked-pairs docstring in this module promises. Joins
+    that consume ALREADY-SHUFFLED candidate pairs (verify joins keyed
+    on id) don't need this: their parallelism comes from the candidate
+    shuffle."""
+    return a.hint("shuffle_hash").join(b, on=on)
+
+
 def _jaccard_on_sets(pairs: DataFrame) -> DataFrame:
     """(id_a, id_b, sh_a, sh_b) -> + jaccard (rounded 6), via sorted-set
     intersection sizes."""
@@ -183,7 +202,7 @@ def jaccard_pairs(
     b = docs.select(
         F.col("block").alias("block_b"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
     )
-    pairs = a.join(b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]])
+    pairs = _pair_join(a, b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]])
     return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
 
 
@@ -243,7 +262,8 @@ def levenshtein_pairs(
             F.col("txt").alias("txt_b"),
             F.col("len").alias("len_b"),
         )
-        pairs = a.join(
+        pairs = _pair_join(
+            a,
             b,
             on=[
                 a["block"] == b["block_b"],
@@ -274,7 +294,8 @@ def levenshtein_pairs(
     gap_ok = F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(bound)
     # same-band pairs once via id order; adjacent-band pairs once via
     # the band order itself, ids normalized afterwards
-    same = a.join(
+    same = _pair_join(
+        a,
         b,
         on=[
             a["block"] == b["block_b"],
@@ -283,7 +304,8 @@ def levenshtein_pairs(
         ],
     ).select("id_a", "txt_a", "id_b", "txt_b", gap_ok.alias("ok"))
     adj = (
-        a.join(
+        _pair_join(
+            a,
             b,
             on=[
                 a["block"] == b["block_b"],
@@ -395,8 +417,8 @@ def levenshtein_pairs_qgram(
     b = pref.select(
         F.col("gram").alias("gram_b"), guard(F.col("id"), "long").alias("id_b")
     )
-    cands = a.join(
-        b, on=[a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]]
+    cands = _pair_join(
+        a, b, on=[a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]]
     ).select("id_a", "id_b")
     # low-diversity pool: every pair the prefix filter can miss has both
     # sides at <= 2*q*d distinct grams (see docstring); pair the pool
@@ -413,11 +435,11 @@ def levenshtein_pairs_qgram(
     )
     pa = pool.select(F.col("id").alias("pid_a"), F.col("band").alias("band_a"))
     pb = pool.select(F.col("id").alias("pid_b"), F.col("band").alias("band_b"))
-    pool_same = pa.join(
-        pb, on=[pa["band_a"] == pb["band_b"], pa["pid_a"] < pb["pid_b"]]
+    pool_same = _pair_join(
+        pa, pb, on=[pa["band_a"] == pb["band_b"], pa["pid_a"] < pb["pid_b"]]
     ).select(F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"))
     pool_adj = (
-        pa.join(pb, on=[pa["band_a"] + F.lit(1) == pb["band_b"]])
+        _pair_join(pa, pb, on=[pa["band_a"] + F.lit(1) == pb["band_b"]])
         .select(
             F.least("pid_a", "pid_b").alias("id_a"),
             F.greatest("pid_a", "pid_b").alias("id_b"),
@@ -1250,16 +1272,14 @@ def embedding_dup_pairs(
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
         )
         cand = (
-            # shuffle_hash hint, NOT broadcast: AQE happily broadcasts the
-            # table side (n_tables x |corpus| rows still fits), which
-            # collapses the whole bucket-squared pair evaluation onto the
-            # stream side's INPUT partitioning — one parquet file in, ONE
-            # task doing every interpreted per-pair cosine (measured r8:
-            # the sf1 run degenerated to a single 10-minute task). The
-            # shuffle-hash join partitions the pair work by (tbl, bkt) —
-            # the bucket-parallel shape this operator promises.
-            a.hint("shuffle_hash")
-            .join(b, on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]])
+            # _pair_join (shuffle_hash, not broadcast): see its docstring —
+            # the r8 sf1 run degenerated to a single 10-minute task when
+            # AQE broadcast the table side and the whole bucket-squared
+            # cosine evaluation ran on one input partition.
+            _pair_join(
+                a, b,
+                on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]],
+            )
             # OR-semantics: a pair colliding in several tables scores once
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -1283,7 +1303,7 @@ def embedding_dup_pairs(
     if block_key is not None:
         cond.append(a["block"] == b["block_b"])
     return (
-        a.join(b, on=cond)
+        _pair_join(a, b, on=cond)
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
