@@ -7568,7 +7568,11 @@ def curation_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFra
     assigned = assign_splits(
         emb, "vec_id", {"train": 0.80, "val": 0.10, "test": 0.10}
     )
-    return semantic_split_leakage(assigned, threshold=0.42)
+    # score_partitions=32: the local sf dirs are single parquet files
+    # (one input partition), which would serialize the |train|x|eval|
+    # scoring onto one core — see the operator docstring; results are
+    # partitioning-invariant
+    return semantic_split_leakage(assigned, threshold=0.42, score_partitions=32)
 
 
 @register(

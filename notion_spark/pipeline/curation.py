@@ -97,6 +97,7 @@ def semantic_split_leakage(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_partitions: int | None = None,
 ) -> DataFrame:
     """Embedding-level train/eval leakage audit: for every NON-train row,
     the max cosine against ANY train row; rows reaching ``threshold``
@@ -115,7 +116,15 @@ def semantic_split_leakage(
     definition (val+test are a few percent), so eval broadcasts and
     the train mass streams once through a codegen'd scoring stage into
     a map-side-combined per-eval-id max. Nothing |train|×|train|;
-    never broadcast the train side."""
+    never broadcast the train side.
+
+    ``score_partitions``: the scoring stage's parallelism equals the
+    train SCAN's partitioning — correct on a cluster (a real corpus
+    scan is already thousands of tasks), but a single local parquet
+    file is ONE input partition, serializing |train|·|eval| cosine
+    evaluations onto one core. Set it (e.g. to the core count) on
+    small/single-file inputs to insert one train-side repartition;
+    leave None at cluster scale — results identical either way."""
     from notion_spark.pipeline.similarity import cosine
 
     ev = F.broadcast(
@@ -128,6 +137,8 @@ def semantic_split_leakage(
     tr = df.filter(F.col(split_col) == train_split).select(
         F.col(vec_col).alias("__tv")
     )
+    if score_partitions is not None:
+        tr = tr.repartition(score_partitions)
     scored = tr.crossJoin(ev).select(
         "__eid", "__esplit", cosine(F.col("__ev"), F.col("__tv")).alias("__cos")
     )
