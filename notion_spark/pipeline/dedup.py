@@ -150,22 +150,41 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 # ------------------------------------------------------------ exact Jaccard
-def _pair_join(a: DataFrame, b: DataFrame, on) -> DataFrame:
-    """Pair-GENERATING equi-join, forced to shuffle on its block keys.
+def _pair_join(a: DataFrame, b: DataFrame, on, keys_a=None, keys_b=None) -> DataFrame:
+    """Pair-GENERATING equi-join, forced to shuffle on its block keys
+    at a PINNED partition count.
 
-    Left unhinted, AQE broadcasts the b side (a blocked corpus
-    projection always fits the broadcast threshold at test scale),
-    which collapses the quadratic pair evaluation onto the stream
-    side's INPUT partitioning — one local parquet file in means ONE
-    task computing every per-pair verify. Measured live in r8 at sf1:
-    the embedding-cosine verify (interpreted ArrayAggregate) and the
-    banded levenshtein verify both degenerated to single 10-30 min
-    tasks this way. The shuffle_hash hint forces a shuffle on the
-    equi-keys, so pair work distributes by block/band/bucket — the
-    shape every blocked-pairs docstring in this module promises. Joins
-    that consume ALREADY-SHUFFLED candidate pairs (verify joins keyed
-    on id) don't need this: their parallelism comes from the candidate
-    shuffle."""
+    Two stacked failure modes, both measured live in r8 at sf1:
+
+    - Left unhinted, AQE broadcasts the b side (a blocked corpus
+      projection always fits the broadcast threshold at test scale),
+      collapsing the quadratic pair evaluation onto the stream side's
+      INPUT partitioning — one local parquet file in means ONE task
+      computing every per-pair verify (10-30 min single tasks for the
+      embedding-cosine and banded-levenshtein verifies).
+    - Hinted shuffle_hash alone, AQE's partition COALESCING then sized
+      the shuffle by BYTES (a few MB of ids+keys) and merged it to 2-3
+      partitions — bytes are tiny exactly because the expensive part
+      (bucket² pair expansion + per-pair verify, evaluated inside the
+      join) hasn't happened yet.
+
+    Fix: explicit ``repartition(n, keys)`` on BOTH sides (shuffle
+    origin REPARTITION_BY_NUM — exempt from AQE coalescing) with n =
+    the session's shuffle partitions, plus the shuffle_hash hint so
+    the planner can't re-broadcast and discard the exchanges. The
+    matching HashPartitioning on the equi-keys is reused by the join —
+    still exactly ONE shuffle per side, now at the pinned width, pair
+    work distributed by block/band/bucket as every blocked-pairs
+    docstring in this module promises.
+
+    ``keys_a``/``keys_b``: the equi-key columns/exprs per side; omit
+    for bounded inputs (the low-diversity pools) where the hint alone
+    is enough. Joins that consume ALREADY-SHUFFLED candidate pairs
+    (verify joins keyed on id) need neither."""
+    if keys_a:
+        n = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        a = a.repartition(n, *keys_a)
+        b = b.repartition(n, *keys_b)
     return a.hint("shuffle_hash").join(b, on=on)
 
 
@@ -202,7 +221,10 @@ def jaccard_pairs(
     b = docs.select(
         F.col("block").alias("block_b"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
     )
-    pairs = _pair_join(a, b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]])
+    pairs = _pair_join(
+        a, b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]],
+        keys_a=["block"], keys_b=["block_b"],
+    )
     return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
 
 
@@ -270,6 +292,8 @@ def levenshtein_pairs(
                 a["id_a"] < b["id_b"],
                 F.abs(a["len_a"] - b["len_b"]) <= F.lit(bound),
             ],
+            keys_a=["block"],
+            keys_b=["block_b"],
         )
         # threshold form returns -1 when the distance exceeds the bound
         return (
@@ -302,6 +326,8 @@ def levenshtein_pairs(
             a["band"] == b["band_b"],
             a["id_a"] < b["id_b"],
         ],
+        keys_a=["block", "band"],
+        keys_b=["block_b", "band_b"],
     ).select("id_a", "txt_a", "id_b", "txt_b", gap_ok.alias("ok"))
     adj = (
         _pair_join(
@@ -311,6 +337,8 @@ def levenshtein_pairs(
                 a["block"] == b["block_b"],
                 a["band"] + F.lit(1) == b["band_b"],
             ],
+            keys_a=[F.col("block"), F.col("band") + F.lit(1)],
+            keys_b=["block_b", "band_b"],
         )
         .select(
             F.least("id_a", "id_b").alias("lo"),
@@ -418,7 +446,8 @@ def levenshtein_pairs_qgram(
         F.col("gram").alias("gram_b"), guard(F.col("id"), "long").alias("id_b")
     )
     cands = _pair_join(
-        a, b, on=[a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]]
+        a, b, on=[a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]],
+        keys_a=["gram"], keys_b=["gram_b"],
     ).select("id_a", "id_b")
     # low-diversity pool: every pair the prefix filter can miss has both
     # sides at <= 2*q*d distinct grams (see docstring); pair the pool
@@ -1234,7 +1263,7 @@ def embedding_dup_pairs(
     (single-table path, no explode). All-pairs is the one O(N²) escape
     hatch and must be requested twice: ``block_key=None,
     allow_all_pairs=True``."""
-    from notion_spark.pipeline.similarity import cosine, random_hyperplane_bucket
+    from notion_spark.pipeline.similarity import dot, norm, random_hyperplane_bucket
 
     multi_table = False
     if isinstance(block_key, str):
@@ -1248,7 +1277,28 @@ def embedding_dup_pairs(
             "join; pass allow_all_pairs=True to opt in explicitly, or keep "
             "the default 'auto' hyperplane blocking"
         )
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 6)
+    # Per-pair score, tuned for the measured hot loop (r8 sf1: the
+    # verify was >90% of wall time):
+    # - norms PRECOMPUTED per row (one pass over |corpus| rows; the
+    #   sqrt happens before the join instead of twice per pair);
+    # - the dot product UNROLLED into `dim` codegen'd multiply-adds
+    #   (F.get + Multiply + Add) instead of the interpreted
+    #   ArrayAggregate fold (~600 us/pair measured) — seeded with 0.0
+    #   and summed left-to-right, so the IEEE op sequence is identical
+    #   to the fold and to the oracle's range(1, dim+1) list_sum.
+    #   Elements past `dim` are ignored (the oracle's own contract);
+    #   vectors SHORTER than dim zero-pad (coalesce), so an equal-length
+    #   short pair scores exactly what the fold scored (x + 0.0 == x),
+    #   while a length-MISMATCHED pair scores over the zero-padded
+    #   union instead of the fold's drop — malformed either way.
+    dotu: Column = F.lit(0.0)
+    for _i in range(dim):
+        dotu = dotu + (
+            F.coalesce(F.get(F.col("v_a"), _i).cast("double"), F.lit(0.0))
+            * F.coalesce(F.get(F.col("v_b"), _i).cast("double"), F.lit(0.0))
+        )
+    denom = F.col("n_a") * F.col("n_b")
+    sim = F.round(F.when(denom > 0, dotu / denom), 6)
     if multi_table:
         # (table, bucket) rows per vector; pairs collide in >= 1 table.
         # Seeds differ per table -> independent hyperplane sets.
@@ -1264,12 +1314,19 @@ def embedding_dup_pairs(
             ]
         )
         v = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(buckets).alias("tb")
-        ).select("id", "v", "tb.tbl", "tb.bkt")
-        a = v.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            F.explode(buckets).alias("tb"),
+        ).select("id", "v", "nrm", "tb.tbl", "tb.bkt")
+        a = v.select(
+            "tbl", "bkt", F.col("id").alias("id_a"),
+            F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
+        )
         b = v.select(
             F.col("tbl").alias("tbl_b"), F.col("bkt").alias("bkt_b"),
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nrm").alias("n_b"),
         )
         cand = (
             # _pair_join (shuffle_hash, not broadcast): see its docstring —
@@ -1279,6 +1336,7 @@ def embedding_dup_pairs(
             _pair_join(
                 a, b,
                 on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]],
+                keys_a=["tbl", "bkt"], keys_b=["tbl_b", "bkt_b"],
             )
             # OR-semantics: a pair colliding in several tables scores once
             .dropDuplicates(["id_a", "id_b"])
@@ -1289,21 +1347,35 @@ def embedding_dup_pairs(
         )
     # evaluate block_key against the ORIGINAL frame (it may reference
     # columns outside id/vec), then project down
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ]
     if block_key is not None:
         cols.append(block_key.alias("block"))
     v = df.select(*cols)
-    a = v.select(*(["block"] if block_key is not None else []), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    a = v.select(
+        *(["block"] if block_key is not None else []),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
     b = v.select(
         *([F.col("block").alias("block_b")] if block_key is not None else []),
         F.col("id").alias("id_b"),
         F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
     )
     cond = [a["id_a"] < b["id_b"]]
     if block_key is not None:
         cond.append(a["block"] == b["block_b"])
     return (
-        _pair_join(a, b, on=cond)
+        _pair_join(
+            a, b, on=cond,
+            keys_a=["block"] if block_key is not None else None,
+            keys_b=["block_b"] if block_key is not None else None,
+        )
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
