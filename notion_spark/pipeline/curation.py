@@ -98,6 +98,7 @@ def semantic_split_leakage(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_partitions: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-level train/eval leakage audit: for every NON-train row,
     the max cosine against ANY train row; rows reaching ``threshold``
@@ -124,23 +125,35 @@ def semantic_split_leakage(
     file is ONE input partition, serializing |train|·|eval| cosine
     evaluations onto one core. Set it (e.g. to the core count) on
     small/single-file inputs to insert one train-side repartition;
-    leave None at cluster scale — results identical either way."""
-    from notion_spark.pipeline.similarity import cosine
+    leave None at cluster scale — results identical either way.
+
+    ``dim``: the embedding width — the per-pair score is the UNROLLED
+    codegen dot product over precomputed per-row norms
+    (`similarity.dot_unrolled`: ~1000x cheaper per pair than the
+    interpreted HOF fold measured in r8), so each of the
+    |train|·|eval| evaluations is dim multiply-adds, nothing more."""
+    from notion_spark.pipeline.similarity import dot_unrolled, norm
 
     ev = F.broadcast(
         df.filter(F.col(split_col) != train_split).select(
             F.col(id_col).alias("__eid"),
             F.col(split_col).alias("__esplit"),
             F.col(vec_col).alias("__ev"),
+            norm(F.col(vec_col)).alias("__en"),
         )
     )
     tr = df.filter(F.col(split_col) == train_split).select(
-        F.col(vec_col).alias("__tv")
+        F.col(vec_col).alias("__tv"),
+        norm(F.col(vec_col)).alias("__tn"),
     )
     if score_partitions is not None:
         tr = tr.repartition(score_partitions)
+    denom = F.col("__en") * F.col("__tn")
     scored = tr.crossJoin(ev).select(
-        "__eid", "__esplit", cosine(F.col("__ev"), F.col("__tv")).alias("__cos")
+        "__eid",
+        "__esplit",
+        F.when(denom > 0, dot_unrolled(F.col("__ev"), F.col("__tv"), dim) / denom)
+        .alias("__cos"),
     )
     return (
         scored.groupBy("__eid", "__esplit")

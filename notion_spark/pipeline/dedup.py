@@ -1263,7 +1263,11 @@ def embedding_dup_pairs(
     (single-table path, no explode). All-pairs is the one O(N²) escape
     hatch and must be requested twice: ``block_key=None,
     allow_all_pairs=True``."""
-    from notion_spark.pipeline.similarity import dot, norm, random_hyperplane_bucket
+    from notion_spark.pipeline.similarity import (
+        dot_unrolled,
+        norm,
+        random_hyperplane_bucket,
+    )
 
     multi_table = False
     if isinstance(block_key, str):
@@ -1286,17 +1290,9 @@ def embedding_dup_pairs(
     #   ArrayAggregate fold (~600 us/pair measured) — seeded with 0.0
     #   and summed left-to-right, so the IEEE op sequence is identical
     #   to the fold and to the oracle's range(1, dim+1) list_sum.
-    #   Elements past `dim` are ignored (the oracle's own contract);
-    #   vectors SHORTER than dim zero-pad (coalesce), so an equal-length
-    #   short pair scores exactly what the fold scored (x + 0.0 == x),
-    #   while a length-MISMATCHED pair scores over the zero-padded
-    #   union instead of the fold's drop — malformed either way.
-    dotu: Column = F.lit(0.0)
-    for _i in range(dim):
-        dotu = dotu + (
-            F.coalesce(F.get(F.col("v_a"), _i).cast("double"), F.lit(0.0))
-            * F.coalesce(F.get(F.col("v_b"), _i).cast("double"), F.lit(0.0))
-        )
+    #   (dot_unrolled's contract: elements past `dim` ignored, shorter
+    #   vectors zero-padded — the fixed-dim oracles' own semantics).
+    dotu = dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
     denom = F.col("n_a") * F.col("n_b")
     sim = F.round(F.when(denom > 0, dotu / denom), 6)
     if multi_table:

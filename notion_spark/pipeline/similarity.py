@@ -50,6 +50,33 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """`dot` unrolled into ``dim`` codegen'd multiply-adds (F.get +
+    Multiply + Add) — the hot-loop replacement for the interpreted
+    ArrayAggregate fold, which measured ~600 µs per 64-dim evaluation
+    inside r8's pair joins (HOFs have no codegen; every fold allocates
+    and interprets per element). Seeded with 0.0 and summed
+    left-to-right, so the IEEE op sequence is identical to `dot`'s
+    fold and to the oracles' ``list_sum`` over ``range(1, dim+1)``.
+    Contract difference, deliberate: elements past ``dim`` are ignored
+    (the fixed-dim oracles' own semantics) and shorter vectors
+    zero-pad via coalesce — an equal-length short pair scores exactly
+    what the fold scored (x + 0.0 == x); a length-MISMATCHED pair
+    scores over the zero-padded union where the fold dropped it.
+
+    Use with per-row precomputed norms (`norm` before the join) so the
+    per-PAIR work is ONE unrolled dot: the r8 recipe that took
+    embedding_dup_pairs at sf1 from a 10-30 min single task to 70 s
+    and semantic_split_leakage from ~20 min/run to seconds."""
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + (
+            F.coalesce(F.get(a, i).cast("double"), F.lit(0.0))
+            * F.coalesce(F.get(b, i).cast("double"), F.lit(0.0))
+        )
+    return out
+
+
 # ------------------------------------------------------------ brute force
 def brute_force_topk(
     corpus: DataFrame,
