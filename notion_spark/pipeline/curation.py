@@ -117,7 +117,11 @@ def semantic_split_leakage(
     definition (val+test are a few percent), so eval broadcasts and
     the train mass streams once through a codegen'd scoring stage into
     a map-side-combined per-eval-id max. Nothing |train|×|train|;
-    never broadcast the train side.
+    never broadcast the train side. For an eval split too big to
+    broadcast (not a real eval set, but e.g. auditing one corpus
+    against another), bucket both sides with the LSH machinery first
+    (`similarity._candidate_pairs`) — the same fallback
+    `semantic_contaminated_ids` documents for an oversized benchmark.
 
     ``score_partitions``: the scoring stage's parallelism equals the
     train SCAN's partitioning — correct on a cluster (a real corpus
@@ -132,19 +136,19 @@ def semantic_split_leakage(
     (`similarity.dot_unrolled`: ~1000x cheaper per pair than the
     interpreted HOF fold measured in r8), so each of the
     |train|·|eval| evaluations is dim multiply-adds, nothing more."""
-    from notion_spark.pipeline.similarity import dot_unrolled, norm
+    from notion_spark.pipeline.similarity import dot_unrolled, norm_unrolled
 
     ev = F.broadcast(
         df.filter(F.col(split_col) != train_split).select(
             F.col(id_col).alias("__eid"),
             F.col(split_col).alias("__esplit"),
             F.col(vec_col).alias("__ev"),
-            norm(F.col(vec_col)).alias("__en"),
+            norm_unrolled(F.col(vec_col), dim).alias("__en"),
         )
     )
     tr = df.filter(F.col(split_col) == train_split).select(
         F.col(vec_col).alias("__tv"),
-        norm(F.col(vec_col)).alias("__tn"),
+        norm_unrolled(F.col(vec_col), dim).alias("__tn"),
     )
     if score_partitions is not None:
         tr = tr.repartition(score_partitions)
@@ -1058,6 +1062,14 @@ def equidepth_value_bins(
     # probe: the eager form ran the full scan+groupBy twice per call and
     # made a lazy API eager. count over the unbounded window = |distinct|.
     n_distinct = F.count(F.lit(1)).over(total)
+    # the guard rides EVERY output column (exactmath.guarded rule):
+    # guard-on-bin-only let a caller selecting (value, cnt) prune the
+    # guard with the column and pass an out-of-contract cardinality
+    gg = guarded(
+        F.col("__nd") > F.lit(max_distinct),
+        f"equidepth_value_bins: > {max_distinct} distinct values in"
+        f" {col!r} — use sketches.histogram_bins for continuous data",
+    )
     return counts.select(
         "value",
         "cnt",
@@ -1065,13 +1077,9 @@ def equidepth_value_bins(
         grand.alias("__grand"),
         n_distinct.alias("__nd"),
     ).select(
-        "value",
-        "cnt",
-        guarded(
-            F.col("__nd") > F.lit(max_distinct),
-            f"equidepth_value_bins: > {max_distinct} distinct values in"
-            f" {col!r} — use sketches.histogram_bins for continuous data",
-        )(F.expr("__scaled div __grand"), "int").alias("bin"),
+        gg(F.col("value")).alias("value"),
+        gg(F.col("cnt")).alias("cnt"),
+        gg(F.expr("__scaled div __grand"), "int").alias("bin"),
     )
 
 
@@ -1102,7 +1110,7 @@ def grouped_score_buckets(
     parallelism, no single-partition global window — and nothing
     touching the corpus itself (callers broadcast-join the boundary
     frame back). The per-group cardinality guard is in-plan, riding
-    the bucket column."""
+    EVERY output column (so no column-pruned projection escapes it)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     counts = (
@@ -1115,29 +1123,33 @@ def grouped_score_buckets(
     run_before = F.coalesce(
         F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return counts.select(
+    frame = counts.select(
         "__g",
         "__v",
         "cnt",
         (run_before * F.lit(n_bins)).alias("__scaled"),
         F.sum("cnt").over(total).alias("__grand"),
         F.count(F.lit(1)).over(total).alias("__nd"),
-    ).select(
-        F.col("__g").alias(group_col),
-        F.col("__v").alias(score_col),
-        "cnt",
-        guarded(
-            F.col("__nd") > F.lit(max_distinct),
-            F.concat(
-                F.lit("grouped_score_buckets: group "),
-                F.col("__g").cast("string"),
-                F.lit(
-                    f" has > {max_distinct} distinct {score_col!r} values —"
-                    " quantize the score (micro-units) or use"
-                    " sketches.histogram_bins"
-                ),
+    )
+    # the guard rides EVERY output column (exactmath.guarded rule):
+    # a caller selecting only (group, score, cnt) must still trip it
+    gg = guarded(
+        F.col("__nd") > F.lit(max_distinct),
+        F.concat(
+            F.lit("grouped_score_buckets: group "),
+            F.col("__g").cast("string"),
+            F.lit(
+                f" has > {max_distinct} distinct {score_col!r} values —"
+                " quantize the score (micro-units) or use"
+                " sketches.histogram_bins"
             ),
-        )(F.expr("__scaled div __grand"), "int").alias("bucket"),
+        ),
+    )
+    return frame.select(
+        gg(F.col("__g")).alias(group_col),
+        gg(F.col("__v")).alias(score_col),
+        gg(F.col("cnt")).alias("cnt"),
+        gg(F.expr("__scaled div __grand"), "int").alias("bucket"),
     )
 
 

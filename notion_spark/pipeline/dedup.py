@@ -182,7 +182,13 @@ def _pair_join(a: DataFrame, b: DataFrame, on, keys_a=None, keys_b=None) -> Data
     is enough. Joins that consume ALREADY-SHUFFLED candidate pairs
     (verify joins keyed on id) need neither."""
     if keys_a:
-        n = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        # the conf may be non-numeric on managed platforms (e.g. 'auto'
+        # under auto-optimized shuffle) — fall back to the cluster's
+        # default parallelism rather than crashing every blocked join
+        try:
+            n = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):
+            n = a.sparkSession.sparkContext.defaultParallelism or 200
         a = a.repartition(n, *keys_a)
         b = b.repartition(n, *keys_b)
     return a.hint("shuffle_hash").join(b, on=on)
@@ -1265,7 +1271,7 @@ def embedding_dup_pairs(
     allow_all_pairs=True``."""
     from notion_spark.pipeline.similarity import (
         dot_unrolled,
-        norm,
+        norm_unrolled,
         random_hyperplane_bucket,
     )
 
@@ -1284,7 +1290,10 @@ def embedding_dup_pairs(
     # Per-pair score, tuned for the measured hot loop (r8 sf1: the
     # verify was >90% of wall time):
     # - norms PRECOMPUTED per row (one pass over |corpus| rows; the
-    #   sqrt happens before the join instead of twice per pair);
+    #   sqrt happens before the join instead of twice per pair) and
+    #   dim-TRUNCATED to match the numerator (norm_unrolled — a
+    #   full-width norm over a dim-truncated dot silently deflates
+    #   every score for vectors wider than `dim`);
     # - the dot product UNROLLED into `dim` codegen'd multiply-adds
     #   (F.get + Multiply + Add) instead of the interpreted
     #   ArrayAggregate fold (~600 us/pair measured) — seeded with 0.0
@@ -1312,7 +1321,7 @@ def embedding_dup_pairs(
         v = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("nrm"),
+            norm_unrolled(F.col(vec_col), dim).alias("nrm"),
             F.explode(buckets).alias("tb"),
         ).select("id", "v", "nrm", "tb.tbl", "tb.bkt")
         a = v.select(
@@ -1346,7 +1355,7 @@ def embedding_dup_pairs(
     cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
+        norm_unrolled(F.col(vec_col), dim).alias("nrm"),
     ]
     if block_key is not None:
         cols.append(block_key.alias("block"))

@@ -77,6 +77,25 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """Truncated-to-``dim`` companion of `dot_unrolled` — the SAME
+    contract (elements past ``dim`` ignored, shorter vectors
+    zero-padded), so a cosine assembled as
+    ``dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) *
+    norm_unrolled(b, dim))`` is a true cosine over the first ``dim``
+    components for ANY input width. Pairing dot_unrolled with the
+    full-width `norm` instead silently DEFLATES scores for vectors
+    wider than ``dim`` (numerator truncated, denominator not) — the
+    r9 advisory finding: a near-dup scorer that under-reports is a
+    silent wrong answer in a safety audit. Same unrolled codegen
+    shape (no HOF fold) so it rides whole-stage codegen like the dot."""
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        v = F.coalesce(F.get(a, i).cast("double"), F.lit(0.0))
+        out = out + v * v
+    return F.sqrt(out)
+
+
 # ------------------------------------------------------------ brute force
 def brute_force_topk(
     corpus: DataFrame,
@@ -329,17 +348,24 @@ def knn_label_disagreement(
 def _probe_masks(n_planes: int, n_probes: int) -> list[int]:
     """Deterministic multi-probe XOR mask sequence, truncated to
     ``n_probes`` entries: identity, every Hamming-1 flip in plane order,
-    then Hamming-2 flips lexicographically, then Hamming-3. The first
-    ``n_planes + 1`` entries reproduce the original single-bit probe
-    order exactly, so every registered small-``n_probes`` query keeps
-    its byte-identical output; larger ``n_probes`` now extends into
-    2- and 3-bit probes instead of silently capping at ``n_planes + 1``
-    buckets (the cap behind the r7 recall-0.046 measurement — 8 planes
-    could never probe more than 9/256 buckets, see SCALE.md)."""
+    then Hamming-2 flips lexicographically, then Hamming-3, and so on
+    up through Hamming-``n_planes``. The first ``n_planes + 1`` entries
+    reproduce the original single-bit probe order exactly, so every
+    registered small-``n_probes`` query keeps its byte-identical
+    output; larger ``n_probes`` extends radius by radius until every
+    one of the ``2^n_planes`` buckets is enumerated — at which point
+    probing is exhaustive and a larger ``n_probes`` changes nothing
+    (the only remaining cap, and it is the natural one). The r7
+    version silently capped at Hamming-1 (9/256 buckets for 8 planes —
+    the recall-0.046 measurement, see SCALE.md); the r8 version capped
+    at Hamming-3 (unreachable sweep points for small ``n_planes``,
+    e.g. 4 planes stopped at 15 of 16 buckets)."""
     from itertools import combinations
 
     masks = [0] + [1 << p for p in range(n_planes)]
-    for r in (2, 3):
+    for r in range(2, n_planes + 1):
+        if len(masks) >= n_probes:
+            break
         for combo in combinations(range(n_planes), r):
             masks.append(sum(1 << p for p in combo))
     return masks[: max(1, n_probes)]

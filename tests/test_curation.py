@@ -738,3 +738,25 @@ def test_interleave_order_guards_group_fanout(spark):
     # exactly at the bound: unchanged output
     got = interleave_order(df, max_groups=3).collect()
     assert sorted(r.position for r in got) == list(range(6))
+
+
+def test_cardinality_guards_survive_column_pruning(spark):
+    """The in-plan guard must ride EVERY output column (exactmath.guarded
+    rule): a caller projecting away the guarded column must still trip
+    the raise — Catalyst prunes unreferenced columns and their guards."""
+    import pytest
+
+    from notion_spark.pipeline.curation import (
+        equidepth_value_bins,
+        grouped_score_buckets,
+    )
+
+    df = spark.createDataFrame([(1, "en"), (2, "en"), (3, "de")], "x int, g string")
+    with pytest.raises(Exception, match="distinct"):
+        equidepth_value_bins(df, "x", n_bins=2, max_distinct=1).select(
+            "value", "cnt"
+        ).collect()
+    with pytest.raises(Exception, match="distinct"):
+        grouped_score_buckets(df, "x", "g", n_bins=2, max_distinct=1).select(
+            "g", "x", "cnt"
+        ).collect()

@@ -449,3 +449,21 @@ class TestSemanticDedup:
         pairs = semantic_dup_pairs(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99, max_cell=10)
         kept = dedup_clusters(df, pairs, "vec_id")
         assert {r["vec_id"] for r in kept.collect()} == {0, 9}  # canonical + singleton
+
+
+def test_embedding_dup_pairs_truncated_norm_matches_dot(spark):
+    # vectors IDENTICAL in the first `dim` components but wider than
+    # `dim`: the cosine over the truncated window must be exactly 1.0.
+    # The r8 form paired a dim-truncated dot with FULL-width norms,
+    # silently deflating every score for wider vectors (r9 advisory) —
+    # under it this pair scored ~0.09 and was dropped at any threshold.
+    rows = [
+        (1, [1.0, 2.0] + [9.0] * 6),
+        (2, [1.0, 2.0] + [-9.0] * 6),
+        (3, [5.0, -1.0] + [0.0] * 6),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = D.embedding_dup_pairs(
+        df, threshold=0.99, block_key=None, allow_all_pairs=True, dim=2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in out] == [(1, 2, 1.0)]

@@ -569,3 +569,31 @@ class TestProductQuantization:
         monkeypatch.setattr(S2, "IVF_LITERAL_MAX_K", 0)  # force numpy probe + assign
         pan = sorted(map(tuple, ivfpq_topk(df, q, coarse, books, k=5, nprobe=2).collect()))
         assert lit == pan and len(lit) > 0
+
+
+def test_probe_masks_extend_past_hamming3():
+    """n_probes beyond 1+C(n,1)+C(n,2)+C(n,3) keeps extending radius by
+    radius until probing is exhaustive (2^n_planes buckets), instead of
+    silently capping (r8 capped at Hamming-3: 4 planes stopped at 15 of
+    16 masks and a sweep point past it was a phantom operating point)."""
+    from notion_spark.pipeline.similarity import _probe_masks
+
+    masks = _probe_masks(4, 16)
+    assert len(masks) == 16
+    assert sorted(masks) == list(range(16))  # every bucket offset, once
+    # prefix order preserved: identity then single-bit flips
+    assert masks[:5] == [0, 1, 2, 4, 8]
+    # asking past exhaustive yields exhaustive
+    assert len(_probe_masks(4, 100)) == 16
+
+
+def test_norm_unrolled_truncates_like_dot_unrolled(spark):
+    from notion_spark.pipeline.similarity import dot_unrolled, norm_unrolled
+
+    df = spark.createDataFrame([([3.0, 4.0, 100.0],)], ["v"])
+    r = df.select(
+        norm_unrolled(F.col("v"), 2).alias("n"),
+        dot_unrolled(F.col("v"), F.col("v"), 2).alias("d"),
+    ).first()
+    assert r.n == 5.0  # 100.0 beyond dim ignored, matching the dot
+    assert r.d == 25.0
