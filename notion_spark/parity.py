@@ -4100,16 +4100,29 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.text, b.text) AS INT) AS distance
     FROM d a JOIN d b
       ON a.source = b.source AND a.doc_id < b.doc_id
-     AND abs(length(a.text) - length(b.text)) <= 60
-    WHERE levenshtein(a.text, b.text) <= 60
+     AND abs(length(a.text) - length(b.text)) <= 20
+    WHERE levenshtein(a.text, b.text) <= 20
     """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs blocked by source with the exact
-    length-gap prune; Spark computes the distance JVM-side with the
-    threshold (early-exit) form, the oracle computes it fully."""
+    """Within-source edit-distance near-dup pairs on the FULL corpus,
+    via Ed-Join q-gram prefix filtering with `source` ANDed into the
+    candidate index join (pipeline/dedup.levenshtein_pairs_qgram
+    block_key) — the r9 plan swap: the r8-shipped length-band blocking
+    measured 56.8x wall at 10x data (SCALE.md r8 slope sweep) because
+    `source` has constant cardinality and band occupancy grows with N,
+    while the prefix-filtered candidate index is frequency-adaptive
+    (the measured-flat construction, whose EXACTNESS is separately
+    certified against the brute-force oracle in
+    dedup_levenshtein_qgram). Same oracle shape as r8 with the
+    distance bound at 20 (= the qgram default; at 60 the low-diversity
+    pool bound 2qd admits most of this corpus and the pool fallback
+    itself goes quadratic). Spark computes the distance JVM-side with
+    the threshold (early-exit) form, the oracle computes it fully."""
     d = read_table(spark, sf_dir, "documents")
-    return DD.levenshtein_pairs(d, block_key=F.col("source"), max_distance=60)
+    return DD.levenshtein_pairs_qgram(
+        d, max_distance=20, q=3, block_key=F.col("source")
+    )
 
 
 @register(

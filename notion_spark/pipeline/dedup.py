@@ -243,7 +243,16 @@ def levenshtein_pairs(
     max_length_diff: int | None = None,
     length_bands: bool = True,
 ) -> DataFrame:
-    """Edit-distance near-duplicate pairs WITHIN a blocking key.
+    """Edit-distance near-duplicate pairs WITHIN a blocking key —
+    the SMALL-N / bounded-block path. For corpus-scale inputs use
+    `levenshtein_pairs_qgram` (Ed-Join prefix filtering, optional
+    ``block_key`` scope): here the block IS the scale mechanism, so a
+    key whose cardinality does not grow with N degrades to quadratic
+    within blocks — measured 56.8x wall at 10x data on the
+    constant-cardinality `source` key (SCALE.md r8 slope sweep),
+    where the q-gram path stays ~flat. Reach for this form only when
+    the block key genuinely subdivides the corpus (e.g. per-tenant,
+    per-URL-host) or N is small.
 
     Character-level complement to the token-level `jaccard_pairs`: edit
     distance catches small in-word mutations (typos, template fills)
@@ -373,6 +382,7 @@ def levenshtein_pairs_qgram(
     max_distance: int = 20,
     q: int = 3,
     max_gram_bucket: int = 100_000,
+    block_key: Column | None = None,
 ) -> DataFrame:
     """BLOCKING-FREE exact edit-distance near-dup pairs via q-gram
     prefix filtering (Ed-Join, Xiao/Wang/Lin VLDB 2008): no blocking
@@ -409,19 +419,34 @@ def levenshtein_pairs_qgram(
     in-plan ``max_gram_bucket`` guard raises if any prefix gram's
     bucket exceeds the bound (the hot-bucket symptom of a degenerate
     corpus — near-identical boilerplate everywhere — where the quadratic
-    blowup would be real, not a plan accident)."""
+    blowup would be real, not a plan accident).
+
+    ``block_key`` (optional): restrict pairs to rows sharing the key,
+    ANDed into BOTH candidate joins (the gram index join and the
+    low-diversity pool bands) — unlike `levenshtein_pairs`, the block
+    here is a scope CONTRACT ("only compare within source"), not the
+    scale mechanism: the prefix filter is what keeps candidates
+    sub-quadratic, so a constant-cardinality key is safe to pass (the
+    r8 slope sweep measured the band-blocked sibling at 56.8x wall
+    per 10x data on exactly such a key, vs ~flat for this path).
+    NULL keys pair with nothing (SQL equi-join semantics)."""
     from notion_spark.functions.exactmath import guarded
 
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
     prefix_len = q * max_distance + 1
-    docs = df.select(
+    doc_cols = [
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         F.length(text_col).alias("len"),
-    ).filter(F.col("txt").isNotNull())
+    ]
+    if block_key is not None:
+        doc_cols.append(block_key.alias("blk"))
+    docs = df.select(*doc_cols).filter(F.col("txt").isNotNull())
+    blk = ["blk"] if block_key is not None else []
     grams = docs.filter(F.col("len") >= q).select(
         "id",
+        *blk,
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -437,9 +462,10 @@ def levenshtein_pairs_qgram(
         grams.join(freq, "gram")
         .withColumn("__rk", F.row_number().over(wdoc))
         .filter(F.col("__rk") <= prefix_len)
-        .select("id", "gram")
+        .select("id", *blk, "gram")
     )
-    wg = Window.partitionBy("gram")
+    # bucket = the candidate-join key's bucket: (gram, block) when blocked
+    wg = Window.partitionBy("gram", *blk)
     pref = pref.withColumn("__g_n", F.count(F.lit(1)).over(wg))
     guard = guarded(
         F.col("__g_n") > F.lit(max_gram_bucket),
@@ -447,13 +473,19 @@ def levenshtein_pairs_qgram(
         " rows — the corpus is boilerplate-degenerate; tighten q/max_distance"
         " or pre-dedup exactly first",
     )
-    a = pref.select("gram", guard(F.col("id"), "long").alias("id_a"))
+    a = pref.select("gram", *blk, guard(F.col("id"), "long").alias("id_a"))
     b = pref.select(
-        F.col("gram").alias("gram_b"), guard(F.col("id"), "long").alias("id_b")
+        F.col("gram").alias("gram_b"),
+        *([F.col("blk").alias("blk_b")] if block_key is not None else []),
+        guard(F.col("id"), "long").alias("id_b"),
     )
+    cand_on = [a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]]
+    if block_key is not None:
+        cand_on.append(a["blk"] == b["blk_b"])
     cands = _pair_join(
-        a, b, on=[a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]],
-        keys_a=["gram"], keys_b=["gram_b"],
+        a, b, on=cand_on,
+        keys_a=["gram", *blk],
+        keys_b=["gram_b"] + (["blk_b"] if block_key is not None else []),
     ).select("id_a", "id_b")
     # low-diversity pool: every pair the prefix filter can miss has both
     # sides at <= 2*q*d distinct grams (see docstring); pair the pool
@@ -466,15 +498,25 @@ def levenshtein_pairs_qgram(
         .withColumn(
             "band", F.call_function("div", F.col("len"), F.lit(max(max_distance, 1)))
         )
-        .select("id", "band")
+        .select("id", "band", *blk)
     )
-    pa = pool.select(F.col("id").alias("pid_a"), F.col("band").alias("band_a"))
-    pb = pool.select(F.col("id").alias("pid_b"), F.col("band").alias("band_b"))
+    pa = pool.select(
+        F.col("id").alias("pid_a"),
+        F.col("band").alias("band_a"),
+        *([F.col("blk").alias("pblk_a")] if block_key is not None else []),
+    )
+    pb = pool.select(
+        F.col("id").alias("pid_b"),
+        F.col("band").alias("band_b"),
+        *([F.col("blk").alias("pblk_b")] if block_key is not None else []),
+    )
+    pblk_on = [pa["pblk_a"] == pb["pblk_b"]] if block_key is not None else []
     pool_same = _pair_join(
-        pa, pb, on=[pa["band_a"] == pb["band_b"], pa["pid_a"] < pb["pid_b"]]
+        pa, pb,
+        on=[pa["band_a"] == pb["band_b"], pa["pid_a"] < pb["pid_b"], *pblk_on],
     ).select(F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"))
     pool_adj = (
-        _pair_join(pa, pb, on=[pa["band_a"] + F.lit(1) == pb["band_b"]])
+        _pair_join(pa, pb, on=[pa["band_a"] + F.lit(1) == pb["band_b"], *pblk_on])
         .select(
             F.least("pid_a", "pid_b").alias("id_a"),
             F.greatest("pid_a", "pid_b").alias("id_b"),

@@ -594,3 +594,26 @@ def test_levenshtein_qgram_hot_bucket_guard(spark):
     )
     with pytest.raises(Exception, match="prefix gram bucket"):
         D.levenshtein_pairs_qgram(df, max_distance=3, q=3, max_gram_bucket=2).collect()
+
+
+def test_levenshtein_qgram_block_key_scopes_pairs(spark):
+    """block_key on the Ed-Join path is a scope contract ANDed into both
+    candidate routes (gram index AND low-diversity pool): within-block
+    pairs equal the brute force per block, cross-block pairs vanish —
+    including for pool-routed repetitive strings."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the hazy dog", "s1"),  # ed 1, same blk
+        (3, "the quick brown fox jumps over the mazy dog", "s2"),  # ed 1, CROSS blk
+        (4, "aaaaaaaaaa", "s1"),   # pool route: 1 distinct 3-gram
+        (5, "aaaabaaaaa", "s1"),   # ed 1 from #4, same blk
+        (6, "aaacaaaaaa", "s2"),   # ed 1 from #4, CROSS blk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs_qgram(
+            df, max_distance=3, q=3, block_key=F.col("src")
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (4, 5): 1}
