@@ -779,27 +779,38 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    """
+    r"""
     WITH docs AS (
-        SELECT doc_id, source,
-               list_distinct([array_to_string(toks[i:i+2], ' ')
-                              for i in range(1, greatest(len(toks) - 1, 1))]) AS sh
-        FROM (SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents)
-        WHERE len(toks) >= 3
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                              for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS sh
+        FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
-    FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
     WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.2
+                / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs, blocked by source (pairwise
-    similarity REQUIRES a blocking key at scale)."""
+    """Exact 3-gram Jaccard near-dup pairs over the WHOLE corpus — no
+    blocking key — via AllPairs prefix filtering
+    (pipeline/dedup.jaccard_pairs_prefix, Bayardo et al. WWW 2007):
+    the r9 plan swap. The r8-shipped form blocked on
+    constant-cardinality `source` at threshold 0.2 and measured 36.4x
+    wall at 10x data (SCALE.md r8 slope sweep); the prefix filter's
+    granularity adapts to the corpus (each doc indexes only its
+    ~(1-t) rarest shingles), and the exact verify makes the output
+    identical to brute force — which is exactly what the oracle runs
+    (all-pairs exact Jaccard at sf0.01; the Spark side never does).
+    Threshold 0.8 is the realistic near-dup operating point (0.2 makes
+    ANY candidate filter vacuous — most of each prefix is the whole
+    set)."""
     d = read_table(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(d, block_key=F.col("source"), n=3, threshold=0.2)
+    return DD.jaccard_pairs_prefix(d, n=3, threshold=0.8)
 
 
 # Shared oracle fragment: distinct 3-gram shingle sets + all-pairs exact

@@ -211,7 +211,13 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs WITHIN a blocking key.
+    """Exact n-gram Jaccard over pairs WITHIN a blocking key — the
+    SMALL-N / bounded-block path. For corpus-scale inputs use
+    `jaccard_pairs_prefix` (AllPairs prefix filtering — exact, no block
+    key needed): here the block IS the scale mechanism, so a key whose
+    cardinality does not grow with N degrades to quadratic within
+    blocks (measured 36.4x wall at 10x data on the constant-cardinality
+    `source` key, SCALE.md r8 slope sweep).
 
     The blocking key is mandatory: pairwise similarity without blocking is
     O(N²) and cannot survive scale. Output: (id_a, id_b, jaccard) with
@@ -231,6 +237,125 @@ def jaccard_pairs(
         a, b, on=[a["block"] == b["block_b"], a["id_a"] < b["id_b"]],
         keys_a=["block"], keys_b=["block_b"],
     )
+    return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_key: Column | None = None,
+    max_token_bucket: int = 100_000,
+) -> DataFrame:
+    """BLOCKING-FREE exact n-gram Jaccard near-dup pairs via prefix
+    filtering (AllPairs, Bayardo/Ma/Srikant WWW 2007; the PPJoin
+    family): candidate pairs come from an inverted index over each
+    document's PREFIX shingles under one global (corpus-frequency asc,
+    hash asc) total order, where doc x's prefix is its first
+    ``|sh_x| - floor(t·|sh_x|) + 1`` shingles. Exactness: J(a,b) >= t
+    forces overlap >= t·max(|sh_a|,|sh_b|), and two sets whose
+    prefixes are disjoint under a COMMON total order can share at most
+    ``floor(t·|sh_x|) - 1`` elements — so every qualifying pair
+    collides in the index and the exact-Jaccard verify removes the
+    false positives (same output contract as `jaccard_pairs`:
+    (id_a < id_b, jaccard) at jaccard >= threshold, rounded 6).
+
+    This is the corpus-scale default of the jaccard family. The
+    granularity of the filter ADAPTS to the corpus: prefixes keep only
+    each doc's ~(1-t) RAREST shingles, so index buckets stay cold as N
+    grows (a shingle's bucket is bounded by its corpus frequency, and
+    only docs for which it is rare index it) — unlike a fixed block
+    key, where occupancy grows ~N and within-block candidates grow
+    ~N^2 (`dedup_ngram_jaccard` measured 36.4x wall at 10x data on the
+    constant-cardinality `source` key before the r9 swap; SCALE.md).
+    The size filter ``min >= t·max`` is ANDed into the candidate join
+    (a necessary condition of J >= t), and the in-plan
+    ``max_token_bucket`` guard raises when a prefix shingle's bucket
+    exceeds the bound — the boilerplate-degenerate corpus where the
+    blowup would be real (exact-dedup first, or raise the threshold).
+
+    ``block_key`` (optional): a scope contract ("only pair within
+    source/tenant"), ANDed into the index join — NOT needed for scale.
+    NULL keys pair with nothing. Low thresholds (< ~0.5) make any
+    prefix filter weak (prefixes approach the whole set); use
+    `minhash_dedup_pairs` there and accept banded recall.
+
+    One shuffle for the shingle sets, one vocab-sized frequency
+    combine, one doc-keyed window for prefix ranks, one pinned-width
+    pair join on the shingle hash (prefix-sized index, not |docs|^2),
+    dropDuplicates on the pair, then the sorted-set intersection
+    verify — every stage bounded by corpus size or output size."""
+    from notion_spark.functions.exactmath import guarded
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    docs = shingle_hash_sets(df, text_col, id_col, n)
+    blk = ["blk"] if block_key is not None else []
+    if block_key is not None:
+        docs = docs.join(
+            df.select(F.col(id_col).alias("id"), block_key.alias("blk")), "id"
+        )
+    docs = docs.withColumn("sz", F.size("sh"))
+    toks = docs.select("id", *blk, "sz", F.explode("sh").alias("h"))
+    freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("__f"))
+    wdoc = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("h"))
+    # floor (not ceil) of t·|sh| is the float-safe required-overlap
+    # bound: one-longer prefix than the tight integer form, never
+    # shorter — false positives are verified away, false negatives
+    # would be silent
+    prefix_len = F.col("sz") - F.floor(
+        F.lit(float(threshold)) * F.col("sz").cast("double")
+    ).cast("int") + F.lit(1)
+    pref = (
+        toks.join(freq, "h")
+        .withColumn("__rk", F.row_number().over(wdoc))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("id", *blk, "sz", "h")
+    )
+    wtok = Window.partitionBy("h", *blk)
+    pref = pref.withColumn("__t_n", F.count(F.lit(1)).over(wtok))
+    guard = guarded(
+        F.col("__t_n") > F.lit(max_token_bucket),
+        f"jaccard_pairs_prefix: prefix shingle bucket exceeds {max_token_bucket}"
+        " rows — the corpus is boilerplate-degenerate; exact-dedup first,"
+        " raise the threshold, or raise max_token_bucket deliberately",
+    )
+    a = pref.select(
+        "h", *blk,
+        guard(F.col("id"), "long").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = pref.select(
+        F.col("h").alias("h_b"),
+        *([F.col("blk").alias("blk_b")] if block_key is not None else []),
+        guard(F.col("id"), "long").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    on = [
+        a["h"] == b["h_b"],
+        a["id_a"] < b["id_b"],
+        # size filter: J >= t requires min|sh| >= t·max|sh| (epsilon
+        # keeps float rounding from dropping a boundary candidate —
+        # extra candidates are verified away)
+        F.least(a["sz_a"], b["sz_b"]).cast("double")
+        >= F.lit(float(threshold)) * F.greatest(a["sz_a"], b["sz_b"]) - F.lit(1e-9),
+    ]
+    if block_key is not None:
+        on.append(a["blk"] == b["blk_b"])
+    cands = (
+        _pair_join(
+            a, b, on=on,
+            keys_a=["h", *blk],
+            keys_b=["h_b"] + (["blk_b"] if block_key is not None else []),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cands.join(sa, "id_a").join(sb, "id_b")
     return _jaccard_on_sets(pairs).filter(F.col("jaccard") >= threshold)
 
 

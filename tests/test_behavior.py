@@ -617,3 +617,63 @@ def test_levenshtein_qgram_block_key_scopes_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (4, 5): 1}
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    """AllPairs prefix filtering must reproduce brute-force exact
+    Jaccard — including boundary cases: exact duplicates (J=1), pairs
+    straddling the threshold, size-filter edges (one set much smaller
+    than the other), and single-shingle docs."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),        # J=1 with #1
+        (3, "alpha beta gamma delta epsilon eta"),         # high-J with #1
+        (4, "totally different words here entirely now"),
+        (5, "alpha beta gamma"),                           # 1 shingle
+        (6, "alpha beta gamma"),                           # J=1 with #5
+        (7, "one two three four five six seven eight nine ten"),
+        (8, "one two three four five six seven eight nine zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs_prefix(df, n=3, threshold=t).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs(
+                df, block_key=F.lit(1), n=3, threshold=t
+            ).collect()
+        }
+        assert got == brute, f"threshold {t}: {got} != {brute}"
+    assert (1, 2) in got and (5, 6) in got  # t=1.0 exact dups survive
+
+
+def test_jaccard_prefix_block_key_scopes_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "s1"),
+            (2, "alpha beta gamma delta epsilon", "s1"),   # same block
+            (3, "alpha beta gamma delta epsilon", "s2"),   # CROSS block
+        ],
+        "doc_id long, text string, src string",
+    )
+    got = [
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs_prefix(
+            df, threshold=0.8, block_key=F.col("src")
+        ).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_jaccard_prefix_hot_bucket_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated in every document") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="boilerplate-degenerate"):
+        D.jaccard_pairs_prefix(df, threshold=0.9, max_token_bucket=3).collect()
