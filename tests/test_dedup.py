@@ -467,3 +467,50 @@ def test_embedding_dup_pairs_truncated_norm_matches_dot(spark):
         df, threshold=0.99, block_key=None, allow_all_pairs=True, dim=2
     ).collect()
     assert [(r.id_a, r.id_b, r.cosine) for r in out] == [(1, 2, 1.0)]
+
+
+def test_embedding_dup_pairs_extra_block_scopes_tables(spark):
+    # identical vectors always co-bucket; extra_block must still keep
+    # them apart when the domain key differs
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "en"),
+        (2, [1.0, 0.0, 0.0, 0.0], "en"),
+        (3, [1.0, 0.0, 0.0, 0.0], "de"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, lang string")
+    out = D.embedding_dup_pairs(
+        df, threshold=0.95, dim=4, extra_block=F.col("lang")
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    # explicit block_key + extra_block is a contract error, not a silent AND
+    import pytest
+
+    with pytest.raises(ValueError, match="extra_block"):
+        D.embedding_dup_pairs(df, block_key=F.col("lang"), extra_block=F.col("lang"))
+
+
+def test_embedding_dup_pairs_auto_planes_formula(spark):
+    # the occupancy formula is part of the oracle contract (parity pins
+    # its sf0.01 value): ceil(log2(N/16)) clamped to [2, 24]
+    import math as m
+
+    f = lambda n: max(2, min(24, m.ceil(m.log2(max(n, 2) / 16))))
+    assert f(500) == 5 and f(2000) == 7 and f(20000) == 11 and f(3) == 2
+    # invalid n_planes string rejected
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_planes"):
+        D.embedding_dup_pairs(df, n_planes="al gore rhythm")
+
+
+def test_embedding_dup_pairs_max_bucket_caps_degenerate_bucket(spark):
+    # 40 identical vectors: every table puts all 40 in ONE bucket ->
+    # uncapped pair expansion is 8*C(40,2). max_bucket=10 keeps each
+    # table's contribution to C(10,2) pairs on the 10 smallest ids;
+    # with ids identical across tables the output is exactly those 45
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.embedding_dup_pairs(df, threshold=0.99, dim=4, max_bucket=10).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == {(i, j) for i in range(10) for j in range(10) if i < j}
