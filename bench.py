@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "curation_ccnet_buckets",
     "curation_shuffle_order",
     "curation_semantic_split_leakage",
+    "curation_semantic_split_leakage_lsh",
     "sim_ann_ivf_partitioned",
 ]
 

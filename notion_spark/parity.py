@@ -1424,10 +1424,10 @@ _EDP_PLANES = 5
 _EDP_TABLES = 8
 
 
-def _edp_or_clause() -> str:
+def _edp_or_clause(left: str = "a", right: str = "b") -> str:
     """OR-of-8-tables sign-LSH collision predicate over precomputed
     per-row bucket columns bk0..bk7 (see the CTE in the oracle)."""
-    return " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(_EDP_TABLES))
+    return " OR ".join(f"{left}.bk{t} = {right}.bk{t}" for t in range(_EDP_TABLES))
 
 
 def _edp_bucket_cols(col: str) -> str:
@@ -1473,6 +1473,67 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes="auto",
     )
 
+
+_SSL_COS_ET = (
+    "list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)]) / "
+    "(sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)])) * "
+    "sqrt(list_sum([CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)])))"
+)
+
+
+@register(
+    "curation_semantic_split_leakage_lsh",
+    f"""
+    WITH a AS (
+        SELECT vec_id, embedding,
+               CASE WHEN b < 8000 THEN 'train'
+                    WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT vec_id, embedding,
+                     CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 10000 AS b
+              FROM embeddings)
+    ),
+    bk AS (
+        SELECT vec_id, split, embedding, {{bucket_cols}}
+        FROM a
+    ),
+    t AS (SELECT * FROM bk WHERE split = 'train'),
+    e AS (SELECT * FROM bk WHERE split <> 'train'),
+    s AS (
+        SELECT e.vec_id, e.split,
+               round(MAX({_SSL_COS_ET}), 6) AS max_train_cosine
+        FROM e JOIN t ON ({_edp_or_clause('e', 't')})
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, split, max_train_cosine FROM s WHERE max_train_cosine >= 0.42
+    """.replace("{bucket_cols}", _edp_bucket_cols("embedding")),
+)
+def curation_semantic_split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-BROADCAST split-leakage audit
+    (pipeline/curation.semantic_split_leakage_bucketed): both sides
+    bucket through 8 occupancy-sized sign-LSH tables and the scoring
+    join runs on (table, bucket) keys — the shape for an eval side too
+    big to broadcast (corpus-vs-corpus audits), which the broadcast
+    sibling (curation_semantic_split_leakage) documents but cannot
+    certify. Same hash-range 80/10/10 splits and 0.42 operating
+    threshold as the sibling; the max here is over LSH-COLLIDING train
+    rows only, so flagged rows are a SUBSET of the exhaustive audit's —
+    the oracle replicates the banding (shared hyperplane literals,
+    OR-of-8 collision, auto-planes formula pinned at sf0.01's N=500 ->
+    5 planes), certifying the exact candidate contract."""
+    from notion_spark.pipeline.curation import (
+        assign_splits,
+        semantic_split_leakage_bucketed,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = assign_splits(
+        emb, "vec_id", {"train": 0.80, "val": 0.10, "test": 0.10}
+    )
+    return semantic_split_leakage_bucketed(assigned, threshold=0.42)
 
 
 @register(

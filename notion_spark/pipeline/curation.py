@@ -171,6 +171,109 @@ def semantic_split_leakage(
     )
 
 
+def semantic_split_leakage_bucketed(
+    df: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int | str = "auto",
+    occupancy_target: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """`semantic_split_leakage` for an EVAL SIDE TOO BIG TO BROADCAST
+    (corpus-vs-corpus audits, not real eval sets): both sides bucket
+    through ``n_tables`` occupancy-sized sign-LSH hyperplane tables
+    (`similarity.auto_planes` — the same shared formula the banded
+    dedup certifies) and the scoring join runs on (table, bucket) keys
+    at pinned shuffle width — NO broadcast, no |eval|x|train| stream.
+    Output contract matches the broadcast form — (id_col, split,
+    max_train_cosine), flagged rows only — but the max is over
+    LSH-COLLIDING train rows, so scores are <= the exhaustive max and
+    recall of near-threshold leaks is the documented LSH trade (a pair
+    colliding in >= 1 of the OR'd tables is scored; raise ``n_tables``
+    or ``occupancy_target`` to buy recall). A pair colliding in several
+    tables is scored repeatedly — harmless under MAX, so no dedup pass
+    is spent. ``max_bucket`` spill-caps the TRAIN side per (table,
+    bucket) (id-ordered, deterministic): a degenerate bucket degrades
+    recall, never the join's cost envelope. Prefer the broadcast form
+    whenever the eval split fits — it is exhaustive and exact."""
+    from notion_spark.pipeline.dedup import _pair_join
+    from notion_spark.pipeline.similarity import (
+        auto_planes,
+        dot_unrolled,
+        norm_unrolled,
+        random_hyperplane_bucket,
+    )
+
+    if n_planes == "auto":
+        # one deliberate eager count (the embedding_dup_pairs trade):
+        # the bucket count must track N for occupancy to stay flat
+        n_planes = auto_planes(df.count(), occupancy_target)
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                random_hyperplane_bucket(
+                    F.col(vec_col), n_planes=n_planes, seed=42 + 7 * t, dim=dim
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(split_col).alias("__split"),
+        F.col(vec_col).alias("__v"),
+        norm_unrolled(F.col(vec_col), dim).alias("__n"),
+        F.explode(buckets).alias("tb"),
+    ).select("__id", "__split", "__v", "__n", "tb.tbl", "tb.bkt")
+    tr = base.filter(F.col("__split") == train_split).select(
+        "tbl", "bkt", "__id", F.col("__v").alias("__tv"), F.col("__n").alias("__tn")
+    )
+    if max_bucket is not None:
+        wcap = Window.partitionBy("tbl", "bkt").orderBy(F.asc("__id"))
+        tr = tr.withColumn("__rn", F.row_number().over(wcap)).filter(
+            F.col("__rn") <= max_bucket
+        ).drop("__rn")
+    tr = tr.drop("__id")
+    ev = base.filter(F.col("__split") != train_split).select(
+        F.col("tbl").alias("tbl_e"),
+        F.col("bkt").alias("bkt_e"),
+        F.col("__id").alias("__eid"),
+        F.col("__split").alias("__esplit"),
+        F.col("__v").alias("__ev"),
+        F.col("__n").alias("__en"),
+    )
+    pairs = _pair_join(
+        tr, ev,
+        on=[tr["tbl"] == ev["tbl_e"], tr["bkt"] == ev["bkt_e"]],
+        keys_a=["tbl", "bkt"], keys_b=["tbl_e", "bkt_e"],
+    )
+    denom = F.col("__en") * F.col("__tn")
+    scored = pairs.select(
+        "__eid",
+        "__esplit",
+        F.when(denom > 0, dot_unrolled(F.col("__ev"), F.col("__tv"), dim) / denom)
+        .alias("__cos"),
+    )
+    return (
+        scored.groupBy("__eid", "__esplit")
+        .agg(F.round(F.max("__cos"), 6).alias("max_train_cosine"))
+        .filter(F.col("max_train_cosine") >= threshold)
+        .select(
+            F.col("__eid").alias(id_col),
+            F.col("__esplit").alias(split_col),
+            "max_train_cosine",
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1502,11 +1502,9 @@ def embedding_dup_pairs(
         if n_planes == "auto":
             # one deliberate eager count: the bucket count must track N
             # for occupancy (and so pair work per bucket) to stay flat
-            n_rows = df.count()
-            n_planes = max(
-                2,
-                min(24, math.ceil(math.log2(max(n_rows, 2) / occupancy_target))),
-            )
+            from notion_spark.pipeline.similarity import auto_planes
+
+            n_planes = auto_planes(df.count(), occupancy_target)
         elif not isinstance(n_planes, int):
             raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     # Per-pair score, tuned for the measured hot loop (r8 sf1: the

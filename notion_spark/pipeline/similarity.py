@@ -77,6 +77,20 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def auto_planes(n_rows: int, occupancy_target: int = 16) -> int:
+    """Occupancy-targeted sign-LSH table size: ``ceil(log2(N /
+    occupancy_target))`` planes, clamped to [2, 24] — the bucket count
+    (2^planes) tracks N/occupancy_target, so per-bucket occupancy and
+    with it the pair work per bucket stay ~constant as the corpus
+    grows. ONE definition shared by every auto-sized LSH consumer
+    (embedding_dup_pairs, semantic_split_leakage_bucketed) because the
+    parity oracles pin its value at the certification SF — changing the
+    formula is an oracle-contract change. Under any FIXED bucket count,
+    occupancy grows ~N and within-bucket candidates grow ~N^2 (the r8
+    slope sweep's 68.6x finding, SCALE.md)."""
+    return max(2, min(24, math.ceil(math.log2(max(n_rows, 2) / occupancy_target))))
+
+
 def norm_unrolled(a: Column, dim: int) -> Column:
     """Truncated-to-``dim`` companion of `dot_unrolled` — the SAME
     contract (elements past ``dim`` ignored, shorter vectors

@@ -760,3 +760,39 @@ def test_cardinality_guards_survive_column_pruning(spark):
         grouped_score_buckets(df, "x", "g", n_bins=2, max_distinct=1).select(
             "g", "x", "cnt"
         ).collect()
+
+
+def test_semantic_split_leakage_bucketed_subset_and_planted_dup(spark):
+    """The LSH-bucketed audit flags a SUBSET of the broadcast-exhaustive
+    audit (candidates only shrink), and a vector IDENTICAL across the
+    split boundary always collides (every table agrees on equal inputs)
+    and is flagged with max_train_cosine 1.0."""
+    import math
+    import random
+
+    from notion_spark.pipeline.curation import (
+        semantic_split_leakage,
+        semantic_split_leakage_bucketed,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, "train", [x / n for x in v]))
+    rows.append((1000, "val", rows[0][2]))      # exact dup of a train vec
+    rows.append((1001, "test", [1.0] + [0.0] * 7))
+    df = spark.createDataFrame(rows, "vec_id long, split string, embedding array<double>")
+    exhaustive = {
+        r.vec_id: r.max_train_cosine
+        for r in semantic_split_leakage(df, threshold=0.5, dim=8).collect()
+    }
+    bucketed = {
+        r.vec_id: r.max_train_cosine
+        for r in semantic_split_leakage_bucketed(df, threshold=0.5, dim=8).collect()
+    }
+    assert set(bucketed) <= set(exhaustive)
+    assert bucketed[1000] == 1.0
+    for k, v in bucketed.items():
+        assert v <= exhaustive[k] + 1e-9  # max over a candidate subset
