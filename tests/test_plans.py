@@ -333,3 +333,22 @@ def test_bigram_familiarity_no_cartesian_mapside(spark, sf_dir):
 def test_keep_best_collapse_no_cartesian(spark, sf_dir):
     plan = plan_of(parity.QUERIES["dedup_cluster_keep_best"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_r9_pair_plans_no_cartesian_no_broadcast_collapse(spark, sf_dir):
+    """The r9 scale swaps (Ed-Join levenshtein, AllPairs jaccard,
+    occupancy-sized LSH embedding pairs, bucketed split leakage) must
+    keep every pair-generating join keyed and shuffled: no cartesian /
+    nested-loop anywhere, and at least one shuffle-hash pair join in
+    each (the _pair_join contract — AQE broadcasting the blocked side
+    was the r8 single-task collapse)."""
+    for name in (
+        "dedup_levenshtein_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_pairs",
+        "curation_semantic_split_leakage_lsh",
+    ):
+        plan = plan_of(parity.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
