@@ -31,8 +31,6 @@ deterministic across runs, partitionings, and cluster sizes.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -533,16 +531,25 @@ def levenshtein_pairs_qgram(
     low-diversity string (repetitive boilerplate, or shorter than
     ``q``) can slip it — but any within-distance partner of a
     ≤ q·d-distinct-gram string has ≤ 2·q·d distinct grams itself
-    (|Dy| ≤ |Dx| + q·d), so EVERY missable pair lives inside the
-    low-diversity pool. That pool is paired exhaustively through a
-    length-band join (same/adjacent bands of width d — exact for
-    gap ≤ d) and unioned in; healthy corpora keep the pool tiny.
+    (|Dy| ≤ |Dx| + q·d), so EVERY missable pair has its smaller side
+    in the ≤ q·d pool and its partner in the ≤ 2·q·d pool. The
+    fallback pairs exactly that — pool_small × pool_big through a
+    length-band equi-join (small side exploded to its three
+    admissible bands; gap ≤ d ⇒ band diff ≤ 1 — exact), unioned in;
+    healthy corpora keep the pool tiny, and the asymmetric form keeps
+    a boilerplate-heavy corpus's fallback at |small|·|big| instead of
+    |big|² (the r9 profile's dominant residual term).
 
     Scale shape: gram frequency table (map-side-combined, vocab-sized),
     per-doc prefix selection (one doc-keyed window over ≤ |grams(doc)|
-    rows), candidate generation as a gram-keyed equi-join of two
-    PREFIX-sized projections (the whole point: the index is
-    (qd+1)·|docs| rows, not |docs|² pairs), distinct, verify. The
+    rows), candidate generation as a (gram, length-band)-keyed
+    equi-join of two PREFIX-sized projections in a same-band plus
+    adjacent-band pass (the whole point: the index is (qd+1)·|docs|
+    rows, not |docs|² pairs; the band in the KEY is what keeps bucket
+    mass bounded when the GRAM VOCABULARY is small — template corpora:
+    the r9 sf1 profile measured 1,767 distinct 3-grams over 50k docs,
+    where rare-first ordering alone left 160M candidate rows),
+    distinct, verify. The
     in-plan ``max_gram_bucket`` guard raises if any prefix gram's
     bucket exceeds the bound (the hot-bucket symptom of a degenerate
     corpus — near-identical boilerplate everywhere — where the quadratic
@@ -571,8 +578,13 @@ def levenshtein_pairs_qgram(
         doc_cols.append(block_key.alias("blk"))
     docs = df.select(*doc_cols).filter(F.col("txt").isNotNull())
     blk = ["blk"] if block_key is not None else []
-    grams = docs.filter(F.col("len") >= q).select(
+    band_w = max(max_distance, 1)
+    banded_docs = docs.withColumn(
+        "band", F.call_function("div", F.col("len"), F.lit(band_w))
+    )
+    grams = banded_docs.filter(F.col("len") >= q).select(
         "id",
+        "band",
         *blk,
         F.explode(
             F.array_distinct(
@@ -589,10 +601,21 @@ def levenshtein_pairs_qgram(
         grams.join(freq, "gram")
         .withColumn("__rk", F.row_number().over(wdoc))
         .filter(F.col("__rk") <= prefix_len)
-        .select("id", *blk, "gram")
+        .select("id", "band", *blk, "gram")
     )
-    # bucket = the candidate-join key's bucket: (gram, block) when blocked
-    wg = Window.partitionBy("gram", *blk)
+    # bucket = the candidate-join key's bucket: (gram, band, block).
+    # The length band rides the JOIN KEY (exact: gap <= d => same or
+    # adjacent band of width d — the levenshtein_pairs band lemma), not
+    # just the post-filter: on a SMALL-GRAM-VOCABULARY corpus
+    # (template/boilerplate text) rare-first ordering cannot make
+    # buckets cold — the r9 sf1 profile measured 1,767 distinct
+    # 3-grams across 50k docs and 160M candidate rows from
+    # (gram, source) keys alone; banding cut the bucket mass ~14x and
+    # is free (the band is already computed for the pool). Candidates
+    # are the union of a same-band and an adjacent-band pass, ids
+    # normalized — exactly the two-pass construction levenshtein_pairs
+    # uses, applied to the prefix index.
+    wg = Window.partitionBy("gram", "band", *blk)
     pref = pref.withColumn("__g_n", F.count(F.lit(1)).over(wg))
     guard = guarded(
         F.col("__g_n") > F.lit(max_gram_bucket),
@@ -600,58 +623,91 @@ def levenshtein_pairs_qgram(
         " rows — the corpus is boilerplate-degenerate; tighten q/max_distance"
         " or pre-dedup exactly first",
     )
-    a = pref.select("gram", *blk, guard(F.col("id"), "long").alias("id_a"))
+    # ONE banded pass: the a-side probes its own band and the band
+    # above (a pair one band apart is found from its lower side; a
+    # same-band pair is found from both sides and normalized/deduped)
+    a = pref.select(
+        "gram",
+        F.col("band").alias("band_orig"),
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+        *blk,
+        guard(F.col("id"), "long").alias("id_a"),
+    )
     b = pref.select(
         F.col("gram").alias("gram_b"),
+        F.col("band").alias("band_b"),
         *([F.col("blk").alias("blk_b")] if block_key is not None else []),
         guard(F.col("id"), "long").alias("id_b"),
     )
-    cand_on = [a["gram"] == b["gram_b"], a["id_a"] < b["id_b"]]
-    if block_key is not None:
-        cand_on.append(a["blk"] == b["blk_b"])
+    blk_on = [a["blk"] == b["blk_b"]] if block_key is not None else []
+    keys_b_blk = ["blk_b"] if block_key is not None else []
     cands = _pair_join(
-        a, b, on=cand_on,
-        keys_a=["gram", *blk],
-        keys_b=["gram_b"] + (["blk_b"] if block_key is not None else []),
-    ).select("id_a", "id_b")
+        a, b,
+        on=[
+            a["gram"] == b["gram_b"],
+            a["band"] == b["band_b"],
+            # same-band rows pair once (id-ordered); the probe row one
+            # band UP pairs with everything there (normalized below)
+            (
+                ((a["band_orig"] == b["band_b"]) & (a["id_a"] < b["id_b"]))
+                | (a["band_orig"] + F.lit(1) == b["band_b"])
+            ),
+            *blk_on,
+        ],
+        keys_a=["gram", "band", *blk],
+        keys_b=["gram_b", "band_b", *keys_b_blk],
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
     # low-diversity pool: every pair the prefix filter can miss has both
     # sides at <= 2*q*d distinct grams (see docstring); pair the pool
     # exhaustively via exact length bands (gap <= d => same or adjacent
     # band of width d)
+    # low-diversity pool, ASYMMETRIC (r9): a pair the prefix filter can
+    # miss has its SMALLER-gram-count side at <= q*d distinct grams and
+    # the partner at <= 2*q*d (|Dy| <= |Dx| + q*d — see docstring), so
+    # the exhaustive fallback pairs pool_SMALL x pool_BIG, not
+    # pool_big^2: on the r9 sf1 profile that is 1.5k x 9.4k band-scoped
+    # rows instead of 9.4k^2 — the big^2 form was the dominant residual
+    # quadratic term after the index join was banded. The small side
+    # explodes to its three admissible bands (gap <= d => band diff
+    # <= 1) so ONE equi-join covers both adjacency directions.
     ndist = grams.groupBy("id").agg(F.count(F.lit(1)).alias("__nd"))
-    pool = (
-        docs.join(ndist, "id", "left")
-        .filter(F.coalesce(F.col("__nd"), F.lit(0)) <= F.lit(2 * q * max_distance))
-        .withColumn(
-            "band", F.call_function("div", F.col("len"), F.lit(max(max_distance, 1)))
-        )
-        .select("id", "band", *blk)
+    pooled = banded_docs.join(ndist, "id", "left").withColumn(
+        "__nd", F.coalesce(F.col("__nd"), F.lit(0))
     )
-    pa = pool.select(
+    pool_small = pooled.filter(F.col("__nd") <= F.lit(q * max_distance)).select(
         F.col("id").alias("pid_a"),
-        F.col("band").alias("band_a"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band_a"),
         *([F.col("blk").alias("pblk_a")] if block_key is not None else []),
     )
-    pb = pool.select(
+    pool_big = pooled.filter(
+        F.col("__nd") <= F.lit(2 * q * max_distance)
+    ).select(
         F.col("id").alias("pid_b"),
         F.col("band").alias("band_b"),
         *([F.col("blk").alias("pblk_b")] if block_key is not None else []),
     )
-    pblk_on = [pa["pblk_a"] == pb["pblk_b"]] if block_key is not None else []
-    pool_same = _pair_join(
-        pa, pb,
-        on=[pa["band_a"] == pb["band_b"], pa["pid_a"] < pb["pid_b"], *pblk_on],
-    ).select(F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"))
-    pool_adj = (
-        _pair_join(pa, pb, on=[pa["band_a"] + F.lit(1) == pb["band_b"], *pblk_on])
+    pblk_on = (
+        [pool_small["pblk_a"] == pool_big["pblk_b"]] if block_key is not None else []
+    )
+    pool_pairs = (
+        _pair_join(
+            pool_small, pool_big,
+            on=[pool_small["band_a"] == pool_big["band_b"],
+                pool_small["pid_a"] != pool_big["pid_b"], *pblk_on],
+            keys_a=["band_a"] + (["pblk_a"] if block_key is not None else []),
+            keys_b=["band_b"] + (["pblk_b"] if block_key is not None else []),
+        )
         .select(
             F.least("pid_a", "pid_b").alias("id_a"),
             F.greatest("pid_a", "pid_b").alias("id_b"),
         )
     )
-    cands = (
-        cands.unionByName(pool_same).unionByName(pool_adj).distinct()
-    )
+    cands = cands.unionByName(pool_pairs).distinct()
     ta = docs.select(
         F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), F.col("len").alias("len_a")
     )

@@ -405,7 +405,18 @@ def random_hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim
     Coefficients ship as literal arrays; each plane's projection is a
     sequential zip_with/aggregate fold — deterministic element order and a
     compact expression tree that stays inside codegen limits.
-    """
+
+    DELIBERATELY a fold, not a `dot_unrolled`-style unroll (r9,
+    measured): the unroll helps when ONE dot sits in a per-pair hot
+    loop, but a bucket assignment evaluates n_planes×n_tables
+    projections per ROW and the unrolled tree (planes×tables×dim
+    individual nodes) sent CATALYST ANALYSIS superlinear — 68 s
+    plan-build vs 12 s for the fold at 8 tables x 11 planes, with
+    RUNTIME within noise (2.6 vs 3.9 s over 160k rows: projection
+    evaluation is row-count work, never pair-count work, so the
+    interpreted fold is not a hot loop). The r9 sf1 leakage-audit
+    hang/OOM was exactly this: a ~23k-node tree re-analyzed across
+    branching plans."""
     # slice to the coefficient length: a LONGER vector would zip_with
     # NULL coefficients past `dim` and poison the projection to NULL
     # (bucket NULL -> every join silently empty); a shorter one is safe
