@@ -585,6 +585,7 @@ def levenshtein_pairs_qgram(
     grams = banded_docs.filter(F.col("len") >= q).select(
         "id",
         "band",
+        "len",
         *blk,
         F.explode(
             F.array_distinct(
@@ -601,7 +602,7 @@ def levenshtein_pairs_qgram(
         grams.join(freq, "gram")
         .withColumn("__rk", F.row_number().over(wdoc))
         .filter(F.col("__rk") <= prefix_len)
-        .select("id", "band", *blk, "gram")
+        .select("id", "band", "len", *blk, "gram")
     )
     # bucket = the candidate-join key's bucket: (gram, band, block).
     # The length band rides the JOIN KEY (exact: gap <= d => same or
@@ -630,12 +631,14 @@ def levenshtein_pairs_qgram(
         "gram",
         F.col("band").alias("band_orig"),
         F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("band"),
+        F.col("len").alias("len_a"),
         *blk,
         guard(F.col("id"), "long").alias("id_a"),
     )
     b = pref.select(
         F.col("gram").alias("gram_b"),
         F.col("band").alias("band_b"),
+        F.col("len").alias("len_b"),
         *([F.col("blk").alias("blk_b")] if block_key is not None else []),
         guard(F.col("id"), "long").alias("id_b"),
     )
@@ -652,6 +655,10 @@ def levenshtein_pairs_qgram(
                 ((a["band_orig"] == b["band_b"]) & (a["id_a"] < b["id_b"]))
                 | (a["band_orig"] + F.lit(1) == b["band_b"])
             ),
+            # the EXACT gap prune inside the join (adjacent bands admit
+            # gaps up to 2d-1; |len gap| > d pairs can never verify) --
+            # halves the candidate mass shuffled into distinct/verify
+            F.abs(a["len_a"] - b["len_b"]) <= F.lit(max_distance),
             *blk_on,
         ],
         keys_a=["gram", "band", *blk],
