@@ -508,6 +508,7 @@ def levenshtein_pairs_qgram(
     q: int = 3,
     max_gram_bucket: int = 100_000,
     block_key: Column | None = None,
+    max_candidates: int | None = 200_000_000,
 ) -> DataFrame:
     """BLOCKING-FREE exact edit-distance near-dup pairs via q-gram
     prefix filtering (Ed-Join, Xiao/Wang/Lin VLDB 2008): no blocking
@@ -563,7 +564,24 @@ def levenshtein_pairs_qgram(
     sub-quadratic, so a constant-cardinality key is safe to pass (the
     r8 slope sweep measured the band-blocked sibling at 56.8x wall
     per 10x data on exactly such a key, vs ~flat for this path).
-    NULL keys pair with nothing (SQL equi-join semantics)."""
+    NULL keys pair with nothing (SQL equi-join semantics).
+
+    ``max_candidates`` (r9): an IN-PLAN candidate-MASS guard — a 1-row
+    broadcast frame carries the estimated candidate volume (index:
+    2·Σc² over (gram, band, block) prefix buckets; pool:
+    Σ|small_band±1|·|big_band|) and every candidate column rides a
+    `guarded()` raise against it, so the plan fails on the FIRST
+    candidate row when the estimate exceeds the cap: the linear
+    index-build stages run, the quadratic join never does, the
+    message carries the measured mass, and the healthy path pays no
+    eager job (lazy per the exactmath.guarded rule — the eager form
+    measured 2x on the benched query). Exists because per-bucket
+    guards are blind to DISTRIBUTED mass: at sf10 on the template
+    corpus every bucket was ~1.8k rows (far under max_gram_bucket)
+    yet the sum was ~4x10^9 candidates and the run died thrashing
+    shuffle spill. None disables. The message is the pipeline answer:
+    a corpus this low-entropy needs exact/fingerprint dedup BEFORE
+    edit-distance near-dup, or the MinHash/SimHash approximations."""
     from notion_spark.functions.exactmath import guarded
 
     if q < 1:
@@ -714,7 +732,62 @@ def levenshtein_pairs_qgram(
             F.greatest("pid_a", "pid_b").alias("id_b"),
         )
     )
-    cands = cands.unionByName(pool_pairs).distinct()
+    cands = cands.unionByName(pool_pairs)
+    if max_candidates is not None:
+        # IN-PLAN mass guard (the exactmath.guarded rule: lazy, never an
+        # eager probe): a 1-row broadcast frame carries the estimated
+        # candidate mass; every candidate column rides a guard that
+        # raises on the FIRST row produced when the estimate exceeds the
+        # cap — the linear index-build stages run, the quadratic join
+        # never does, and the healthy path pays no extra job (the sizes
+        # branch shares pref's exchange via Catalyst exchange reuse).
+        sizes = pref.groupBy("gram", "band", *blk).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        idx_est = sizes.agg(
+            (F.lit(2) * F.sum(F.col("__c") * F.col("__c"))).alias("__idx")
+        )
+        pk_a = ["pblk_a"] if block_key is not None else []
+        pk_b = ["pblk_b"] if block_key is not None else []
+        sa = pool_small.groupBy("band_a", *pk_a).agg(F.count(F.lit(1)).alias("__ca"))
+        sb = pool_big.groupBy("band_b", *pk_b).agg(F.count(F.lit(1)).alias("__cb"))
+        pcond = [sa["band_a"] == sb["band_b"]] + (
+            [sa["pblk_a"] == sb["pblk_b"]] if block_key is not None else []
+        )
+        pool_est = sa.join(sb, pcond).agg(
+            F.sum(F.col("__ca") * F.col("__cb")).alias("__pool")
+        )
+        est = idx_est.crossJoin(pool_est).select(
+            (
+                F.coalesce(F.col("__idx"), F.lit(0))
+                + F.coalesce(F.col("__pool"), F.lit(0))
+            ).alias("__est")
+        )
+        mass_guard = guarded(
+            F.col("__est") > F.lit(max_candidates),
+            F.concat(
+                F.lit("levenshtein_pairs_qgram: estimated candidate volume ~"),
+                F.col("__est").cast("string"),
+                F.lit(
+                    f" exceeds max_candidates={max_candidates:,}. The corpus"
+                    " is too low-entropy for an exact edit-distance join at"
+                    " this q/max_distance: run exact/fingerprint dedup first"
+                    " (drop_exact_dups, with_fingerprint), use the"
+                    " MinHash/SimHash approximate paths, tighten"
+                    " max_distance or raise q — or raise max_candidates"
+                    " deliberately if the cluster can shuffle this."
+                ),
+            ),
+        )
+        # BEFORE the distinct: the guard must sit on the raw join
+        # output so the first produced row raises — guarding after the
+        # distinct would let the whole quadratic expansion run into the
+        # dedup shuffle first (measured: heap-thrash at sf10)
+        cands = cands.crossJoin(F.broadcast(est)).select(
+            mass_guard(F.col("id_a"), "long").alias("id_a"),
+            mass_guard(F.col("id_b"), "long").alias("id_b"),
+        )
+    cands = cands.distinct()
     ta = docs.select(
         F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), F.col("len").alias("len_a")
     )

@@ -677,3 +677,23 @@ def test_jaccard_prefix_hot_bucket_guard(spark):
     )
     with pytest.raises(Exception, match="boilerplate-degenerate"):
         D.jaccard_pairs_prefix(df, threshold=0.9, max_token_bucket=3).collect()
+
+
+def test_levenshtein_qgram_candidate_mass_guard(spark):
+    """The in-plan mass guard catches DISTRIBUTED candidate volume that
+    the per-bucket guard cannot see (many medium buckets): lazy (no
+    eager job at call time, per the exactmath.guarded rule), raising on
+    the first candidate row when the broadcast estimate exceeds the
+    cap — before any quadratic work."""
+    import pytest
+
+    rows = [(i, "the same boilerplate text in every row " + "x" * (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.levenshtein_pairs_qgram(
+        df, max_distance=3, q=3, max_candidates=100
+    )  # lazy: building the plan must NOT raise
+    with pytest.raises(Exception, match="candidate volume"):
+        capped.collect()
+    # None disables the guard entirely
+    out = D.levenshtein_pairs_qgram(df, max_distance=3, q=3, max_candidates=None)
+    assert out.count() > 0
