@@ -1414,13 +1414,25 @@ def _lsh_bucket_sql(col: str, n_planes: int = 8, seed: int = 42, dim: int = 64) 
     return " + ".join(parts)
 
 
-# dedup_embedding_pairs oracle geometry, PINNED to the certification SF:
-# n_planes follows embedding_dup_pairs' auto formula
-# ceil(log2(N / occupancy_target)) at sf0.01's N=500 embeddings -> 5
-# (the Spark side computes the same value from its count() at runtime;
-# certification runs at sf0.01 only, so the pinned literal and the
-# runtime value agree there by construction).
-_EDP_PLANES = 5
+# dedup_embedding_pairs oracle geometry, PINNED to the certification SF.
+# The Spark side computes n_planes = auto_planes(count()) at runtime and
+# the oracle bakes the same value into SQL literals, so the two agree
+# ONLY at the certification SF — running the parity compare at any other
+# SF hash-mismatches by construction (the r9 advisory finding: a
+# hard-pinned 5 gave no hint of the cause). DERIVED, not hard-coded:
+# sf0.01 ships exactly 500 embeddings (TESTDATA.md), and the shared
+# auto_planes formula maps that to the oracle's plane count, so a
+# formula change breaks here loudly instead of silently diverging.
+# bench.py runs this query at other SFs (Spark-side only, no oracle) —
+# that is fine; only scripts/check_parity.py / the driver compare must
+# run at sf0.01.
+_EDP_CERT_N = 500  # embeddings rows at the certification SF (sf0.01)
+_EDP_PLANES = SIM.auto_planes(_EDP_CERT_N)
+assert _EDP_PLANES == 5, (
+    "auto_planes formula changed: dedup_embedding_pairs' oracle SQL bakes"
+    f" plane literals for 5 planes but auto_planes({_EDP_CERT_N}) ="
+    f" {_EDP_PLANES}; re-certify the oracle geometry"
+)
 _EDP_TABLES = 8
 
 
@@ -7822,18 +7834,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # --- round 2 (CORRECTNESS_r02.json: 49 all-green + 1 rows-only) ---
     # --- r03 (47 driver-checked this round) ---
     # --- r04 (50 driver-checked this round) ---
-    "heavy_hitters_users", "dedup_levenshtein_pairs", "dedup_incremental_cross", "curation_split_assignment",
-    "sim_quantized_topk", "sketch_hll_users_by_type", "sketch_cms_user_freq", "sketch_kmv_set_ops",
-    "sketch_histogram_quantiles", "sketch_histogram_drift", "sketch_bloom_membership", "profile_documents",
-    "multimodal_frame_sample", "text_bm25_topk", "curation_strip_boilerplate", "curation_weighted_sample",
-    "graph_pagerank_event_types", "layout_zorder_keys", "matview_incremental_refresh", "diff_snapshot_orders",
-    "quality_expectations_orders", "web_canonical_url_dedup", "anomaly_sigma_events", "curation_reservoir_per_group",
-    "reshape_melt_lineitem", "ts_resample_daily_gaps", "ts_trend_by_type", "quality_expectations_by_source",
-    "window_daily_delta", "agg_cube_counts", "dedup_semantic_pairs", "attr_linear_credit",
-    "session_native_aggregates", "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts",
-    "agg_weekly_velocity", "agg_created_per_week",
     # --- r05 (50 driver-checked this round) ---
-    "dedup_substring_spans", "text_gram_novelty", "sim_hard_negatives", "text_vocab_coverage",
     "curation_quota_mix", "curation_equidepth_bins", "profile_diversity_by_lang", "dedup_group_overlap",
     "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
     "anomaly_rolling_sigma", "curation_winsorize", "text_quantile_rank", "text_bpe_merges",
@@ -7874,11 +7875,49 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "multimodal_audio_features", "text_tfidf_top_terms", "scd2_status_intervals", "chunk_token_windows",
     "pack_sequence_offsets", "sketch_kmv_users", "sketch_hll_users", "funnel_view_click_purchase",
     "retention_weekly_cohorts", "forward_fill_values",
+    # --- r09 (50 driver-checked this round) ---
+    "curation_semantic_split_leakage_lsh", "sim_ann_ivf_partitioned", "curation_corpus_e2e", "join_salted_skew",
+    "join_hot_split_skew", "curation_semantic_split_leakage", "curation_shuffle_order", "curation_ccnet_buckets",
+    "heavy_hitters_users", "dedup_levenshtein_pairs", "dedup_incremental_cross", "curation_split_assignment",
+    "sim_quantized_topk", "sketch_hll_users_by_type", "sketch_cms_user_freq", "sketch_kmv_set_ops",
+    "sketch_histogram_quantiles", "sketch_histogram_drift", "sketch_bloom_membership", "profile_documents",
+    "multimodal_frame_sample", "text_bm25_topk", "curation_strip_boilerplate", "curation_weighted_sample",
+    "graph_pagerank_event_types", "layout_zorder_keys", "matview_incremental_refresh", "diff_snapshot_orders",
+    "quality_expectations_orders", "web_canonical_url_dedup", "anomaly_sigma_events", "curation_reservoir_per_group",
+    "reshape_melt_lineitem", "ts_resample_daily_gaps", "ts_trend_by_type", "quality_expectations_by_source",
+    "window_daily_delta", "agg_cube_counts", "dedup_semantic_pairs", "attr_linear_credit",
+    "session_native_aggregates", "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts",
+    "agg_weekly_velocity", "agg_created_per_week", "dedup_substring_spans", "text_gram_novelty",
+    "sim_hard_negatives", "text_vocab_coverage",
+)
+
+
+# Names whose Spark-side PLAN changed since their last driver-green row
+# (r10 mechanism — the r9 gap: dedup_ngram_jaccard / dedup_embedding_pairs
+# swapped plans in r9 but their driver rows certified the OLD plans, and
+# LRU order left the new plans driver-unchecked for a full rotation).
+# A plan swap invalidates the certification, not just ages it: builders
+# APPEND here whenever a registered query's physical plan materially
+# changes; ordered_queries() sorts these right after the never-checked
+# names so the next driver window re-certifies them, and
+# scripts/update_driver_checked.py removes a name once a green driver
+# row lands for the new plan.
+PLAN_RECERT: tuple[str, ...] = (
+    # r9 plan swaps the r9 driver window missed (certified old plans):
+    "dedup_ngram_jaccard", "dedup_embedding_pairs",
+    # r10 plan swaps: representative collapse + scalar-subquery mass
+    # guard in levenshtein_pairs_qgram (both registered consumers).
+    # NOTE: fold the previous round's CORRECTNESS artifact BEFORE
+    # appending new swaps — the fold script clears any name green in
+    # the artifact, and a pre-swap green row must not clear post-swap
+    # debt.
+    "dedup_levenshtein_pairs", "dedup_levenshtein_qgram",
 )
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry reordered so never-driver-checked queries come first,
+    then plan-swapped names awaiting re-certification (PLAN_RECERT),
     then the rest LEAST-recently-checked first.
 
     DRIVER_CHECKED accretes in round order and the fold script moves
@@ -7887,9 +7926,15 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through the registry (oldest certification re-verified first)
     instead of pinning to the first 50 registrations. Fresh names keep
     registration order, so the window's contents stay deterministic
-    round over round.
+    round over round. PLAN_RECERT names jump the LRU queue because their
+    last driver row certified a plan that no longer exists.
     """
     seen = set(DRIVER_CHECKED)
     fresh = [n for n in QUERIES if n not in seen]
-    stale = [n for n in dict.fromkeys(DRIVER_CHECKED) if n in QUERIES]
-    return {n: QUERIES[n] for n in (*fresh, *stale)}
+    recert = [
+        n for n in dict.fromkeys(PLAN_RECERT)
+        if n in QUERIES and n in seen and n not in fresh
+    ]
+    skip = set(fresh) | set(recert)
+    stale = [n for n in dict.fromkeys(DRIVER_CHECKED) if n in QUERIES and n not in skip]
+    return {n: QUERIES[n] for n in (*fresh, *recert, *stale)}

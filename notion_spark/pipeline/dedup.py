@@ -566,22 +566,44 @@ def levenshtein_pairs_qgram(
     per 10x data on exactly such a key, vs ~flat for this path).
     NULL keys pair with nothing (SQL equi-join semantics).
 
-    ``max_candidates`` (r9): an IN-PLAN candidate-MASS guard — a 1-row
-    broadcast frame carries the estimated candidate volume (index:
-    2·Σc² over (gram, band, block) prefix buckets; pool:
+    ``max_candidates`` (r9, re-planned r10): an IN-PLAN candidate-MASS
+    guard — SCALAR SUBQUERIES carry the estimated raw candidate-join
+    output volume (index: same-band c·(c−1)/2 plus adjacent-band
+    c_k·c_{k+1} over (gram, band, block) prefix buckets; pool:
     Σ|small_band±1|·|big_band|) and every candidate column rides a
     `guarded()` raise against it, so the plan fails on the FIRST
     candidate row when the estimate exceeds the cap: the linear
     index-build stages run, the quadratic join never does, the
     message carries the measured mass, and the healthy path pays no
     eager job (lazy per the exactmath.guarded rule — the eager form
-    measured 2x on the benched query). Exists because per-bucket
+    measured 2x on the benched query). The subquery form keeps the
+    plan free of BroadcastNestedLoopJoin (the r9 1-row-crossJoin form
+    tripped the pair-plan pin), and the estimate is the true raw join
+    mass — conservative only in ignoring the in-join length-gap prune. Exists because per-bucket
     guards are blind to DISTRIBUTED mass: at sf10 on the template
     corpus every bucket was ~1.8k rows (far under max_gram_bucket)
     yet the sum was ~4x10^9 candidates and the run died thrashing
     shuffle spill. None disables. The message is the pipeline answer:
     a corpus this low-entropy needs exact/fingerprint dedup BEFORE
-    edit-distance near-dup, or the MinHash/SimHash approximations."""
+    edit-distance near-dup, or the MinHash/SimHash approximations.
+
+    REPRESENTATIVE COLLAPSE (r10): identical ``(txt[, block])`` rows
+    collapse to ONE representative (min id per group, one window over a
+    single txt-keyed shuffle) before any pair machinery runs — the
+    gram index, the low-diversity pool, the mass guard, and the O(L²)
+    verify all see only DISTINCT texts. Pairs are re-expanded after
+    verify: cross-group rep pairs fan out to all member×member pairs
+    at the rep distance (levenshtein is a function of the texts, so
+    every member pair inherits it exactly), and groups of n ≥ 2
+    identical texts emit their n·(n−1)/2 internal pairs at distance 0
+    through a rep-keyed self-join. EXACT by construction, and on
+    template corpora (the class the r9 guard had to refuse at sf10)
+    it removes the ~N² low-diversity-pool mass at the source: the
+    pool is sized by DISTINCT low-gram texts, not by row count. The
+    expansion itself can be output-sized (a group of n exact dups
+    owns n²/2 output pairs) — that is the pairs contract, not a plan
+    accident; run `drop_exact_dups` first if distance-0 pairs are not
+    wanted."""
     from notion_spark.functions.exactmath import guarded
 
     if q < 1:
@@ -596,6 +618,15 @@ def levenshtein_pairs_qgram(
         doc_cols.append(block_key.alias("blk"))
     docs = df.select(*doc_cols).filter(F.col("txt").isNotNull())
     blk = ["blk"] if block_key is not None else []
+    # representative collapse: one txt-keyed shuffle computes, per
+    # (txt[, blk]) group, the representative (min id) and the group
+    # size; the pair pipeline below runs on representatives only
+    wrep = Window.partitionBy("txt", *blk)
+    members = docs.withColumn("rep", F.min("id").over(wrep)).withColumn(
+        "__grp_n", F.count(F.lit(1)).over(wrep)
+    )
+    docs = members.filter(F.col("id") == F.col("rep")).drop("rep", "__grp_n")
+    mem = members.select("id", "rep", "__grp_n")
     band_w = max(max_distance, 1)
     banded_docs = docs.withColumn(
         "band", F.call_function("div", F.col("len"), F.lit(band_w))
@@ -735,17 +766,36 @@ def levenshtein_pairs_qgram(
     cands = cands.unionByName(pool_pairs)
     if max_candidates is not None:
         # IN-PLAN mass guard (the exactmath.guarded rule: lazy, never an
-        # eager probe): a 1-row broadcast frame carries the estimated
-        # candidate mass; every candidate column rides a guard that
-        # raises on the FIRST row produced when the estimate exceeds the
-        # cap — the linear index-build stages run, the quadratic join
-        # never does, and the healthy path pays no extra job (the sizes
-        # branch shares pref's exchange via Catalyst exchange reuse).
+        # eager probe): SCALAR SUBQUERIES carry the estimated candidate
+        # mass (r10 — the r9 form was a 1-row broadcast crossJoin, which
+        # put a BroadcastNestedLoopJoin in an otherwise BNLJ-free plan
+        # and tripped the r9 plan pin); every candidate column rides a
+        # guard that raises on the FIRST row produced when the estimate
+        # exceeds the cap — the linear index-build stages run, the
+        # quadratic join never does. The estimate measures RAW JOIN
+        # OUTPUT rows (what actually hits the distinct shuffle and the
+        # verify), tightened per the r9 advice from 2·Σc² to the real
+        # mass: same-band c·(c−1)/2 + adjacent-band c_k·c_{k+1} per
+        # prefix bucket, plus the pool's Σ|small_exploded|·|big| (raw by
+        # construction — the small side is already band-exploded). Still
+        # conservative only in ignoring the in-join length-gap prune.
         sizes = pref.groupBy("gram", "band", *blk).agg(
             F.count(F.lit(1)).alias("__c")
         )
-        idx_est = sizes.agg(
-            (F.lit(2) * F.sum(F.col("__c") * F.col("__c"))).alias("__idx")
+        idx_same = sizes.agg(
+            F.sum(F.col("__c") * (F.col("__c") - F.lit(1))).alias("__v")
+        )
+        lo = sizes.select(
+            F.col("gram").alias("g_lo"),
+            (F.col("band") + F.lit(1)).alias("b_hi"),
+            *([F.col("blk").alias("blk_lo")] if block_key is not None else []),
+            F.col("__c").alias("__c_lo"),
+        )
+        adj_on = [lo["g_lo"] == sizes["gram"], lo["b_hi"] == sizes["band"]] + (
+            [lo["blk_lo"] == sizes["blk"]] if block_key is not None else []
+        )
+        idx_adj = lo.join(sizes, adj_on).agg(
+            F.sum(F.col("__c_lo") * F.col("__c")).alias("__v")
         )
         pk_a = ["pblk_a"] if block_key is not None else []
         pk_b = ["pblk_b"] if block_key is not None else []
@@ -757,17 +807,16 @@ def levenshtein_pairs_qgram(
         pool_est = sa.join(sb, pcond).agg(
             F.sum(F.col("__ca") * F.col("__cb")).alias("__pool")
         )
-        est = idx_est.crossJoin(pool_est).select(
-            (
-                F.coalesce(F.col("__idx"), F.lit(0))
-                + F.coalesce(F.col("__pool"), F.lit(0))
-            ).alias("__est")
-        )
+        est_col = (
+            F.floor(F.coalesce(idx_same.scalar(), F.lit(0)) / F.lit(2))
+            + F.coalesce(idx_adj.scalar(), F.lit(0))
+            + F.coalesce(pool_est.scalar(), F.lit(0))
+        ).cast("long")
         mass_guard = guarded(
-            F.col("__est") > F.lit(max_candidates),
+            est_col > F.lit(max_candidates),
             F.concat(
                 F.lit("levenshtein_pairs_qgram: estimated candidate volume ~"),
-                F.col("__est").cast("string"),
+                est_col.cast("string"),
                 F.lit(
                     f" exceeds max_candidates={max_candidates:,}. The corpus"
                     " is too low-entropy for an exact edit-distance join at"
@@ -783,7 +832,7 @@ def levenshtein_pairs_qgram(
         # output so the first produced row raises — guarding after the
         # distinct would let the whole quadratic expansion run into the
         # dedup shuffle first (measured: heap-thrash at sf10)
-        cands = cands.crossJoin(F.broadcast(est)).select(
+        cands = cands.select(
             mass_guard(F.col("id_a"), "long").alias("id_a"),
             mass_guard(F.col("id_b"), "long").alias("id_b"),
         )
@@ -800,10 +849,35 @@ def levenshtein_pairs_qgram(
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
     )
     dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
-    return (
+    rep_pairs = (
         verify.select("id_a", "id_b", dist.alias("distance"))
         .filter(F.col("distance") >= 0)
     )
+    # expand representatives back to members: cross-group rep pairs fan
+    # out member×member at the rep distance (rep-keyed equi-joins —
+    # identity when every text is unique); identical-text groups emit
+    # their internal pairs at distance 0 via a rep-keyed self-join over
+    # only the groups with >= 2 members
+    ma = mem.select(F.col("rep").alias("id_a"), F.col("id").alias("mid_a"))
+    mb = mem.select(F.col("rep").alias("id_b"), F.col("id").alias("mid_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("mid_a", "mid_b").alias("id_a"),
+            F.greatest("mid_a", "mid_b").alias("id_b"),
+            "distance",
+        )
+    )
+    dup = mem.filter(F.col("__grp_n") >= 2)
+    w1 = dup.select(F.col("rep").alias("__r"), F.col("id").alias("id_a"))
+    w2 = dup.select(F.col("rep").alias("__r"), F.col("id").alias("id_b"))
+    within = (
+        w1.join(w2, "__r")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("integer").alias("distance"))
+    )
+    return cross.unionByName(within)
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -1595,6 +1669,12 @@ def embedding_dup_pairs(
     ``occupancy_target`` to buy recall back, or use
     `semantic_dup_pairs` (IVF cells sized to the corpus + spilling
     cap) when a trained codebook is available.
+
+    BEHAVIOR CHANGE (r9, documented r10 per the advisory): before r9
+    the default was a LAZY fixed ``n_planes=8``. Callers that relied
+    on that — no count() job at plan-build, fixed 256-bucket geometry
+    and its recall curve — must now pass ``n_planes=8`` explicitly;
+    the default recall/geometry varies with corpus size by design.
 
     ``extra_block`` (auto path only): a domain key ANDed into every
     table's bucket key — (block, table, bucket) collision instead of

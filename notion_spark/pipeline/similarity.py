@@ -88,6 +88,10 @@ def auto_planes(n_rows: int, occupancy_target: int = 16) -> int:
     formula is an oracle-contract change. Under any FIXED bucket count,
     occupancy grows ~N and within-bucket candidates grow ~N^2 (the r8
     slope sweep's 68.6x finding, SCALE.md)."""
+    if occupancy_target < 1:
+        raise ValueError(
+            f"occupancy_target must be >= 1, got {occupancy_target}"
+        )
     return max(2, min(24, math.ceil(math.log2(max(n_rows, 2) / occupancy_target))))
 
 

@@ -96,7 +96,32 @@ def main() -> int:
         for i in range(0, len(add), 4):
             kept_lines.append("    " + " ".join(f'"{n}",' for n in add[i : i + 4]))
     block = "DRIVER_CHECKED: tuple[str, ...] = (\n" + "\n".join(kept_lines) + "\n)"
-    open(PARITY, "w").write(src.replace(m.group(0), block))
+    src = src.replace(m.group(0), block)
+    # Clear re-certification debt: a green driver row for a name listed
+    # in PLAN_RECERT certifies its NEW plan, so drop it from the tuple
+    # (r10 mechanism — see parity.PLAN_RECERT).
+    mr = re.search(r"PLAN_RECERT: tuple\[str, \.\.\.\] = \(\n(.*?)\n\)", src, re.S)
+    if mr:
+        rbody = mr.group(1)
+        recert_names = re.findall(r'"([\w]+)"', rbody)
+        cleared = [n for n in recert_names if n in okset]
+        if cleared:
+            rlines = []
+            for line in rbody.split("\n"):
+                if line.strip().startswith("#"):
+                    rlines.append(line)
+                    continue
+                names = [
+                    n for n in re.findall(r'"([\w]+)"', line) if n not in okset
+                ]
+                if names:
+                    rlines.append("    " + " ".join(f'"{n}",' for n in names))
+            rblock = (
+                "PLAN_RECERT: tuple[str, ...] = (\n" + "\n".join(rlines) + "\n)"
+            )
+            src = src.replace(mr.group(0), rblock)
+            print(f"cleared {len(cleared)} re-certified plan swaps: {cleared}")
+    open(PARITY, "w").write(src)
     moved = len([n for n in add if n in original])
     print(f"folded {len(add)} ({moved} re-checked names moved to tail): {add[:6]}{'...' if len(add) > 6 else ''}")
     return 0

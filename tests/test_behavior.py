@@ -687,7 +687,11 @@ def test_levenshtein_qgram_candidate_mass_guard(spark):
     cap — before any quadratic work."""
     import pytest
 
-    rows = [(i, "the same boilerplate text in every row " + "x" * (i % 3)) for i in range(30)]
+    # DISTINCT texts (the r10 representative collapse folds exact dups
+    # away before the guard — identical rows can no longer trip it):
+    # 30 near-identical rows sharing every prefix gram, so the index
+    # buckets each hold ~30 rows and the summed raw mass exceeds 100
+    rows = [(i, f"the same boilerplate text in every row number {i:02d}") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     capped = D.levenshtein_pairs_qgram(
         df, max_distance=3, q=3, max_candidates=100
@@ -697,3 +701,27 @@ def test_levenshtein_qgram_candidate_mass_guard(spark):
     # None disables the guard entirely
     out = D.levenshtein_pairs_qgram(df, max_distance=3, q=3, max_candidates=None)
     assert out.count() > 0
+
+
+def test_levenshtein_qgram_exact_dup_collapse(spark):
+    """r10 representative collapse: identical texts collapse to one
+    representative before pairing and re-expand after — all member
+    pairs of an exact-dup group appear at distance 0, cross-group
+    member pairs inherit the rep distance, and a template corpus that
+    would trip the mass guard row-wise sails under it collapsed."""
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = (
+        [(i, base) for i in range(1, 5)]          # 4 exact dups
+        + [(10, base.replace("lazy", "hazy"))]     # ed 1 from base
+        + [(20, "a completely different sentence about spark plans")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs_qgram(
+            df, max_distance=3, q=3, max_candidates=50
+        ).collect()
+    }
+    expect = {(a, b): 0 for a in range(1, 5) for b in range(a + 1, 5)}
+    expect.update({(i, 10): 1 for i in range(1, 5)})
+    assert got == expect
