@@ -7799,22 +7799,39 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies before training on head+middle. Hash-checked end to end:
     the oracle rebuilds the familiarity scores AND the per-lang
     integer-exact boundaries; ties land whole-class in one bucket on
-    both engines."""
+    both engines.
+
+    r10 plan swap: the join-back used to broadcast the FULL
+    (lang, score, bucket) frame — which grows ~linearly with the
+    corpus (micro scores are nearly unique per doc: 47k rows for 50k
+    docs at sf1), so the broadcast itself becomes the scale breaker at
+    100 TB. Buckets are contiguous descending score ranges (the bucket
+    id is monotone in the running count), so the whole frame reduces
+    EXACTLY to one row per (lang): the min score of bucket 0 and of
+    bucket 1; a doc's bucket is a two-comparison CASE against those
+    boundaries. The broadcast is now |langs| rows forever. A lang
+    whose equal-depth cut skips bucket 1 (one huge tie-class) yields a
+    NULL lo1 — `score >= NULL` is NULL, so the CASE falls through to
+    tail, which is exactly where the skip sends those scores. The
+    profiled slope driver (r10 diagnosis, SCALE.md) is the
+    bigram-familiarity aggregation itself — honest linear-in-tokens;
+    this swap fixes the one structural scale flaw in the plan."""
     from notion_spark.pipeline.curation import grouped_score_buckets
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fam = TA.bigram_familiarity(d).join(d.select("doc_id", "lang"), "doc_id")
     buckets = grouped_score_buckets(fam, "familiarity_micro", "lang", n_bins=3)
+    bounds = buckets.groupBy("lang").agg(
+        F.min(F.when(F.col("bucket") == 0, F.col("familiarity_micro"))).alias("__lo0"),
+        F.min(F.when(F.col("bucket") == 1, F.col("familiarity_micro"))).alias("__lo1"),
+    )
     label = (
-        F.when(F.col("bucket") == 0, F.lit("head"))
-        .when(F.col("bucket") == 1, F.lit("middle"))
+        F.when(F.col("familiarity_micro") >= F.col("__lo0"), F.lit("head"))
+        .when(F.col("familiarity_micro") >= F.col("__lo1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return (
-        fam.join(
-            F.broadcast(buckets.select("lang", "familiarity_micro", "bucket")),
-            ["lang", "familiarity_micro"],
-        )
+        fam.join(F.broadcast(bounds), "lang")
         .select("doc_id", "lang", "familiarity_micro", label.alias("bucket"))
     )
 
@@ -7912,6 +7929,9 @@ PLAN_RECERT: tuple[str, ...] = (
     # the artifact, and a pre-swap green row must not clear post-swap
     # debt.
     "dedup_levenshtein_pairs", "dedup_levenshtein_qgram",
+    # r10: join-back swapped from a linearly-growing (lang, score,
+    # bucket) broadcast to a |langs|-row min-boundary frame
+    "curation_ccnet_buckets",
 )
 
 

@@ -1211,9 +1211,16 @@ def grouped_score_buckets(
     (bounded by |groups| · min(|values|, max_distinct) rows), then a
     window over that bounded frame PARTITIONED BY GROUP — per-group
     parallelism, no single-partition global window — and nothing
-    touching the corpus itself (callers broadcast-join the boundary
-    frame back). The per-group cardinality guard is in-plan, riding
-    EVERY output column (so no column-pruned projection escapes it)."""
+    touching the corpus itself. Joining back: buckets are CONTIGUOUS
+    descending value ranges (bucket id is monotone in the running
+    count), so when |distinct values| grows with the corpus (micro
+    scores: ~one per row), do NOT broadcast this whole frame back —
+    reduce it to one row per group first (min value per (group,
+    bucket), pivoted to n_bins−1 boundary columns) and assign by CASE
+    comparison; the broadcast is then |groups| rows forever (the r10
+    curation_ccnet_buckets swap). The per-group cardinality guard is
+    in-plan, riding EVERY output column (so no column-pruned
+    projection escapes it)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     counts = (

@@ -566,20 +566,24 @@ def levenshtein_pairs_qgram(
     per 10x data on exactly such a key, vs ~flat for this path).
     NULL keys pair with nothing (SQL equi-join semantics).
 
-    ``max_candidates`` (r9, re-planned r10): an IN-PLAN candidate-MASS
-    guard — SCALAR SUBQUERIES carry the estimated raw candidate-join
-    output volume (index: same-band c·(c−1)/2 plus adjacent-band
-    c_k·c_{k+1} over (gram, band, block) prefix buckets; pool:
-    Σ|small_band±1|·|big_band|) and every candidate column rides a
-    `guarded()` raise against it, so the plan fails on the FIRST
-    candidate row when the estimate exceeds the cap: the linear
-    index-build stages run, the quadratic join never does, the
-    message carries the measured mass, and the healthy path pays no
-    eager job (lazy per the exactmath.guarded rule — the eager form
-    measured 2x on the benched query). The subquery form keeps the
-    plan free of BroadcastNestedLoopJoin (the r9 1-row-crossJoin form
-    tripped the pair-plan pin), and the estimate is the true raw join
-    mass — conservative only in ignoring the in-join length-gap prune. Exists because per-bucket
+    ``max_candidates`` (r9, estimate tightened r10): an IN-PLAN
+    candidate-MASS guard — a 1-row broadcast frame carries the
+    estimated raw candidate-join output volume (index: same-band
+    c·(c−1)/2 plus adjacent-band c_k·c_{k+1} over (gram, band, block)
+    prefix buckets; pool: Σ|small_band±1|·|big_band|) and every
+    candidate column rides a `guarded()` raise against it, so the
+    plan fails on the FIRST candidate row when the estimate exceeds
+    the cap: the linear index-build stages run, the quadratic join
+    never does, the message carries the measured mass, and the
+    healthy path pays no eager job (lazy per the exactmath.guarded
+    rule — the eager form measured 2x on the benched query). The
+    estimate is the true raw join mass — conservative only in
+    ignoring the in-join length-gap prune. The 1-row broadcast is a
+    benign BroadcastNestedLoopJoin in the plan (allowlisted by the
+    pair-plan pin via the __est alias); the scalar-subquery
+    alternative re-executes the whole estimate lineage with no stage
+    reuse (+6 s on the benched query, r10 measured), while the
+    in-plan form shares the index exchanges. Exists because per-bucket
     guards are blind to DISTRIBUTED mass: at sf10 on the template
     corpus every bucket was ~1.8k rows (far under max_gram_bucket)
     yet the sum was ~4x10^9 candidates and the run died thrashing
@@ -766,36 +770,46 @@ def levenshtein_pairs_qgram(
     cands = cands.unionByName(pool_pairs)
     if max_candidates is not None:
         # IN-PLAN mass guard (the exactmath.guarded rule: lazy, never an
-        # eager probe): SCALAR SUBQUERIES carry the estimated candidate
-        # mass (r10 — the r9 form was a 1-row broadcast crossJoin, which
-        # put a BroadcastNestedLoopJoin in an otherwise BNLJ-free plan
-        # and tripped the r9 plan pin); every candidate column rides a
-        # guard that raises on the FIRST row produced when the estimate
-        # exceeds the cap — the linear index-build stages run, the
-        # quadratic join never does. The estimate measures RAW JOIN
-        # OUTPUT rows (what actually hits the distinct shuffle and the
-        # verify), tightened per the r9 advice from 2·Σc² to the real
-        # mass: same-band c·(c−1)/2 + adjacent-band c_k·c_{k+1} per
-        # prefix bucket, plus the pool's Σ|small_exploded|·|big| (raw by
-        # construction — the small side is already band-exploded). Still
-        # conservative only in ignoring the in-join length-gap prune.
+        # eager probe): a 1-row broadcast estimate frame rides a
+        # crossJoin into the candidate stream and every candidate
+        # column carries a guard that raises on the FIRST row produced
+        # when the estimate exceeds the cap — the linear index-build
+        # stages run, the quadratic join never does. The estimate
+        # measures RAW JOIN OUTPUT rows (what actually hits the
+        # distinct shuffle and the verify), tightened per the r9
+        # advice from 2·Σc² to the real mass: same-band c·(c−1)/2 +
+        # adjacent-band c_k·c_{k+1} per prefix bucket, plus the pool's
+        # Σ|small_exploded|·|big| (raw by construction — the small
+        # side is already band-exploded); conservative only in
+        # ignoring the in-join length-gap prune.
+        #
+        # WHY a crossJoin and not a scalar subquery (r10, measured):
+        # the 1-row broadcast shows up as a BroadcastNestedLoopJoin —
+        # benign (build side is exactly one aggregate row), and the
+        # pair-plan pin allowlists a single BNLJ whose plan carries
+        # the __est alias. The subquery alternative re-executes the
+        # whole estimate lineage (grams → freq → prefix window) with
+        # NO stage reuse across the subquery boundary: +6.1 s on the
+        # benched pairs query at sf0.1 (14.0 s vs 7.9 s unguarded),
+        # where the in-plan crossJoin shares the index exchanges and
+        # measured ~free in r9 (7.0 s).
         sizes = pref.groupBy("gram", "band", *blk).agg(
             F.count(F.lit(1)).alias("__c")
         )
-        idx_same = sizes.agg(
-            F.sum(F.col("__c") * (F.col("__c") - F.lit(1))).alias("__v")
+        nxt = sizes.select(
+            F.col("gram").alias("g_nx"),
+            (F.col("band") - F.lit(1)).alias("b_nx"),
+            *([F.col("blk").alias("blk_nx")] if block_key is not None else []),
+            F.col("__c").alias("__c_nx"),
         )
-        lo = sizes.select(
-            F.col("gram").alias("g_lo"),
-            (F.col("band") + F.lit(1)).alias("b_hi"),
-            *([F.col("blk").alias("blk_lo")] if block_key is not None else []),
-            F.col("__c").alias("__c_lo"),
+        adj_on = [sizes["gram"] == nxt["g_nx"], sizes["band"] == nxt["b_nx"]] + (
+            [sizes["blk"] == nxt["blk_nx"]] if block_key is not None else []
         )
-        adj_on = [lo["g_lo"] == sizes["gram"], lo["b_hi"] == sizes["band"]] + (
-            [lo["blk_lo"] == sizes["blk"]] if block_key is not None else []
-        )
-        idx_adj = lo.join(sizes, adj_on).agg(
-            F.sum(F.col("__c_lo") * F.col("__c")).alias("__v")
+        idx_terms = sizes.join(nxt, adj_on, "left").select(
+            (
+                F.floor(F.col("__c") * (F.col("__c") - F.lit(1)) / F.lit(2))
+                + F.col("__c") * F.coalesce(F.col("__c_nx"), F.lit(0))
+            ).cast("long").alias("__v")
         )
         pk_a = ["pblk_a"] if block_key is not None else []
         pk_b = ["pblk_b"] if block_key is not None else []
@@ -804,19 +818,17 @@ def levenshtein_pairs_qgram(
         pcond = [sa["band_a"] == sb["band_b"]] + (
             [sa["pblk_a"] == sb["pblk_b"]] if block_key is not None else []
         )
-        pool_est = sa.join(sb, pcond).agg(
-            F.sum(F.col("__ca") * F.col("__cb")).alias("__pool")
+        pool_terms = sa.join(sb, pcond).select(
+            (F.col("__ca") * F.col("__cb")).cast("long").alias("__v")
         )
-        est_col = (
-            F.floor(F.coalesce(idx_same.scalar(), F.lit(0)) / F.lit(2))
-            + F.coalesce(idx_adj.scalar(), F.lit(0))
-            + F.coalesce(pool_est.scalar(), F.lit(0))
-        ).cast("long")
+        est = idx_terms.unionByName(pool_terms).agg(
+            F.coalesce(F.sum(F.col("__v")), F.lit(0)).cast("long").alias("__est")
+        )
         mass_guard = guarded(
-            est_col > F.lit(max_candidates),
+            F.col("__est") > F.lit(max_candidates),
             F.concat(
                 F.lit("levenshtein_pairs_qgram: estimated candidate volume ~"),
-                est_col.cast("string"),
+                F.col("__est").cast("string"),
                 F.lit(
                     f" exceeds max_candidates={max_candidates:,}. The corpus"
                     " is too low-entropy for an exact edit-distance join at"
@@ -832,7 +844,7 @@ def levenshtein_pairs_qgram(
         # output so the first produced row raises — guarding after the
         # distinct would let the whole quadratic expansion run into the
         # dedup shuffle first (measured: heap-thrash at sf10)
-        cands = cands.select(
+        cands = cands.crossJoin(F.broadcast(est)).select(
             mass_guard(F.col("id_a"), "long").alias("id_a"),
             mass_guard(F.col("id_b"), "long").alias("id_b"),
         )

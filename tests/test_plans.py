@@ -341,7 +341,15 @@ def test_r9_pair_plans_no_cartesian_no_broadcast_collapse(spark, sf_dir):
     keep every pair-generating join keyed and shuffled: no cartesian /
     nested-loop anywhere, and at least one shuffle-hash pair join in
     each (the _pair_join contract — AQE broadcasting the blocked side
-    was the r8 single-task collapse)."""
+    was the r8 single-task collapse).
+
+    One documented exception (r10): the levenshtein max_candidates
+    guard rides a 1-row broadcast estimate frame into the candidate
+    stream — a BroadcastNestedLoopJoin whose build side is exactly one
+    aggregate row (alias __est). That single benign BNLJ is allowed;
+    any OTHER nested-loop join (count > 1, or a BNLJ in a plan with no
+    __est guard) still fails — the scalar-subquery alternative
+    measured +6 s per run from re-executing the estimate lineage."""
     for name in (
         "dedup_levenshtein_pairs",
         "dedup_ngram_jaccard",
@@ -350,5 +358,6 @@ def test_r9_pair_plans_no_cartesian_no_broadcast_collapse(spark, sf_dir):
     ):
         plan = plan_of(parity.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        assert bnlj == 0 or (bnlj == 1 and "__est" in plan), (name, bnlj)
         assert "ShuffledHashJoin" in plan, name
