@@ -57,6 +57,23 @@ def test_rotation_never_front_loads_unhashable(spark, sf_dir):
         ], f"{name} is in the driver window with a non-atomic column"
 
 
+def test_plan_recert_names_jump_the_lru_queue():
+    """r10: a plan-swapped query's last driver row certified a plan
+    that no longer exists, so PLAN_RECERT names must sort directly
+    after the never-checked names — inside the next driver window —
+    and every PLAN_RECERT name must be a real registration (a typo'd
+    name would silently certify nothing)."""
+    order = list(parity.ordered_queries())
+    fresh = [n for n in parity.QUERIES if n not in set(parity.DRIVER_CHECKED)]
+    recert = [n for n in dict.fromkeys(parity.PLAN_RECERT) if n not in fresh]
+    for name in parity.PLAN_RECERT:
+        assert name in parity.QUERIES, f"PLAN_RECERT name not registered: {name}"
+    assert order[: len(fresh)] == fresh
+    assert order[len(fresh) : len(fresh) + len(recert)] == recert
+    # the whole registry still appears exactly once
+    assert sorted(order) == sorted(parity.QUERIES)
+
+
 def test_multimodal_parity_features_serialized(spark, sf_dir):
     """Regression pin for the r3 ERRs: the two multimodal registrations
     emit `features` as a STRING (comma-joined DECIMAL(9,6) renderings),
