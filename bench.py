@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "curation_semantic_split_leakage",
     "curation_semantic_split_leakage_lsh",
     "sim_ann_ivf_partitioned",
+    # r10, benched from birth
+    "curation_systematic_sample",
 ]
 
 

@@ -7836,6 +7836,54 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SYS_OFF = int(__import__("hashlib").md5(b"7:offset").hexdigest()[:15], 16)
+
+
+@register(
+    "curation_systematic_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+               CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    c AS (
+        SELECT doc_id, weight, SUM(weight) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS aft
+        FROM w
+    ),
+    g AS (SELECT CAST(SUM(weight) AS HUGEINT) AS W FROM w),
+    s AS (
+        SELECT doc_id, weight, CAST(
+            ((200 * CAST(aft AS HUGEINT) - ({_SYS_OFF} % W) + 200 * W + W - 1) // W)
+          - ((200 * CAST(aft - weight AS HUGEINT) - ({_SYS_OFF} % W) + 200 * W + W - 1) // W)
+          AS INT) AS copies
+        FROM c, g
+    )
+    SELECT doc_id, weight, copies FROM s WHERE copies >= 1
+    """,
+)
+def curation_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted systematic sampling (Madow 1949 — the
+    deterministic corpus-mix draw): 200 picks proportional to document
+    length over the pseudorandom 60-bit-hash order, each surviving row
+    carrying its exact multiplicity (`curation.systematic_sample`,
+    Σ copies == 200 identically, no RNG state, reshuffle = change
+    seed). The Spark side computes the weight cumsum with the
+    two-level bucketed construction (no global window); the oracle is
+    the flat global cumsum over the same hash order with the same
+    HUGEINT ceil-div grid arithmetic — the hash match proves the
+    distributed cumsum AND the grid selection identical."""
+    from notion_spark.pipeline.curation import systematic_sample
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").cast("long").alias("weight"))
+    )
+    return systematic_sample(d, "weight", 200, key_col="doc_id", seed=7)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -388,6 +388,121 @@ def shuffle_order(
     )
 
 
+def systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_out: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact weighted systematic sampling (Madow 1949): lay the rows
+    out on a weight line in a deterministic pseudorandom order, then
+    take every (W/n_out)-th point — each row is selected
+    ``copies = #{grid points inside its weight interval}`` times, so
+    inclusion is EXACTLY proportional to weight (a row with w ≥ stride
+    is selected ⌈w/stride⌉±1 times, never silently capped) and
+    Σ copies == n_out exactly, not in expectation. The deterministic,
+    engine-neutral alternative to A-Res/Bernoulli weighted draws for
+    corpus mixing: no RNG state, no transcendental keys (u^(1/w) never
+    hash-matches across engines), reshuffle by changing ``seed``.
+
+    Output: (key_col, weight_col, copies INT) for rows with
+    copies ≥ 1. ``copies`` is the training-mix multiplicity
+    (importance-resampling semantics); zero-weight rows are excluded
+    by contract (they can never be sampled), negative weights raise
+    in-plan.
+
+    Exact integer math end to end: order = the repo's 60-bit md5
+    cross-engine hash (``seed:key``), cumulative weights in
+    DECIMAL(38,0) (N·W ≤ 10³⁰ for 10¹² docs of 10¹⁸ total weight —
+    int64 would overflow at cluster scale), grid offset =
+    md5_hash60(``seed:offset``) mod W so the grid phase is
+    deterministic but not pinned to the first row, and
+    ``ceil(x/W)`` rendered as ``(x + N·W + W − 1) div W − N`` (the
+    N·W shift keeps every div operand non-negative, where Spark's
+    DECIMAL ``div`` truncation equals floor; the shift cancels in the
+    difference).
+
+    Scale shape — the `shuffle_order` two-level construction applied
+    to a cumulative SUM instead of a rank: hash top bits pick one of
+    ``n_buckets`` range buckets (monotone prefix ⇒ bucket-major order
+    IS global order), the weight cumsum runs per bucket (parallel
+    windows), and a bounded |n_buckets|-row offset frame (one groupBy
+    + one cumsum window over it, carrying the grand total W in the
+    same frame) broadcasts back. No single-partition window, no
+    global sort; the oracle DOES the flat global cumsum and the hash
+    match proves the two-level form identical."""
+    if n_out < 1:
+        raise ValueError(f"n_out must be >= 1, got {n_out}")
+    if not 1 <= n_buckets <= 1 << 20:
+        raise ValueError(f"n_buckets must be in [1, 2^20], got {n_buckets}")
+    import hashlib
+
+    from notion_spark.pipeline.text_analysis import md5_hash60
+
+    # grid phase: same 60-bit contract, computed driver-side (pure
+    # function of seed) and embedded as a literal in both engines
+    off_h = int(hashlib.md5(f"{seed}:offset".encode()).hexdigest()[:15], 16)
+    neg_guard = guarded(
+        F.col("__w") < 0,
+        f"systematic_sample: negative weight in {weight_col!r} — weights"
+        " must be >= 0 (zero-weight rows are excluded by contract)",
+    )
+    h = md5_hash60(F.concat(F.lit(f"{seed}:"), F.col("__id").cast("string")))
+    shift = 1 << 60
+    rows = (
+        df.select(
+            F.col(key_col).alias("__id"),
+            F.col(weight_col).cast("long").alias("__w"),
+        )
+        .filter(F.col("__w").isNotNull())
+        .select("__id", neg_guard(F.col("__w"), "long").alias("__w"))
+        .filter(F.col("__w") > 0)
+        .withColumn("__h", h)
+        .withColumn("__b", F.expr(f"CAST(__h div {shift // n_buckets} AS INT)"))
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy(F.asc("__h"), F.asc("__id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rows.withColumn("__aft_b", F.sum("__w").over(wb))
+    sizes = rows.groupBy("__b").agg(F.sum("__w").alias("__wn"))
+    wo = Window.orderBy(F.asc("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.asc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sizes.select(
+        "__b",
+        F.coalesce(F.sum("__wn").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__wn").over(wall).alias("__W"),
+    )
+    # cum and offsets share the `rows` lineage (a self-join by plan):
+    # bare name resolution for rows' columns is ambiguous under the
+    # dataset-id resolver, so reference them through the parent frames
+    joined = cum.join(F.broadcast(offsets), cum["__b"] == offsets["__b"]).select(
+        cum["__id"].alias("__id"),
+        cum["__w"].alias("__w"),
+        (offsets["__off"] + cum["__aft_b"]).cast("decimal(38,0)").alias("__aft"),
+        offsets["__W"].cast("decimal(38,0)").alias("__Wd"),
+    )
+    n = int(n_out)
+    copies = F.expr(
+        f"CAST((({n} * __aft - ({off_h} % __Wd) + {n} * __Wd + __Wd - 1) div __Wd)"
+        f" - (({n} * (__aft - __w) - ({off_h} % __Wd) + {n} * __Wd + __Wd - 1) div __Wd)"
+        " AS INT)"
+    )
+    return (
+        joined.select(
+            F.col("__id").alias(key_col),
+            F.col("__w").alias(weight_col),
+            copies.alias("copies"),
+        )
+        .filter(F.col("copies") >= 1)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

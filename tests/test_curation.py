@@ -796,3 +796,59 @@ def test_semantic_split_leakage_bucketed_subset_and_planted_dup(spark):
     assert bucketed[1000] == 1.0
     for k, v in bucketed.items():
         assert v <= exhaustive[k] + 1e-9  # max over a candidate subset
+
+
+def test_systematic_sample_exact_total_and_proportionality(spark):
+    """Madow systematic sampling: sum(copies) == n_out EXACTLY (not in
+    expectation) for skewed weights, a heavy row gets its proportional
+    multiplicity, and zero-weight rows never appear."""
+    rows = [(i, w) for i, w in enumerate([1, 5, 0, 100, 3, 7, 1, 40, 0, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    for n_out in (1, 7, 50):
+        got = CU.systematic_sample(df, "wt", n_out, key_col="doc_id").collect()
+        assert sum(r.copies for r in got) == n_out, n_out
+        assert all(r.copies >= 1 for r in got)
+        assert not any(r.doc_id in (2, 8) for r in got)  # zero weight
+    # W=159, n_out=50 -> stride 3.18: the w=100 row must carry
+    # floor/ceil(100/3.18) = 31 or 32 copies
+    got = {r.doc_id: r.copies for r in
+           CU.systematic_sample(df, "wt", 50, key_col="doc_id").collect()}
+    assert got[3] in (31, 32)
+
+
+def test_systematic_sample_deterministic_and_seeded(spark):
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 13) for i in range(200)], "doc_id long, wt long"
+    )
+    a = {(r.doc_id, r.copies) for r in
+         CU.systematic_sample(df, "wt", 20, key_col="doc_id", seed=1).collect()}
+    b = {(r.doc_id, r.copies) for r in
+         CU.systematic_sample(df, "wt", 20, key_col="doc_id", seed=1).collect()}
+    c = {(r.doc_id, r.copies) for r in
+         CU.systematic_sample(df, "wt", 20, key_col="doc_id", seed=2).collect()}
+    assert a == b
+    assert a != c  # different seed, different hash order + grid phase
+    assert sum(k for _, k in a) == 20 and sum(k for _, k in c) == 20
+
+
+def test_systematic_sample_bucketing_invariant(spark):
+    """The two-level bucketed cumsum must equal the flat single-bucket
+    form for ANY bucket count (the shuffle_order equivalence contract
+    applied to weights)."""
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 11) % 29) for i in range(300)], "doc_id long, wt long"
+    )
+    flat = {(r.doc_id, r.copies) for r in
+            CU.systematic_sample(df, "wt", 37, key_col="doc_id", n_buckets=1).collect()}
+    for nb in (4, 64, 4096):
+        two = {(r.doc_id, r.copies) for r in
+               CU.systematic_sample(df, "wt", 37, key_col="doc_id", n_buckets=nb).collect()}
+        assert two == flat, nb
+
+
+def test_systematic_sample_negative_weight_raises(spark):
+    df = spark.createDataFrame([(1, 5), (2, -1)], "doc_id long, wt long")
+    with pytest.raises(Exception, match="negative weight"):
+        CU.systematic_sample(df, "wt", 3, key_col="doc_id").collect()
+    with pytest.raises(ValueError, match="n_out"):
+        CU.systematic_sample(df, "wt", 0, key_col="doc_id")
