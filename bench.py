@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "sim_ann_ivf_partitioned",
     # r10, benched from birth
     "curation_systematic_sample",
+    "dedup_levenshtein_minhash",
 ]
 
 

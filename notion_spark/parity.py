@@ -7836,6 +7836,38 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_levenshtein_minhash",
+    """
+    WITH d AS (
+        SELECT doc_id, text
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS distance
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 20
+    WHERE levenshtein(a.text, b.text) <= 20
+    """,
+)
+def dedup_levenshtein_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free edit-distance near-dup pairs over the FULL corpus
+    via MinHash-LSH candidates + exact threshold verify
+    (pipeline/dedup.levenshtein_pairs_minhash) — the scalable fallback
+    the Ed-Join guard message prescribes for low-entropy corpora. The
+    oracle is the full brute-force quadratic join (all pairs, no
+    block); the verified banded output must EQUAL it by the
+    dedup_minhash_lsh recall argument: this corpus's edit-≤20 pairs
+    all carry token-shingle Jaccard ≥ 0.889 (measured at both cert
+    SFs), so P(miss) = (1−j⁴)¹⁶ ≤ 1.5e-7 per pair — containment holds
+    by construction (every emitted pair is exact-verified), equality
+    by the banding math. The Spark side never does the quadratic
+    join; that asymmetry is the point of the check."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.levenshtein_pairs_minhash(d, max_distance=20)
+
+
 _SYS_OFF = int(__import__("hashlib").md5(b"7:offset").hexdigest()[:15], 16)
 
 

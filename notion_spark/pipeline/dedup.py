@@ -834,9 +834,11 @@ def levenshtein_pairs_qgram(
                     " is too low-entropy for an exact edit-distance join at"
                     " this q/max_distance: run exact/fingerprint dedup first"
                     " (drop_exact_dups, with_fingerprint), use the"
-                    " MinHash/SimHash approximate paths, tighten"
-                    " max_distance or raise q — or raise max_candidates"
-                    " deliberately if the cluster can shuffle this."
+                    " approximate-recall fallback (levenshtein_pairs_minhash"
+                    " — same output contract, LSH-bounded candidates),"
+                    " tighten max_distance or raise q — or raise"
+                    " max_candidates deliberately if the cluster can"
+                    " shuffle this."
                 ),
             ),
         )
@@ -1200,6 +1202,63 @@ def minhash_dedup_pairs(
         .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     return _jaccard_on_sets(j).filter(F.col("jaccard") >= threshold)
+
+
+def levenshtein_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 20,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int | None = 1000,
+    guard_impl: str = "agg",
+) -> DataFrame:
+    """APPROXIMATE-RECALL exact edit-distance pairs: MinHash-LSH
+    candidates (token-shingle banding) verified by the exact
+    threshold-form levenshtein — the scalable fallback the exact
+    Ed-Join path (`levenshtein_pairs_qgram`) prescribes in its
+    max_candidates guard message for corpora too low-entropy for any
+    exact candidate filter. Candidate volume is governed by the LSH
+    bucket geometry (plus `max_bucket`'s star fallback on degenerate
+    buckets), NEVER by gram rarity — so it stays bounded on exactly
+    the template corpora where the exact path's candidate mass goes
+    ~N² and its guard raises.
+
+    The trade is explicit and one-sided: every emitted pair is
+    EXACT-verified (distance ≤ max_distance, threshold-form JVM
+    levenshtein, same output contract as the exact siblings), but a
+    qualifying pair whose token-shingle Jaccard sits below the banding
+    knee (~0.5-0.6 at 16×4) can be MISSED — P(miss) = (1−j^r)^b per
+    pair. Use where near-dups are textually close (j ≥ 0.85 ⇒
+    P(miss) ≤ 2e-7); use `levenshtein_pairs_qgram` when exact recall
+    is required and the corpus has gram entropy to pay for it.
+    Identical texts share identical signatures, hence every bucket, so
+    exact dups are always candidates (bucket cap permitting)."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, ngram, max_bucket, guard_impl
+    )
+    ta = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("txt_a"),
+        F.length(text_col).alias("len_a"),
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("txt_b"),
+        F.length(text_col).alias("len_b"),
+    )
+    verify = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
+    )
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
+    return (
+        verify.select("id_a", "id_b", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)
+    )
 
 
 # ------------------------------------------------ cross-corpus (incremental)

@@ -725,3 +725,34 @@ def test_levenshtein_qgram_exact_dup_collapse(spark):
     expect = {(a, b): 0 for a in range(1, 5) for b in range(a + 1, 5)}
     expect.update({(i, 10): 1 for i in range(1, 5)})
     assert got == expect
+
+
+def test_levenshtein_minhash_equals_bruteforce_on_near_dups(spark):
+    """The MinHash-candidate fallback must reproduce the brute force on
+    textually-close near-dups (high shingle Jaccard — the class the
+    banding knee admits), including exact-dup groups (identical
+    signatures share every bucket), while never emitting a pair past
+    the distance bound."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat naps under the old oak tree in the quiet yard")
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup
+        (3, base.replace("lazy", "hazy")),      # ed 1
+        (4, base.replace("quiet", "noisy")),    # ed 4
+        (5, "a completely different document about spark physical plans "
+            "and adaptive query execution with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs_minhash(df, max_distance=6).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.distance
+        for r in D.levenshtein_pairs(
+            df, block_key=F.lit(1), max_distance=6, length_bands=False
+        ).collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and (1, 5) not in got

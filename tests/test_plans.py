@@ -335,6 +335,33 @@ def test_keep_best_collapse_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ccnet_join_back_is_constant_size_broadcast(spark, sf_dir):
+    """r10: the equi-depth join-back must broadcast the |langs|-row
+    min-boundary frame (columns __lo0/__lo1), NOT the full
+    (lang, score, bucket) frame — that frame grows ~linearly with the
+    corpus (47k rows at sf1) and the broadcast becomes the 100 TB
+    breaker. The boundary aggregate's column names in the broadcast
+    exchange subtree are the pin."""
+    plan = plan_of(parity.QUERIES["curation_ccnet_buckets"](spark, sf_dir))
+    assert "__lo0" in plan and "__lo1" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_systematic_sample_no_global_window(spark, sf_dir):
+    """r10: the weighted cumsum must run per hash bucket (two-level
+    construction) — no single-partition global window over the corpus;
+    the only unbucketed window runs over the bounded |n_buckets|-row
+    offsets frame. Pin: every corpus-sized Exchange is hash
+    partitioning, and the plan keeps a broadcast for the offsets."""
+    plan = plan_of(parity.QUERIES["curation_systematic_sample"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # offsets frame broadcast
+    assert "Exchange hashpartitioning(__b" in plan  # bucketed cumsum shuffle
+
+
 def test_r9_pair_plans_no_cartesian_no_broadcast_collapse(spark, sf_dir):
     """The r9 scale swaps (Ed-Join levenshtein, AllPairs jaccard,
     occupancy-sized LSH embedding pairs, bucketed split leakage) must
