@@ -920,3 +920,33 @@ def test_select_token_budget_matches_greedy_model(spark, docs, budget):
         for r in select_token_budget(df, "score", "toks", budget=budget).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.integers(0, 50), min_size=1, max_size=14),
+    n_out=st.integers(1, 40),
+    seed=st.integers(0, 3),
+)
+def test_systematic_sample_floor_ceil_of_expected_count(spark, weights, n_out, seed):
+    """The Madow guarantee, exactly: every row's multiplicity is
+    floor(n·w/W) or ceil(n·w/W) (its expected count rounded down or
+    up), zero-weight rows never appear, and the total is n_out
+    IDENTICALLY — for arbitrary weights, n_out, and seed."""
+    from hypothesis import assume
+
+    from notion_spark.pipeline.curation import systematic_sample
+
+    assume(any(w > 0 for w in weights))
+    df = spark.createDataFrame(list(enumerate(weights)), "doc_id long, wt long")
+    got = {r.doc_id: r.copies for r in
+           systematic_sample(df, "wt", n_out, key_col="doc_id", seed=seed).collect()}
+    W = sum(weights)
+    assert sum(got.values()) == n_out
+    for i, w in enumerate(weights):
+        c = got.get(i, 0)
+        if w == 0:
+            assert c == 0
+        else:
+            lo, hi = (n_out * w) // W, -((-n_out * w) // W)
+            assert lo <= c <= hi, (i, w, c, lo, hi)
