@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # r10, benched from birth
     "curation_systematic_sample",
     "dedup_levenshtein_minhash",
+    "dedup_levenshtein_incremental",
 ]
 
 

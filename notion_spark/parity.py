@@ -7837,6 +7837,39 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_incremental",
+    """
+    WITH d AS (
+        SELECT doc_id, text
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+           CAST(levenshtein(n.text, c.text) AS INT) AS distance
+    FROM d n JOIN d c
+      ON n.doc_id >= 250 AND c.doc_id < 250
+     AND abs(length(n.text) - length(c.text)) <= 20
+    WHERE levenshtein(n.text, c.text) <= 20
+    """,
+)
+def dedup_levenshtein_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new batch vs corpus) edit-distance near-dedup via
+    cross-side-only MinHash candidates + exact threshold verify
+    (pipeline/dedup.cross_levenshtein_pairs): docs with id >= 250 play
+    the arriving batch, the rest the indexed corpus — the
+    dedup_incremental_cross split with a distance verifier. The oracle
+    is the brute-force all-cross-pairs levenshtein join; the verified
+    banded output must EQUAL it by the dedup_levenshtein_minhash
+    recall argument (this corpus's edit-≤20 pairs all carry shingle
+    Jaccard ≥ 0.889, P(miss) ≤ 1.5e-7 per pair). Within-side pairs
+    are structurally impossible on the Spark side and excluded by the
+    oracle's id split."""
+    d = read_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= 250)
+    corpus = d.filter(F.col("doc_id") < 250)
+    return DD.cross_levenshtein_pairs(new, corpus, max_distance=20)
+
+
+@register(
     "dedup_levenshtein_minhash",
     """
     WITH d AS (

@@ -1284,6 +1284,89 @@ def cross_exact_drop(
     return kept.unionByName(new.filter(F.col(text_col).isNull()))
 
 
+def cross_minhash_candidates(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-side-only LSH candidate stage shared by the incremental
+    verifiers (`cross_minhash_pairs`, `cross_levenshtein_pairs`):
+    distinct (id_new, id_corpus) pairs from shared (band, bucket) hits,
+    the corpus side capped at ``max_bucket`` smallest-id
+    representatives per bucket through the spilling row_number window
+    (same representatives as array_sort(collect_list)[:max_bucket],
+    but no executor ever buffers a full mega-bucket). Within-side
+    pairs are structurally impossible."""
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, ngram)
+    sig_n = minhash_signatures(new, text_col, id_col, num_hashes, ngram)
+    banded_c = _minhash_banded(sig_c, num_hashes, bands)
+    banded_n = _minhash_banded(sig_n, num_hashes, bands)
+    wb = Window.partitionBy("band", "bucket").orderBy("id")
+    capped_c = (
+        banded_c.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= max_bucket)
+        .select("band", "bucket", F.col("id").alias("id_corpus"))
+    )
+    return (
+        banded_n.join(capped_c, ["band", "bucket"])
+        .select(F.col("id").alias("id_new"), "id_corpus")
+        .distinct()
+    )
+
+
+def cross_levenshtein_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 20,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental edit-distance near-dedup: (id_new, id_corpus,
+    distance ≤ max_distance) pairs between a new batch and the
+    existing corpus — `cross_minhash_pairs`' daily-increment shape
+    with the exact threshold-form levenshtein as the verifier instead
+    of Jaccard (the metric a dedup CONTRACT is usually written in).
+    Candidates are cross-side-only LSH bucket hits with the corpus
+    capped per bucket (`cross_minhash_candidates`), so per-batch cost
+    is proportional to the batch and its collisions, never the corpus
+    pair space; the approximation is the same one-sided banding recall
+    as `levenshtein_pairs_minhash` (every emitted pair is
+    exact-verified; a qualifying pair below the banding knee can be
+    missed)."""
+    cands = cross_minhash_candidates(
+        new, corpus, text_col, id_col, num_hashes, bands, ngram, max_bucket
+    )
+    tn = new.select(
+        F.col(id_col).alias("id_new"),
+        F.col(text_col).alias("txt_a"),
+        F.length(text_col).alias("len_a"),
+    )
+    tc = corpus.select(
+        F.col(id_col).alias("id_corpus"),
+        F.col(text_col).alias("txt_b"),
+        F.length(text_col).alias("len_b"),
+    )
+    verify = (
+        cands.join(tn, "id_new")
+        .join(tc, "id_corpus")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_distance))
+    )
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_distance)
+    return (
+        verify.select("id_new", "id_corpus", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)
+    )
+
+
 def cross_minhash_pairs(
     new: DataFrame,
     corpus: DataFrame,
@@ -1322,23 +1405,8 @@ def cross_minhash_pairs(
     semantics on both sides). In a real deployment the corpus bucket
     frame is computed once and reused across batches — persist it or
     write it out partitioned by (band, bucket)."""
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, ngram)
-    sig_n = minhash_signatures(new, text_col, id_col, num_hashes, ngram)
-    banded_c = _minhash_banded(sig_c, num_hashes, bands)
-    banded_n = _minhash_banded(sig_n, num_hashes, bands)
-    # Same representatives as array_sort(collect_list)[:max_bucket] — the
-    # max_bucket smallest ids per bucket — but through the spilling
-    # window path, so no executor ever buffers a full mega-bucket.
-    wb = Window.partitionBy("band", "bucket").orderBy("id")
-    capped_c = (
-        banded_c.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") <= max_bucket)
-        .select("band", "bucket", F.col("id").alias("id_corpus"))
-    )
-    cands = (
-        banded_n.join(capped_c, ["band", "bucket"])
-        .select(F.col("id").alias("id_new"), "id_corpus")
-        .distinct()
+    cands = cross_minhash_candidates(
+        new, corpus, text_col, id_col, num_hashes, bands, ngram, max_bucket
     )
     if persist_candidates:
         # lazy persist: the frame feeds three consumers below, and the

@@ -756,3 +756,27 @@ def test_levenshtein_minhash_equals_bruteforce_on_near_dups(spark):
     }
     assert got == brute
     assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and (1, 5) not in got
+
+
+def test_cross_levenshtein_pairs_cross_side_only(spark):
+    """Incremental edit-distance verifier: cross-side near-dups equal
+    the brute-force cross join on textually-close pairs; within-side
+    pairs never form even for identical texts on the same side."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat naps under the old oak tree in the quiet yard")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, "something entirely unrelated about "
+                                    "query optimizers and shuffle hash joins")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base.replace("lazy", "hazy")),   # ed 1 from corpus 1+2
+         (11, base.replace("lazy", "hazy")),   # identical to 10 (same side)
+         (12, "fresh content with no counterpart in the corpus at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_new, r.id_corpus): r.distance
+        for r in D.cross_levenshtein_pairs(new, corpus, max_distance=3).collect()
+    }
+    assert got == {(10, 1): 1, (10, 2): 1, (11, 1): 1, (11, 2): 1}
