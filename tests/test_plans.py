@@ -388,3 +388,15 @@ def test_r9_pair_plans_no_cartesian_no_broadcast_collapse(spark, sf_dir):
         bnlj = plan.count("BroadcastNestedLoopJoin")
         assert bnlj == 0 or (bnlj == 1 and "__est" in plan), (name, bnlj)
         assert "ShuffledHashJoin" in plan, name
+
+
+def test_r10_levenshtein_fallbacks_no_cartesian_python_free(spark, sf_dir):
+    """The two r10 minhash-candidate levenshtein paths must form
+    candidates through the aggregate+HOF banding (no pair-generating
+    join at all) and verify through keyed joins — no cartesian, no
+    nested loop, no Python in the plan."""
+    for name in ("dedup_levenshtein_minhash", "dedup_levenshtein_incremental"):
+        plan = plan_of(parity.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
