@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "curation_systematic_sample",
     "dedup_levenshtein_minhash",
     "dedup_levenshtein_incremental",
+    "dedup_paragraphs",
+    "profile_numeric_correlations",
+    "behavior_path_trigrams",
 ]
 
 

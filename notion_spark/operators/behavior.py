@@ -547,3 +547,57 @@ def decayed_counts(
         F.sum(weight).cast("long").alias("decayed_micro"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    n: int = 3,
+    k: int = 15,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most common length-``n`` event-type paths across users —
+    the "what do people actually do, in order" mining pass (the n-gram
+    view of clickstreams that feeds funnel discovery and next-event
+    models). A path is ``n`` CONSECUTIVE events of one user in
+    ``order_cols`` order, rendered "view>click>purchase". Output:
+    (path, cnt), cnt desc then path asc — a total order, so top-k is
+    reproducible on any engine.
+
+    ``order_cols`` must be a per-user total order (default (ts,
+    event_id) — the id breaks timestamp ties deterministically);
+    without the tiebreak, lead() order and therefore the paths
+    themselves would be partition-order-dependent.
+
+    Scale shape: one shuffle keyed by user (per-user groups are
+    session-sized, never hot), n−1 lead() columns over that single
+    window — no self-joins, the classic n-way sequence join replaced
+    by one pass — then a map-side-combined count whose key cardinality
+    is ≤ |event types|^n (tiny), and top-k as orderBy+limit =
+    TakeOrdered, never a global sort materialization. Null event
+    types are dropped before windowing (an unknown step is not a
+    step); paths never span users."""
+    if n < 2:
+        raise ValueError(f"path n-grams need n >= 2, got {n}")
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy("__u").orderBy(*order)
+    ev = df.filter(F.col(type_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t0"),
+        *[F.col(c) for c in order_cols],
+    )
+    steps = [F.col("__t0")]
+    out = ev
+    for i in range(1, n):
+        out = out.withColumn(f"__t{i}", F.lead("__t0", i).over(w))
+        steps.append(F.col(f"__t{i}"))
+    out = out.filter(F.col(f"__t{n-1}").isNotNull())
+    return (
+        out.select(F.concat_ws(sep, *steps).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(k)
+    )

@@ -7949,6 +7949,154 @@ def curation_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_sample(d, "weight", 200, key_col="doc_id", seed=7)
 
 
+@register(
+    "dedup_paragraphs",
+    r"""
+    WITH lined AS (
+        SELECT doc_id, regexp_replace(text, '\. ', '.' || chr(10), 'g') AS txt
+        FROM documents WHERE text IS NOT NULL
+    ),
+    paras AS (
+        SELECT doc_id,
+               generate_subscripts(ls, 1) AS pos,
+               unnest(ls) AS para
+        FROM (SELECT doc_id,
+                     list_filter([trim(x) for x in string_split(txt, chr(10))],
+                                 x -> x <> '') AS ls
+              FROM lined)
+    ),
+    ranked AS (
+        SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM paras
+    ),
+    kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+    reasm AS (
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM paras GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(t.n_total, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+    LEFT JOIN reasm r USING (doc_id) LEFT JOIN totals t USING (doc_id)
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level keep-first paragraph dedup (RefinedWeb/Dolma exact
+    paragraph move): every sentence-paragraph survives exactly once, in
+    its globally earliest (doc_id, pos) slot; later occurrences — cross-
+    doc AND within-doc — are dropped and the survivors reassemble in
+    original order (`dedup.paragraph_dedup`). The winner is a map-side-
+    combined min(struct) keyed by the paragraph md5 joined back on the
+    hash (skew-splittable, unlike a row_number window over a hot
+    boilerplate paragraph); the oracle proves the same winners with a
+    flat ROW_NUMBER form."""
+    from notion_spark.pipeline import dedup as DDm
+
+    d = read_table(spark, sf_dir, "documents")
+    lined = d.withColumn("text", F.regexp_replace("text", r"\. ", ".\n"))
+    return DDm.paragraph_dedup(lined).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_removed"
+    )
+
+
+@register(
+    "profile_numeric_correlations",
+    """
+    WITH ints AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c,
+               CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_tax IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(qty) AS HUGEINT) AS s_q,
+               CAST(SUM(CAST(qty AS HUGEINT) * qty) AS HUGEINT) AS ss_q,
+               CAST(SUM(disc_c) AS HUGEINT) AS s_d,
+               CAST(SUM(CAST(disc_c AS HUGEINT) * disc_c) AS HUGEINT) AS ss_d,
+               CAST(SUM(tax_c) AS HUGEINT) AS s_t,
+               CAST(SUM(CAST(tax_c AS HUGEINT) * tax_c) AS HUGEINT) AS ss_t,
+               CAST(SUM(CAST(qty AS HUGEINT) * disc_c) AS HUGEINT) AS sp_qd,
+               CAST(SUM(CAST(qty AS HUGEINT) * tax_c) AS HUGEINT) AS sp_qt,
+               CAST(SUM(CAST(disc_c AS HUGEINT) * tax_c) AS HUGEINT) AS sp_dt
+        FROM ints
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 THEN CAST(num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS cov,
+           CAST(sign(CAST(num AS DOUBLE)) AS INT) AS r_sign,
+           CASE WHEN den_x > 0 AND den_y > 0
+                THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                   / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) END AS r2
+    FROM (
+        SELECT 'qty' AS col_x, 'disc_c' AS col_y, n,
+               n * sp_qd - s_q * s_d AS num,
+               n * ss_q - s_q * s_q AS den_x, n * ss_d - s_d * s_d AS den_y
+        FROM m
+        UNION ALL
+        SELECT 'qty', 'tax_c', n, n * sp_qt - s_q * s_t,
+               n * ss_q - s_q * s_q, n * ss_t - s_t * s_t FROM m
+        UNION ALL
+        SELECT 'disc_c', 'tax_c', n, n * sp_dt - s_d * s_t,
+               n * ss_d - s_d * s_d, n * ss_t - s_t * s_t FROM m
+    )
+    """,
+)
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson structure of lineitem's (quantity, discount,
+    tax) in exact fixed-point (`profile.numeric_correlations`): ONE
+    map-side-collapsed global aggregate of integer moments in
+    DECIMAL(38,0), then cov / r_sign / r² derived through single
+    identical IEEE casts+divides on both engines — the bit-exact
+    alternative to engine corr(), whose running-moment accumulation
+    order differs per engine and partitioning."""
+    from notion_spark.pipeline import profile as PR
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ints = li.select(
+        F.col("l_quantity").cast(DEC).cast("long").alias("qty"),
+        (F.col("l_discount").cast(DEC) * 100).cast("long").alias("disc_c"),
+        (F.col("l_tax").cast(DEC) * 100).cast("long").alias("tax_c"),
+    )
+    return PR.numeric_correlations(ints, ["qty", "disc_c", "tax_c"])
+
+
+@register(
+    "behavior_path_trigrams",
+    """
+    WITH seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events WHERE event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS cnt
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, path LIMIT 15
+    """,
+)
+def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-travelled 3-step event paths
+    (`operators.behavior.path_ngrams`): one user-keyed window with two
+    lead() columns replaces the classic 3-way sequence self-join, then
+    a map-side-combined count over ≤ |types|³ keys and TakeOrdered
+    top-k under the (cnt desc, path asc) total order — reproducible on
+    any engine, timestamp ties broken by event_id."""
+    from notion_spark.operators.behavior import path_ngrams
+
+    ev = read_table(spark, sf_dir, "events")
+    return path_ngrams(ev, n=3, k=15)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -149,6 +149,89 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return kept.unionByName(df.filter(F.col(text_col).isNull()))
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level keep-first paragraph dedup (the RefinedWeb/Dolma
+    exact-paragraph move): every paragraph keeps only its globally FIRST
+    occurrence — the minimum ``(id, pos)`` across the whole corpus — and
+    every later occurrence is dropped, including repeats inside the same
+    document. Survivors reassemble in original order. Output one row per
+    non-null-text doc: (id, clean_text, n_kept, n_removed).
+
+    Differs from `curation.strip_common_paragraphs` (frequency-threshold
+    boilerplate removal: a paragraph in >max_docs docs vanishes from ALL
+    of them) — here duplicated content survives exactly once, in the
+    earliest document, which is the semantics training-data paragraph
+    dedup wants (RefinedWeb §: exact-duplicate paragraphs are removed,
+    not the paragraph itself).
+
+    Scale shape: one posexplode, then the winner per paragraph is a
+    map-side-combined ``min(struct(id, pos))`` keyed by the paragraph's
+    md5 (strings never shuffle twice — the winner frame carries only
+    hash + winner struct), joined back on the hash. A groupBy+join
+    instead of a row_number window on purpose: the hot key here is a
+    boilerplate paragraph repeated across millions of docs, and the
+    combiner collapses its winner to one row map-side while AQE
+    skew-splits the join probe — a window would sort the whole hot
+    group in one task. Reassembly is the engine-exact array_sort on
+    (pos, para) structs, never collect order.
+
+    ``line_sep`` is a LITERAL separator (regex metachars escaped)."""
+    import re as _re
+
+    paras = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), _re.escape(line_sep)),
+                        lambda s: F.trim(s),
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("pos", "para"),
+        )
+        .withColumn("ph", F.md5(F.col("para")))
+    )
+    winners = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("w")
+    )
+    kept = paras.join(winners, "ph").filter(
+        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    reasm = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"))
+        .join(reasm, "id", "left")
+        .join(totals, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 # ------------------------------------------------------------ exact Jaccard
 def _pair_join(a: DataFrame, b: DataFrame, on, keys_a=None, keys_b=None) -> DataFrame:
     """Pair-GENERATING equi-join, forced to shuffle on its block keys

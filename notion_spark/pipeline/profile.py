@@ -153,6 +153,129 @@ def diversity_index(
     )
 
 
+def numeric_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Pairwise Pearson structure over integer-valued columns — the
+    bivariate half of the data card (which features move together,
+    which quality signal is redundant). One row per unordered pair:
+    (col_x, col_y, n, cov, r_sign, r2).
+
+    Exact-moment arithmetic, engine-exact results: the ONLY aggregation
+    is integer sums (n, Σx, Σx², Σxy per pair) — per-row products in
+    exact LONG under an in-plan |x| ≤ 1e7 row guard, summed in decimal —
+    map-side combined, order-independent, bit-identical on any engine
+    and partitioning. The derived values follow the repo's
+    identical-IEEE-ops contract: num = n·Σxy − Σx·Σy and
+    den = n·Σx² − (Σx)² are exact integers, each CAST once to double
+    (correctly rounded on both engines), and the final
+    cov = num / (n(n−1)), r2 = num² / (den_x·den_y) are single IEEE
+    multiplies/divides of those identical doubles — no
+    accumulation-order drift, unlike engine corr()/covar_samp() whose
+    running-moment update order differs per engine and partition count.
+    r_sign carries the correlation's direction exactly (r itself needs
+    a sqrt — transcendental, never hash-matches — so the exact surface
+    is sign + r²).
+
+    Columns must be INTEGER-valued with |x| ≤ 1e7 (pre-scale decimals
+    to cents — the caller owns the fixed-point contract; the row guard
+    raises loudly past the bound instead of letting a LONG product
+    wrap). Rows with a null in ANY profiled column are dropped (single
+    listwise n, one honest denominator for every pair). Constant
+    columns yield null r2; n < 2 yields null cov.
+
+    Scale shape: ONE global aggregate — partial aggregation collapses
+    each partition to one row of k + k + k(k−1)/2 sums, no data-sized
+    shuffle at all; the pair melt is a constant-size explode of the
+    single result row. DECIMAL(38,0) headroom: n·Σxy needs
+    n²·max|x|·max|y| ≤ 1e38 — at 1e12 rows that allows |x|,|y| up to
+    ~1e7, cents-scale telemetry; the loud in-plan guard raises past it
+    (exactmath.guarded rule) rather than silently overflowing."""
+    from notion_spark.functions.exactmath import D38, guarded
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"numeric_correlations needs >= 2 cols, got {cols!r}")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    # per-row products in LONG (whole-stage-codegen fast path — the
+    # all-DECIMAL(38,0) form ran the same scan 4x slower at sf0.1, every
+    # row paying six BigDecimal multiply/convert chains), made exact by
+    # the row-level bound guard: |x| <= 1e7 keeps x*y <= 1e14 inside
+    # LONG. Only the per-term SUM widens to decimal (1e14-sized terms
+    # over 1e12 rows -> <= 1e26, inside the decimal(30,0) a
+    # sum(decimal(20,0)) carries); one long->decimal conversion per
+    # term instead of three BigDecimal ops.
+    d20 = "decimal(20,0)"
+    _rg = guarded(
+        F.greatest(*[F.abs(F.col(c)) for c in cols]) > F.lit(10_000_000),
+        "numeric_correlations: |value| > 1e7 — per-row products would"
+        " outgrow exact LONG arithmetic; rescale the fixed-point inputs",
+    )
+    sums: list = [F.count(F.lit(1)).cast(D38).alias("n")]
+    for c in cols:
+        x = _rg(F.col(c), "long")
+        sums.append(F.sum(x.cast(d20)).cast(D38).alias(f"s_{c}"))
+        sums.append(F.sum((x * F.col(c)).cast(d20)).cast(D38).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(
+            F.sum((_rg(F.col(a), "long") * F.col(b)).cast(d20))
+            .cast(D38)
+            .alias(f"sp_{a}_{b}")
+        )
+    agg = base.agg(*sums)
+
+    n = F.col("n")
+    n_d = n.cast("double")
+    structs = []
+    for a, b in pairs:
+        num = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(D38)
+        den_a = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(D38)
+        den_b = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(D38)
+        num_d, dena_d, denb_d = (num.cast("double"), den_a.cast("double"), den_b.cast("double"))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                n.cast("long").alias("n"),
+                F.when(n >= 2, num_d / (n_d * (n_d - F.lit(1.0))))
+                .otherwise(F.lit(None))
+                .alias("cov"),
+                F.signum(num_d).cast("int").alias("r_sign"),
+                F.when(
+                    (den_a > 0) & (den_b > 0), (num_d * num_d) / (dena_d * denb_d)
+                )
+                .otherwise(F.lit(None))
+                .alias("r2"),
+            )
+        )
+    # overflow guard: every moment product must stay inside DECIMAL(38,0);
+    # the double ESTIMATE of the largest (n·Σxy / n·Σx²) triggers loudly
+    worst = F.greatest(
+        *[F.abs(n_d * F.col(f"ss_{c}").cast("double")) for c in cols],
+        *[F.abs(n_d * F.col(f"sp_{a}_{b}").cast("double")) for a, b in pairs],
+    )
+    _guard = guarded(
+        F.col("__worst") > F.lit(1e37),
+        "numeric_correlations: moment products exceed DECIMAL(38,0) —"
+        " rescale the inputs (coarser fixed-point) or profile a sample",
+    )
+    melted = agg.select(
+        F.explode(F.array(*structs)).alias("p"), worst.alias("__worst")
+    ).select("p.*", "__worst")
+    return melted.select(
+        "col_x",
+        "col_y",
+        _guard(F.col("n"), "long").alias("n"),
+        _guard(F.col("cov"), "double").alias("cov"),
+        _guard(F.col("r_sign"), "int").alias("r_sign"),
+        _guard(F.col("r2"), "double").alias("r2"),
+    )
+
+
 def compare_profiles(
     before: DataFrame,
     after: DataFrame,

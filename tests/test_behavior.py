@@ -780,3 +780,48 @@ def test_cross_levenshtein_pairs_cross_side_only(spark):
         for r in D.cross_levenshtein_pairs(new, corpus, max_distance=3).collect()
     }
     assert got == {(10, 1): 1, (10, 2): 1, (11, 1): 1, (11, 2): 1}
+
+
+class TestPathNgrams:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+
+    def test_counts_and_total_order(self, spark):
+        from notion_spark.operators.behavior import path_ngrams
+
+        rows = [
+            (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "purchase"),
+            (1, 40, 4, "view"),
+            (2, 10, 5, "view"), (2, 20, 6, "click"), (2, 30, 7, "purchase"),
+        ]
+        out = path_ngrams(self._ev(spark, rows), n=3, k=10).collect()
+        assert [(r.path, r.cnt) for r in out] == [
+            ("view>click>purchase", 2),
+            ("click>purchase>view", 1),
+        ]
+
+    def test_paths_never_span_users_and_null_types_drop(self, spark):
+        from notion_spark.operators.behavior import path_ngrams
+
+        rows = [
+            (1, 10, 1, "a"), (1, 20, 2, None), (1, 30, 3, "b"), (1, 40, 4, "c"),
+            (2, 50, 5, "b"), (2, 60, 6, "c"),
+        ]
+        out = path_ngrams(self._ev(spark, rows), n=3, k=10).collect()
+        # the null event closes over: a>b>c (nulls are not steps);
+        # user 2's (b, c) never joins user 1's tail
+        assert [(r.path, r.cnt) for r in out] == [("a>b>c", 1)]
+
+    def test_timestamp_ties_break_by_event_id(self, spark):
+        from notion_spark.operators.behavior import path_ngrams
+
+        rows = [(1, 10, 2, "b"), (1, 10, 1, "a"), (1, 20, 3, "c")]
+        out = path_ngrams(self._ev(spark, rows), n=2, k=10).collect()
+        assert {r.path for r in out} == {"a>b", "b>c"}
+
+    def test_n_validation(self, spark):
+        import pytest
+        from notion_spark.operators.behavior import path_ngrams
+
+        with pytest.raises(ValueError):
+            path_ngrams(self._ev(spark, []), n=1)

@@ -514,3 +514,52 @@ def test_embedding_dup_pairs_max_bucket_caps_degenerate_bucket(spark):
     out = D.embedding_dup_pairs(df, threshold=0.99, dim=4, max_bucket=10).collect()
     got = {(r.id_a, r.id_b) for r in out}
     assert got == {(i, j) for i in range(10) for j in range(10) if i < j}
+
+
+class TestParagraphDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keep_first_global_and_within_doc(self, spark):
+        from notion_spark.pipeline.dedup import paragraph_dedup
+
+        rows = [
+            (1, "A\nB"),
+            (2, "B\nC\nB"),   # B lost to doc 1 (earlier id), twice
+            (3, "A"),          # A lost to doc 1
+        ]
+        out = {r.id: r for r in paragraph_dedup(self._docs(spark, rows)).collect()}
+        assert out[1].clean_text == "A\nB" and out[1].n_kept == 2 and out[1].n_removed == 0
+        assert out[2].clean_text == "C" and out[2].n_kept == 1 and out[2].n_removed == 2
+        assert out[3].clean_text == "" and out[3].n_kept == 0 and out[3].n_removed == 1
+
+    def test_within_doc_repeat_keeps_earliest_pos(self, spark):
+        from notion_spark.pipeline.dedup import paragraph_dedup
+
+        out = paragraph_dedup(self._docs(spark, [(7, "X\nY\nX")])).collect()[0]
+        assert out.clean_text == "X\nY" and out.n_kept == 2 and out.n_removed == 1
+
+    def test_order_preserved_null_text_excluded_blank_lines_skipped(self, spark):
+        from notion_spark.pipeline.dedup import paragraph_dedup
+
+        rows = [(1, "  \nP\n\n Q \nR"), (2, None)]
+        out = paragraph_dedup(self._docs(spark, rows)).collect()
+        assert len(out) == 1  # null-text docs have no paragraph rows
+        assert out[0].clean_text == "P\nQ\nR" and out[0].n_kept == 3
+
+    def test_differs_from_boilerplate_strip(self, spark):
+        # strip_common_paragraphs removes a >max_docs paragraph from ALL
+        # docs; keep-first dedup must keep it exactly once (the point)
+        from notion_spark.pipeline.curation import strip_common_paragraphs
+        from notion_spark.pipeline.dedup import paragraph_dedup
+
+        rows = [(i, "COMMON\nuniq%d" % i) for i in range(1, 5)]
+        docs = self._docs(spark, rows)
+        kept = {r.id: r.clean_text for r in paragraph_dedup(docs).collect()}
+        assert kept[1] == "COMMON\nuniq1"
+        assert all(kept[i] == "uniq%d" % i for i in range(2, 5))
+        stripped = {
+            r.id: r.clean_text
+            for r in strip_common_paragraphs(docs, max_docs=3).collect()
+        }
+        assert all("COMMON" not in v for v in stripped.values())

@@ -135,3 +135,58 @@ class TestCompareProfiles:
         for c in ("id", "s"):
             assert out[c].null_ppm_after is None
             assert out[c].alert is True
+
+
+class TestNumericCorrelations:
+    def _rows(self, spark, rows):
+        from notion_spark.pipeline.profile import numeric_correlations
+
+        df = spark.createDataFrame(rows, "x long, y long, z long")
+        out = numeric_correlations(df, ["x", "y", "z"]).collect()
+        return {(r.col_x, r.col_y): r for r in out}
+
+    def test_perfect_linear_and_exact_cov(self, spark):
+        # y = 2x: num = 2*den_x and den_y = 4*den_x exactly, so
+        # r2 == 1.0 BIT-exactly (small integers -> exact doubles)
+        rows = [(1, 2, 5), (2, 4, 5), (3, 6, 5), (4, 8, 5)]
+        p = self._rows(spark, rows)
+        xy = p[("x", "y")]
+        assert xy.n == 4 and xy.r_sign == 1 and xy.r2 == 1.0
+        # cov = (n*Sxy - Sx*Sy)/(n(n-1)) = (4*60 - 10*20)/12 = 40/12
+        assert xy.cov == 40.0 / 12.0
+        # z is constant: den_z = 0 -> r2 null, cov exactly 0
+        assert p[("x", "z")].r2 is None and p[("x", "z")].cov == 0.0
+
+    def test_negative_sign_and_listwise_nulls(self, spark):
+        rows = [(1, 8, 1), (2, 6, 2), (3, 4, 3), (4, 2, 4), (5, None, 5)]
+        p = self._rows(spark, rows)
+        # the null-y row drops from EVERY pair (single listwise n)
+        assert all(r.n == 4 for r in p.values())
+        assert p[("x", "y")].r_sign == -1 and p[("x", "y")].r2 == 1.0
+        assert p[("x", "z")].r_sign == 1
+
+    def test_needs_two_cols_and_overflow_guard(self, spark):
+        import pytest
+        from notion_spark.pipeline.profile import numeric_correlations
+
+        with pytest.raises(ValueError):
+            numeric_correlations(spark.range(3), ["id"])
+        # 10^18-scale values: n*Σx² ≈ 1.2e38 outgrows DECIMAL(38,0) —
+        # the in-plan guard must raise loudly, never wrap/null silently
+        big = spark.createDataFrame(
+            [(10**18, 10**18)] * 12, "x long, y long"
+        )
+        with pytest.raises(Exception, match="numeric_correlations"):
+            numeric_correlations(big, ["x", "y"]).collect()
+
+    def test_single_pass_no_data_shuffle(self, spark):
+        from notion_spark.pipeline.profile import numeric_correlations
+
+        df = spark.createDataFrame([(1, 2), (3, 4)], "x long, y long")
+        plan = (
+            numeric_correlations(df, ["x", "y"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one global aggregate: the only exchange is the 1-row partial
+        # collapse to a single partition — never a hash repartition
+        assert "hashpartitioning" not in plan
