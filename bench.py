@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "profile_numeric_correlations",
     "behavior_path_trigrams",
+    "behavior_rfm_segments",
 ]
 
 

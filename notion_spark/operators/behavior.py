@@ -601,3 +601,89 @@ def path_ngrams(
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(k)
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 4,
+    monetary_quantum_cents: int = 10_000,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic lifecycle scoring): per customer, days since last order,
+    order count, exact lifetime cents, each scored 1..n_bins by exact
+    equi-depth quantile, plus the standard segment label (champion /
+    loyal / at_risk / hibernating / new / regular). Output: (customer,
+    recency_days, frequency, monetary_cents, r_score, f_score,
+    m_score, segment).
+
+    Scores are ENGINE-EXACT quantiles, not approx_percentile: each
+    metric rides `curation.equidepth_value_bins` — value-collapsed
+    counts (map-side combined), integer-exact boundaries
+    ((rank·n_bins) div N), classic tie semantics (equal metric ⇒ equal
+    score, a value never splits across bins). r_score inverts its bin
+    (small recency = recent = best). No global row window ever touches
+    the customer frame — the only windows run over the bounded
+    distinct-VALUE frames, which is why monetary is quantized first
+    (``monetary_quantum_cents``, default $100 buckets): raw cents are
+    near-unique per customer and would outgrow the equidepth
+    cardinality contract at 100 TB; recency (days) and frequency
+    (order counts) are bounded by nature. ``max_distinct`` forwards
+    to the in-plan cardinality guard.
+
+    Scale shape: one customer-keyed agg shuffle, a 1-row reference-date
+    broadcast, three bounded value→bin frames broadcast back. The
+    segment ruleset assumes quartile scoring (n_bins=4, Hughes' RFM
+    convention): top = n_bins, "low" = ≤ 2; with other n_bins the
+    labels shift proportionally but stay deterministic."""
+    DEC = "decimal(18,2)"
+    from notion_spark.pipeline.curation import equidepth_value_bins
+
+    base = (
+        df.filter(F.col(customer_col).isNotNull())
+        .filter(F.col(ts_col).isNotNull())
+        .filter(F.col(amount_col).isNotNull())
+    )
+    per = base.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("last_date"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        (F.sum(F.col(amount_col).cast(DEC)) * 100).cast("long").alias("monetary_cents"),
+    )
+    ref = per.agg(F.max("last_date").alias("__ref"))
+    feat = (
+        per.crossJoin(F.broadcast(ref))
+        .withColumn("recency_days", F.datediff(F.col("__ref"), F.col("last_date")).cast("long"))
+        .withColumn("m_q", F.expr(f"monetary_cents div {int(monetary_quantum_cents)}"))
+    )
+    def _bins(col: str, alias: str) -> DataFrame:
+        return equidepth_value_bins(feat, col, n_bins, max_distinct).select(
+            F.col("value").alias(col), F.col("bin").alias(alias)
+        )
+    scored = (
+        feat.join(F.broadcast(_bins("recency_days", "__rb")), "recency_days")
+        .join(F.broadcast(_bins("frequency", "__fb")), "frequency")
+        .join(F.broadcast(_bins("m_q", "__mb")), "m_q")
+        .select(
+            "customer",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (F.lit(n_bins) - F.col("__rb")).cast("int").alias("r_score"),
+            (F.col("__fb") + 1).cast("int").alias("f_score"),
+            (F.col("__mb") + 1).cast("int").alias("m_score"),
+        )
+    )
+    hi, up, lo = n_bins, max(n_bins - 1, 1), min(2, n_bins)
+    r, f_, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    seg = (
+        F.when((r >= hi) & (f_ >= hi) & (m >= hi), "champion")
+        .when((r >= up) & (f_ >= up), "loyal")
+        .when((r <= lo) & (m >= up), "at_risk")
+        .when(r <= lo, "hibernating")
+        .when(f_ <= lo, "new")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

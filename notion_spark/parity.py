@@ -8097,6 +8097,66 @@ def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_ngrams(ev, n=3, k=15)
 
 
+@register(
+    "behavior_rfm_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+    ),
+    per AS (
+        SELECT o_custkey AS customer, MAX(d) AS last_date,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(amt) * 100 AS BIGINT) AS monetary_cents
+        FROM base GROUP BY 1
+    ),
+    ref AS (SELECT MAX(last_date) AS refd FROM per),
+    feat AS (
+        SELECT customer,
+               CAST(date_diff('day', last_date, refd) AS BIGINT) AS recency_days,
+               frequency, monetary_cents,
+               monetary_cents // 10000 AS m_q
+        FROM per, ref
+    ),
+    scored AS (
+        SELECT customer, recency_days, frequency, monetary_cents,
+               CAST(4 - ((RANK() OVER (ORDER BY recency_days) - 1) * 4)
+                        // (COUNT(*) OVER ()) AS INT) AS r_score,
+               CAST(((RANK() OVER (ORDER BY frequency) - 1) * 4)
+                        // (COUNT(*) OVER ()) + 1 AS INT) AS f_score,
+               CAST(((RANK() OVER (ORDER BY m_q) - 1) * 4)
+                        // (COUNT(*) OVER ()) + 1 AS INT) AS m_score
+        FROM feat
+    )
+    SELECT customer, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND m_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                WHEN f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation of orders customers
+    (`operators.behavior.rfm_segments`): recency / frequency / monetary
+    quartile scores via exact equi-depth bins (integer (rank·4) div N
+    boundaries, classic tie semantics — the oracle proves the
+    value-collapsed bounded-window construction equals the flat RANK
+    form), then the standard champion/loyal/at_risk/hibernating/new
+    ruleset. Monetary rides $100 quanta so the bin frame stays
+    bounded-cardinality at any scale."""
+    from notion_spark.operators.behavior import rfm_segments
+
+    o = read_table(spark, sf_dir, "orders")
+    return rfm_segments(o)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -825,3 +825,57 @@ class TestPathNgrams:
 
         with pytest.raises(ValueError):
             path_ngrams(self._ev(spark, []), n=1)
+
+
+class TestRfmSegments:
+    def _orders(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+        )
+
+    def test_scores_and_segments(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.behavior import rfm_segments
+
+        # 4 customers, engineered quartiles: cust 1 = recent+frequent+big
+        # (champion), cust 4 = stale+rare+small (hibernating)
+        ref = datetime(2024, 3, 30)
+        rows = []
+        for cust, (days, n_orders, amount) in enumerate(
+            [(0, 8, 400.0), (10, 4, 300.0), (20, 2, 200.0), (40, 1, 100.0)],
+            start=1,
+        ):
+            for i in range(n_orders):
+                rows.append((cust, ref - timedelta(days=days), amount))
+        out = {r.customer: r for r in rfm_segments(self._orders(spark, rows)).collect()}
+        assert out[1].r_score == 4 and out[1].f_score == 4 and out[1].m_score == 4
+        assert out[1].segment == "champion"
+        assert out[4].r_score == 1 and out[4].f_score == 1 and out[4].m_score == 1
+        assert out[4].segment == "hibernating"
+        # monetary is exact integer cents: 8 x 400.00 = 320000
+        assert out[1].monetary_cents == 320000
+        # recency is measured against the corpus max order date
+        assert out[1].recency_days == 0
+
+    def test_equal_metrics_get_equal_scores(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import rfm_segments
+
+        # classic tie semantics: identical metric => identical score,
+        # regardless of how many customers share it
+        rows = [(c, datetime(2024, 1, 1), 50.0) for c in range(1, 9)]
+        out = rfm_segments(self._orders(spark, rows)).collect()
+        assert len({(r.r_score, r.f_score, r.m_score) for r in out}) == 1
+
+    def test_null_rows_dropped_and_quantum_bounds_bins(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import rfm_segments
+
+        rows = [
+            (1, datetime(2024, 1, 2), 100.0),
+            (None, datetime(2024, 1, 2), 100.0),
+            (2, None, 100.0),
+            (3, datetime(2024, 1, 3), None),
+        ]
+        out = rfm_segments(self._orders(spark, rows)).collect()
+        assert {r.customer for r in out} == {1}
