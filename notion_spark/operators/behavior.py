@@ -634,9 +634,16 @@ def rfm_segments(
     (order counts) are bounded by nature. ``max_distinct`` forwards
     to the in-plan cardinality guard.
 
-    Scale shape: one customer-keyed agg shuffle, a 1-row reference-date
-    broadcast, three bounded value→bin frames broadcast back. The
-    segment ruleset assumes quartile scoring (n_bins=4, Hughes' RFM
+    Scale shape: one customer-keyed agg shuffle (its exchange is
+    identical across every branch that re-reads it — AQE reuses it),
+    three bounded value→bin frames broadcast back, and ONE 1-row
+    reference-date broadcast attached at the very top, only to render
+    recency_days for output. The recency SCORE never touches the
+    reference date: equi-depth bins depend only on strict-rank counts,
+    which are shift-invariant, so binning −days(last_date) (epoch
+    scale) is EXACTLY binning recency_days = ref − days(last_date) —
+    the bin branches stay free of the reference join. The segment
+    ruleset assumes quartile scoring (n_bins=4, Hughes' RFM
     convention): top = n_bins, "low" = ≤ 2; with other n_bins the
     labels shift proportionally but stay deterministic."""
     DEC = "decimal(18,2)"
@@ -647,28 +654,38 @@ def rfm_segments(
         .filter(F.col(ts_col).isNotNull())
         .filter(F.col(amount_col).isNotNull())
     )
-    per = base.groupBy(F.col(customer_col).alias("customer")).agg(
-        F.max(F.to_date(F.col(ts_col))).alias("last_date"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        (F.sum(F.col(amount_col).cast(DEC)) * 100).cast("long").alias("monetary_cents"),
-    )
-    ref = per.agg(F.max("last_date").alias("__ref"))
-    feat = (
-        per.crossJoin(F.broadcast(ref))
-        .withColumn("recency_days", F.datediff(F.col("__ref"), F.col("last_date")).cast("long"))
+    per = (
+        base.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.max(F.to_date(F.col(ts_col))).alias("last_date"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            (F.sum(F.col(amount_col).cast(DEC)) * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        # shift-invariant recency metric: −days-since-epoch of the last
+        # order — same strict ranks as recency_days, no reference join
+        .withColumn(
+            "neg_days",
+            (-F.datediff(F.col("last_date"), F.lit("1970-01-01").cast("date"))).cast("long"),
+        )
         .withColumn("m_q", F.expr(f"monetary_cents div {int(monetary_quantum_cents)}"))
     )
+
     def _bins(col: str, alias: str) -> DataFrame:
-        return equidepth_value_bins(feat, col, n_bins, max_distinct).select(
+        return equidepth_value_bins(per, col, n_bins, max_distinct).select(
             F.col("value").alias(col), F.col("bin").alias(alias)
         )
+
+    ref = per.agg(F.max("last_date").alias("__ref"))
     scored = (
-        feat.join(F.broadcast(_bins("recency_days", "__rb")), "recency_days")
+        per.join(F.broadcast(_bins("neg_days", "__rb")), "neg_days")
         .join(F.broadcast(_bins("frequency", "__fb")), "frequency")
         .join(F.broadcast(_bins("m_q", "__mb")), "m_q")
+        .crossJoin(F.broadcast(ref))
         .select(
             "customer",
-            "recency_days",
+            F.datediff(F.col("__ref"), F.col("last_date")).cast("long").alias("recency_days"),
             "frequency",
             "monetary_cents",
             (F.lit(n_bins) - F.col("__rb")).cast("int").alias("r_score"),

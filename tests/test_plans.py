@@ -400,3 +400,31 @@ def test_r10_levenshtein_fallbacks_no_cartesian_python_free(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_r10_second_batch_plans_no_cartesian_python_free(spark, sf_dir):
+    """The second r10 operator batch: no pair explosion anywhere, so the
+    pin is simply no cartesian/nested-loop and no Python in the plan;
+    path n-grams additionally must carry exactly one user-keyed window
+    (the whole point — never an n-way sequence self-join)."""
+    plan = plan_of(parity.QUERIES["dedup_paragraphs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+    # rfm: the ONLY nested-loop allowed is the 1-row reference-date
+    # broadcast (__ref — the same benign class as the __est guard
+    # allowlisted in the r9/r10 pair-plan pins)
+    plan = plan_of(parity.QUERIES["behavior_rfm_segments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1 and "__ref" in plan
+    assert "Python" not in plan
+
+    plan = plan_of(parity.QUERIES["behavior_path_trigrams"](spark, sf_dir))
+    assert plan.count("Window") == 1 and "Join" not in plan
+    assert "TakeOrderedAndProject" in plan          # top-k, no global sort
+
+    # correlations: ONE global aggregate — the only exchange is the
+    # 1-row single-partition collapse (also pinned in test_profile)
+    plan = plan_of(parity.QUERIES["profile_numeric_correlations"](spark, sf_dir))
+    assert "hashpartitioning" not in plan and "Join" not in plan
