@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "profile_numeric_correlations",
     "behavior_path_trigrams",
     "behavior_rfm_segments",
+    "ts_autocorrelation",
 ]
 
 

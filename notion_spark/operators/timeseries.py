@@ -25,8 +25,11 @@ Scale shape:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from notion_spark.functions.exactmath import D38, guarded, micro_units
 
@@ -185,4 +188,93 @@ def groupwise_linfit(
             ),
             "double",
         ).alias("slope"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    series_col: str,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    lags: Sequence[int] = (1, 2, 3),
+    value_scale: int = 100,
+) -> DataFrame:
+    """Pooled within-series lag-k autocorrelation — the temporal-
+    dependence profile ("is this metric memoryless, or do values
+    persist?") that decides whether a stream needs decorrelation
+    before sampling or drift tests. For each lag k, every series
+    contributes its (x_t, x_{t+k}) pairs — pairs NEVER span series —
+    and one pooled Pearson structure is computed per lag over exact
+    integer moments. Output: (lag, n_pairs, r_sign, r2), one row per
+    requested lag.
+
+    Same engine-exact contract as `profile.numeric_correlations`: the
+    only aggregation is integer sums (LONG products per pair under an
+    in-plan |x| ≤ 1e7 fixed-point guard, decimal-widened sums), and
+    cov/r² derive through single identical IEEE casts+divides — no
+    engine corr(), no accumulation-order drift. ``value_scale`` is the
+    fixed-point multiplier (default 100: cents for 2-decimal values).
+
+    Pooling within series is also the SCALE design: a global series
+    would need one total-order window (single-task sort at 100 TB);
+    per-series windows are bounded (sessions, users, devices), the
+    lag leads ride ONE window, and everything after is a map-side-
+    combined aggregate to |lags| rows."""
+    from notion_spark.functions.exactmath import D38, guarded
+
+    lags = list(lags)
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be >= 1, got {lags!r}")
+    d20 = "decimal(20,0)"
+    x = (F.col(value_col).cast("decimal(18,2)") * value_scale).cast("long")
+    w = Window.partitionBy(series_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    staged = df.filter(F.col(value_col).isNotNull()).withColumn("__x", x)
+    for k in lags:
+        staged = staged.withColumn(f"__y{k}", F.lead("__x", k).over(w))
+    pairs = staged.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("lag"), F.col("__x").alias("x"),
+                         F.col(f"__y{k}").alias("y"))
+                for k in lags
+            ])
+        ).alias("p")
+    ).select("p.*").filter(F.col("y").isNotNull())
+    _rg = guarded(
+        F.greatest(F.abs(F.col("x")), F.abs(F.col("y"))) > F.lit(10_000_000),
+        "autocorrelation: |fixed-point value| > 1e7 — per-pair products"
+        " would outgrow exact LONG arithmetic; lower value_scale",
+    )
+    gx, gy = _rg(F.col("x"), "long"), _rg(F.col("y"), "long")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum(gx.cast(d20)).cast(D38).alias("sx"),
+        F.sum(gy.cast(d20)).cast(D38).alias("sy"),
+        F.sum((gx * F.col("y")).cast(d20)).cast(D38).alias("sxy"),
+        F.sum((gx * F.col("x")).cast(d20)).cast(D38).alias("sxx"),
+        F.sum((gy * F.col("y")).cast(d20)).cast(D38).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(D38)
+    den_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(D38)
+    den_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast(D38)
+    num_d, dx_d, dy_d = num.cast("double"), den_x.cast("double"), den_y.cast("double")
+    n_d = n.cast("double")
+    _og = guarded(
+        F.greatest(
+            F.abs(n_d * F.col("sxx").cast("double")),
+            F.abs(n_d * F.col("syy").cast("double")),
+            F.abs(n_d * F.col("sxy").cast("double")),
+        ) > F.lit(1e37),
+        "autocorrelation: moment products exceed DECIMAL(38,0) — lower"
+        " value_scale or profile a sample",
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        _og(n, "long").alias("n_pairs"),
+        _og(F.signum(num_d), "int").alias("r_sign"),
+        _og(
+            F.when((den_x > 0) & (den_y > 0), (num_d * num_d) / (dx_d * dy_d)),
+            "double",
+        ).alias("r2"),
     )

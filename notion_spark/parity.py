@@ -8157,6 +8157,57 @@ def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(o)
 
 
+@register(
+    "ts_autocorrelation",
+    """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    led AS (
+        SELECT x,
+               lead(x, 1) OVER w AS y1,
+               lead(x, 2) OVER w AS y2,
+               lead(x, 3) OVER w AS y3
+        FROM staged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        SELECT 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+        UNION ALL SELECT 2, x, y2 FROM led WHERE y2 IS NOT NULL
+        UNION ALL SELECT 3, x, y3 FROM led WHERE y3 IS NOT NULL
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(sign(CAST(n * sxy - sx * sy AS DOUBLE)) AS INT) AS r_sign,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+    FROM m
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled within-user lag-1/2/3 autocorrelation of event values
+    (`operators.timeseries.autocorrelation`): pairs never span users
+    (bounded per-series windows — the scalable alternative to a global
+    total-order sort), exact integer moments in cents fixed-point, and
+    the same identical-IEEE cov/r² derivation as
+    profile_numeric_correlations — no engine corr() drift."""
+    from notion_spark.operators.timeseries import autocorrelation
+
+    ev = read_table(spark, sf_dir, "events")
+    return autocorrelation(ev, "value", "user_id")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -123,3 +123,46 @@ def test_linfit_overflow_guard_raises(spark):
     )
     with pytest.raises(Exception, match="groupwise_linfit"):
         groupwise_linfit(df, "g", "x", "y").collect()
+
+
+class TestAutocorrelation:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, value double"
+        )
+
+    def test_linear_series_is_perfectly_autocorrelated(self, spark):
+        from notion_spark.operators.timeseries import autocorrelation
+
+        rows = [(1, t, t, float(t)) for t in range(1, 9)]
+        out = {r.lag: r for r in autocorrelation(self._ev(spark, rows), "value", "user_id").collect()}
+        # x_{t+k} = x_t + k: exact small-integer moments make r2 == 1.0
+        # BIT-exactly, positive sign, n = len - k pairs
+        for k in (1, 2, 3):
+            assert out[k].r2 == 1.0 and out[k].r_sign == 1
+            assert out[k].n_pairs == 8 - k
+
+    def test_alternating_series_signs(self, spark):
+        from notion_spark.operators.timeseries import autocorrelation
+
+        rows = [(1, t, t, 1.0 if t % 2 == 0 else -1.0) for t in range(8)]
+        out = {r.lag: r for r in autocorrelation(self._ev(spark, rows), "value", "user_id", lags=(1, 2)).collect()}
+        assert out[1].r_sign == -1 and out[1].r2 == 1.0
+        assert out[2].r_sign == 1 and out[2].r2 == 1.0
+
+    def test_pairs_never_span_series_and_constant_is_null(self, spark):
+        from notion_spark.operators.timeseries import autocorrelation
+
+        rows = [(u, t, t, float(t)) for u in (1, 2) for t in (1, 2)]
+        out = autocorrelation(self._ev(spark, rows), "value", "user_id", lags=(1,)).collect()
+        assert out[0].n_pairs == 2  # one within-user pair per user, never 3
+        const = [(1, t, t, 5.0) for t in range(4)]
+        out2 = autocorrelation(self._ev(spark, const), "value", "user_id", lags=(1,)).collect()
+        assert out2[0].r2 is None and out2[0].r_sign == 0
+
+    def test_lag_validation(self, spark):
+        import pytest
+        from notion_spark.operators.timeseries import autocorrelation
+
+        with pytest.raises(ValueError):
+            autocorrelation(self._ev(spark, []), "value", "user_id", lags=(0,))
