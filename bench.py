@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "behavior_path_trigrams",
     "behavior_rfm_segments",
     "ts_autocorrelation",
+    "text_readability",
 ]
 
 

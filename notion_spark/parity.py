@@ -8208,6 +8208,49 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(ev, "value", "user_id")
 
 
+@register(
+    "text_readability",
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               GREATEST(CAST(len({_TOKS}) AS BIGINT), 1) AS words,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+        FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+        SELECT doc_id, words, sentences, GREATEST(vg, words) AS syllables FROM c
+    ),
+    s AS (
+        SELECT doc_id, words, sentences, syllables,
+               CAST(206835000
+                 - ((CAST(words AS HUGEINT) * 1015000 * 2 + sentences)
+                        // (CAST(sentences AS HUGEINT) * 2))
+                 - ((CAST(syllables AS HUGEINT) * 84600000 * 2 + words)
+                        // (CAST(words AS HUGEINT) * 2)) AS BIGINT) AS flesch_micro
+        FROM f
+    )
+    SELECT doc_id, words, sentences, syllables, flesch_micro,
+           CASE WHEN flesch_micro >= 90000000 THEN 'very_easy'
+                WHEN flesch_micro >= 60000000 THEN 'standard'
+                WHEN flesch_micro >= 30000000 THEN 'difficult'
+                ELSE 'very_confusing' END AS band
+    FROM s
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease in exact micro-units
+    (`text_analysis.readability_scores`): regex-pinned sentence / word
+    / syllable counts, half-up integer micro divisions (no float ratio
+    ever exists), canonical 90/60/30 bands — pure per-row codegen on
+    the scan, zero shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return TA.readability_scores(d).select(
+        F.col("id").alias("doc_id"),
+        "words", "sentences", "syllables", "flesch_micro", "band",
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

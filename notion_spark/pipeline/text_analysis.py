@@ -910,3 +910,62 @@ def token_diversity(
             .alias("top_share_micro"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document in EXACT micro-units — the
+    readability gate of a quality-filter stack (FineWeb-Edu-style
+    selection wants "is this text readable prose" as a cheap scalar).
+    Output: (id, words, sentences, syllables, flesch_micro, band).
+
+    Repo-defined deterministic heuristic (the classic Flesch inputs
+    need a syllable oracle no engine has, so the counts are pinned to
+    regex semantics any engine reproduces): sentences = '[.!?]+' runs
+    (min 1), words = whitespace tokens (min 1), syllables =
+    '[aeiouy]+' runs in the lowercased text clamped to >= words (every
+    word has at least one syllable in aggregate). The score is the
+    standard 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    rendered in integer micro-units with the repo's half-up division —
+    no float ratio ever exists, so the value is bit-identical on any
+    engine and partitioning. Bands at the canonical 90/60/30 cuts.
+
+    Scale shape: pure per-row expressions on the scan — no shuffle, no
+    explode, no UDF; regexp_extract_all and the integer divisions run
+    in whole-stage codegen."""
+    t = _c(text_col)
+    words = F.greatest(F.size(ws_tokens(t)), F.lit(1)).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    vowel_runs = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    counted = df.filter(t.isNotNull()).select(
+        F.col(id_col).alias("id"),
+        words.alias("words"),
+        sentences.alias("sentences"),
+        F.greatest(vowel_runs, words).alias("syllables"),
+    )
+    # half-up micro terms, mirrored verbatim by the HUGEINT oracle:
+    # (2·k·num + den) div (2·den); both terms positive, so `div`
+    # floor/truncate semantics never diverge
+    term_ws = (
+        "CAST((CAST(words AS DECIMAL(38,0)) * 1015000 * 2 + sentences)"
+        " div (CAST(sentences AS DECIMAL(38,0)) * 2) AS BIGINT)"
+    )
+    term_sw = (
+        "CAST((CAST(syllables AS DECIMAL(38,0)) * 84600000 * 2 + words)"
+        " div (CAST(words AS DECIMAL(38,0)) * 2) AS BIGINT)"
+    )
+    scored = counted.withColumn(
+        "flesch_micro", F.expr(f"206835000 - {term_ws} - {term_sw}").cast("long")
+    )
+    band = (
+        F.when(F.col("flesch_micro") >= 90_000_000, "very_easy")
+        .when(F.col("flesch_micro") >= 60_000_000, "standard")
+        .when(F.col("flesch_micro") >= 30_000_000, "difficult")
+        .otherwise("very_confusing")
+    )
+    return scored.withColumn("band", band)

@@ -332,3 +332,42 @@ def test_token_diversity_halfup_rounding(spark):
         return (2 * fr.numerator * 10**6 + fr.denominator) // (2 * fr.denominator)
     assert r.gini_micro == half_up(Fraction(4, 9)) == 444444
     assert r.top_share_micro == half_up(Fraction(2, 3)) == 666667
+
+
+class TestReadabilityScores:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_known_counts_and_score(self, spark):
+        from notion_spark.pipeline.text_analysis import readability_scores
+
+        out = readability_scores(
+            self._d(spark, [(1, "The cat sat. The dog ran!")])
+        ).collect()[0]
+        assert (out.words, out.sentences, out.syllables) == (6, 2, 6)
+        # 206835000 - 1015000*6/2 - 84600000*6/6, all divisions exact
+        assert out.flesch_micro == 206835000 - 3045000 - 84600000
+        assert out.band == "very_easy"
+
+    def test_clamps_no_punct_and_vowelless(self, spark):
+        from notion_spark.pipeline.text_analysis import readability_scores
+
+        out = readability_scores(self._d(spark, [(1, "7 xyz")])).collect()[0]
+        assert out.sentences == 1            # no terminator -> one sentence
+        assert out.syllables == out.words == 2   # vowel-less words clamp up
+
+    def test_syllable_heavy_text_lands_hard_band(self, spark):
+        from notion_spark.pipeline.text_analysis import readability_scores
+
+        out = readability_scores(self._d(spark, [(1, "banana banana")])).collect()[0]
+        assert out.syllables == 6 and out.flesch_micro < 0
+        assert out.band == "very_confusing"
+
+    def test_null_text_excluded_no_shuffle(self, spark):
+        from notion_spark.pipeline.text_analysis import readability_scores
+
+        df = self._d(spark, [(1, "a."), (2, None)])
+        out = readability_scores(df)
+        assert out.count() == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
