@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "behavior_rfm_segments",
     "ts_autocorrelation",
     "text_readability",
+    "quality_referential_integrity",
 ]
 
 

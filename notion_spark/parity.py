@@ -8251,6 +8251,64 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_oracle() -> str:
+    edges = "\nUNION ALL\n".join(
+        f"""SELECT '{c}.{fk}->{p}.{pk}' AS "constraint",
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(COUNT(*) FILTER ({fk} IS NULL) AS BIGINT) AS n_null_fk,
+               CAST(COUNT(*) FILTER ({fk} IS NOT NULL AND {fk} NOT IN
+                   (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)) AS BIGINT) AS n_orphans
+        FROM {c}"""
+        for c, fk, p, pk in _RI_EDGES
+    )
+    return f"""
+    WITH edges AS ({edges})
+    SELECT "constraint", n_child, n_null_fk, n_orphans,
+           CAST(CASE WHEN (n_child - n_null_fk) > 0
+                THEN (2 * CAST(n_orphans AS HUGEINT) * 1000000
+                      + (n_child - n_null_fk))
+                     // (2 * CAST(n_child - n_null_fk AS HUGEINT))
+                ELSE 0 END AS BIGINT) AS orphan_ppm
+    FROM edges
+    """
+
+
+@register("quality_referential_integrity", _ri_oracle())
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every FK edge in the star schema
+    (`expectations.referential_integrity`): per edge, child rows, null
+    FKs, orphaned non-null FKs (left-anti against the distinct parent
+    keys — broadcast when small, keyed shuffle at scale), and the
+    half-up orphan ppm — the cross-table gate the single-table
+    expectation suite cannot express."""
+    from notion_spark.pipeline.expectations import referential_integrity
+
+    frames = []
+    for c, fk, p, pk in _RI_EDGES:
+        frames.append(
+            referential_integrity(
+                read_table(spark, sf_dir, c),
+                read_table(spark, sf_dir, p),
+                fk, pk, name=f"{c}.{fk}->{p}.{pk}",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

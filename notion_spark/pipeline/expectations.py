@@ -115,3 +115,55 @@ def check(
         ]
     )
     return one.select(*by, F.explode(rows).alias("r")).select(*by, "r.*")
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK gate a star
+    schema runs at ingest ("does every lineitem still point at a real
+    order?"), which single-table expectations cannot express. One row:
+    (constraint, n_child, n_null_fk, n_orphans, orphan_ppm) where
+    orphans are non-null FK values with no matching parent key and
+    orphan_ppm is the half-up parts-per-million rate over non-null FK
+    rows (0 when there are none — absent references are reported in
+    n_null_fk, not punished twice).
+
+    Scale shape: the parent side collapses to distinct keys first
+    (map-side combined), then ONE left-anti join keyed on the FK —
+    broadcast when the key set is small, keyed shuffle otherwise (AQE
+    decides); the three counts are map-side-combined aggregates and
+    the final row assembles from 1-row frames. Integer arithmetic end
+    to end, same as the single-table suite."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    label = name or f"{fk}->{pk}"
+    fkc = child.select(F.col(fk).alias("__fk"))
+    totals = fkc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        _count_if(F.col("__fk").isNull()).cast("long").alias("n_null_fk"),
+    )
+    keys = parent.select(F.col(pk).alias("__fk")).distinct()
+    orphans = (
+        fkc.filter(F.col("__fk").isNotNull())
+        .join(keys, "__fk", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    return (
+        totals.crossJoin(orphans)
+        .withColumn("__nn", F.col("n_child") - F.col("n_null_fk"))
+        .select(
+            F.lit(label).alias("constraint"),
+            "n_child",
+            "n_null_fk",
+            "n_orphans",
+            F.when(F.col("__nn") > 0, halfup_micro_div_cols("n_orphans", "__nn"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("orphan_ppm"),
+        )
+    )
