@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ts_autocorrelation",
     "text_readability",
     "quality_referential_integrity",
+    "profile_benford_prices",
 ]
 
 

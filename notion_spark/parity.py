@@ -8309,6 +8309,54 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+@register(
+    "profile_benford_prices",
+    """
+    WITH ints AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    pos AS (SELECT v FROM ints WHERE v > 0),
+    counts AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS t FROM counts),
+    expected AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                              (4, 96910), (5, 79181), (6, 66947),
+                              (7, 57992), (8, 51153), (9, 45757))
+            AS e(digit, expected_ppm)
+    )
+    SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(CASE WHEN t > 0
+                THEN (2 * CAST(COALESCE(c.n, 0) AS HUGEINT) * 1000000 + t)
+                     // (2 * t)
+                ELSE 0 END AS BIGINT) AS obs_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(CASE WHEN t > 0
+                THEN (2 * CAST(COALESCE(c.n, 0) AS HUGEINT) * 1000000 + t)
+                     // (2 * t)
+                ELSE 0 END - e.expected_ppm AS BIGINT) AS deviation_ppm
+    FROM expected e LEFT JOIN counts c USING (digit), tot
+    """,
+)
+def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (`profile.benford_profile`): leading digit from the exact integer's
+    decimal string (never a float format or value log10), half-up
+    micro frequencies vs the pinned log10(1+1/d) ppm constants (which
+    sum to exactly 1,000,000) — the fabricated-feed detector. One
+    ≤9-key map-side groupBy."""
+    from notion_spark.pipeline import profile as PR
+
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("v")
+    )
+    return PR.benford_profile(o, "v")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -355,3 +355,68 @@ def compare_profiles(
             | F.coalesce(F.abs(delta) > F.lit(null_frac_alert_ppm), F.lit(False))
         ).alias("alert"),
     )
+
+
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+"""log10(1 + 1/d) in half-up micro-units (parts-per-million). These
+nine pinned integers sum to exactly 1,000,000, so the expected
+distribution is itself an exact partition — no float constant ever
+enters the plan."""
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-digit (Benford's law) profile of a positive integer column
+    — the data-audit pass for fabricated or truncated numeric feeds
+    (real-world magnitudes follow log10(1+1/d); uniform or clipped
+    generators don't). Output one row per digit 1..9: (digit, n,
+    obs_ppm, expected_ppm, deviation_ppm), digits with zero rows
+    included so the deviation column is always a full partition.
+
+    Exact arithmetic end to end: the leading digit comes from the
+    integer's decimal string (integer→string is exact and identical on
+    any engine — never a float format or a transcendental log10 of the
+    value), observed frequency is the repo's half-up micro division,
+    and the expected side is the pinned `BENFORD_PPM` integers.
+    Non-positive and null values are excluded (Benford is defined on
+    positive magnitudes); callers pre-scale decimals to integer units.
+
+    Scale shape: one map-side-combined groupBy over ≤ 9 keys; the
+    digit extraction is per-row codegen on the scan; the 9-row
+    expected frame is a literal union, joined broadcast."""
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    pos = df.filter(F.col(col).isNotNull()).filter(F.col(col) > 0)
+    counts = (
+        pos.select(
+            F.substring(F.col(col).cast("decimal(38,0)").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, ppm) for d, ppm in BENFORD_PPM.items()], "digit int, expected_ppm long"
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("__tot"))
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.when(
+                F.col("__tot") > 0,
+                halfup_micro_div_cols("coalesce(n, 0)", "__tot"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("obs_ppm"),
+            "expected_ppm",
+        )
+        .withColumn(
+            "deviation_ppm", (F.col("obs_ppm") - F.col("expected_ppm")).cast("long")
+        )
+    )

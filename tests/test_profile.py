@@ -190,3 +190,34 @@ class TestNumericCorrelations:
         # one global aggregate: the only exchange is the 1-row partial
         # collapse to a single partition — never a hash repartition
         assert "hashpartitioning" not in plan
+
+
+class TestBenfordProfile:
+    def test_known_digits_and_exact_ppm(self, spark):
+        from notion_spark.pipeline.profile import benford_profile
+
+        # 4 values: digits 1, 1, 2, 9 — obs 500000/250000/250000 ppm
+        df = spark.createDataFrame([(123,), (1,), (250,), (9000,)], "v long")
+        out = {r.digit: r for r in benford_profile(df, "v").collect()}
+        assert len(out) == 9                       # zero digits included
+        assert out[1].n == 2 and out[1].obs_ppm == 500000
+        assert out[2].n == 1 and out[2].obs_ppm == 250000
+        assert out[9].n == 1 and out[3].n == 0 and out[3].obs_ppm == 0
+        assert out[1].deviation_ppm == 500000 - 301030
+        # expected side is an exact partition of 1e6
+        assert sum(r.expected_ppm for r in out.values()) == 1_000_000
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from notion_spark.pipeline.profile import benford_profile
+
+        df = spark.createDataFrame([(5,), (0,), (-7,), (None,)], "v long")
+        out = {r.digit: r for r in benford_profile(df, "v").collect()}
+        assert out[5].n == 1 and out[5].obs_ppm == 1_000_000
+        assert sum(r.n for r in out.values()) == 1
+
+    def test_empty_input_reports_zero_rates(self, spark):
+        from notion_spark.pipeline.profile import benford_profile
+
+        df = spark.createDataFrame([], "v long")
+        out = benford_profile(df, "v").collect()
+        assert len(out) == 9 and all(r.n == 0 and r.obs_ppm == 0 for r in out)
