@@ -166,6 +166,13 @@ BENCH_QUERIES = [
     "text_readability",
     "quality_referential_integrity",
     "profile_benford_prices",
+    # r10 second batch: inferential/concentration statistics, benched
+    # from birth
+    "stats_chi_square_orders",
+    "profile_gini_customer_revenue",
+    "stats_hhi_nation_revenue",
+    "stats_weighted_quantiles_returnflag",
+    "stats_welch_ttest_events",
 ]
 
 

@@ -8357,6 +8357,262 @@ def profile_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.benford_profile(o, "v")
 
 
+_HU = "halfup"  # local alias used by the f-string oracles below
+
+
+def _hu(num: str, den: str) -> str:
+    from notion_spark.functions.exactmath import halfup_micro_div_sql
+
+    return halfup_micro_div_sql(num, den)
+
+
+@register(
+    "stats_chi_square_orders",
+    f"""
+    WITH base AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS observed FROM base GROUP BY 1, 2
+    ),
+    rm AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS r FROM base GROUP BY 1),
+    cm AS (SELECT b, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    ks AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS ka,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS kb),
+    grid AS (
+        SELECT rm.a, cm.b, rm.r, cm.c, tot.n, ks.ka, ks.kb,
+               CAST(COALESCE(cells.observed, 0) AS HUGEINT) AS o
+        FROM rm CROSS JOIN cm CROSS JOIN tot CROSS JOIN ks
+        LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b
+    )
+    SELECT a, b, CAST(o AS BIGINT) AS observed,
+           {_hu('r * c', 'n')} AS expected_micro,
+           {_hu('(n * o - r * c) * (n * o - r * c)', 'n * r * c')}
+               AS contrib_micro,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof
+    FROM grid
+    """,
+)
+def stats_chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence grid for order priority x status
+    (`pipeline.stats.chi_square_independence`): the full margin grid
+    including zero cells, expected and per-cell contribution as exact
+    half-up micro divisions of the algebraic (N*O - R*C)^2 / (N*R*C)
+    form — no float expected count ever exists. Three map-side
+    groupBys over one scan + a broadcast grid join."""
+    from notion_spark.pipeline.stats import chi_square_independence
+
+    o = read_table(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "profile_gini_customer_revenue",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS HUGEINT) AS rnk
+        FROM rev
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(rnk * x) AS HUGEINT) AS srx
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+           CASE WHEN sx > 0
+                THEN {_hu('2 * srx - (n + 1) * sx', 'n * sx')} END AS gini_micro
+    FROM agg
+    """,
+)
+def profile_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue
+    (`pipeline.stats.gini_coefficient`): one exact half-up micro
+    division of the rank form (2*Σi*x - (n+1)*Σx) / (n*Σx). The rank
+    comes from the distributed `global_ranked` (range repartition +
+    per-partition windows + broadcast offsets) — the oracle does the
+    global-sort row_number and the hash proves them identical."""
+    from notion_spark.pipeline.stats import gini_coefficient
+
+    o = read_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("long")).alias("x")
+    )
+    return gini_coefficient(rev, "x", "k")
+
+
+@register(
+    "stats_hhi_nation_revenue",
+    f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (
+        SELECT n.n_name AS "group", srev.v
+        FROM srev
+        JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    agg AS (
+        SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(v) AS HUGEINT) AS sx,
+               CAST(SUM(v * v) AS HUGEINT) AS sxx,
+               CAST(MAX(v) AS HUGEINT) AS mx
+        FROM m GROUP BY 1
+    )
+    SELECT "group", n_members, CAST(sx AS BIGINT) AS total,
+           CASE WHEN sx > 0 THEN {_hu('sxx', 'sx * sx')} END AS hhi_micro,
+           CASE WHEN sx > 0 THEN {_hu('mx', 'sx')} END AS top_share_micro
+    FROM agg
+    """,
+)
+def stats_hhi_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl supplier-revenue concentration per nation
+    (`pipeline.stats.hhi_index`): HHI as the single exact division
+    Σv² / (Σv)² — 1e6 = monopoly nation, 1e6/n = perfectly even.
+    Supplier revenue pre-reduced by one lineitem groupBy, dimension
+    joins on the reduced frame, then a 25-key map-side aggregate."""
+    from notion_spark.pipeline.stats import hhi_index
+
+    li = read_table(spark, sf_dir, "lineitem")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice").cast(DEC) * 100).cast("long")).alias("v")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        srev.join(s, srev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("grp"), "v")
+    )
+    return hhi_index(m, "grp", "v")
+
+
+@register(
+    "stats_weighted_quantiles_returnflag",
+    """
+    WITH base AS (
+        SELECT l_returnflag AS "group",
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    cum AS (
+        SELECT "group", v, w,
+               CAST(SUM(w) OVER (PARTITION BY "group" ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY "group") AS HUGEINT) AS tw
+        FROM base
+    ),
+    qs AS (SELECT * FROM (VALUES (250000), (500000), (750000)) AS q(q_ppm)),
+    picked AS (
+        SELECT cum."group", q.q_ppm,
+               MIN(CASE WHEN cw * 1000000 >= CAST(q.q_ppm AS HUGEINT) * tw
+                        THEN v END) AS value,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM cum CROSS JOIN qs q GROUP BY 1, 2
+    )
+    SELECT "group", CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(value AS BIGINT) AS value, total_weight
+    FROM picked WHERE total_weight > 0
+    """,
+)
+def stats_weighted_quantiles_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (`pipeline.stats.weighted_quantiles`): the smallest price whose
+    inclusive cumulative quantity reaches q of the group total — an
+    entirely-integer pick (cum_w*1e6 >= q*tot_w), tie-safe without a
+    tiebreak key, always an observed value. One per-group window +
+    same-key groupBy served from one exchange."""
+    from notion_spark.pipeline.stats import weighted_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    return weighted_quantiles(li, "grp", "v", "w")
+
+
+@register(
+    "stats_welch_ttest_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) FILTER (g = 'purchase') AS HUGEINT) AS na,
+               CAST(SUM(x) FILTER (g = 'purchase') AS HUGEINT) AS sa,
+               CAST(SUM(CAST(x AS HUGEINT) * x) FILTER (g = 'purchase')
+                    AS HUGEINT) AS ssa,
+               CAST(COUNT(*) FILTER (g <> 'purchase') AS HUGEINT) AS nb,
+               CAST(SUM(x) FILTER (g <> 'purchase') AS HUGEINT) AS sb,
+               CAST(SUM(CAST(x AS HUGEINT) * x) FILTER (g <> 'purchase')
+                    AS HUGEINT) AS ssb
+        FROM base
+    ),
+    d AS (
+        SELECT na, nb,
+               na * ssa - sa * sa AS va_i, nb * ssb - sb * sb AS vb_i,
+               nb * sa - na * sb AS diff_i,
+               CAST(na * ssa - sa * sa AS DOUBLE) AS vad,
+               CAST(nb * ssb - sb * sb AS DOUBLE) AS vbd,
+               CAST(nb * sa - na * sb AS DOUBLE) AS dnum,
+               CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+        FROM m
+    ),
+    e AS (
+        SELECT *, vad / (nad * nad * (nad - 1.0)) AS sea,
+                  vbd / (nbd * nbd * (nbd - 1.0)) AS seb
+        FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN {_hu('diff_i', 'na * nb')} END AS mean_diff_micro,
+           CASE WHEN na >= 2 AND nb >= 2 AND (va_i > 0 OR vb_i > 0)
+                THEN (dnum / (nad * nbd)) / sqrt(sea + seb) END AS t,
+           CASE WHEN na >= 2 AND nb >= 2 AND (va_i > 0 OR vb_i > 0)
+                     AND (sea + seb) > 0
+                THEN ((sea + seb) * (sea + seb))
+                     / (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0))
+                END AS df_w
+    FROM e
+    """,
+)
+def stats_welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between purchase and click event values
+    (`pipeline.stats.welch_ttest`): exact LONG/DECIMAL moment triples
+    per cohort, one exact mean-diff micro division, then t and the
+    Welch–Satterthwaite df through a pinned IEEE sequence the oracle
+    mirrors operation-for-operation. One two-cohort aggregate."""
+    from notion_spark.pipeline.stats import welch_ttest
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("x"),
+    )
+    return welch_ttest(e, "event_type", "x", "purchase", "click")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

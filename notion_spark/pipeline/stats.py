@@ -1,0 +1,595 @@
+"""Inferential / concentration statistics over exact integer inputs.
+
+The reference's analytics layer stops at descriptive aggregates
+(generate_reports.py value counts, crosstabs, averages); a data team
+running the same corpus at 100 TB also needs the *inferential* pass:
+is this categorical pair independent (chi-square), how concentrated is
+a revenue / token-budget distribution (Gini, HHI), where do the
+weighted quantiles sit, did a metric shift between two cohorts (Welch
+t). Every operator here follows the repo's determinism contract
+(parity.py): all accumulation is exact-integer (LONG products under an
+in-plan row guard, DECIMAL(38,0) sums), ratios are the shared half-up
+micro division (exactmath), and the only doubles in a compared output
+are single CASTs of exact integers pushed through a pinned sequence of
+IEEE operations (the numeric_correlations precedent) — bit-identical
+on any engine and any partitioning.
+
+Scale notes per operator live in the docstrings; the common theme is
+that nothing here ever opens a single-partition window over the data:
+global ranks come from ``global_ranked`` (range repartition + local
+windows + a broadcast |partitions|-row offset frame), contingency
+grids are bounded by an in-plan category guard, and group quantiles
+ride per-group windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from notion_spark.functions.exactmath import D38, guarded, halfup_micro_div_cols
+
+__all__ = [
+    "global_ranked",
+    "chi_square_independence",
+    "gini_coefficient",
+    "hhi_index",
+    "weighted_quantiles",
+    "welch_ttest",
+    "mann_whitney_u",
+]
+
+
+def global_ranked(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Attach a global 1-based ``rank_col`` (and, for each name in
+    ``sum_cols``, an inclusive running total ``run_<name>`` in
+    DECIMAL(38,0)) under the total order given by ``order_cols`` —
+    WITHOUT the single-partition window that ``row_number() OVER
+    (ORDER BY ...)`` compiles to.
+
+    The distributed-rank pattern: ``repartitionByRange`` on the order
+    keys (partition i holds the i-th key range, so partition ids are
+    themselves ordered), a window *partitioned by partition id* for
+    local ranks / local running sums, then a broadcast join of the
+    |partitions|-row exclusive-prefix offset frame. Two shuffles total
+    (the range exchange + the tiny per-partition aggregate), every
+    window bounded by one partition's rows — the shape that survives a
+    1000-executor sort where the naive global window serializes the
+    whole table through one task.
+
+    ``order_cols`` MUST form a total order (include a unique tiebreak
+    key): equal keys may straddle a range boundary, and only a total
+    order makes the rank — and any downstream hash — deterministic.
+    Callers whose aggregate is tie-invariant (Gini below) still pass a
+    tiebreak so the intermediate frame is reproducible.
+    """
+    if not order_cols:
+        raise ValueError("global_ranked: order_cols must be non-empty")
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n, *[F.asc(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in order_cols])
+    local = ranged.withColumn("__lrn", F.row_number().over(wl))
+    for c in sum_cols:
+        local = local.withColumn(
+            f"__lrun_{c}",
+            F.sum(F.col(c).cast(D38)).over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    per_pid = [F.count(F.lit(1)).cast(D38).alias("__pcnt")] + [
+        F.sum(F.col(c).cast(D38)).cast(D38).alias(f"__psum_{c}") for c in sum_cols
+    ]
+    totals = local.groupBy("__pid").agg(*per_pid)
+    # exclusive prefix over the <= num_partitions offset rows: this
+    # window IS single-partition, but over a frame bounded by the
+    # partition count, never the data.
+    wo = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pcnt").over(wo), F.lit(0).cast(D38)).alias("__off_cnt"),
+        *[
+            F.coalesce(F.sum(f"__psum_{c}").over(wo), F.lit(0).cast(D38)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        rank_col, (F.col("__off_cnt") + F.col("__lrn")).cast("long")
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"run_{c}", (F.col(f"__off_{c}") + F.col(f"__lrun_{c}")).cast(D38)
+        )
+    drop = ["__pid", "__lrn", "__off_cnt"] + [
+        x for c in sum_cols for x in (f"__lrun_{c}", f"__off_{c}")
+    ]
+    return out.drop(*drop)
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_categories: int = 1_000,
+    max_rows: int = 200_000_000,
+) -> DataFrame:
+    """Pearson chi-square independence structure for two categoricals —
+    the data-audit question "does priority depend on status?" that the
+    reference's crosstab (generate_reports.py crosstab section) shows
+    but never tests. One row per cell of the FULL margin grid (zero
+    cells included — they still contribute E to the statistic):
+
+        (a, b, observed, expected_micro, contrib_micro, dof)
+
+    where, with N total rows, R/C the margin counts:
+    expected = R*C/N and contrib = (O - E)^2 / E, both computed as ONE
+    exact half-up micro division each — contrib via the algebraic form
+    (N*O - R*C)^2 / (N*R*C), so no float E ever exists. Summing
+    contrib_micro gives the chi-square statistic in micro-units;
+    ``dof`` = (|A|-1)(|B|-1) rides every row. Null categories are
+    excluded (listwise, both columns).
+
+    Exactness bound: the contrib numerator reaches N^4, so 2e6*N^4
+    must fit DECIMAL(38,0) → N ≤ ~2e8 rows; the in-plan guard raises
+    past ``max_rows`` (profile a uniform sample beyond that — the
+    statistic scales linearly in N anyway). ``max_categories`` bounds
+    each margin frame in-plan (the interleave_order idiom), keeping
+    the grid a broadcast of at most max_categories^2 rows.
+
+    Scale shape: three map-side-combined groupBys (cells + two
+    margins) over a shared scan, a broadcast grid join — no shuffle
+    wider than the cell count.
+    """
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull()).select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    rowm = base.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    colm = base.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+
+    wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gcat_a = guarded(
+        F.count(F.lit(1)).over(wa) > F.lit(max_categories),
+        f"chi_square_independence: > {max_categories} categories in"
+        f" {col_a!r} — not a categorical; bucket it first",
+    )
+    gcat_b = guarded(
+        F.count(F.lit(1)).over(wa) > F.lit(max_categories),
+        f"chi_square_independence: > {max_categories} categories in"
+        f" {col_b!r} — not a categorical; bucket it first",
+    )
+    rowm = rowm.select(
+        gcat_a(F.col("a")).alias("a"),
+        gcat_a(F.col("__r"), "long").alias("__r"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("__na"),
+    )
+    colm = colm.select(
+        gcat_b(F.col("b")).alias("b"),
+        gcat_b(F.col("__c"), "long").alias("__c"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("__nb"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    grid = (
+        rowm.crossJoin(F.broadcast(colm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells), ["a", "b"], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0).cast("long")))
+    )
+    grow = guarded(
+        F.col("__n") > F.lit(max_rows),
+        f"chi_square_independence: N > {max_rows} — the exact (N*O - R*C)^2"
+        " numerator would leave DECIMAL(38,0); test a uniform sample",
+    )
+    n_ = F.col("__n").cast(D38)
+    r_ = F.col("__r").cast(D38)
+    c_ = F.col("__c").cast(D38)
+    o_ = F.col("observed").cast(D38)
+    dev = (n_ * o_ - r_ * c_).cast(D38)
+    return grid.select(
+        "a",
+        "b",
+        grow(F.col("observed"), "long").alias("observed"),
+        grow(
+            halfup_micro_div_cols_expr(r_ * c_, n_),
+            "long",
+        ).alias("expected_micro"),
+        grow(
+            halfup_micro_div_cols_expr((dev * dev).cast(D38), (n_ * r_ * c_).cast(D38)),
+            "long",
+        ).alias("contrib_micro"),
+        ((F.col("__na") - 1) * (F.col("__nb") - 1)).cast("long").alias("dof"),
+    )
+
+
+def halfup_micro_div_cols_expr(num: Column, den: Column) -> Column:
+    """Column-expression twin of exactmath.halfup_micro_div_cols (which
+    takes column NAMES): (num/den) half-up in micro-units over already
+    DECIMAL(38,0) expressions, BIGINT result. Same truncating ``div``
+    contract as the SQL mirror's HUGEINT ``//``."""
+    return F.call_function(
+        "div", num.cast(D38) * F.lit(2000000) + den.cast(D38), den.cast(D38) * F.lit(2)
+    ).cast("long")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gini concentration of a non-negative integer measure over units
+    (revenue over customers, tokens over documents) — the one-number
+    inequality summary for "is this corpus dominated by a few whales?".
+    Single row: (n, total, gini_micro) with the textbook rank form
+
+        G = (2 * Σ i*x_(i) - (n+1) * Σ x) / (n * Σ x)
+
+    over values sorted ascending, as ONE exact half-up micro division
+    of DECIMAL(38,0) integers. G is tie-invariant (equal values sum the
+    same Σ i*x under any tie order), but ranks are still assigned under
+    the total order (value, key) so every intermediate frame is
+    reproducible.
+
+    The scale point: the sorted rank comes from ``global_ranked`` —
+    range repartition + per-partition windows + a broadcast offset
+    frame — never a single-partition ORDER BY window. Headroom:
+    Σ i*x ≤ n^2 * max(x); 2e6 * n^2 * max(x) ≤ 1e38 holds to a billion
+    units at 1e12-cent values. Negative values raise in-plan (Gini is
+    undefined); zero totals yield NULL.
+    """
+    gneg = guarded(
+        F.col(value_col) < 0,
+        f"gini_coefficient: negative {value_col!r} — Gini is defined on"
+        " non-negative measures",
+    )
+    units = df.select(
+        gneg(F.col(value_col).cast("long"), "long").alias("__x"),
+        F.col(key_col).alias("__k"),
+    )
+    ranked = global_ranked(
+        units, ["__x", "__k"], sum_cols=(), num_partitions=num_partitions,
+        rank_col="__rank",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(F.col("__x").cast(D38)).cast(D38).alias("__sx"),
+        F.sum((F.col("__rank").cast(D38) * F.col("__x").cast(D38)).cast(D38))
+        .cast(D38)
+        .alias("__srx"),
+    )
+    num = (F.lit(2).cast(D38) * F.col("__srx")
+           - (F.col("__n") + 1).cast(D38) * F.col("__sx")).cast(D38)
+    den = (F.col("__n") * F.col("__sx")).cast(D38)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__sx").cast("long").alias("total"),
+        F.when(
+            F.col("__sx") > 0, halfup_micro_div_cols_expr(num, den)
+        ).alias("gini_micro"),
+    )
+
+
+def hhi_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration per group — market / source /
+    shard concentration of a non-negative integer measure. One row per
+    group: (group, n_members, total, hhi_micro, top_share_micro) where
+
+        HHI = Σ_s (x_s / Σx)^2  =  Σ x_s^2 / (Σx)^2
+
+    — the right-hand form makes it ONE exact half-up micro division
+    (Σx² and (Σx)² are exact DECIMAL(38,0)); hhi_micro is 1e6/n for a
+    perfectly even split and 1e6 for a monopoly. top_share_micro is
+    the largest single share, same division contract.
+
+    Headroom: 2e6 * (Σx)^2 ≤ 1e38 → Σx ≤ ~2e15 per group (tens of
+    trillions of cents); the in-plan guard raises past it. Scale
+    shape: one map-side-combined groupBy — members arrive pre-reduced
+    by the caller (one row per (group, member)), so the shuffle key is
+    the group and partial aggregation does the heavy lifting.
+    """
+    gneg = guarded(
+        F.col(value_col) < 0,
+        f"hhi_index: negative {value_col!r} — shares are defined on"
+        " non-negative measures",
+    )
+    x = gneg(F.col(value_col).cast("long"), "long")
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(x.cast(D38)).cast(D38).alias("__sx"),
+        F.sum((x.cast(D38) * x.cast(D38)).cast(D38)).cast(D38).alias("__sxx"),
+        F.max(x).cast(D38).alias("__mx"),
+    )
+    gtot = guarded(
+        F.col("__sx") > F.lit(2_000_000_000_000_000),
+        "hhi_index: group total > 2e15 — (Σx)^2 would leave"
+        " DECIMAL(38,0); rescale the measure",
+    )
+    den = (F.col("__sx") * F.col("__sx")).cast(D38)
+    return agg.select(
+        "group",
+        gtot(F.col("n_members"), "long").alias("n_members"),
+        gtot(F.col("__sx"), "long").alias("total"),
+        F.when(
+            F.col("__sx") > 0, halfup_micro_div_cols_expr(F.col("__sxx"), den)
+        ).alias("hhi_micro"),
+        F.when(
+            F.col("__sx") > 0,
+            halfup_micro_div_cols_expr(F.col("__mx"), F.col("__sx")),
+        ).alias("top_share_micro"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q_ppm: Sequence[int] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Exact weighted quantiles per group (lower-quantile convention):
+    for each q in ``q_ppm`` (parts-per-million), the smallest value v
+    whose inclusive cumulative weight reaches q of the group total —
+    weighted medians of price by quantity, token-weighted latency
+    percentiles. One row per (group, q): (group, q_ppm, value,
+    total_weight).
+
+    Entirely integer: the pick condition is cum_w * 1e6 >= q * tot_w
+    in DECIMAL(38,0) — no float fraction, no interpolation, so the
+    result is always an observed value and bit-identical anywhere.
+    Tie-safe WITHOUT a tiebreak key: the cumulative weight is windowed
+    over value order alone, and whether ANY row of a value run crosses
+    the threshold depends only on the run totals — the min() pick is
+    deterministic under nondeterministic intra-tie order. Zero-weight
+    rows are inert; negative weights raise in-plan.
+
+    Scale shape: one per-group window (partitioned — never global) and
+    a groupBy on the SAME key, which AQE/Catalyst serve from the same
+    exchange; quantile fan-out is a constant |q_ppm| array explode.
+    Heavily skewed groups bound the window task like any per-group
+    sort — pre-split pathological groups upstream if one group is the
+    whole table.
+    """
+    gneg = guarded(
+        F.col(weight_col) < 0,
+        f"weighted_quantiles: negative {weight_col!r} — cumulative"
+        " weight must be monotone",
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("__v"),
+        gneg(F.col(weight_col).cast("long"), "long").alias("__w"),
+    )
+    w = Window.partitionBy("group").orderBy(F.asc("__v"))
+    cum = base.withColumn(
+        "__cw",
+        F.sum(F.col("__w").cast(D38)).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "__tw",
+        F.sum(F.col("__w").cast(D38)).over(
+            Window.partitionBy("group").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cw") * F.lit(1_000_000)
+                >= F.lit(int(q)).cast(D38) * F.col("__tw"),
+                F.col("__v"),
+            )
+        ).alias(f"__q_{q}")
+        for q in q_ppm
+    ]
+    agg = cum.groupBy("group").agg(
+        F.max(F.col("__tw")).cast("long").alias("total_weight"), *picks
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(int(q)).cast("long").alias("q_ppm"),
+                F.col(f"__q_{q}").cast("long").alias("value"),
+            )
+            for q in q_ppm
+        ]
+    )
+    return (
+        agg.filter(F.col("total_weight") > 0)
+        .select("group", "total_weight", F.explode(qs).alias("__p"))
+        .select("group", F.col("__p.q_ppm").alias("q_ppm"),
+                F.col("__p.value").alias("value"), "total_weight")
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t between two named cohorts of an
+    integer-valued measure — the A/B shift test (did urgent orders get
+    more expensive?). Single row: (n_a, n_b, mean_diff_micro, t, df_w).
+
+    The exact core is the moment triple (n, Σx, Σx²) per cohort —
+    LONG per-row products under the |x| ≤ 1e7 row guard (the
+    numeric_correlations contract), DECIMAL(38,0) sums, map-side
+    combined. mean_diff_micro = (n_b*Σx_a - n_a*Σx_b) / (n_a*n_b) is
+    one exact half-up micro division. t and the Welch–Satterthwaite
+    df are irrational, so they follow the repo's identical-IEEE-ops
+    contract: each exact integer is CAST to double once, then pushed
+    through a pinned sequence of IEEE ops (se² terms, one sqrt, one
+    divide) that the oracle mirrors operation-for-operation —
+    reproducible bit-for-bit because no accumulation happens in
+    floating point. Cohorts with n < 2 or zero variance yield NULL t.
+
+    Scale shape: one aggregate over a two-cohort filter — partial
+    aggregation collapses each partition to two moment rows; nothing
+    else moves.
+    """
+    grow = guarded(
+        F.abs(F.col(value_col)) > F.lit(10_000_000),
+        f"welch_ttest: |{value_col}| > 1e7 — per-row squares would leave"
+        " exact LONG; rescale the fixed-point input",
+    )
+    d20 = "decimal(20,0)"
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    x = grow(F.col(value_col).cast("long"), "long")
+    is_a = F.col(group_col) == group_a
+
+    def _m(cond: Column, name: str) -> list[Column]:
+        return [
+            F.count(F.when(cond, F.lit(1))).cast(D38).alias(f"n_{name}"),
+            F.sum(F.when(cond, x).cast(d20)).cast(D38).alias(f"s_{name}"),
+            F.sum(F.when(cond, x * F.col(value_col).cast("long")).cast(d20))
+            .cast(D38)
+            .alias(f"ss_{name}"),
+        ]
+
+    agg = base.agg(*_m(is_a, "a"), *_m(~is_a, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    # exact integer variance numerators: n*Σx² - (Σx)²  (= n(n-1)s²)
+    va = (na * F.col("ss_a") - F.col("s_a") * F.col("s_a")).cast(D38)
+    vb = (nb * F.col("ss_b") - F.col("s_b") * F.col("s_b")).cast(D38)
+    diff_num = (nb * F.col("s_a") - na * F.col("s_b")).cast(D38)
+    # pinned IEEE sequence (each CAST is of an exact integer; the
+    # oracle mirrors this sequence exactly): sea = va / (na²(na-1)),
+    # seb likewise, t = diff / sqrt(sea + seb),
+    # df = (sea+seb)² / (sea²/(na-1) + seb²/(nb-1))
+    na_d, nb_d = na.cast("double"), nb.cast("double")
+    va_d, vb_d = va.cast("double"), vb.cast("double")
+    sea = va_d / (na_d * na_d * (na_d - F.lit(1.0)))
+    seb = vb_d / (nb_d * nb_d * (nb_d - F.lit(1.0)))
+    se2 = sea + seb
+    diff_d = diff_num.cast("double") / (na_d * nb_d)
+    ok = (na >= 2) & (nb >= 2) & ((va > 0) | (vb > 0))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(
+            (na > 0) & (nb > 0),
+            halfup_micro_div_cols_expr(diff_num, (na * nb).cast(D38)),
+        ).alias("mean_diff_micro"),
+        F.when(ok, diff_d / F.sqrt(se2)).alias("t"),
+        F.when(
+            ok & (sea + seb > 0),
+            (se2 * se2)
+            / (sea * sea / (na_d - F.lit(1.0)) + seb * seb / (nb_d - F.lit(1.0))),
+        ).alias("df_w"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two named cohorts —
+    the distribution-free sibling of `welch_ttest` for skewed measures
+    (latencies, prices, token counts) where a mean test misleads.
+    Single row: (n_a, n_b, u_a_x2, u_b_x2, tie_term, z).
+
+    Everything is EXACT integers except the final z: ranks are
+    midranks over the combined sample, carried DOUBLED so ties never
+    produce a half — for a value with total count c and P rows below
+    it, 2*midrank = 2P + c + 1 exactly; u_a_x2 = Σ c_a*(2P+c+1)
+    - n_a*(n_a+1) is 2*U_a, and u_a_x2 + u_b_x2 == 2*n_a*n_b by
+    identity (unit-pinned). tie_term = Σ(c³-c) feeds the tie-corrected
+    normal approximation; z follows the identical-IEEE-ops contract
+    (single casts of exact integers, pinned op sequence with one
+    sqrt): z = (u_a_x2 - n_a*n_b) / (2*sqrt(var)),
+    var = (n_a*n_b/12)*((N+1) - T/(N*(N-1))). All-tied samples have
+    var 0 → NULL z.
+
+    Scale shape: one value-keyed groupBy collapses the data to the
+    distinct-value frame; cumulative counts over that frame come from
+    ``global_ranked`` (range repartition + pid windows + broadcast
+    offsets — never a single-partition ORDER BY window, because a
+    near-continuous measure has ~N distinct values); one final
+    aggregate. DECIMAL(38,0) headroom: rank products ≤ ~2N², tie cubes
+    ≤ N³ — fine past 1e9 rows; u*_x2 is returned as BIGINT under an
+    in-plan n_a*n_b ≤ 4.5e18 guard.
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    counts = base.groupBy(F.col(value_col).cast("long").alias("__v")).agg(
+        F.count(F.when(F.col(group_col) == group_a, F.lit(1)))
+        .cast(D38)
+        .alias("__ca"),
+        F.count(F.when(F.col(group_col) != group_a, F.lit(1)))
+        .cast(D38)
+        .alias("__cb"),
+    ).withColumn("__c", (F.col("__ca") + F.col("__cb")).cast(D38))
+    ranked = global_ranked(
+        counts, ["__v"], sum_cols=["__c"], num_partitions=num_partitions,
+        rank_col="__rnk",
+    )
+    # P = rows strictly below this value; 2*midrank = 2P + c + 1
+    two_mid = (
+        (F.col("run___c") - F.col("__c")) * 2 + F.col("__c") + 1
+    ).cast(D38)
+    agg = ranked.agg(
+        F.sum(F.col("__ca")).cast(D38).alias("__na"),
+        F.sum(F.col("__cb")).cast(D38).alias("__nb"),
+        F.sum((F.col("__ca") * two_mid).cast(D38)).cast(D38).alias("__r2a"),
+        F.sum((F.col("__cb") * two_mid).cast(D38)).cast(D38).alias("__r2b"),
+        F.sum((F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")).cast(D38))
+        .cast(D38)
+        .alias("__t"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    u2a = (F.col("__r2a") - na * (na + 1)).cast(D38)
+    u2b = (F.col("__r2b") - nb * (nb + 1)).cast(D38)
+    gprod = guarded(
+        (na * nb).cast(D38) > F.lit(4_500_000_000_000_000_000).cast(D38),
+        "mann_whitney_u: n_a*n_b > 4.5e18 — doubled U would leave BIGINT;"
+        " test a uniform sample",
+    )
+    n_ = (na + nb).cast(D38)
+    # pinned IEEE sequence (oracle mirrors op-for-op)
+    na_d, nb_d, n_d = na.cast("double"), nb.cast("double"), n_.cast("double")
+    t_d = F.col("__t").cast("double")
+    u2a_d = u2a.cast("double")
+    var = (na_d * nb_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0)) - t_d / (n_d * (n_d - F.lit(1.0)))
+    )
+    ok = (na >= 1) & (nb >= 1) & (n_ >= 2)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        gprod(u2a, "long").alias("u_a_x2"),
+        gprod(u2b, "long").alias("u_b_x2"),
+        F.col("__t").cast("long").alias("tie_term"),
+        F.when(ok & (var > 0), (u2a_d - na_d * nb_d) / (F.lit(2.0) * F.sqrt(var)))
+        .alias("z"),
+    )

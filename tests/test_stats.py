@@ -1,0 +1,214 @@
+"""Inferential/concentration statistics: exact-integer semantics vs
+hand/Fraction references, tie + partitioning invariance, in-plan guards."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from notion_spark.pipeline import stats as S
+
+
+def _halfup_micro(num: int, den: int) -> int:
+    # the repo's contract: (2*num*1e6 + den) div (2*den) with Spark's
+    # `div` ≡ DuckDB `//` on HUGEINT: TRUNCATING toward zero — floor for
+    # positive numerators, ties toward zero for negative ones.
+    q, d = 2 * num * 1_000_000 + den, 2 * den
+    sign = -1 if (q < 0) != (d < 0) else 1
+    return sign * (abs(q) // abs(d))
+
+
+def _units(spark, n=50):
+    rows = [(i, (i * 7) % 13 + 1, ["x", "y"][i % 2], ["p", "q", "r"][i % 3])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "k int, v int, g string, h string")
+
+
+# ---------------------------------------------------------------- global_ranked
+
+def test_global_ranked_matches_sequential_scan(spark):
+    df = _units(spark)
+    got = {
+        r.k: (r.rank, int(r.run_v))
+        for r in S.global_ranked(df, ["v", "k"], sum_cols=["v"]).collect()
+    }
+    cum = 0
+    for i, (v, k) in enumerate(sorted((r.v, r.k) for r in df.collect()), 1):
+        cum += v
+        assert got[k] == (i, cum)
+
+
+def test_global_ranked_partition_invariant(spark):
+    df = _units(spark, 37)
+    a = S.global_ranked(df.repartition(1), ["v", "k"], ["v"], num_partitions=2)
+    b = S.global_ranked(df.repartition(7), ["v", "k"], ["v"], num_partitions=6)
+    ra = sorted((r.k, r.rank, int(r.run_v)) for r in a.collect())
+    rb = sorted((r.k, r.rank, int(r.run_v)) for r in b.collect())
+    assert ra == rb
+
+
+def test_global_ranked_no_single_partition_data_window(spark):
+    # the point of the operator: every window over the DATA is keyed by
+    # the range-partition id; only the <= num_partitions offset frame
+    # may sort globally.
+    plan = (
+        S.global_ranked(_units(spark), ["v", "k"], ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__pid" in plan  # windows are pid-partitioned
+
+
+# ------------------------------------------------------------------------ gini
+
+def test_gini_known_values(spark):
+    even = spark.createDataFrame([(i, 5) for i in range(4)], "k int, v int")
+    assert S.gini_coefficient(even, "v", "k").collect()[0].gini_micro == 0
+    mono = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 8)], "k int, v int")
+    r = S.gini_coefficient(mono, "v", "k").collect()[0]
+    # (2*4*8 - 5*8) / (4*8) = 24/32 = 0.75
+    assert r.gini_micro == 750_000 and r.n == 4 and r.total == 8
+
+
+def test_gini_matches_fraction_reference(spark):
+    df = _units(spark)
+    r = S.gini_coefficient(df, "v", "k").collect()[0]
+    xs = sorted(row.v for row in df.collect())
+    n, sx = len(xs), sum(xs)
+    srx = sum(i * x for i, x in enumerate(xs, 1))
+    assert r.gini_micro == _halfup_micro(2 * srx - (n + 1) * sx, n * sx)
+
+
+def test_gini_negative_raises(spark):
+    bad = spark.createDataFrame([(1, -3), (2, 5)], "k int, v int")
+    with pytest.raises(Exception, match="non-negative"):
+        S.gini_coefficient(bad, "v", "k").collect()
+
+
+# ------------------------------------------------------------------------- hhi
+
+def test_hhi_known_values(spark):
+    df = spark.createDataFrame(
+        [("m", 1, 10), ("m", 2, 10), ("m", 3, 10), ("m", 4, 10),
+         ("solo", 9, 42)],
+        "grp string, member int, v int")
+    got = {r.group: r for r in S.hhi_index(df, "grp", "v").collect()}
+    assert got["solo"].hhi_micro == 1_000_000
+    assert got["solo"].top_share_micro == 1_000_000
+    assert got["m"].hhi_micro == 250_000  # even 4-way split -> 1/4
+    assert got["m"].top_share_micro == 250_000
+    assert got["m"].n_members == 4 and got["m"].total == 40
+
+
+def test_hhi_zero_total_null(spark):
+    df = spark.createDataFrame([("z", 1, 0), ("z", 2, 0)], "grp string, m int, v int")
+    r = S.hhi_index(df, "grp", "v").collect()[0]
+    assert r.hhi_micro is None and r.total == 0
+
+
+# ---------------------------------------------------------- weighted_quantiles
+
+def test_weighted_quantiles_hand_case(spark):
+    # group g: values 1 (w 1), 2 (w 1), 10 (w 8) -> tot 10
+    # q25: cum(1)=1, cum(2)=2, cum(10)=10; 1e6*cum >= q*tot
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 10, 8)], "grp string, v int, w int")
+    got = {r.q_ppm: r.value
+           for r in S.weighted_quantiles(df, "grp", "v", "w").collect()}
+    assert got == {250_000: 10, 500_000: 10, 750_000: 10}
+    df2 = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 4), ("g", 10, 1)], "grp string, v int, w int")
+    got2 = {r.q_ppm: r.value
+            for r in S.weighted_quantiles(df2, "grp", "v", "w").collect()}
+    assert got2 == {250_000: 1, 500_000: 1, 750_000: 2}
+
+
+def test_weighted_quantiles_matches_unweighted_median(spark):
+    # all weights 1 -> lower median of the values
+    df = _units(spark).withColumn("w", F.lit(1))
+    got = {(r.group, r.q_ppm): r.value
+           for r in S.weighted_quantiles(df, "g", "v", "w", (500_000,)).collect()}
+    by_g: dict[str, list[int]] = {}
+    for row in _units(spark).collect():
+        by_g.setdefault(row.g, []).append(row.v)
+    for g, xs in by_g.items():
+        xs.sort()
+        # smallest v with cum >= n/2 (lower weighted median)
+        k = (len(xs) + 1) // 2
+        assert got[(g, 500_000)] == xs[k - 1]
+
+
+def test_weighted_quantiles_negative_weight_raises(spark):
+    df = spark.createDataFrame([("g", 1, -1)], "grp string, v int, w int")
+    with pytest.raises(Exception, match="monotone"):
+        S.weighted_quantiles(df, "grp", "v", "w").collect()
+
+
+# ------------------------------------------------------------------ chi-square
+
+def test_chi_square_hand_case_with_zero_cell(spark):
+    # 2x2: (a,p):3 (a,q):1 (b,p):0 (b,q):4 ; N=8, R_a=4 R_b=4 C_p=3 C_q=5
+    rows = [("a", "p")] * 3 + [("a", "q")] + [("b", "q")] * 4
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = {(r.a, r.b): r for r in S.chi_square_independence(df, "x", "y").collect()}
+    assert set(got) == {("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")}
+    assert got[("b", "p")].observed == 0
+    n, ra, cp = 8, 4, 3
+    e_bp = Fraction(ra * cp, n)  # 1.5
+    assert got[("b", "p")].expected_micro == _halfup_micro(ra * cp, n)
+    # contrib (0 - 1.5)^2 / 1.5 = 1.5
+    assert got[("b", "p")].contrib_micro == _halfup_micro(
+        (n * 0 - ra * cp) ** 2, n * ra * cp)
+    assert all(r.dof == 1 for r in got.values())
+    # full statistic vs Fraction reference
+    obs = {("a", "p"): 3, ("a", "q"): 1, ("b", "p"): 0, ("b", "q"): 4}
+    rm = {"a": 4, "b": 4}
+    cm = {"p": 3, "q": 5}
+    chi2 = sum(
+        Fraction((n * o - rm[x] * cm[y]) ** 2, n * rm[x] * cm[y])
+        for (x, y), o in obs.items()
+    )
+    got_chi2 = sum(r.contrib_micro for r in got.values())
+    assert abs(got_chi2 - float(chi2) * 1e6) <= len(obs)  # half-up per cell
+
+
+def test_chi_square_category_guard(spark):
+    df = spark.createDataFrame([(i, i % 2) for i in range(40)], "x int, y int")
+    with pytest.raises(Exception, match="categories"):
+        S.chi_square_independence(df, "x", "y", max_categories=10).collect()
+
+
+# ----------------------------------------------------------------------- welch
+
+def test_welch_ttest_matches_pinned_sequence(spark):
+    df = _units(spark)
+    r = S.welch_ttest(df, "g", "v", "x", "y").collect()[0]
+    xs = [row.v for row in df.collect() if row.g == "x"]
+    ys = [row.v for row in df.collect() if row.g == "y"]
+    na, nb = len(xs), len(ys)
+    sa, sb = sum(xs), sum(ys)
+    ssa, ssb = sum(v * v for v in xs), sum(v * v for v in ys)
+    va, vb = na * ssa - sa * sa, nb * ssb - sb * sb
+    sea = float(va) / (float(na) * float(na) * (float(na) - 1.0))
+    seb = float(vb) / (float(nb) * float(nb) * (float(nb) - 1.0))
+    t = (float(nb * sa - na * sb) / (float(na) * float(nb))) / math.sqrt(sea + seb)
+    dfw = (sea + seb) ** 2 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert r.n_a == na and r.n_b == nb
+    assert r.mean_diff_micro == _halfup_micro(nb * sa - na * sb, na * nb)
+    assert r.t == t  # identical IEEE sequence, not approx
+    assert r.df_w == dfw
+    # sanity: classic Welch via sample variances agrees to float tolerance
+    s2a = va / (na * (na - 1))
+    s2b = vb / (nb * (nb - 1))
+    t_ref = (sum(xs) / na - sum(ys) / nb) / math.sqrt(s2a / na + s2b / nb)
+    assert t == pytest.approx(t_ref, rel=1e-12)
+
+
+def test_welch_ttest_degenerate_null(spark):
+    df = spark.createDataFrame(
+        [("x", 5), ("x", 5), ("y", 5), ("y", 5)], "g string, v int")
+    r = S.welch_ttest(df, "g", "v", "x", "y").collect()[0]
+    assert r.t is None and r.df_w is None and r.mean_diff_micro == 0
