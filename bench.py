@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "stats_hhi_nation_revenue",
     "stats_weighted_quantiles_returnflag",
     "stats_welch_ttest_events",
+    "stats_mann_whitney_events",
+    "skyline_parts",
+    "behavior_activity_streaks",
+    "ts_dow_profile",
 ]
 
 

@@ -704,3 +704,51 @@ def rfm_segments(
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Consecutive-day activity streaks per user — the engagement
+    summary behind "current/longest streak" badges and retention
+    heuristics. One row per user: (user, active_days, n_streaks,
+    longest_streak, last_day) where a streak is a maximal run of
+    consecutive calendar days with >= 1 event and days are integer
+    days-since-epoch (date arithmetic only — no engine week/dow
+    function whose convention could differ).
+
+    The gaps-and-islands move, distributed: collapse to distinct
+    (user, day), number days within each user (per-user window —
+    bounded by a user's distinct days, never a global sort), and
+    day - row_number is constant exactly within a consecutive run, so
+    one groupBy on (user, island) yields the runs and a second on
+    user folds the summary. All shuffles share the user key; AQE
+    serves them from one exchange lineage.
+    """
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("__day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy(F.asc("__day"))
+    runs = (
+        days.withColumn("__isl", F.col("__day") - F.row_number().over(w))
+        .groupBy("user", "__isl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__len"),
+            F.max("__day").alias("__end"),
+        )
+    )
+    return runs.groupBy("user").agg(
+        F.sum("__len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.max("__end").cast("long").alias("last_day"),
+    )

@@ -278,3 +278,62 @@ def autocorrelation(
             "double",
         ).alias("r2"),
     )
+
+
+def dow_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Day-of-week seasonality profile per series — the load-shape
+    audit (is traffic weekday-heavy? does one event type spike on
+    Sundays?). One row per (series, dow 0..6) INCLUDING zero days, so
+    every series is a complete 7-row shape: (series, dow, n,
+    share_ppm, deviation_ppm) where share is the half-up micro
+    fraction of the series total and deviation subtracts the exact
+    uniform expectation halfup(1/7) = 142857 ppm.
+
+    The day-of-week is pinned arithmetically — ((days_since_epoch + 4)
+    mod 7, 0 = Sunday; 1970-01-01 was a Thursday) — never an engine
+    dayofweek() whose 0/1-base and week-start conventions differ
+    between engines. Scale shape: one map-side-combined groupBy over
+    <= 7*|series| keys, a |series|-row total frame joined broadcast,
+    and a literal 7-row grid for the zero days.
+    """
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    base = df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()).select(
+        F.col(type_col).alias("series"),
+        (
+            (
+                F.datediff(
+                    F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+                )
+                + 4
+            )
+            % 7
+        )
+        .cast("int")
+        .alias("dow"),
+    )
+    counts = base.groupBy("series", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = base.groupBy("series").agg(F.count(F.lit(1)).cast("long").alias("__tot"))
+    spark = df.sparkSession
+    dows = spark.range(7).select(F.col("id").cast("int").alias("dow"))
+    grid = (
+        totals.crossJoin(F.broadcast(dows))
+        .join(F.broadcast(counts), ["series", "dow"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0).cast("long")))
+    )
+    uniform = 142_857  # halfup_micro(1, 7), pinned
+    return grid.select(
+        "series",
+        "dow",
+        "n",
+        halfup_micro_div_cols("n", "__tot").alias("share_ppm"),
+        (halfup_micro_div_cols("n", "__tot") - F.lit(uniform))
+        .cast("long")
+        .alias("deviation_ppm"),
+    )

@@ -8613,6 +8613,185 @@ def stats_welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(e, "event_type", "x", "purchase", "click")
 
 
+@register(
+    "stats_mann_whitney_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    counts AS (
+        SELECT v, CAST(COUNT(*) FILTER (g = 'purchase') AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (g <> 'purchase') AS HUGEINT) AS cb
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT *, ca + cb AS c,
+               CAST(SUM(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS run
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+               CAST(SUM(ca * (2 * (run - c) + c + 1)) AS HUGEINT) AS r2a,
+               CAST(SUM(cb * (2 * (run - c) + c + 1)) AS HUGEINT) AS r2b,
+               CAST(SUM(c * c * c - c) AS HUGEINT) AS t
+        FROM cum
+    ),
+    d AS (
+        SELECT na, nb, r2a - na * (na + 1) AS u2a, r2b - nb * (nb + 1) AS u2b,
+               t, na + nb AS n,
+               CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+               CAST(na + nb AS DOUBLE) AS nd, CAST(t AS DOUBLE) AS td
+        FROM agg
+    ),
+    e AS (
+        SELECT *, (nad * nbd / 12.0)
+                  * ((nd + 1.0) - td / (nd * (nd - 1.0))) AS var
+        FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(u2a AS BIGINT) AS u_a_x2, CAST(u2b AS BIGINT) AS u_b_x2,
+           CAST(t AS BIGINT) AS tie_term,
+           CASE WHEN na >= 1 AND nb >= 1 AND n >= 2 AND var > 0
+                THEN (CAST(u2a AS DOUBLE) - nad * nbd) / (2.0 * sqrt(var))
+                END AS z
+    FROM e
+    """,
+)
+def stats_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between purchase and click event values
+    (`pipeline.stats.mann_whitney_u`): doubled midranks keep tied
+    ranks exact integers; the distinct-value frame's cumulative counts
+    come from the distributed `global_ranked`, the oracle's from a
+    flat window — the hash proves them identical. z follows the
+    pinned-IEEE contract with the tie-corrected variance."""
+    from notion_spark.pipeline.stats import mann_whitney_u
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("x"),
+    )
+    return mann_whitney_u(e, "event_type", "x", "purchase", "click")
+
+
+@register(
+    "skyline_parts",
+    """
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CAST(p_size AS BIGINT) AS p_size
+        FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT p_partkey, price_c, p_size FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+          AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — cheapest price for the size
+    (`operators.skyline.skyline_2d`): two-phase distributed skyline
+    (partition-local dominance windows over contiguous price bands,
+    then the exact global pass over survivors under an in-plan
+    cardinality guard). The oracle is the quadratic NOT EXISTS
+    definition — the window plan must reproduce it exactly, duplicate
+    coordinates and all."""
+    from notion_spark.operators.skyline import skyline_2d
+
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast(DEC) * 100).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(p, "price_c", "p_size")
+
+
+@register(
+    "behavior_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id AS "user",
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        FROM events WHERE ts IS NOT NULL
+    ),
+    isl AS (
+        SELECT "user", d,
+               d - row_number() OVER (PARTITION BY "user" ORDER BY d) AS g
+        FROM days
+    ),
+    runs AS (
+        SELECT "user", g, CAST(COUNT(*) AS BIGINT) AS len, MAX(d) AS e
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT "user", CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MAX(e) AS BIGINT) AS last_day
+    FROM runs GROUP BY 1
+    """,
+)
+def behavior_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user
+    (`operators.behavior.activity_streaks`): gaps-and-islands via
+    day - row_number constancy over per-user windows — integer
+    days-since-epoch only, no engine week/dow convention. All
+    shuffles share the user key."""
+    from notion_spark.operators.behavior import activity_streaks
+
+    e = read_table(spark, sf_dir, "events")
+    return activity_streaks(e)
+
+
+@register(
+    "ts_dow_profile",
+    f"""
+    WITH base AS (
+        SELECT event_type AS series,
+               CAST(((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS INT)
+                   AS dow
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT series, dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT series, CAST(COUNT(*) AS HUGEINT) AS tot FROM base GROUP BY 1
+    ),
+    dows AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) AS d(dow)),
+    grid AS (
+        SELECT t.series, d.dow, CAST(COALESCE(c.n, 0) AS HUGEINT) AS n, t.tot
+        FROM totals t CROSS JOIN dows d
+        LEFT JOIN counts c ON c.series = t.series AND c.dow = d.dow
+    )
+    SELECT series, CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n,
+           {_hu('n', 'tot')} AS share_ppm,
+           CAST({_hu('n', 'tot')} - 142857 AS BIGINT) AS deviation_ppm
+    FROM grid
+    """,
+)
+def ts_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type
+    (`operators.timeseries.dow_profile`): complete 7-row shape per
+    series including zero days, day-of-week pinned arithmetically
+    ((days_since_epoch + 4) mod 7 — never an engine dayofweek), half-up
+    micro shares vs the exact uniform 142857 ppm."""
+    from notion_spark.operators.timeseries import dow_profile
+
+    e = read_table(spark, sf_dir, "events")
+    return dow_profile(e)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -879,3 +879,44 @@ class TestRfmSegments:
         ]
         out = rfm_segments(self._orders(spark, rows)).collect()
         assert {r.customer for r in out} == {1}
+
+
+class TestActivityStreaks:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+    def test_streak_summary_hand_case(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import activity_streaks
+
+        rows = [
+            ("u1", datetime(2024, 1, 1, 9)),
+            ("u1", datetime(2024, 1, 1, 17)),  # same day, one active day
+            ("u1", datetime(2024, 1, 2)),
+            ("u1", datetime(2024, 1, 5)),
+            ("u2", datetime(2024, 1, 3)),
+        ]
+        out = {r.user: r for r in activity_streaks(self._ev(spark, rows)).collect()}
+        assert out["u1"].active_days == 3
+        assert out["u1"].n_streaks == 2
+        assert out["u1"].longest_streak == 2  # Jan 1-2
+        assert out["u1"].last_day == (datetime(2024, 1, 5).date()
+                                      - datetime(1970, 1, 1).date()).days
+        assert out["u2"].active_days == out["u2"].longest_streak == 1
+
+    def test_streaks_span_month_boundary(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.behavior import activity_streaks
+
+        start = datetime(2024, 1, 29)
+        rows = [("u", start + timedelta(days=i)) for i in range(6)]  # Jan 29-Feb 3
+        out = activity_streaks(self._ev(spark, rows)).collect()[0]
+        assert out.longest_streak == 6 and out.n_streaks == 1
+
+    def test_null_ts_dropped(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import activity_streaks
+
+        rows = [("u", datetime(2024, 1, 1)), ("u", None)]
+        out = activity_streaks(self._ev(spark, rows)).collect()[0]
+        assert out.active_days == 1

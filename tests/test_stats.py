@@ -212,3 +212,55 @@ def test_welch_ttest_degenerate_null(spark):
         [("x", 5), ("x", 5), ("y", 5), ("y", 5)], "g string, v int")
     r = S.welch_ttest(df, "g", "v", "x", "y").collect()[0]
     assert r.t is None and r.df_w is None and r.mean_diff_micro == 0
+
+
+# ---------------------------------------------------------------- mann-whitney
+
+def test_mann_whitney_matches_midrank_reference(spark):
+    rows = [("a", v) for v in [1, 2, 2, 3, 5, 7, 7, 7, 9]] + [
+        ("b", v) for v in [2, 4, 4, 6, 7, 8, 10, 10]
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = S.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    vals = sorted(v for _, v in rows)
+    rank: dict[int, float] = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    na = sum(1 for g, _ in rows if g == "a")
+    nb = len(rows) - na
+    ra = sum(rank[v] for g, v in rows if g == "a")
+    ua = ra - na * (na + 1) / 2
+    assert r.u_a_x2 == int(2 * ua)
+    assert r.u_a_x2 + r.u_b_x2 == 2 * r.n_a * r.n_b  # U_a + U_b == n_a*n_b
+    from collections import Counter
+
+    t = sum(c**3 - c for c in Counter(vals).values())
+    assert r.tie_term == t
+    n = na + nb
+    var = (na * nb / 12.0) * ((n + 1.0) - t / (n * (n - 1.0)))
+    z = (2 * ua - na * nb) / (2.0 * math.sqrt(var))
+    assert r.z == z  # identical IEEE sequence
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "g string, v int")
+    r = S.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r.z is None
+    assert r.u_a_x2 == r.u_b_x2 == 2 * 2 * 2 // 2  # U_a = U_b = n_a*n_b/2
+
+
+def test_mann_whitney_partition_invariant(spark):
+    rows = [("a", (i * 13) % 7) for i in range(40)] + [
+        ("b", (i * 11) % 9) for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    a = S.mann_whitney_u(df.repartition(1), "g", "v", "a", "b").collect()[0]
+    b = S.mann_whitney_u(df.repartition(13), "g", "v", "a", "b",
+                         num_partitions=5).collect()[0]
+    assert a == b

@@ -166,3 +166,40 @@ class TestAutocorrelation:
 
         with pytest.raises(ValueError):
             autocorrelation(self._ev(spark, []), "value", "user_id", lags=(0,))
+
+
+class TestDowProfile:
+    def test_complete_shape_and_pinned_dow(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.timeseries import dow_profile
+
+        # 2024-01-01 was a Monday -> dow 1 under (days+4)%7, 0=Sunday
+        rows = [
+            ("e1", datetime(2024, 1, 1), "a"),   # Mon
+            ("e2", datetime(2024, 1, 1, 8), "a"),
+            ("e3", datetime(2024, 1, 2), "a"),   # Tue
+            ("e4", datetime(2024, 1, 7), "a"),   # Sun
+            ("e5", datetime(2024, 1, 3), "b"),   # Wed
+        ]
+        df = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+        out = dow_profile(df)
+        rows_a = {r.dow: r for r in out.filter("series = 'a'").collect()}
+        assert set(rows_a) == set(range(7))  # complete 7-row shape
+        assert rows_a[1].n == 2 and rows_a[2].n == 1 and rows_a[0].n == 1
+        assert rows_a[3].n == 0 and rows_a[3].share_ppm == 0
+        assert rows_a[1].share_ppm == 500_000  # 2 of 4, half-up exact
+        assert rows_a[1].deviation_ppm == 500_000 - 142_857
+        assert rows_a[3].deviation_ppm == -142_857
+        b = {r.dow: r for r in out.filter("series = 'b'").collect()}
+        assert b[3].n == 1 and b[3].share_ppm == 1_000_000
+
+    def test_share_sums_near_million(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import dow_profile
+
+        rows = [("e%d" % i, datetime(2024, 1, 1) + timedelta(days=i), "t")
+                for i in range(23)]
+        df = spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+        shares = [r.share_ppm for r in dow_profile(df).collect()]
+        # half-up rounding keeps the 7-way split within 7 ppm of 1e6
+        assert abs(sum(shares) - 1_000_000) <= 7
