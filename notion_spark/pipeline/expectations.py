@@ -167,3 +167,113 @@ def referential_integrity(
             .alias("orphan_ppm"),
         )
     )
+
+
+def functional_dependency(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency audit lhs → rhs — "does every customer
+    always carry one priority?", the cross-COLUMN gate the per-column
+    expectation suite cannot express (deequ's hasUniqueness cousin).
+    Single row:
+
+        (n_rows, n_lhs, n_violating_lhs, violation_ppm,
+         max_rhs_distinct)
+
+    where a violating LHS value maps to more than one distinct
+    non-null RHS, violation_ppm is the half-up micro fraction of LHS
+    values violating, and max_rhs_distinct is the worst fan-out (1 ⇒
+    the FD holds exactly). Rows with a NULL lhs are excluded; NULL rhs
+    does not count as a distinct image (an FD should not fail on
+    missing data — use expect_not_null for that).
+
+    Scale shape: one (lhs, rhs)-keyed distinct collapse (map-side
+    combined), one lhs-keyed count, one final aggregate — shuffles
+    only ever carry collapsed frames.
+    """
+    from notion_spark.functions.exactmath import halfup_micro_div_cols
+
+    base = df.filter(F.col(lhs).isNotNull()).select(
+        F.col(lhs).alias("__l"), F.col(rhs).alias("__r")
+    )
+    n_rows = base.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    images = (
+        base.filter(F.col("__r").isNotNull())
+        .select("__l", "__r")
+        .distinct()
+        .groupBy("__l")
+        .agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    )
+    # LHS values whose rows are all-NULL rhs never reach `images`;
+    # count them from the full frame so n_lhs is the true universe.
+    lhs_univ = base.select("__l").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs")
+    )
+    viol = images.agg(
+        F.count(F.when(F.col("__k") > 1, F.lit(1))).cast("long").alias("n_violating_lhs"),
+        F.coalesce(F.max("__k"), F.lit(0)).cast("long").alias("max_rhs_distinct"),
+    )
+    return (
+        n_rows.crossJoin(F.broadcast(lhs_univ))
+        .crossJoin(F.broadcast(viol))
+        .select(
+            "n_rows",
+            "n_lhs",
+            "n_violating_lhs",
+            F.when(
+                F.col("n_lhs") > 0,
+                halfup_micro_div_cols("n_violating_lhs", "n_lhs"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("violation_ppm"),
+            "max_rhs_distinct",
+        )
+    )
+
+
+def key_candidates(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Candidate-key audit: for each named column, exact row /
+    non-null / distinct counts and whether it is a unique key — the
+    schema-discovery pass a migrating pipeline runs before declaring
+    merge keys. One row per column:
+
+        (col_name, n_rows, n_nonnull, n_distinct, is_unique_key)
+
+    is_unique_key ⇔ every row has a distinct non-null value
+    (n_distinct == n_nonnull == n_rows). Distinct counts are EXACT
+    (count(DISTINCT col) — the HLL estimate lives in profile_table;
+    a key decision needs the exact answer).
+
+    Scale shape: ONE aggregate with k count-distincts — Catalyst
+    compiles multi-distinct into a single Expand + two-level
+    aggregate, so the data is read once and the shuffle carries the
+    per-column distinct streams; the k-row melt is a constant explode.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("key_candidates: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+    agg = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (
+                (F.col(f"__nd_{c}") == F.col("n_rows"))
+                & (F.col(f"__nn_{c}") == F.col("n_rows"))
+            ).alias("is_unique_key"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -40,6 +40,8 @@ __all__ = [
     "weighted_quantiles",
     "welch_ttest",
     "mann_whitney_u",
+    "exact_auc",
+    "ks_test",
 ]
 
 
@@ -357,18 +359,29 @@ def weighted_quantiles(
     Entirely integer: the pick condition is cum_w * 1e6 >= q * tot_w
     in DECIMAL(38,0) — no float fraction, no interpolation, so the
     result is always an observed value and bit-identical anywhere.
-    Tie-safe WITHOUT a tiebreak key: the cumulative weight is windowed
-    over value order alone, and whether ANY row of a value run crosses
-    the threshold depends only on the run totals — the min() pick is
-    deterministic under nondeterministic intra-tie order. Zero-weight
-    rows are inert; negative weights raise in-plan.
+    Tie-safe WITHOUT a tiebreak key: whether ANY row of a value run
+    crosses the threshold depends only on the run totals, so the
+    min() pick is deterministic under nondeterministic intra-tie
+    order. Zero-weight rows are inert; negative weights raise in-plan.
 
-    Scale shape: one per-group window (partitioned — never global) and
-    a groupBy on the SAME key, which AQE/Catalyst serve from the same
-    exchange; quantile fan-out is a constant |q_ppm| array explode.
-    Heavily skewed groups bound the window task like any per-group
-    sort — pre-split pathological groups upstream if one group is the
-    whole table.
+    Scale shape — the grouped two-level prefix sum over DETERMINISTIC
+    value buckets (three plans were measured before this one, see
+    PLANS.md: the bare per-group window serializes a whole group
+    through one task — 7.1x at 10x data with 3 groups; the
+    repartitionByRange forms re-ran the wide exchange for the
+    broadcast-offsets consumer and re-sampled boundaries per run —
+    sf1 spread [5.2 s, 30.6 s]): (1) map-side-combined collapse to
+    one row per (group, value) — point-mass data collapses to almost
+    nothing; (2) bucket id = (v - min) div width, pure arithmetic
+    from a broadcast 1-row (min, max) frame — order-preserving,
+    deterministic, no sampler, no partition-id; (3) cumulative weight
+    within each (group, bucket) via a window the collapse exchange
+    already clusters for; (4) per-group exclusive prefix over the
+    ≤ 4096·|groups|-row bucket-totals frame (group total rides the
+    same frame), joined back broadcast. Value-CLUSTERED distributions
+    can still load one bucket (bounded by distinct values per 1/4096
+    of the range — collapse already removed duplicate-value mass);
+    the quantile pick is a map-side |q_ppm|-ary conditional min.
     """
     gneg = guarded(
         F.col(weight_col) < 0,
@@ -382,17 +395,64 @@ def weighted_quantiles(
         F.col(value_col).cast("long").alias("__v"),
         gneg(F.col(weight_col).cast("long"), "long").alias("__w"),
     )
-    w = Window.partitionBy("group").orderBy(F.asc("__v"))
-    cum = base.withColumn(
-        "__cw",
-        F.sum(F.col("__w").cast(D38)).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn(
-        "__tw",
-        F.sum(F.col("__w").cast(D38)).over(
-            Window.partitionBy("group").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
+    n_buckets = 4096
+    bounds = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    ).select(
+        "__lo",
+        F.greatest(
+            (F.col("__hi") - F.col("__lo") + n_buckets) / n_buckets,
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("__width"),
+    )
+    bucketed = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "__b", F.expr("CAST((__v - __lo) div __width AS INT)")
+    ).drop("__lo", "__width")
+    collapsed = bucketed.groupBy("group", "__b", "__v").agg(
+        F.sum(F.col("__w").cast(D38)).cast(D38).alias("__wv")
+    )
+    wl = Window.partitionBy("group", "__b").orderBy(F.asc("__v"))
+    local = collapsed.withColumn(
+        "__lcw", F.sum("__wv").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # the offsets subtree broadcasts, so its lineage must stay CHEAP
+    # (scan + map-side partial aggregate): derive bucket totals from
+    # the base rows, never from the collapsed frame — a broadcast that
+    # re-executes a wide exchange when AQE reuse misses was the
+    # measured sf1 instability (PLANS.md)
+    bucket_tot = bucketed.groupBy("group", "__b").agg(
+        F.sum(F.col("__w").cast(D38)).cast(D38).alias("__bt")
+    )
+    wg = Window.partitionBy("group").orderBy("__b")
+    offsets = bucket_tot.select(
+        "group",
+        "__b",
+        F.coalesce(
+            F.sum("__bt").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast(D38),
+        ).alias("__off"),
+        F.sum("__bt")
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast(D38)
+        .alias("__tw"),
+    )
+    # local and offsets share the collapsed lineage (self-join by
+    # plan): resolve through the parent frames, systematic_sample's
+    # idiom
+    cum = (
+        local.join(
+            F.broadcast(offsets),
+            (local["__b"] == offsets["__b"])
+            & local["group"].eqNullSafe(offsets["group"]),
+        )
+        .select(
+            local["group"].alias("group"),
+            local["__v"].alias("__v"),
+            (offsets["__off"] + local["__lcw"]).cast(D38).alias("__cw"),
+            offsets["__tw"].alias("__tw"),
+        )
     )
     picks = [
         F.min(
@@ -542,30 +602,8 @@ def mann_whitney_u(
     base = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
         F.col(value_col).isNotNull()
     )
-    counts = base.groupBy(F.col(value_col).cast("long").alias("__v")).agg(
-        F.count(F.when(F.col(group_col) == group_a, F.lit(1)))
-        .cast(D38)
-        .alias("__ca"),
-        F.count(F.when(F.col(group_col) != group_a, F.lit(1)))
-        .cast(D38)
-        .alias("__cb"),
-    ).withColumn("__c", (F.col("__ca") + F.col("__cb")).cast(D38))
-    ranked = global_ranked(
-        counts, ["__v"], sum_cols=["__c"], num_partitions=num_partitions,
-        rank_col="__rnk",
-    )
-    # P = rows strictly below this value; 2*midrank = 2P + c + 1
-    two_mid = (
-        (F.col("run___c") - F.col("__c")) * 2 + F.col("__c") + 1
-    ).cast(D38)
-    agg = ranked.agg(
-        F.sum(F.col("__ca")).cast(D38).alias("__na"),
-        F.sum(F.col("__cb")).cast(D38).alias("__nb"),
-        F.sum((F.col("__ca") * two_mid).cast(D38)).cast(D38).alias("__r2a"),
-        F.sum((F.col("__cb") * two_mid).cast(D38)).cast(D38).alias("__r2b"),
-        F.sum((F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")).cast(D38))
-        .cast(D38)
-        .alias("__t"),
+    agg = _doubled_midrank_moments(
+        base, F.col(group_col) == group_a, value_col, num_partitions
     )
     na, nb = F.col("__na"), F.col("__nb")
     u2a = (F.col("__r2a") - na * (na + 1)).cast(D38)
@@ -592,4 +630,156 @@ def mann_whitney_u(
         F.col("__t").cast("long").alias("tie_term"),
         F.when(ok & (var > 0), (u2a_d - na_d * nb_d) / (F.lit(2.0) * F.sqrt(var)))
         .alias("z"),
+    )
+
+
+def _doubled_midrank_moments(
+    base: DataFrame,
+    is_a: Column,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shared rank-sum core (Mann–Whitney / exact AUC): collapse to the
+    distinct-value frame with per-cohort counts, rank it with the
+    distributed ``global_ranked``, and reduce to the doubled-midrank
+    moment row (__na, __nb, __r2a, __r2b, __t) — 2*midrank = 2P + c + 1
+    keeps tied ranks exact integers; __t = Σ(c³ - c) is the tie term."""
+    counts = base.groupBy(F.col(value_col).cast("long").alias("__v")).agg(
+        F.count(F.when(is_a, F.lit(1))).cast(D38).alias("__ca"),
+        F.count(F.when(~is_a, F.lit(1))).cast(D38).alias("__cb"),
+    ).withColumn("__c", (F.col("__ca") + F.col("__cb")).cast(D38))
+    ranked = global_ranked(
+        counts, ["__v"], sum_cols=["__c"], num_partitions=num_partitions,
+        rank_col="__rnk",
+    )
+    # P = rows strictly below this value; 2*midrank = 2P + c + 1
+    two_mid = (
+        (F.col("run___c") - F.col("__c")) * 2 + F.col("__c") + 1
+    ).cast(D38)
+    return ranked.agg(
+        F.sum(F.col("__ca")).cast(D38).alias("__na"),
+        F.sum(F.col("__cb")).cast(D38).alias("__nb"),
+        F.sum((F.col("__ca") * two_mid).cast(D38)).cast(D38).alias("__r2a"),
+        F.sum((F.col("__cb") * two_mid).cast(D38)).cast(D38).alias("__r2b"),
+        F.sum((F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")).cast(D38))
+        .cast(D38)
+        .alias("__t"),
+    )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of an integer-valued score against a boolean
+    label — the classifier-quality gate a training-data pipeline runs
+    over its quality/toxicity/language scorers at corpus scale, where
+    a sampled sklearn AUC answers for the sample only. Single row:
+    (n_pos, n_neg, auc_micro).
+
+    AUC is EXACTLY the rank-sum statistic: AUC = U_pos/(n_pos*n_neg)
+    with midrank tie handling (each tied pair contributes 1/2) — so it
+    reuses the doubled-midrank core and auc_micro =
+    halfup(u2_pos, 2*n_pos*n_neg) is one exact half-up micro division
+    of exact integers: bit-identical on any engine/partitioning, no
+    trapezoid float sums, no score sorting in one task (the
+    distinct-score frame is ranked by the distributed global_ranked).
+    NULL scores/labels are excluded; a single-class input yields NULL
+    auc. Degenerate (constant) scorers land at exactly 500000.
+    """
+    base = df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    agg = _doubled_midrank_moments(
+        base, F.col(label_col).cast("boolean"), score_col, num_partitions
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    u2a = (F.col("__r2a") - na * (na + 1)).cast(D38)
+    return agg.select(
+        na.cast("long").alias("n_pos"),
+        nb.cast("long").alias("n_neg"),
+        F.when(
+            (na > 0) & (nb > 0),
+            halfup_micro_div_cols_expr(u2a, (2 * na * nb).cast(D38)),
+        ).alias("auc_micro"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between two named
+    cohorts of an integer-valued measure — the distribution-drift gate
+    (did this source's length/price/score distribution move?) that
+    compares WHOLE CDFs where mean tests see nothing. Single row:
+    (n_a, n_b, d_micro, ks_at_value) with
+
+        D = max over values v of |F_a(v) - F_b(v)|
+
+    computed exactly: the per-value cumulative counts come from ONE
+    ``global_ranked`` pass over the distinct-value frame (cum_a, cum_b
+    as running sums), the per-value deviation is the exact integer
+    |n_b*cum_a - n_a*cum_b|, and d_micro = halfup(max_dev, n_a*n_b) is
+    one half-up micro division. ``ks_at_value`` is the smallest value
+    attaining the max (max_by over a (dev, -v) struct — deterministic
+    under ties). Empty cohorts yield NULL d.
+
+    Scale shape: value-keyed collapse (map-side combined), the
+    distributed rank pass, one final aggregate. Headroom:
+    n_b*cum_a ≤ n², far inside DECIMAL(38,0) at any row count whose
+    n_a*n_b fits the micro division (in-plan guard at 4.5e18).
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    is_a = F.col(group_col) == group_a
+    counts = base.groupBy(F.col(value_col).cast("long").alias("__v")).agg(
+        F.count(F.when(is_a, F.lit(1))).cast(D38).alias("__ca"),
+        F.count(F.when(~is_a, F.lit(1))).cast(D38).alias("__cb"),
+    )
+    ranked = global_ranked(
+        counts, ["__v"], sum_cols=["__ca", "__cb"],
+        num_partitions=num_partitions, rank_col="__rnk",
+    )
+    tot = base.agg(
+        F.count(F.when(is_a, F.lit(1))).cast(D38).alias("__na"),
+        F.count(F.when(~is_a, F.lit(1))).cast(D38).alias("__nb"),
+    )
+    dev = F.abs(
+        (F.col("__nb") * F.col("run___ca") - F.col("__na") * F.col("run___cb"))
+    ).cast(D38)
+    staged = ranked.crossJoin(F.broadcast(tot)).select(
+        "__v", F.col("__na"), F.col("__nb"), dev.alias("__dev")
+    )
+    gprod = guarded(
+        (F.col("__na") * F.col("__nb")).cast(D38)
+        > F.lit(4_500_000_000_000_000_000).cast(D38),
+        "ks_test: n_a*n_b > 4.5e18 — the micro division would leave"
+        " BIGINT; test a uniform sample",
+    )
+    agg = staged.groupBy().agg(
+        F.max("__na").cast(D38).alias("__na"),
+        F.max("__nb").cast(D38).alias("__nb"),
+        F.max("__dev").cast(D38).alias("__dmax"),
+        F.expr(
+            "max_by(__v, named_struct('d', CAST(__dev AS DECIMAL(38,0)),"
+            " 'negv', -__v))"
+        ).alias("__at"),
+    )
+    ok = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    return agg.select(
+        gprod(F.col("__na"), "long").alias("n_a"),
+        gprod(F.col("__nb"), "long").alias("n_b"),
+        F.when(
+            ok,
+            halfup_micro_div_cols_expr(
+                F.col("__dmax"), (F.col("__na") * F.col("__nb")).cast(D38)
+            ),
+        ).alias("d_micro"),
+        F.when(ok, F.col("__at").cast("long")).alias("ks_at_value"),
     )

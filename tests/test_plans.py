@@ -428,3 +428,44 @@ def test_r10_second_batch_plans_no_cartesian_python_free(spark, sf_dir):
     # 1-row single-partition collapse (also pinned in test_profile)
     plan = plan_of(parity.QUERIES["profile_numeric_correlations"](spark, sf_dir))
     assert "hashpartitioning" not in plan and "Join" not in plan
+
+
+def test_r10_stats_family_plans(spark, sf_dir):
+    """r10 stats family: no cartesian anywhere; never a Python eval in
+    the hot path; the distributed-rank queries (gini, mann-whitney,
+    skyline) range-partition the data and key every data window by the
+    range-partition id — their only single-partition frames are the
+    bounded offsets/survivors, and weighted_quantiles has NO
+    single-partition exchange at all."""
+    for q in (
+        "profile_gini_customer_revenue",
+        "stats_mann_whitney_events",
+        "stats_chi_square_orders",
+        "stats_weighted_quantiles_returnflag",
+        "stats_welch_ttest_events",
+        "stats_hhi_nation_revenue",
+        "skyline_parts",
+        "behavior_activity_streaks",
+        "ts_dow_profile",
+    ):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    for q in ("profile_gini_customer_revenue", "stats_mann_whitney_events",
+              "skyline_parts"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "Exchange rangepartitioning" in plan, q
+        assert "__pid" in plan, q
+    # weighted quantiles: deterministic bucket windows (keyed by the
+    # arithmetic __b bucket, never a bare per-group or global sort);
+    # the only single-partition frame is the 1-row (min, max) bounds
+    # aggregate, whose broadcast is the plan's only nested-loop join
+    plan = plan_of(parity.QUERIES["stats_weighted_quantiles_returnflag"](spark, sf_dir))
+    assert "__b" in plan
+    assert "__lo" in plan and "__width" in plan  # bounds ride a broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row bounds only
+    assert "Exchange rangepartitioning" not in plan  # no sampler anywhere
+    # contingency/seasonality grids broadcast their bounded frames
+    for q in ("stats_chi_square_orders", "ts_dow_profile"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
