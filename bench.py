@@ -177,6 +177,10 @@ BENCH_QUERIES = [
     "skyline_parts",
     "behavior_activity_streaks",
     "ts_dow_profile",
+    "stats_auc_doc_length",
+    "stats_ks_test_events",
+    "quality_functional_dependency",
+    "quality_key_candidates",
 ]
 
 

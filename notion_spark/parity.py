@@ -8792,6 +8792,211 @@ def ts_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_profile(e)
 
 
+@register(
+    "stats_auc_doc_length",
+    f"""
+    WITH base AS (
+        SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS y
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    counts AS (
+        SELECT v, CAST(COUNT(*) FILTER (y) AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (NOT y) AS HUGEINT) AS cb
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT *, ca + cb AS c,
+               CAST(SUM(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS run
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+               CAST(SUM(ca * (2 * (run - c) + c + 1)) AS HUGEINT) AS r2a
+        FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+           CASE WHEN na > 0 AND nb > 0
+                THEN {_hu('r2a - na * (na + 1)', '2 * na * nb')}
+                END AS auc_micro
+    FROM agg
+    """,
+)
+def stats_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of document length as a predictor of lang = 'en'
+    (`pipeline.stats.exact_auc`): AUC IS the rank-sum statistic with
+    midrank ties, so it reuses the doubled-midrank core — one exact
+    half-up micro division, no trapezoid float sums, the score frame
+    ranked by the distributed global_ranked. The corpus-scale
+    classifier-quality gate."""
+    from notion_spark.pipeline.stats import exact_auc
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    ).select(
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return exact_auc(d, "score", "label")
+
+
+@register(
+    "stats_ks_test_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    counts AS (
+        SELECT v, CAST(COUNT(*) FILTER (g = 'purchase') AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (g <> 'purchase') AS HUGEINT) AS cb
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb
+        FROM counts
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(ca) OVER w AS HUGEINT) AS ra,
+               CAST(SUM(cb) OVER w AS HUGEINT) AS rb
+        FROM counts
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    dev AS (
+        SELECT v, abs(tot.nb * ra - tot.na * rb) AS d, tot.na, tot.nb
+        FROM cum, tot
+    ),
+    m AS (SELECT MAX(d) AS dmax FROM dev)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN {_hu('m.dmax', 'na * nb')} END AS d_micro,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               (SELECT CAST(MIN(v) AS BIGINT) FROM dev WHERE d = m.dmax)
+               END AS ks_at_value
+    FROM tot, m
+    """,
+)
+def stats_ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between purchase and
+    click value distributions (`pipeline.stats.ks_test`): per-value
+    CDF deviations as exact integers |n_b*cum_a - n_a*cum_b| over the
+    distributed-ranked distinct-value frame, one half-up micro
+    division for D, smallest-value argmax. The whole-CDF drift gate a
+    mean test cannot see."""
+    from notion_spark.pipeline.stats import ks_test
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("x"),
+    )
+    return ks_test(e, "event_type", "x", "purchase", "click")
+
+
+@register(
+    "quality_functional_dependency",
+    f"""
+    WITH base AS (
+        SELECT o_custkey AS l, o_orderpriority AS r
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    images AS (
+        SELECT l, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT DISTINCT l, r FROM base WHERE r IS NOT NULL)
+        GROUP BY 1
+    ),
+    u AS (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS n_lhs FROM base),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base),
+    v AS (
+        SELECT CAST(COUNT(*) FILTER (k > 1) AS BIGINT) AS n_violating_lhs,
+               CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_rhs_distinct
+        FROM images
+    )
+    SELECT nr.n_rows, u.n_lhs, v.n_violating_lhs,
+           CAST(CASE WHEN u.n_lhs > 0
+                THEN {_hu('v.n_violating_lhs', 'u.n_lhs')}
+                ELSE 0 END AS BIGINT) AS violation_ppm,
+           v.max_rhs_distinct
+    FROM nr, u, v
+    """,
+)
+def quality_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit o_custkey → o_orderpriority
+    (`pipeline.expectations.functional_dependency`): the cross-column
+    gate — violating LHS count, worst fan-out, half-up violation ppm —
+    over one distinct collapse and one LHS count, all map-side
+    combined. (The FD does NOT hold on this data; the audit
+    quantifies by how much.)"""
+    from notion_spark.pipeline.expectations import functional_dependency
+
+    o = read_table(spark, sf_dir, "orders")
+    return functional_dependency(o, "o_custkey", "o_orderpriority")
+
+
+@register(
+    "quality_key_candidates",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'o_orderkey' AS col_name, n.n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           (COUNT(DISTINCT o_orderkey) = n.n_rows
+            AND COUNT(o_orderkey) = n.n_rows) AS is_unique_key
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_custkey', n.n_rows, CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           (COUNT(DISTINCT o_custkey) = n.n_rows
+            AND COUNT(o_custkey) = n.n_rows)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_orderstatus', n.n_rows, CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           (COUNT(DISTINCT o_orderstatus) = n.n_rows
+            AND COUNT(o_orderstatus) = n.n_rows)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_totalprice', n.n_rows, CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           (COUNT(DISTINCT o_totalprice) = n.n_rows
+            AND COUNT(o_totalprice) = n.n_rows)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_orderdate', n.n_rows, CAST(COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           (COUNT(DISTINCT o_orderdate) = n.n_rows
+            AND COUNT(o_orderdate) = n.n_rows)
+    FROM orders, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'o_orderpriority', n.n_rows, CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           (COUNT(DISTINCT o_orderpriority) = n.n_rows
+            AND COUNT(o_orderpriority) = n.n_rows)
+    FROM orders, n GROUP BY n.n_rows
+    """,
+)
+def quality_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit over every orders column
+    (`pipeline.expectations.key_candidates`): exact row / non-null /
+    distinct counts and the is-unique-key verdict in ONE aggregate —
+    Catalyst's multi-distinct Expand reads the table once. The
+    schema-discovery pass before declaring merge keys."""
+    from notion_spark.pipeline.expectations import key_candidates
+
+    o = read_table(spark, sf_dir, "orders")
+    return key_candidates(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

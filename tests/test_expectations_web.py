@@ -209,3 +209,64 @@ class TestReferentialIntegrity:
         parent = spark.createDataFrame([(1,), (1,)], "pk long")
         r = referential_integrity(child, parent, "fk", "pk").collect()[0]
         assert (r.n_child, r.n_orphans) == (2, 1)
+
+
+class TestFunctionalDependency:
+    def test_hand_case(self, spark):
+        from notion_spark.pipeline.expectations import functional_dependency
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, None)],
+            "l int, r string")
+        r = functional_dependency(df, "l", "r").collect()[0]
+        assert r.n_rows == 5 and r.n_lhs == 3
+        assert r.n_violating_lhs == 1  # lhs=2 -> {b, c}
+        assert r.max_rhs_distinct == 2
+        assert r.violation_ppm == 333_333  # half-up 1/3
+
+    def test_fd_holds(self, spark):
+        from notion_spark.pipeline.expectations import functional_dependency
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y")], "l int, r string")
+        r = functional_dependency(df, "l", "r").collect()[0]
+        assert r.n_violating_lhs == 0 and r.max_rhs_distinct == 1
+        assert r.violation_ppm == 0
+
+    def test_null_rhs_never_violates_and_null_lhs_excluded(self, spark):
+        from notion_spark.pipeline.expectations import functional_dependency
+
+        df = spark.createDataFrame(
+            [(1, "x"), (1, None), (None, "z"), (4, None)], "l int, r string")
+        r = functional_dependency(df, "l", "r").collect()[0]
+        # lhs=1 maps to {x} (null ignored); lhs=4 all-null; lhs NULL dropped
+        assert r.n_rows == 3 and r.n_lhs == 2
+        assert r.n_violating_lhs == 0
+
+
+class TestKeyCandidates:
+    def test_detects_unique_key(self, spark):
+        from notion_spark.pipeline.expectations import key_candidates
+
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "b", 5), (3, "a", 6)], "id int, g string, v int")
+        got = {r.col_name: r for r in key_candidates(df, ["id", "g", "v"]).collect()}
+        assert got["id"].is_unique_key
+        assert got["id"].n_distinct == 3
+        assert not got["g"].is_unique_key and got["g"].n_distinct == 2
+        assert not got["v"].is_unique_key
+
+    def test_null_blocks_key(self, spark):
+        from notion_spark.pipeline.expectations import key_candidates
+
+        df = spark.createDataFrame([(1,), (None,)], "id int")
+        r = key_candidates(df, ["id"]).collect()[0]
+        assert r.n_rows == 2 and r.n_nonnull == 1 and not r.is_unique_key
+
+    def test_empty_cols_raises(self, spark):
+        import pytest
+        from notion_spark.pipeline.expectations import key_candidates
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError):
+            key_candidates(df, [])

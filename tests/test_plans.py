@@ -469,3 +469,21 @@ def test_r10_stats_family_plans(spark, sf_dir):
     for q in ("stats_chi_square_orders", "ts_dow_profile"):
         plan = plan_of(parity.QUERIES[q](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, q
+
+
+def test_r10_auc_ks_quality_plans(spark, sf_dir):
+    """r10 batch C: AUC/KS ride the distributed-rank shape (range
+    exchange + __pid windows); FD/key audits are pure aggregates; the
+    only nested-loop joins are 1-row broadcast frames (totals/bounds)
+    and the key audit's multi-distinct compiles to ONE Expand read."""
+    for q in ("stats_auc_doc_length", "stats_ks_test_events",
+              "quality_functional_dependency", "quality_key_candidates"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    for q in ("stats_auc_doc_length", "stats_ks_test_events"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "Exchange rangepartitioning" in plan, q
+        assert "__pid" in plan, q
+    plan = plan_of(parity.QUERIES["quality_key_candidates"](spark, sf_dir))
+    assert "Expand" in plan

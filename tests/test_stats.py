@@ -264,3 +264,69 @@ def test_mann_whitney_partition_invariant(spark):
     b = S.mann_whitney_u(df.repartition(13), "g", "v", "a", "b",
                          num_partitions=5).collect()[0]
     assert a == b
+
+
+# ------------------------------------------------------------------- exact auc
+
+def test_auc_extremes_and_reference(spark):
+    # perfect separation
+    perfect = spark.createDataFrame(
+        [(i, i, i >= 5) for i in range(10)], "k int, s int, y boolean")
+    assert S.exact_auc(perfect, "s", "y").collect()[0].auc_micro == 1_000_000
+    # anti-predictor
+    anti = spark.createDataFrame(
+        [(i, -i, i >= 5) for i in range(10)], "k int, s int, y boolean")
+    assert S.exact_auc(anti, "s", "y").collect()[0].auc_micro == 0
+    # constant score -> exactly 1/2 via midranks
+    const = spark.createDataFrame(
+        [(i, 7, i % 2 == 0) for i in range(10)], "k int, s int, y boolean")
+    assert S.exact_auc(const, "s", "y").collect()[0].auc_micro == 500_000
+    # tie-heavy reference
+    rows = [(i, (i * 7) % 13, i % 3 == 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, s int, y boolean")
+    r = S.exact_auc(df, "s", "y").collect()[0]
+    pos = [s for _, s, l in rows if l]
+    neg = [s for _, s, l in rows if not l]
+    wins2 = 2 * sum(1 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n)
+    assert r.auc_micro == _halfup_micro(wins2, 2 * len(pos) * len(neg))
+
+
+def test_auc_single_class_null(spark):
+    df = spark.createDataFrame([(1, 5, True), (2, 6, True)], "k int, s int, y boolean")
+    r = S.exact_auc(df, "s", "y").collect()[0]
+    assert r.auc_micro is None and r.n_neg == 0
+
+
+# --------------------------------------------------------------------- ks test
+
+def test_ks_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "g string, v int")
+    r = S.ks_test(same, "g", "v", "a", "b").collect()[0]
+    assert r.d_micro == 0
+    disjoint = spark.createDataFrame(
+        [("a", v) for v in (1, 2)] + [("b", v) for v in (10, 20)],
+        "g string, v int")
+    r2 = S.ks_test(disjoint, "g", "v", "a", "b").collect()[0]
+    assert r2.d_micro == 1_000_000 and r2.ks_at_value == 2
+
+
+def test_ks_matches_cdf_scan(spark):
+    import bisect
+
+    rows = [("a", (i * 13) % 29) for i in range(40)] + [
+        ("b", (i * 11) % 23) for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = S.ks_test(df, "g", "v", "a", "b").collect()[0]
+    a = sorted(v for g, v in rows if g == "a")
+    b = sorted(v for g, v in rows if g == "b")
+    best, at = -1, None
+    for v in sorted(set(a + b)):
+        d = abs(len(b) * bisect.bisect_right(a, v) - len(a) * bisect.bisect_right(b, v))
+        if d > best:
+            best, at = d, v
+    assert r.d_micro == _halfup_micro(best, len(a) * len(b))
+    assert r.ks_at_value == at
