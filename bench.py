@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     "stats_ks_test_events",
     "quality_functional_dependency",
     "quality_key_candidates",
+    "ts_changepoint_events",
+    "profile_tv_weekend_events",
+    "behavior_conversion_latency",
+    "agg_mode_status",
 ]
 
 

@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from notion_spark.functions.dates import week_ending
 
@@ -104,4 +105,39 @@ def crosstab_counts(df: DataFrame, row_col: str, pivot_col: str, pivot_values: S
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(pivot_values))
         .orderBy(F.asc(row_col))
+    )
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Deterministic mode per group — the most frequent non-null value,
+    smallest value under ties (Spark has no mode aggregate with pinned
+    tie semantics; an unpinned one can't hash-match anything). One row
+    per group: (group, mode_value, mode_count, n_distinct).
+
+    Two map-side-combined aggregations: (group, value) counts, then a
+    per-group reduce that keeps max count, distinct-value count, and
+    the tie-broken winner via min(value) over rows carrying the max —
+    expressed as one max_by over a (count, value) ordering for numeric
+    values OR the filter-join-free two-pass below, which works for ANY
+    orderable type (strings included): the second groupBy computes
+    max_count, and the winner is min(value) among rows whose count
+    equals it, folded into the same aggregate with a conditional min
+    over a window-free structure (self-join-free: the max rides a
+    window over the tiny (group, value) counts frame).
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"), F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    wg = Window.partitionBy("group")
+    staged = counts.withColumn("__mx", F.max("__c").over(wg))
+    return staged.groupBy("group").agg(
+        F.min(F.when(F.col("__c") == F.col("__mx"), F.col("__v"))).alias("mode_value"),
+        F.max("__mx").cast("long").alias("mode_count"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
     )

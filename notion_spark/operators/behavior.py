@@ -752,3 +752,59 @@ def activity_streaks(
         F.max("__len").cast("long").alias("longest_streak"),
         F.max("__end").cast("long").alias("last_day"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    first_step: str = "view",
+    last_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    q_ppm: Sequence[int] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Time-to-convert distribution: for each user, the latency from
+    their FIRST ``first_step`` event to their first ``last_step``
+    event at-or-after it, then the exact corpus-wide latency quantiles
+    (funnel_counts says HOW MANY convert; this says HOW FAST). One row
+    per quantile: (q_ppm, latency_us, n_converted).
+
+    Latencies are exact integer microseconds (unix_micros — the
+    NTZ→LTZ cast is wall-clock identity under the pinned UTC session
+    zone); the quantile is the repo's lower-quantile pick via
+    `stats.weighted_quantiles` (weight 1), so the reported latency is
+    always an observed one and the whole path inherits the
+    deterministic-bucket two-level plan — no single-task sort of the
+    per-user latency frame (|users| rows: billions at 100 TB).
+
+    Scale shape: one conditional-min per user for the first step
+    (map-side), one user-keyed join + filtered min for the converting
+    step, then the bucketed quantile pick. Users who never reach
+    ``first_step`` or never convert are excluded (n_converted carries
+    the denominator-of-converters; pair with funnel_counts for rates).
+    """
+    from notion_spark.pipeline.stats import weighted_quantiles
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("long")
+    ev = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("user"), F.col(type_col).alias("t"), us.alias("__us")
+    )
+    first = (
+        ev.filter(F.col("t") == first_step)
+        .groupBy("user")
+        .agg(F.min("__us").alias("__fv"))
+    )
+    conv = (
+        ev.filter(F.col("t") == last_step)
+        .join(first, "user")
+        .filter(F.col("__us") >= F.col("__fv"))
+        .groupBy("user")
+        .agg((F.min("__us") - F.min("__fv")).cast("long").alias("__lat"))
+    )
+    lat = conv.select(F.lit("all").alias("__g"), F.col("__lat"), F.lit(1).alias("__w"))
+    qs = weighted_quantiles(lat, "__g", "__lat", "__w", q_ppm)
+    return qs.select(
+        F.col("q_ppm"),
+        F.col("value").alias("latency_us"),
+        F.col("total_weight").alias("n_converted"),
+    )

@@ -337,3 +337,79 @@ def dow_profile(
         .cast("long")
         .alias("deviation_ppm"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    series_col: str = "event_type",
+) -> DataFrame:
+    """CUSUM change-point detection over daily counts per series — did
+    this event stream's level SHIFT, and when? One row per series:
+    (series, n_days, total, changepoint_day, cusum_micro) where the
+    classic cumulative-sum statistic S_t = Σ_{i≤t}(x_i - mean) is
+    carried EXACTLY as T_t = n*cum_t - t*total (the n-scaled form —
+    no float mean ever exists), the change-point is the day with max
+    |T_t| (smallest day under ties, max_by over a (|T|, -day)
+    struct), and cusum_micro = halfup(max|T|, n*total) normalizes to
+    [0, 1e6] (0 = flat, large = a level shift splits the window
+    there). Days are integer days-since-epoch (the pinned date
+    arithmetic, no engine dow/week). Series with total = 0 yield NULL.
+
+    Scale shape: the data collapses to the (series, day) count frame
+    (map-side combined) — per-series windows then run over calendar
+    days, bounded by the observation span (a 3-year daily panel is
+    ~1.1k rows per series), never by the event count. Headroom:
+    n*cum ≤ days*N ≤ far inside DECIMAL(38,0).
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(series_col).isNotNull())
+        .select(
+            F.col(series_col).alias("series"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("__d"),
+        )
+        .groupBy("series", "__d")
+        .agg(F.count(F.lit(1)).cast(D38).alias("__x"))
+    )
+    w = Window.partitionBy("series").orderBy(F.asc("__d"))
+    wall = Window.partitionBy("series").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = daily.select(
+        "series",
+        "__d",
+        F.sum("__x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.row_number().over(w).cast("long").alias("__t"),
+        F.count(F.lit(1)).over(wall).cast(D38).alias("__n"),
+        F.sum("__x").over(wall).cast(D38).alias("__tot"),
+    ).withColumn(
+        "__T",
+        (F.col("__n") * F.col("__cum") - F.col("__t") * F.col("__tot")).cast(D38),
+    )
+    agg = staged.groupBy("series").agg(
+        F.max("__n").cast("long").alias("n_days"),
+        F.max("__tot").cast("long").alias("total"),
+        F.max(F.abs(F.col("__T"))).cast(D38).alias("__tmax"),
+        F.expr(
+            "max_by(__d, named_struct('t', CAST(abs(__T) AS DECIMAL(38,0)),"
+            " 'negd', -__d))"
+        ).alias("changepoint_day"),
+    )
+    return agg.select(
+        "series",
+        "n_days",
+        "total",
+        F.col("changepoint_day").cast("long").alias("changepoint_day"),
+        F.when(
+            F.col("total") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("__tmax"),
+                (F.col("n_days").cast(D38) * F.col("total").cast(D38)).cast(D38),
+            ),
+        ).alias("cusum_micro"),
+    )

@@ -8997,6 +8997,196 @@ def quality_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_changepoint_events",
+    f"""
+    WITH daily AS (
+        SELECT event_type AS series,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT series, d,
+               CAST(SUM(x) OVER w AS HUGEINT) AS cum,
+               CAST(row_number() OVER w2 AS HUGEINT) AS t,
+               CAST(COUNT(*) OVER wp AS HUGEINT) AS n,
+               CAST(SUM(x) OVER wp AS HUGEINT) AS tot
+        FROM daily
+        WINDOW w AS (PARTITION BY series ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY series ORDER BY d),
+               wp AS (PARTITION BY series)
+    ),
+    tt AS (SELECT series, d, abs(n * cum - t * tot) AS T FROM staged),
+    s AS (
+        SELECT series, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS tot
+        FROM daily GROUP BY 1
+    ),
+    m AS (SELECT series, MAX(T) AS tmax FROM tt GROUP BY 1),
+    cp AS (
+        SELECT tt.series, CAST(MIN(tt.d) AS BIGINT) AS cpd
+        FROM tt JOIN m ON m.series = tt.series AND tt.T = m.tmax
+        GROUP BY 1
+    )
+    SELECT s.series, CAST(s.n AS BIGINT) AS n_days,
+           CAST(s.tot AS BIGINT) AS total,
+           cp.cpd AS changepoint_day,
+           CASE WHEN s.tot > 0 THEN {_hu('m.tmax', 's.n * s.tot')}
+                END AS cusum_micro
+    FROM s
+    JOIN m ON m.series = s.series
+    JOIN cp ON cp.series = s.series
+    """,
+)
+def ts_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type
+    (`operators.timeseries.cusum_changepoint`): the n-scaled exact
+    form T_t = n*cum_t - t*total over the (series, day) count frame —
+    no float mean ever exists — with the smallest-day argmax and a
+    half-up normalized magnitude. Per-series windows bounded by
+    calendar days, never event counts."""
+    from notion_spark.operators.timeseries import cusum_changepoint
+
+    e = read_table(spark, sf_dir, "events")
+    return cusum_changepoint(e)
+
+
+@register(
+    "profile_tv_weekend_events",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7
+                         IN (0, 6)
+                    THEN 'weekend' ELSE 'weekday' END AS g,
+               event_type AS c
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT c, CAST(COUNT(*) FILTER (g = 'weekend') AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (g <> 'weekend') AS HUGEINT) AS cb
+        FROM base GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n_categories
+        FROM counts
+    ),
+    l1 AS (
+        SELECT CAST(SUM(abs(agg.nb * ca - agg.na * cb)) AS HUGEINT) AS l
+        FROM counts, agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, n_categories,
+           CASE WHEN na > 0 AND nb > 0 THEN {_hu('l', '2 * na * nb')}
+                END AS tv_micro
+    FROM agg, l1
+    """,
+)
+def profile_tv_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the weekend and weekday
+    event-type mixes (`pipeline.profile.tv_distance`): the exact L1
+    drift number over cross-multiplied integer counts — no
+    per-category float ratios — one category-keyed groupBy and one
+    half-up micro division. Weekend derives from the pinned
+    (days+4) mod 7 arithmetic."""
+    from notion_spark.pipeline.profile import tv_distance
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.when(
+            (
+                (
+                    F.datediff(
+                        F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+                    )
+                    + 4
+                )
+                % 7
+            ).isin([0, 6]),
+            F.lit("weekend"),
+        )
+        .otherwise(F.lit("weekday"))
+        .alias("g"),
+        "event_type",
+    )
+    return tv_distance(e, "g", "event_type", "weekend", "weekday")
+
+
+@register(
+    "behavior_conversion_latency",
+    """
+    WITH fv AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS fv FROM events
+        WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ),
+    conv AS (
+        SELECT e.user_id,
+               CAST(MIN(epoch_us(e.ts)) - MIN(fv.fv) AS BIGINT) AS lat
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+          AND epoch_us(e.ts) >= fv.fv
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM conv),
+    ranked AS (
+        SELECT lat, CAST(row_number() OVER (ORDER BY lat) AS HUGEINT) AS r
+        FROM conv
+    ),
+    qs AS (SELECT * FROM (VALUES (250000), (500000), (750000)) AS q(q_ppm))
+    SELECT CAST(q.q_ppm AS BIGINT) AS q_ppm,
+           CAST(MIN(CASE WHEN r * 1000000 >= CAST(q.q_ppm AS HUGEINT) * n.n
+                         THEN lat END) AS BIGINT) AS latency_us,
+           CAST(MAX(n.n) AS BIGINT) AS n_converted
+    FROM ranked, n, qs q
+    GROUP BY 1
+    """,
+)
+def behavior_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase time-to-convert quantiles
+    (`operators.behavior.conversion_latency`): per-user first-view to
+    first-purchase-after latency in exact microseconds, corpus
+    quantiles via the deterministic-bucket weighted_quantiles plan —
+    no single-task sort of the |users|-row latency frame. funnel says
+    HOW MANY; this says HOW FAST."""
+    from notion_spark.operators.behavior import conversion_latency
+
+    e = read_table(spark, sf_dir, "events")
+    return conversion_latency(e)
+
+
+@register(
+    "agg_mode_status",
+    """
+    WITH counts AS (
+        SELECT o_orderpriority AS "group", o_orderstatus AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderstatus IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT "group", MAX(c) AS m FROM counts GROUP BY 1)
+    SELECT counts."group",
+           MIN(CASE WHEN c = m THEN v END) AS mode_value,
+           CAST(MAX(m) AS BIGINT) AS mode_count,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM counts JOIN mx ON mx."group" = counts."group"
+    GROUP BY 1
+    """,
+)
+def agg_mode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode of order status per priority
+    (`operators.aggregates.mode_per_group`): most frequent value,
+    smallest under ties — the pinned-tie mode aggregate Spark lacks;
+    two map-side aggregations over the bounded (group, value) counts
+    frame."""
+    from notion_spark.operators.aggregates import mode_per_group
+
+    o = read_table(spark, sf_dir, "orders")
+    return mode_per_group(o, "o_orderpriority", "o_orderstatus")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

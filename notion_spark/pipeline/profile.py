@@ -420,3 +420,64 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
             "deviation_ppm", (F.col("obs_ppm") - F.col("expected_ppm")).cast("long")
         )
     )
+
+
+def tv_distance(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Total-variation distance between two cohorts' categorical
+    distributions — the exact drift number for "did the event-type /
+    language / source mix shift?" (TV = half the L1 gap between the
+    two normalized histograms; 0 = identical mix, 1e6 = disjoint).
+    Single row: (n_a, n_b, n_categories, tv_micro) with
+
+        TV = Σ_cat |n_b*c_a(cat) - n_a*c_b(cat)| / (2*n_a*n_b)
+
+    — the cross-multiplied form keeps every term an exact integer (no
+    per-category float ratios whose summation order could drift), and
+    tv_micro is ONE half-up micro division. Categories present in only
+    one cohort contribute their full one-sided mass. NULL categories
+    are excluded; an empty cohort yields NULL.
+
+    Scale shape: one category-keyed conditional-count groupBy
+    (map-side combined, the category universe is the shuffle width)
+    and a 1-row reduce; totals ride the same collapsed frame.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & F.col(cat_col).isNotNull()
+    )
+    is_a = F.col(group_col) == group_a
+    counts = base.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.when(is_a, F.lit(1))).cast(D38).alias("__ca"),
+        F.count(F.when(~is_a, F.lit(1))).cast(D38).alias("__cb"),
+    )
+    agg = counts.agg(
+        F.sum("__ca").cast(D38).alias("__na"),
+        F.sum("__cb").cast(D38).alias("__nb"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    dev = counts.crossJoin(F.broadcast(agg)).select(
+        F.abs(F.col("__nb") * F.col("__ca") - F.col("__na") * F.col("__cb"))
+        .cast(D38)
+        .alias("__dev")
+    ).agg(F.sum("__dev").cast(D38).alias("__l1"))
+    out = agg.crossJoin(F.broadcast(dev))
+    return out.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        "n_categories",
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            halfup_micro_div_cols_expr(
+                F.col("__l1"),
+                (F.lit(2).cast(D38) * F.col("__na") * F.col("__nb")).cast(D38),
+            ),
+        ).alias("tv_micro"),
+    )

@@ -920,3 +920,37 @@ class TestActivityStreaks:
         rows = [("u", datetime(2024, 1, 1)), ("u", None)]
         out = activity_streaks(self._ev(spark, rows)).collect()[0]
         assert out.active_days == 1
+
+
+class TestConversionLatency:
+    def test_latency_quantiles_hand_case(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import conversion_latency
+
+        rows = [
+            ("u1", datetime(2024, 1, 1, 0, 0, 0), "view"),
+            ("u1", datetime(2024, 1, 1, 0, 0, 10), "purchase"),
+            ("u1", datetime(2024, 1, 2), "purchase"),      # later ones ignored
+            ("u2", datetime(2024, 1, 1, 0, 0, 0), "view"),
+            ("u2", datetime(2024, 1, 1, 0, 1, 0), "purchase"),
+            ("u3", datetime(2024, 1, 1), "purchase"),      # no view: excluded
+            ("u4", datetime(2024, 1, 1), "view"),          # never converts
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        out = {r.q_ppm: r for r in conversion_latency(df).collect()}
+        assert out[500_000].latency_us == 10_000_000  # lower median of {10s, 60s}
+        assert out[750_000].latency_us == 60_000_000
+        assert all(r.n_converted == 2 for r in out.values())
+
+    def test_purchase_before_first_view_not_counted(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import conversion_latency
+
+        rows = [
+            ("u", datetime(2024, 1, 1, 5), "purchase"),   # before first view
+            ("u", datetime(2024, 1, 1, 6), "view"),
+            ("u", datetime(2024, 1, 1, 8), "purchase"),   # 2h after
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+        out = conversion_latency(df, q_ppm=(500_000,)).collect()
+        assert out[0].latency_us == 2 * 3600 * 1_000_000

@@ -195,3 +195,24 @@ def test_melt_zero_shuffle_and_shape(spark, sf_dir):
 
     with pytest.raises(ValueError):
         melt(li, ["l_orderkey"], [])
+
+
+class TestModePerGroup:
+    def test_mode_with_deterministic_tie_break(self, spark):
+        from notion_spark.operators.aggregates import mode_per_group
+
+        rows = [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+                ("g2", "z")]
+        df = spark.createDataFrame(rows, "g string, v string")
+        out = {r.group: r for r in mode_per_group(df, "g", "v").collect()}
+        assert out["g1"].mode_value == "a"  # tie a/b at 2 -> smallest
+        assert out["g1"].mode_count == 2 and out["g1"].n_distinct == 3
+        assert out["g2"].mode_value == "z" and out["g2"].mode_count == 1
+
+    def test_nulls_excluded(self, spark):
+        from notion_spark.operators.aggregates import mode_per_group
+
+        df = spark.createDataFrame(
+            [("g", None), ("g", None), ("g", "x")], "g string, v string")
+        r = mode_per_group(df, "g", "v").collect()[0]
+        assert r.mode_value == "x" and r.n_distinct == 1

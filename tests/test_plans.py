@@ -487,3 +487,21 @@ def test_r10_auc_ks_quality_plans(spark, sf_dir):
         assert "__pid" in plan, q
     plan = plan_of(parity.QUERIES["quality_key_candidates"](spark, sf_dir))
     assert "Expand" in plan
+
+
+def test_r10_batch_d_plans(spark, sf_dir):
+    """r10 batch D: changepoint/TV/mode reduce to bounded-frame
+    aggregates with no cartesian and no Python; conversion latency
+    inherits the deterministic-bucket quantile plan (no range
+    sampler)."""
+    for q in ("ts_changepoint_events", "profile_tv_weekend_events",
+              "behavior_conversion_latency", "agg_mode_status"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["behavior_conversion_latency"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    assert "__b" in plan  # bucketed quantile path
+    # changepoint collapses to the (series, day) frame before windows
+    plan = plan_of(parity.QUERIES["ts_changepoint_events"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -221,3 +221,29 @@ class TestBenfordProfile:
         df = spark.createDataFrame([], "v long")
         out = benford_profile(df, "v").collect()
         assert len(out) == 9 and all(r.n == 0 and r.obs_ppm == 0 for r in out)
+
+
+def test_tv_distance_hand_cases(spark):
+    from notion_spark.pipeline.profile import tv_distance
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 4 + [("b", "x")] * 2 + [("b", "y")] * 8
+    df = spark.createDataFrame(rows, "g string, c string")
+    r = tv_distance(df, "g", "c", "a", "b").collect()[0]
+    assert r.tv_micro == 400_000  # 0.5*(|.6-.2| + |.4-.8|)
+    assert r.n_categories == 2 and r.n_a == 10 and r.n_b == 10
+    # identical mixes -> 0
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "g string, c string")
+    assert tv_distance(same, "g", "c", "a", "b").collect()[0].tv_micro == 0
+    # disjoint supports -> exactly 1e6, one-sided categories counted
+    disj = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "z")], "g string, c string")
+    r3 = tv_distance(disj, "g", "c", "a", "b").collect()[0]
+    assert r3.tv_micro == 1_000_000 and r3.n_categories == 2
+
+
+def test_tv_distance_empty_cohort_null(spark):
+    from notion_spark.pipeline.profile import tv_distance
+
+    df = spark.createDataFrame([("a", "x")], "g string, c string")
+    assert tv_distance(df, "g", "c", "a", "b").collect()[0].tv_micro is None

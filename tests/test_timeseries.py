@@ -203,3 +203,44 @@ class TestDowProfile:
         shares = [r.share_ppm for r in dow_profile(df).collect()]
         # half-up rounding keeps the 7-way split within 7 ppm of 1e6
         assert abs(sum(shares) - 1_000_000) <= 7
+
+
+class TestCusumChangepoint:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "event_id string, ts timestamp, event_type string")
+
+    def test_level_shift_detected_at_regime_boundary(self, spark):
+        from datetime import date, datetime, timedelta
+        from notion_spark.operators.timeseries import cusum_changepoint
+
+        rows = []
+        for d in range(20):
+            for i in range(2 if d < 10 else 8):
+                rows.append((f"e{d}_{i}",
+                             datetime(2024, 1, 1) + timedelta(days=d, hours=i), "a"))
+        r = cusum_changepoint(self._ev(spark, rows)).collect()[0]
+        # |S| peaks on the LAST day of the old regime (Jan 10)
+        assert r.changepoint_day == (date(2024, 1, 10) - date(1970, 1, 1)).days
+        # |T|max = |20*20 - 10*100| = 600 over n*total = 2000 -> 0.3
+        assert r.cusum_micro == 300_000
+        assert r.n_days == 20 and r.total == 100
+
+    def test_flat_series_near_zero(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import cusum_changepoint
+
+        rows = [(f"e{d}", datetime(2024, 1, 1) + timedelta(days=d), "a")
+                for d in range(10)]
+        r = cusum_changepoint(self._ev(spark, rows)).collect()[0]
+        assert r.cusum_micro == 0  # perfectly flat: S_t == 0 everywhere
+
+    def test_series_isolated(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import cusum_changepoint
+
+        rows = [(f"a{d}", datetime(2024, 1, 1) + timedelta(days=d), "a")
+                for d in range(5)]
+        rows += [(f"b{d}", datetime(2024, 1, 1) + timedelta(days=d), "b")
+                 for d in range(3)]
+        out = {r.series: r for r in cusum_changepoint(self._ev(spark, rows)).collect()}
+        assert out["a"].n_days == 5 and out["b"].n_days == 3
