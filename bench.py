@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "profile_tv_weekend_events",
     "behavior_conversion_latency",
     "agg_mode_status",
+    "stats_rank_normalize_prices",
+    "diff_revenue_drivers",
+    "profile_correlations_by_flag",
 ]
 
 

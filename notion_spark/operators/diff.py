@@ -96,3 +96,43 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out.select(*keys, "change_type", *[f"old_{c}" for c in cols], *[f"new_{c}" for c in cols])
+
+
+def delta_drivers(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 15,
+) -> DataFrame:
+    """Top-k contributors to a metric delta between two periods /
+    snapshots — the "WHY did revenue move?" decomposition behind every
+    BI deep-dive: aggregate ``value_col`` per ``key_col`` on each
+    side, full-outer align (a key absent on one side contributes its
+    whole mass), and keep the k keys with the largest |delta| under
+    the (|delta| desc, delta desc, key asc) total order — deterministic
+    through exact integer arithmetic, ties broken by key.
+
+    Output: (key, value_a, value_b, delta) with absent sides as 0.
+    Scale shape: two map-side-combined aggregates, one key-aligned
+    full-outer join on the REDUCED frames (never raw rows), and a
+    TakeOrdered top-k — no global sort.
+    """
+    a = df_a.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("value_a")
+    )
+    b = df_b.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("value_b")
+    )
+    joined = (
+        a.join(b, "key", "full_outer")
+        .withColumn("value_a", F.coalesce(F.col("value_a"), F.lit(0).cast("long")))
+        .withColumn("value_b", F.coalesce(F.col("value_b"), F.lit(0).cast("long")))
+        .withColumn("delta", (F.col("value_b") - F.col("value_a")).cast("long"))
+    )
+    return (
+        joined.orderBy(
+            F.abs(F.col("delta")).desc(), F.col("delta").desc(), F.col("key").asc()
+        )
+        .limit(k)
+    )

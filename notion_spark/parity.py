@@ -9187,6 +9187,160 @@ def agg_mode_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_per_group(o, "o_orderpriority", "o_orderstatus")
 
 
+@register(
+    "stats_rank_normalize_prices",
+    """
+    WITH ints AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM orders
+    ),
+    counts AS (
+        SELECT v AS value, COUNT(*) AS cnt FROM ints
+        WHERE v IS NOT NULL GROUP BY 1
+    ),
+    ranks AS (
+        SELECT value,
+               CAST(floor((SUM(cnt) OVER (ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       * 2000000 + SUM(cnt) OVER ())
+                       / (2 * SUM(cnt) OVER ())) AS BIGINT) / 1000000.0
+                   AS v_qrank
+        FROM counts
+    )
+    SELECT i.o_orderkey, i.v, r.v_qrank
+    FROM ints i LEFT JOIN ranks r ON i.v = r.value
+    """,
+)
+def stats_rank_normalize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable empirical-CDF rank transform of order totals
+    (`pipeline.stats.rank_normalize`): the quantile_rank semantics
+    (max-rank fraction, frac6 half-up, equal values share one rank)
+    with cumulative counts from the distributed global_ranked — the
+    near-continuous-feature case where the bounded-frame variant's
+    cardinality guard would refuse. The oracle does the flat window;
+    the hash proves the two-level form identical on every row."""
+    from notion_spark.pipeline.stats import rank_normalize
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("v"),
+    )
+    return rank_normalize(o, "v")
+
+
+@register(
+    "diff_revenue_drivers",
+    """
+    WITH a AS (
+        SELECT o_custkey AS key,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS value_a
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT o_custkey AS key,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS value_b
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    joined AS (
+        SELECT COALESCE(a.key, b.key) AS key,
+               CAST(COALESCE(a.value_a, 0) AS BIGINT) AS value_a,
+               CAST(COALESCE(b.value_b, 0) AS BIGINT) AS value_b,
+               CAST(COALESCE(b.value_b, 0) - COALESCE(a.value_a, 0)
+                    AS BIGINT) AS delta
+        FROM a FULL OUTER JOIN b ON a.key = b.key
+    )
+    SELECT key, value_a, value_b, delta FROM joined
+    ORDER BY abs(delta) DESC, delta DESC, key ASC LIMIT 15
+    """,
+)
+def diff_revenue_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 customers driving the revenue delta between the pre- and
+    post-1998 periods (`operators.diff.delta_drivers`): per-key
+    aggregates on each side, full-outer alignment (absent side = 0),
+    TakeOrdered under the (|delta| desc, delta desc, key asc) total
+    order — the "why did the metric move" decomposition with no
+    global sort."""
+    from notion_spark.operators.diff import delta_drivers
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    a = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    b = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return delta_drivers(a, b, "o_custkey", "cents", k=15)
+
+
+@register(
+    "profile_correlations_by_flag",
+    """
+    WITH ints AS (
+        SELECT l_returnflag AS "group",
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c,
+               CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_c
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ),
+    m AS (
+        SELECT "group",
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(qty) AS HUGEINT) AS s_q,
+               CAST(SUM(CAST(qty AS HUGEINT) * qty) AS HUGEINT) AS ss_q,
+               CAST(SUM(disc_c) AS HUGEINT) AS s_d,
+               CAST(SUM(CAST(disc_c AS HUGEINT) * disc_c) AS HUGEINT) AS ss_d,
+               CAST(SUM(tax_c) AS HUGEINT) AS s_t,
+               CAST(SUM(CAST(tax_c AS HUGEINT) * tax_c) AS HUGEINT) AS ss_t,
+               CAST(SUM(CAST(qty AS HUGEINT) * disc_c) AS HUGEINT) AS sp_qd,
+               CAST(SUM(CAST(qty AS HUGEINT) * tax_c) AS HUGEINT) AS sp_qt,
+               CAST(SUM(CAST(disc_c AS HUGEINT) * tax_c) AS HUGEINT) AS sp_dt
+        FROM ints GROUP BY 1
+    )
+    SELECT "group", col_x, col_y, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 THEN CAST(num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS cov,
+           CAST(sign(CAST(num AS DOUBLE)) AS INT) AS r_sign,
+           CASE WHEN den_x > 0 AND den_y > 0
+                THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                   / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) END AS r2
+    FROM (
+        SELECT "group", 'qty' AS col_x, 'disc_c' AS col_y, n,
+               n * sp_qd - s_q * s_d AS num,
+               n * ss_q - s_q * s_q AS den_x, n * ss_d - s_d * s_d AS den_y
+        FROM m
+        UNION ALL
+        SELECT "group", 'qty', 'tax_c', n, n * sp_qt - s_q * s_t,
+               n * ss_q - s_q * s_q, n * ss_t - s_t * s_t FROM m
+        UNION ALL
+        SELECT "group", 'disc_c', 'tax_c', n, n * sp_dt - s_d * s_t,
+               n * ss_d - s_d * s_d, n * ss_t - s_t * s_t FROM m
+    )
+    """,
+)
+def profile_correlations_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag Pearson structure of lineitem's (quantity,
+    discount, tax) (`profile.numeric_correlations(by=...)`): the
+    per-group data card — one map-side-combined groupBy of integer
+    moments (the exchange carries one moment row per group per
+    partition), identical IEEE derivation per group."""
+    from notion_spark.pipeline import profile as PR
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast(DEC).cast("long").alias("qty"),
+        (F.col("l_discount").cast(DEC) * 100).cast("long").alias("disc_c"),
+        (F.col("l_tax").cast(DEC) * 100).cast("long").alias("tax_c"),
+    )
+    return PR.numeric_correlations(li, ["qty", "disc_c", "tax_c"], by="l_returnflag")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -156,6 +156,7 @@ def diversity_index(
 def numeric_correlations(
     df: DataFrame,
     cols: Sequence[str],
+    by: str | None = None,
 ) -> DataFrame:
     """Pairwise Pearson structure over integer-valued columns — the
     bivariate half of the data card (which features move together,
@@ -185,6 +186,13 @@ def numeric_correlations(
     listwise n, one honest denominator for every pair). Constant
     columns yield null r2; n < 2 yields null cov.
 
+    ``by`` computes the same structure PER GROUP (the per-source /
+    per-language data card): the single aggregate becomes one
+    map-side-combined groupBy — still no data-sized shuffle (the
+    exchange carries one moment row per group per partition) — and
+    every output row gains a leading ``group`` column. Rows with a
+    NULL group are excluded.
+
     Scale shape: ONE global aggregate — partial aggregation collapses
     each partition to one row of k + k + k(k−1)/2 sums, no data-sized
     shuffle at all; the pair melt is a constant-size explode of the
@@ -198,6 +206,8 @@ def numeric_correlations(
     if len(cols) < 2:
         raise ValueError(f"numeric_correlations needs >= 2 cols, got {cols!r}")
     base = df
+    if by is not None:
+        base = base.filter(F.col(by).isNotNull())
     for c in cols:
         base = base.filter(F.col(c).isNotNull())
     # per-row products in LONG (whole-stage-codegen fast path — the
@@ -226,7 +236,11 @@ def numeric_correlations(
             .cast(D38)
             .alias(f"sp_{a}_{b}")
         )
-    agg = base.agg(*sums)
+    agg = (
+        base.groupBy(F.col(by).alias("group")).agg(*sums)
+        if by is not None
+        else base.agg(*sums)
+    )
 
     n = F.col("n")
     n_d = n.cast("double")
@@ -263,10 +277,12 @@ def numeric_correlations(
         "numeric_correlations: moment products exceed DECIMAL(38,0) —"
         " rescale the inputs (coarser fixed-point) or profile a sample",
     )
+    lead = ["group"] if by is not None else []
     melted = agg.select(
-        F.explode(F.array(*structs)).alias("p"), worst.alias("__worst")
-    ).select("p.*", "__worst")
+        *lead, F.explode(F.array(*structs)).alias("p"), worst.alias("__worst")
+    ).select(*lead, "p.*", "__worst")
     return melted.select(
+        *lead,
         "col_x",
         "col_y",
         _guard(F.col("n"), "long").alias("n"),

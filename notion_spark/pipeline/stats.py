@@ -783,3 +783,49 @@ def ks_test(
         ).alias("d_micro"),
         F.when(ok, F.col("__at").cast("long")).alias("ks_at_value"),
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable empirical-CDF rank transform — `curation.quantile_rank`
+    without its bounded-cardinality guard: the same
+    frac6_half_up(#rows <= value, N) max-rank fraction (equal values
+    share one rank, bit-identical anywhere), but the cumulative counts
+    come from the distributed ``global_ranked`` instead of a window
+    over a broadcast-sized distinct frame — so a CONTINUOUS feature
+    (price cents, latency, score) with ~N distinct values rank-
+    normalizes without a single-partition sort or a guard raise.
+
+    Output: input + ``out`` (default ``<col>_qrank`` in (0, 1],
+    double); NULL values rank NULL. The join back onto the input is a
+    value-keyed hash join (AQE broadcasts it when the distinct frame
+    is small — exactly when the quantile_rank variant applies); the
+    total-count frame broadcasts from a scan-only subtree (the cheap-
+    broadcast rule, PLANS.md).
+    """
+    from notion_spark.pipeline.text_analysis import frac6_half_up
+
+    out = out or f"{col}_qrank"
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__value"))
+        .agg(F.count(F.lit(1)).cast(D38).alias("__cnt"))
+    )
+    ranked = global_ranked(
+        counts, ["__value"], sum_cols=["__cnt"],
+        num_partitions=num_partitions, rank_col="__rnk",
+    )
+    total = df.filter(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).cast(D38).alias("__n")
+    )
+    ranks = ranked.crossJoin(F.broadcast(total)).select(
+        "__value",
+        frac6_half_up(F.col("run___cnt"), F.col("__n")).alias(out),
+    )
+    return df.join(
+        ranks, F.col(col).eqNullSafe(F.col("__value")), "left"
+    ).drop("__value")

@@ -121,3 +121,25 @@ def test_diff_schema_drift_requires_explicit_cols(spark):
     # explicit compare_cols still works across the drift
     got = snapshot_diff(old, new, "k", compare_cols=["v"], include_unchanged=True)
     assert got.first()["change_type"] == "unchanged"
+
+
+class TestDeltaDrivers:
+    def test_top_contributors_with_absent_sides(self, spark):
+        from notion_spark.operators.diff import delta_drivers
+
+        a = spark.createDataFrame([("k1", 100), ("k2", 50), ("k3", 10)],
+                                  "key string, v int")
+        b = spark.createDataFrame([("k1", 70), ("k2", 90), ("k4", 5)],
+                                  "key string, v int")
+        out = [(r.key, r.value_a, r.value_b, r.delta)
+               for r in delta_drivers(a, b, "key", "v", k=10).collect()]
+        assert out == [("k2", 50, 90, 40), ("k1", 100, 70, -30),
+                       ("k3", 10, 0, -10), ("k4", 0, 5, 5)]
+
+    def test_tie_break_is_deterministic(self, spark):
+        from notion_spark.operators.diff import delta_drivers
+
+        a = spark.createDataFrame([("x", 10), ("y", 20)], "key string, v int")
+        b = spark.createDataFrame([("x", 20), ("y", 10)], "key string, v int")
+        out = [(r.key, r.delta) for r in delta_drivers(a, b, "key", "v").collect()]
+        assert out == [("x", 10), ("y", -10)]  # |10| tie -> +delta first

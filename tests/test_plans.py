@@ -505,3 +505,23 @@ def test_r10_batch_d_plans(spark, sf_dir):
     # changepoint collapses to the (series, day) frame before windows
     plan = plan_of(parity.QUERIES["ts_changepoint_events"](spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_r10_batch_e_plans(spark, sf_dir):
+    """r10 batch E: rank_normalize rides the distributed-rank shape
+    with a scan-only total broadcast; delta drivers joins REDUCED
+    frames and top-ks via TakeOrdered; by-group correlations stay one
+    map-side groupBy with no join."""
+    for q in ("stats_rank_normalize_prices", "diff_revenue_drivers",
+              "profile_correlations_by_flag"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["stats_rank_normalize_prices"](spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan and "__pid" in plan
+    plan = plan_of(parity.QUERIES["diff_revenue_drivers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan  # sides reduce before the join
+    plan = plan_of(parity.QUERIES["profile_correlations_by_flag"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "Join" not in plan  # single aggregate, no join anywhere

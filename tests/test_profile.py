@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from notion_spark.pipeline.profile import profile_table
 
 
@@ -247,3 +249,19 @@ def test_tv_distance_empty_cohort_null(spark):
 
     df = spark.createDataFrame([("a", "x")], "g string, c string")
     assert tv_distance(df, "g", "c", "a", "b").collect()[0].tv_micro is None
+
+
+def test_numeric_correlations_by_group(spark):
+    from notion_spark.pipeline.profile import numeric_correlations
+
+    rows = [("g1", i, 2 * i + 1) for i in range(10)] + [
+        ("g2", i, -3 * i) for i in range(10)] + [(None, 1, 1)]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    out = {r.group: r for r in numeric_correlations(df, ["x", "y"], by="g").collect()}
+    assert set(out) == {"g1", "g2"}  # NULL group excluded
+    assert out["g1"].r_sign == 1 and out["g1"].r2 == pytest.approx(1.0)
+    assert out["g2"].r_sign == -1 and out["g2"].r2 == pytest.approx(1.0)
+    assert out["g1"].n == 10
+    # flat path unchanged: no group column
+    flat = numeric_correlations(df, ["x", "y"]).collect()[0]
+    assert "group" not in flat.asDict()

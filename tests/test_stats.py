@@ -330,3 +330,25 @@ def test_ks_matches_cdf_scan(spark):
             best, at = d, v
     assert r.d_micro == _halfup_micro(best, len(a) * len(b))
     assert r.ks_at_value == at
+
+
+# -------------------------------------------------------------- rank_normalize
+
+def test_rank_normalize_matches_bounded_variant(spark):
+    from notion_spark.pipeline.curation import quantile_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(40)] + [(99, None)], "k int, v int")
+    a = {r.k: r.v_qrank for r in S.rank_normalize(df, "v").collect()}
+    b = {r.k: r.v_qrank for r in quantile_rank(df, "v").collect()}
+    assert a == b  # identical semantics, scalable plan
+    assert a[99] is None  # NULL ranks NULL
+
+
+def test_rank_normalize_partition_invariant(spark):
+    df = spark.createDataFrame([(i, (i * 11) % 23) for i in range(50)], "k int, v int")
+    a = sorted((r.k, r.v_qrank) for r in
+               S.rank_normalize(df.repartition(1), "v", num_partitions=2).collect())
+    b = sorted((r.k, r.v_qrank) for r in
+               S.rank_normalize(df.repartition(9), "v", num_partitions=7).collect())
+    assert a == b
