@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "stats_rank_normalize_prices",
     "diff_revenue_drivers",
     "profile_correlations_by_flag",
+    "behavior_basket_lift",
 ]
 
 

@@ -9341,6 +9341,48 @@ def profile_correlations_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.numeric_correlations(li, ["qty", "disc_c", "tax_c"], by="l_returnflag")
 
 
+@register(
+    "behavior_basket_lift",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.it AS item_a, b.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS mcnt FROM items GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM items)
+    SELECT p.item_a, p.item_b, p.n_pairs, ma.mcnt AS n_a, mb.mcnt AS n_b,
+           nb.n_baskets,
+           {_hu('CAST(p.n_pairs AS HUGEINT) * nb.n_baskets',
+                'CAST(ma.mcnt AS HUGEINT) * mb.mcnt')} AS lift_micro
+    FROM pairs p
+    JOIN m ma ON ma.it = p.item_a
+    JOIN m mb ON mb.it = p.item_b, nb
+    """,
+)
+def behavior_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity over order baskets
+    (`operators.behavior.basket_pair_lift`): unordered brand pairs
+    co-purchased in one order, lift vs independence as one exact
+    half-up micro division. Pair fan-out is bounded by C(basket, 2)
+    through the basket-keyed self-join (in-plan width guard) — never
+    a cartesian; covisitation_lift is the per-user event cousin."""
+    from notion_spark.operators.behavior import basket_pair_lift
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return basket_pair_lift(baskets, "l_orderkey", "p_brand", min_support=2)
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -954,3 +954,37 @@ class TestConversionLatency:
         df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
         out = conversion_latency(df, q_ppm=(500_000,)).collect()
         assert out[0].latency_us == 2 * 3600 * 1_000_000
+
+
+class TestBasketPairLift:
+    def test_lift_hand_case(self, spark):
+        from notion_spark.operators.behavior import basket_pair_lift
+
+        rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+                (3, "c"), (4, "b"), (4, "b"), (4, "c"), (5, "a")]
+        df = spark.createDataFrame(rows, "bk int, it string")
+        out = {(r.item_a, r.item_b): r
+               for r in basket_pair_lift(df, "bk", "it", min_support=2).collect()}
+        # baskets 1{a,b,c} 2{a,b} 3{a,c} 4{b,c} 5{a}: a=4 b=3 c=3, N=5
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        ab = out[("a", "b")]
+        assert (ab.n_pairs, ab.n_a, ab.n_b, ab.n_baskets) == (2, 4, 3, 5)
+        assert ab.lift_micro == (2 * 2 * 5 * 1_000_000 + 12) // (2 * 12)
+        # duplicate (4, b) rows collapse: presence, not multiplicity
+        assert out[("b", "c")].n_pairs == 2
+
+    def test_min_support_filters(self, spark):
+        from notion_spark.operators.behavior import basket_pair_lift
+
+        df = spark.createDataFrame([(1, "x"), (1, "y")], "bk int, it string")
+        assert basket_pair_lift(df, "bk", "it", min_support=2).count() == 0
+        assert basket_pair_lift(df, "bk", "it", min_support=1).count() == 1
+
+    def test_wide_basket_guard(self, spark):
+        import pytest
+        from notion_spark.operators.behavior import basket_pair_lift
+
+        rows = [(1, f"i{k}") for k in range(30)]
+        df = spark.createDataFrame(rows, "bk int, it string")
+        with pytest.raises(Exception, match="distinct items"):
+            basket_pair_lift(df, "bk", "it", max_basket=10).collect()

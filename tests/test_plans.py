@@ -525,3 +525,13 @@ def test_r10_batch_e_plans(spark, sf_dir):
     plan = plan_of(parity.QUERIES["profile_correlations_by_flag"](spark, sf_dir))
     assert "partial_sum" in plan
     assert "Join" not in plan  # single aggregate, no join anywhere
+
+
+def test_basket_lift_bounded_fanout_no_cartesian(spark, sf_dir):
+    """r10: the pair join keys on the basket (C(basket,2) fan-out per
+    order under the in-plan width guard) — never cartesian, margins
+    broadcast onto the bounded pair frame."""
+    plan = plan_of(parity.QUERIES["behavior_basket_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
