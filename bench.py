@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "diff_revenue_drivers",
     "profile_correlations_by_flag",
     "behavior_basket_lift",
+    "ts_time_weighted_events",
+    "profile_pareto_customers",
 ]
 
 

@@ -413,3 +413,72 @@ def cusum_changepoint(
             ),
         ).alias("cusum_micro"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    series_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per series — the step-function integral
+    (TWAP / average balance / average position): each observation
+    holds until the next one, so the mean weights every value by HOW
+    LONG it held, not how often it was sampled. One row per series
+    with ≥ 2 observations:
+
+        (series, n_obs, span_us, twa_micro)
+
+    where twa_micro = Σ value_i·(t_{i+1} − t_i) / span in half-up
+    micro-units — entirely exact integers (microsecond timestamps ×
+    fixed-point values in DECIMAL(38,0); the last observation carries
+    no weight, the standard left-step convention). Values must be
+    integer fixed-point (|v| ≤ 1e12 keeps v·span_us inside
+    DECIMAL(38,0) for century spans — in-plan guard).
+
+    Scale shape: one per-series lead() window (bounded by a series'
+    events, never global) and one map-side-combined reduce."""
+    from notion_spark.functions.exactmath import D38, guarded
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    gmag = guarded(
+        F.abs(F.col(value_col)) > F.lit(1_000_000_000_000),
+        f"time_weighted_avg: |{value_col}| > 1e12 — value*span_us would"
+        " leave DECIMAL(38,0); rescale the fixed-point input",
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).cast("long")
+    w = Window.partitionBy(series_col).orderBy(F.asc(ts_col), F.asc(tie_col))
+    staged = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(series_col).alias("series"),
+            gmag(F.col(value_col).cast("long"), "long").alias("__v"),
+            us.alias("__us"),
+            F.col(tie_col).alias("__tie"),
+        )
+        .withColumn(
+            "__hold",
+            F.lead(F.col("__us")).over(
+                Window.partitionBy("series").orderBy(F.asc("__us"), F.asc("__tie"))
+            )
+            - F.col("__us"),
+        )
+    )
+    agg = staged.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("__hold").cast(D38).alias("__span"),
+        F.sum(
+            (F.col("__v").cast(D38) * F.col("__hold").cast(D38)).cast(D38)
+        )
+        .cast(D38)
+        .alias("__area"),
+    )
+    return agg.filter(F.col("__span") > 0).select(
+        "series",
+        "n_obs",
+        F.col("__span").cast("long").alias("span_us"),
+        halfup_micro_div_cols_expr(F.col("__area"), F.col("__span")).alias(
+            "twa_micro"
+        ),
+    )

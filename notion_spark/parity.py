@@ -9383,6 +9383,100 @@ def behavior_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_pair_lift(baskets, "l_orderkey", "p_brand", min_support=2)
 
 
+@register(
+    "ts_time_weighted_events",
+    f"""
+    WITH staged AS (
+        SELECT user_id AS series,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               epoch_us(ts) AS us, event_id
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    led AS (
+        SELECT series, v, lead(us) OVER w - us AS hold
+        FROM staged WINDOW w AS (PARTITION BY series ORDER BY us, event_id)
+    ),
+    agg AS (
+        SELECT series, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(hold) AS HUGEINT) AS span,
+               CAST(SUM(CAST(v AS HUGEINT) * hold) AS HUGEINT) AS area
+        FROM led GROUP BY 1
+    )
+    SELECT series, n_obs, CAST(span AS BIGINT) AS span_us,
+           {_hu('area', 'span')} AS twa_micro
+    FROM agg WHERE span > 0
+    """,
+)
+def ts_time_weighted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (`operators.timeseries.time_weighted_avg`): the step-function
+    integral — each value weighted by how long it held, exact integer
+    microseconds x cents in DECIMAL(38,0), one half-up micro division.
+    One per-series lead window + one map-side reduce."""
+    from notion_spark.operators.timeseries import time_weighted_avg
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("v"),
+    )
+    return time_weighted_avg(e, "v")
+
+
+@register(
+    "profile_pareto_customers",
+    f"""
+    WITH rev AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(SUM(x) OVER (ORDER BY x DESC, k ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS cum,
+               CAST(row_number() OVER (ORDER BY x DESC, k ASC) AS HUGEINT)
+                   AS rnk
+        FROM rev
+    ),
+    tot AS (
+        SELECT CAST(SUM(x) AS HUGEINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rev
+    ),
+    qs AS (SELECT * FROM (VALUES (500000), (800000), (900000)) AS q(thr)),
+    picked AS (
+        SELECT q.thr,
+               MIN(CASE WHEN cum * 1000000 >= CAST(q.thr AS HUGEINT) * tot.t
+                        THEN rnk END) AS topn,
+               CAST(MAX(tot.n) AS HUGEINT) AS n
+        FROM ranked, tot, qs q
+        WHERE tot.t > 0 GROUP BY 1
+    )
+    SELECT CAST(thr AS BIGINT) AS threshold_ppm,
+           CAST(topn AS BIGINT) AS n_top_units,
+           CAST(n AS BIGINT) AS n_units,
+           {_hu('topn', 'n')} AS units_share_ppm
+    FROM picked
+    """,
+)
+def profile_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of customer revenue
+    (`pipeline.stats.pareto_concentration`): the smallest number of
+    customers reaching 50/80/90% of total revenue — descending ranks
+    and running sums from the distributed global_ranked (negated
+    measure), entirely exact pick conditions. The operational
+    companion to the Gini number."""
+    from notion_spark.pipeline.stats import pareto_concentration
+
+    o = read_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("long")).alias("x")
+    )
+    return pareto_concentration(rev, "x", "k")
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

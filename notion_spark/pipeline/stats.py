@@ -829,3 +829,82 @@ def rank_normalize(
     return df.join(
         ranks, F.col(col).eqNullSafe(F.col("__value")), "left"
     ).drop("__value")
+
+
+def pareto_concentration(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    thresholds_ppm: Sequence[int] = (500_000, 800_000, 900_000),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pareto / 80-20 concentration: the SMALLEST number of units whose
+    combined measure reaches each threshold share of the total — "how
+    many customers make 80% of revenue", the operational companion to
+    `gini_coefficient`'s one-number summary. One row per threshold:
+
+        (threshold_ppm, n_top_units, n_units, units_share_ppm)
+
+    where units are ranked by measure DESCENDING (ties broken by key)
+    and the pick condition cum·1e6 ≥ thr·total is entirely exact
+    integers; units_share_ppm is the half-up micro fraction
+    n_top_units / n_units. Ranks and running sums come from the
+    distributed ``global_ranked`` (descending order via the negated
+    measure — the primitive is ascending-only), so no single-partition
+    sort exists. Non-negative measures only (in-plan guard); zero
+    totals yield no rows.
+    """
+    gneg = guarded(
+        F.col(value_col) < 0,
+        f"pareto_concentration: negative {value_col!r} — shares are"
+        " defined on non-negative measures",
+    )
+    units = df.select(
+        gneg(F.col(value_col).cast("long"), "long").alias("__x"),
+        F.col(key_col).alias("__k"),
+    ).withColumn("__negx", -F.col("__x"))
+    ranked = global_ranked(
+        units, ["__negx", "__k"], sum_cols=["__x"],
+        num_partitions=num_partitions, rank_col="__rnk",
+    )
+    picks = []
+    for t in thresholds_ppm:
+        picks.append(
+            F.min(
+                F.when(
+                    F.col("run___x") * F.lit(1_000_000)
+                    >= F.lit(int(t)).cast(D38) * F.col("__tot"),
+                    F.col("__rnk"),
+                )
+            ).alias(f"__p_{t}")
+        )
+    tot = df.agg(
+        F.sum(F.col(value_col).cast(D38)).cast(D38).alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+    )
+    agg = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max("__tot").alias("__tot"),
+        F.max("n_units").cast("long").alias("n_units"),
+        *picks,
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("long").alias("threshold_ppm"),
+                F.col(f"__p_{t}").cast("long").alias("n_top_units"),
+            )
+            for t in thresholds_ppm
+        ]
+    )
+    return (
+        agg.filter(F.col("__tot") > 0)
+        .select("n_units", F.explode(rows).alias("__r"))
+        .select(
+            F.col("__r.threshold_ppm").alias("threshold_ppm"),
+            F.col("__r.n_top_units").alias("n_top_units"),
+            "n_units",
+            halfup_micro_div_cols_expr(
+                F.col("__r.n_top_units").cast(D38), F.col("n_units").cast(D38)
+            ).alias("units_share_ppm"),
+        )
+    )

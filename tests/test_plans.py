@@ -535,3 +535,16 @@ def test_basket_lift_bounded_fanout_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_r10_twap_pareto_plans(spark, sf_dir):
+    """r10: TWAP is one per-series lead window + map-side reduce;
+    pareto rides the distributed-rank shape."""
+    for q in ("ts_time_weighted_events", "profile_pareto_customers"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["profile_pareto_customers"](spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan and "__pid" in plan
+    plan = plan_of(parity.QUERIES["ts_time_weighted_events"](spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan

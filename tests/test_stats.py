@@ -352,3 +352,30 @@ def test_rank_normalize_partition_invariant(spark):
     b = sorted((r.k, r.v_qrank) for r in
                S.rank_normalize(df.repartition(9), "v", num_partitions=7).collect())
     assert a == b
+
+
+# -------------------------------------------------------------------- pareto
+
+def test_pareto_hand_case(spark):
+    df = spark.createDataFrame(
+        list(enumerate([50, 30, 10, 5, 3, 2])), "k int, v int")
+    out = {r.threshold_ppm: r for r in S.pareto_concentration(df, "v", "k").collect()}
+    # total 100; desc cum 50, 80, 90, 95, 98, 100
+    assert out[500_000].n_top_units == 1
+    assert out[800_000].n_top_units == 2
+    assert out[900_000].n_top_units == 3
+    assert out[500_000].n_units == 6
+    assert out[500_000].units_share_ppm == _halfup_micro(1, 6)
+
+
+def test_pareto_uniform_and_ties(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(10)], "k int, v int")
+    out = {r.threshold_ppm: r.n_top_units
+           for r in S.pareto_concentration(df, "v", "k").collect()}
+    assert out == {500_000: 5, 800_000: 8, 900_000: 9}
+
+
+def test_pareto_negative_raises(spark):
+    df = spark.createDataFrame([(1, -2)], "k int, v int")
+    with pytest.raises(Exception, match="non-negative"):
+        S.pareto_concentration(df, "v", "k").collect()

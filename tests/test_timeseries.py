@@ -244,3 +244,46 @@ class TestCusumChangepoint:
                  for d in range(3)]
         out = {r.series: r for r in cusum_changepoint(self._ev(spark, rows)).collect()}
         assert out["a"].n_days == 5 and out["b"].n_days == 3
+
+
+class TestTimeWeightedAvg:
+    def test_step_integral_hand_case(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import time_weighted_avg
+
+        T0 = datetime(2024, 1, 1)
+        rows = [("u", "e1", T0, 10),
+                ("u", "e2", T0 + timedelta(seconds=30), 20),
+                ("u", "e3", T0 + timedelta(seconds=40), 0)]
+        df = spark.createDataFrame(rows, "user_id string, event_id string, ts timestamp, v int")
+        r = time_weighted_avg(df, "v").collect()[0]
+        # 10 held 30s, 20 held 10s -> (300 + 200)/40 = 12.5
+        assert r.twa_micro == 12_500_000
+        assert r.span_us == 40_000_000 and r.n_obs == 3
+
+    def test_sampling_frequency_invariance(self, spark):
+        # resampling a constant-hold series more often must not move TWA
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import time_weighted_avg
+
+        T0 = datetime(2024, 1, 1)
+        sparse = [("u", f"e{i}", T0 + timedelta(seconds=t), v)
+                  for i, (t, v) in enumerate([(0, 10), (60, 30), (90, 30)])]
+        dense = sparse + [("u", "x1", T0 + timedelta(seconds=70), 30),
+                          ("u", "x2", T0 + timedelta(seconds=80), 30)]
+        a = time_weighted_avg(
+            spark.createDataFrame(sparse, "user_id string, event_id string, ts timestamp, v int"),
+            "v").collect()[0]
+        b = time_weighted_avg(
+            spark.createDataFrame(dense, "user_id string, event_id string, ts timestamp, v int"),
+            "v").collect()[0]
+        assert a.twa_micro == b.twa_micro  # plain mean would differ
+
+    def test_single_observation_excluded(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.timeseries import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [("u", "e", datetime(2024, 1, 1), 5)],
+            "user_id string, event_id string, ts timestamp, v int")
+        assert time_weighted_avg(df, "v").count() == 0  # zero span
