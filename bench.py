@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "behavior_basket_lift",
     "ts_time_weighted_events",
     "profile_pareto_customers",
+    "stats_srm_event_mix",
 ]
 
 

@@ -9477,6 +9477,60 @@ def profile_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_concentration(rev, "x", "k")
 
 
+@register(
+    "stats_srm_event_mix",
+    f"""
+    WITH design AS (
+        SELECT * FROM (VALUES ('click', 200000), ('error', 200000),
+                              ('purchase', 200000), ('signup', 200000),
+                              ('view', 200000)) AS d(category, ppm)
+    ),
+    base AS (
+        SELECT CAST(event_type AS VARCHAR) AS category FROM events
+        WHERE event_type IS NOT NULL
+    ),
+    counts AS (
+        SELECT category, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM base GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    grid AS (
+        SELECT COALESCE(d.category, c.category) AS category,
+               CAST(COALESCE(c.observed, 0) AS HUGEINT) AS o,
+               CAST(d.ppm AS HUGEINT) AS ppm, tot.n
+        FROM design d FULL OUTER JOIN counts c ON c.category = d.category,
+             tot
+    )
+    SELECT category, CAST(o AS BIGINT) AS observed,
+           CASE WHEN ppm IS NOT NULL
+                THEN {_hu('ppm * n', '1000000')} END AS expected_micro,
+           CASE WHEN ppm IS NOT NULL
+                THEN {_hu('(1000000 * o - ppm * n) * (1000000 * o - ppm * n)',
+                          '1000000 * ppm * n')} END AS contrib_micro,
+           CAST(4 AS BIGINT) AS dof,
+           (ppm IS NULL) AS off_design
+    FROM grid
+    """,
+)
+def stats_srm_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check of the event mix against a uniform
+    5-way design (`pipeline.stats.chi_square_goodness_of_fit`): the
+    one-way chi-square every experimentation platform runs before
+    trusting a readout — expected and contribution as single exact
+    half-up micro divisions of (1e6*O - ppm*N)²/(1e6*ppm*N); observed
+    categories outside the design flag off_design. One category-keyed
+    map-side groupBy + a broadcast literal design frame."""
+    from notion_spark.pipeline.stats import chi_square_goodness_of_fit
+
+    e = read_table(spark, sf_dir, "events")
+    return chi_square_goodness_of_fit(
+        e,
+        "event_type",
+        {"click": 200_000, "error": 200_000, "purchase": 200_000,
+         "signup": 200_000, "view": 200_000},
+    )
+
+
 # =====================================================================
 # Driver-window rotation
 # =====================================================================

@@ -908,3 +908,91 @@ def pareto_concentration(
             ).alias("units_share_ppm"),
         )
     )
+
+
+def chi_square_goodness_of_fit(
+    df: DataFrame,
+    cat_col: str,
+    expected_ppm: dict,
+    max_rows: int = 200_000_000,
+) -> DataFrame:
+    """One-way chi-square goodness-of-fit against DESIGN ratios — the
+    sample-ratio-mismatch (SRM) gate every experimentation platform
+    runs before trusting an A/B readout, and the mix-vs-spec audit for
+    ingest feeds. ``expected_ppm`` maps each expected category to its
+    design share in ppm (must sum to exactly 1,000,000 — validated).
+    One row per expected category, plus observed categories OUTSIDE
+    the design (their expected share is 0 and ``off_design`` is true —
+    a hard SRM failure on its own):
+
+        (category, observed, expected_micro, contrib_micro, dof,
+         off_design)
+
+    Exact arithmetic: expected count = ppm*N/1e6 and contribution
+    (O-E)²/E = (1e6*O - ppm*N)² / (1e6*ppm*N), each ONE half-up micro
+    division of exact integers — no float expected count exists.
+    dof = |design| - 1 rides every row; off-design rows carry NULL
+    expected/contrib (their evidence is their existence, not a ratio).
+
+    Exactness bound: the contrib numerator reaches (1e6*N)², so the
+    in-plan guard raises past ``max_rows`` (same budget as the
+    independence test). Scale shape: one map-side-combined groupBy
+    over the category universe + a broadcast literal design frame.
+    """
+    if not expected_ppm:
+        raise ValueError("chi_square_goodness_of_fit: expected_ppm is empty")
+    total_ppm = sum(int(v) for v in expected_ppm.values())
+    if total_ppm != 1_000_000:
+        raise ValueError(
+            "chi_square_goodness_of_fit: expected_ppm must sum to exactly"
+            f" 1000000, got {total_ppm}"
+        )
+    if any(int(v) <= 0 for v in expected_ppm.values()):
+        raise ValueError("chi_square_goodness_of_fit: shares must be > 0")
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(expected_ppm.items())],
+        "category string, __ppm long",
+    )
+    base = df.filter(F.col(cat_col).isNotNull()).select(
+        F.col(cat_col).cast("string").alias("category")
+    )
+    counts = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    grid = (
+        design.join(counts, "category", "full_outer")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+    )
+    grow = guarded(
+        F.col("__n") > F.lit(max_rows),
+        f"chi_square_goodness_of_fit: N > {max_rows} — the exact"
+        " (1e6*O - ppm*N)^2 numerator would leave DECIMAL(38,0); test a"
+        " uniform sample",
+    )
+    n_ = F.col("__n").cast(D38)
+    o_ = F.col("observed").cast(D38)
+    ppm_ = F.col("__ppm").cast(D38)
+    dev = (F.lit(1_000_000).cast(D38) * o_ - ppm_ * n_).cast(D38)
+    in_design = F.col("__ppm").isNotNull()
+    return grid.select(
+        "category",
+        grow(F.col("observed"), "long").alias("observed"),
+        F.when(
+            in_design, grow(halfup_micro_div_cols_expr(ppm_ * n_, F.lit(1_000_000).cast(D38)), "long")
+        ).alias("expected_micro"),
+        F.when(
+            in_design,
+            grow(
+                halfup_micro_div_cols_expr(
+                    (dev * dev).cast(D38),
+                    (F.lit(1_000_000).cast(D38) * ppm_ * n_).cast(D38),
+                ),
+                "long",
+            ),
+        ).alias("contrib_micro"),
+        F.lit(len(expected_ppm) - 1).cast("long").alias("dof"),
+        (~in_design).alias("off_design"),
+    )

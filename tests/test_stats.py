@@ -379,3 +379,37 @@ def test_pareto_negative_raises(spark):
     df = spark.createDataFrame([(1, -2)], "k int, v int")
     with pytest.raises(Exception, match="non-negative"):
         S.pareto_concentration(df, "v", "k").collect()
+
+
+# ------------------------------------------------------------- goodness-of-fit
+
+def test_gof_srm_hand_case(spark):
+    rows = [("a",)] * 55 + [("b",)] * 40 + [("zz",)] * 5
+    df = spark.createDataFrame(rows, "c string")
+    out = {r.category: r
+           for r in S.chi_square_goodness_of_fit(
+               df, "c", {"a": 500_000, "b": 500_000}).collect()}
+    # N=100, E=50 each: contrib_a = 25/50 = .5, contrib_b = 100/50 = 2
+    assert out["a"].expected_micro == 50_000_000
+    assert out["a"].contrib_micro == 500_000
+    assert out["b"].contrib_micro == 2_000_000
+    assert out["zz"].off_design and out["zz"].contrib_micro is None
+    assert out["zz"].observed == 5
+    assert all(r.dof == 1 for r in out.values())
+
+
+def test_gof_validates_design(spark):
+    df = spark.createDataFrame([("a",)], "c string")
+    with pytest.raises(ValueError, match="sum to exactly"):
+        S.chi_square_goodness_of_fit(df, "c", {"a": 400_000, "b": 500_000})
+    with pytest.raises(ValueError, match="> 0"):
+        S.chi_square_goodness_of_fit(df, "c", {"a": 1_000_000, "b": 0})
+
+
+def test_gof_perfect_fit_zero(spark):
+    rows = [("x",)] * 30 + [("y",)] * 70
+    df = spark.createDataFrame(rows, "c string")
+    out = {r.category: r.contrib_micro
+           for r in S.chi_square_goodness_of_fit(
+               df, "c", {"x": 300_000, "y": 700_000}).collect()}
+    assert out == {"x": 0, "y": 0}
