@@ -9547,9 +9547,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # --- r03 (47 driver-checked this round) ---
     # --- r04 (50 driver-checked this round) ---
     # --- r05 (50 driver-checked this round) ---
-    "curation_quota_mix", "curation_equidepth_bins", "profile_diversity_by_lang", "dedup_group_overlap",
-    "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
-    "anomaly_rolling_sigma", "curation_winsorize", "text_quantile_rank", "text_bpe_merges",
+    "text_quantile_rank", "text_bpe_merges",
     "text_cooccurrence", "curation_split_leakage", "agg_avg_completion_days", "agg_crosstab_status_priority",
     "agg_union_pie", "filter_tag_overlap", "filter_active_items", "filter_immediate_action",
     "filter_window_anti", "filter_backlog_topk", "filter_not_in", "filter_substring_count",
@@ -9557,14 +9555,14 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "join_anti_customers", "merge_keep_last", "incr_changed_rows", "topk_oldest_pending",
     "window_group_boundaries", "proj_status_priority_scores", "proj_json_extract", "text_truncate",
     "text_sanitize_filename", "text_line_slice", "text_week_label", "dedup_exact",
-    "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_cosine", "dedup_cluster_collapse",
     # --- r06 (50 driver-checked this round) ---
     "sim_ann_ivfpq", "sim_ann_pq", "text_cooccurrence_pruned", "curation_temperature_mix",
     "curation_class_weights", "text_token_runs", "curation_semantic_decontam", "curation_token_budget",
     "text_hashed_classifier", "text_bigram_familiarity", "dedup_cluster_keep_best", "layout_bucketed_join",
     "behavior_covisitation", "behavior_covisitation_lift", "behavior_decayed_counts", "anomaly_mad_events",
-    "sim_ann_ivf", "dedup_embedding_pairs", "text_winnowing_overlap", "sim_ann_lsh",
+    "sim_ann_ivf", "text_winnowing_overlap", "sim_ann_lsh",
     "sim_ann_ivf_probe", "sim_embedding_stats", "text_lang_confusion", "text_quality",
     "text_token_counts", "agg_weekly_velocity_wmon", "agg_created_per_week_wsun", "agg_distinct_users",
     "filter_pushdown_parts", "join_supplier_nation", "proj_timestamp_roundtrip", "q3_shipping_priority",
@@ -9574,7 +9572,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "q4_order_priority_check", "q14_promo_revenue_pct", "text_top_bigrams", "events_transition_matrix",
     "events_sessionize", "q10_returned_items",
     # --- r07 (50 driver-checked this round) ---
-    "sim_ann_pq_probe", "sim_ann_ivfpq_probe", "dedup_levenshtein_qgram", "graph_label_propagation",
+    "sim_ann_pq_probe", "sim_ann_ivfpq_probe", "graph_label_propagation",
     "text_bpe_encode", "curation_temperature_take", "curation_importance_score", "curation_interleave",
     "multimodal_phash_pairs", "text_token_diversity", "graph_triangle_stats", "graph_kcore",
     "agg_argminmax", "filter_array_exists", "join_range_events_in_user_windows", "window_moving_avg",
@@ -9589,8 +9587,8 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "retention_weekly_cohorts", "forward_fill_values",
     # --- r09 (50 driver-checked this round) ---
     "curation_semantic_split_leakage_lsh", "sim_ann_ivf_partitioned", "curation_corpus_e2e", "join_salted_skew",
-    "join_hot_split_skew", "curation_semantic_split_leakage", "curation_shuffle_order", "curation_ccnet_buckets",
-    "heavy_hitters_users", "dedup_levenshtein_pairs", "dedup_incremental_cross", "curation_split_assignment",
+    "join_hot_split_skew", "curation_semantic_split_leakage", "curation_shuffle_order",
+    "heavy_hitters_users", "dedup_incremental_cross", "curation_split_assignment",
     "sim_quantized_topk", "sketch_hll_users_by_type", "sketch_cms_user_freq", "sketch_kmv_set_ops",
     "sketch_histogram_quantiles", "sketch_histogram_drift", "sketch_bloom_membership", "profile_documents",
     "multimodal_frame_sample", "text_bm25_topk", "curation_strip_boilerplate", "curation_weighted_sample",
@@ -9601,6 +9599,20 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "session_native_aggregates", "q1_pricing_summary", "agg_conditional_counts", "agg_status_counts",
     "agg_weekly_velocity", "agg_created_per_week", "dedup_substring_spans", "text_gram_novelty",
     "sim_hard_negatives", "text_vocab_coverage",
+    # --- r10 (50 driver-checked this round) ---
+    "dedup_levenshtein_incremental", "dedup_levenshtein_minhash", "curation_systematic_sample", "dedup_paragraphs",
+    "profile_numeric_correlations", "behavior_path_trigrams", "behavior_rfm_segments", "ts_autocorrelation",
+    "text_readability", "quality_referential_integrity", "profile_benford_prices", "stats_chi_square_orders",
+    "profile_gini_customer_revenue", "stats_hhi_nation_revenue", "stats_weighted_quantiles_returnflag", "stats_welch_ttest_events",
+    "stats_mann_whitney_events", "skyline_parts", "behavior_activity_streaks", "ts_dow_profile",
+    "stats_auc_doc_length", "stats_ks_test_events", "quality_functional_dependency", "quality_key_candidates",
+    "ts_changepoint_events", "profile_tv_weekend_events", "behavior_conversion_latency", "agg_mode_status",
+    "stats_rank_normalize_prices", "diff_revenue_drivers", "profile_correlations_by_flag", "behavior_basket_lift",
+    "ts_time_weighted_events", "profile_pareto_customers", "stats_srm_event_mix", "dedup_ngram_jaccard",
+    "dedup_embedding_pairs", "dedup_levenshtein_pairs", "dedup_levenshtein_qgram", "curation_ccnet_buckets",
+    "curation_quota_mix", "curation_equidepth_bins", "profile_diversity_by_lang", "dedup_group_overlap",
+    "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
+    "anomaly_rolling_sigma", "curation_winsorize",
 )
 
 
@@ -9616,17 +9628,25 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # row lands for the new plan.
 PLAN_RECERT: tuple[str, ...] = (
     # r9 plan swaps the r9 driver window missed (certified old plans):
-    "dedup_ngram_jaccard", "dedup_embedding_pairs",
     # r10 plan swaps: representative collapse + scalar-subquery mass
     # guard in levenshtein_pairs_qgram (both registered consumers).
     # NOTE: fold the previous round's CORRECTNESS artifact BEFORE
     # appending new swaps — the fold script clears any name green in
     # the artifact, and a pre-swap green row must not clear post-swap
     # debt.
-    "dedup_levenshtein_pairs", "dedup_levenshtein_qgram",
     # r10: join-back swapped from a linearly-growing (lang, score,
     # bucket) broadcast to a |langs|-row min-boundary frame
-    "curation_ccnet_buckets",
+    # r11: global_ranked swapped from repartitionByRange+__pid (whose
+    # broadcast offsets subtree silently depended on AQE exchange reuse
+    # — ADVICE r10 high: reuse=false corrupted 14851/20000 ranks) to
+    # sampler-free arithmetic buckets from a broadcast 1-row bounds
+    # frame; all six distributed-rank consumers changed plans.
+    "profile_gini_customer_revenue",
+    "stats_mann_whitney_events",
+    "stats_auc_doc_length",
+    "stats_ks_test_events",
+    "stats_rank_normalize_prices",
+    "profile_pareto_customers",
 )
 
 

@@ -58,32 +58,67 @@ def global_ranked(
     WITHOUT the single-partition window that ``row_number() OVER
     (ORDER BY ...)`` compiles to.
 
-    The distributed-rank pattern: ``repartitionByRange`` on the order
-    keys (partition i holds the i-th key range, so partition ids are
-    themselves ordered), a window *partitioned by partition id* for
-    local ranks / local running sums, then a broadcast join of the
-    |partitions|-row exclusive-prefix offset frame. Two shuffles total
-    (the range exchange + the tiny per-partition aggregate), every
-    window bounded by one partition's rows — the shape that survives a
-    1000-executor sort where the naive global window serializes the
+    The distributed-rank pattern over DETERMINISTIC value buckets (the
+    weighted_quantiles plan-4 idiom): bucket id = (v - min) div width,
+    pure arithmetic from a broadcast 1-row (min, max) frame on the
+    FIRST order column — order-preserving (equal first-key values
+    always share a bucket, buckets are sorted by first key), no
+    sampler, no partition id. A window *partitioned by bucket* gives
+    local ranks / local running sums; a broadcast join of the
+    ≤ n_buckets-row exclusive-prefix offset frame lifts them to global.
+    Every window bounded by one bucket's rows — the shape that survives
+    a 1000-executor sort where the naive global window serializes the
     whole table through one task.
 
-    ``order_cols`` MUST form a total order (include a unique tiebreak
-    key): equal keys may straddle a range boundary, and only a total
-    order makes the rank — and any downstream hash — deterministic.
-    Callers whose aggregate is tie-invariant (Gini below) still pass a
-    tiebreak so the intermediate frame is reproducible.
+    Why arithmetic buckets and not ``repartitionByRange`` + partition
+    id (the r10 plan): the offsets branch and the data branch must
+    agree on the bucket of every row. RangePartitioner SAMPLES its
+    boundaries, so on an AQE exchange-reuse miss the broadcast subtree
+    re-executed the range exchange with independently sampled
+    boundaries and silently misaligned every offset (measured:
+    spark.sql.exchange.reuse=false corrupted 14851/20000 ranks). The
+    arithmetic bucket is a pure row function — both branches compute
+    it identically under ANY execution, and the offsets lineage stays
+    scan + map-side partial aggregate, safe to broadcast.
+
+    Contract: the first order column must be numeric (castable to
+    DECIMAL(38,0)); nulls bucket to -1 (ranked first, matching ASC
+    NULLS FIRST). ``order_cols`` MUST form a total order (include a
+    unique tiebreak key). Skew caveat (same as weighted_quantiles): a
+    point-mass first key loads one bucket — acceptable because every
+    caller ranks a value whose duplicates collapse upstream or spread
+    across the numeric range. ``num_partitions`` is kept for API
+    compatibility; bucket count is fixed at 4096.
     """
     if not order_cols:
         raise ValueError("global_ranked: order_cols must be non-empty")
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    del num_partitions  # r11: sampler-free buckets; kept for API compat
+    n_buckets = 4096
+    first = order_cols[0]
+    base = df.withColumn("__gv", F.col(first).cast(D38))
+    bounds = base.agg(
+        F.min("__gv").alias("__glo"), F.max("__gv").alias("__ghi")
+    ).select(
+        "__glo",
+        F.greatest(
+            (F.col("__ghi") - F.col("__glo") + n_buckets) / n_buckets,
+            F.lit(1),
+        )
+        .cast(D38)
+        .alias("__gwidth"),
     )
-    ranged = df.repartitionByRange(n, *[F.asc(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
+    bucketed = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.when(F.col("__gv").isNull(), F.lit(-1)).otherwise(
+                F.expr("CAST((__gv - __glo) div __gwidth AS INT)")
+            ),
+        )
+        .drop("__gv", "__glo", "__gwidth")
     )
-    wl = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in order_cols])
-    local = ranged.withColumn("__lrn", F.row_number().over(wl))
+    wl = Window.partitionBy("__b").orderBy(*[F.asc(c) for c in order_cols])
+    local = bucketed.withColumn("__lrn", F.row_number().over(wl))
     for c in sum_cols:
         local = local.withColumn(
             f"__lrun_{c}",
@@ -91,18 +126,21 @@ def global_ranked(
                 wl.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    per_pid = [F.count(F.lit(1)).cast(D38).alias("__pcnt")] + [
+    # offsets derive from the PRE-window bucketed rows: scan + 1-row
+    # broadcast + map-side partial aggregate — cheap enough to
+    # broadcast, and deterministic even if re-executed from scratch.
+    per_b = [F.count(F.lit(1)).cast(D38).alias("__pcnt")] + [
         F.sum(F.col(c).cast(D38)).cast(D38).alias(f"__psum_{c}") for c in sum_cols
     ]
-    totals = local.groupBy("__pid").agg(*per_pid)
-    # exclusive prefix over the <= num_partitions offset rows: this
-    # window IS single-partition, but over a frame bounded by the
-    # partition count, never the data.
-    wo = Window.orderBy("__pid").rowsBetween(
+    totals = bucketed.groupBy("__b").agg(*per_b)
+    # exclusive prefix over the <= n_buckets offset rows: this window
+    # IS single-partition, but over a frame bounded by the bucket
+    # count, never the data.
+    wo = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = totals.select(
-        "__pid",
+        "__b",
         F.coalesce(F.sum("__pcnt").over(wo), F.lit(0).cast(D38)).alias("__off_cnt"),
         *[
             F.coalesce(F.sum(f"__psum_{c}").over(wo), F.lit(0).cast(D38)).alias(
@@ -111,14 +149,14 @@ def global_ranked(
             for c in sum_cols
         ],
     )
-    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+    out = local.join(F.broadcast(offsets), "__b").withColumn(
         rank_col, (F.col("__off_cnt") + F.col("__lrn")).cast("long")
     )
     for c in sum_cols:
         out = out.withColumn(
             f"run_{c}", (F.col(f"__off_{c}") + F.col(f"__lrun_{c}")).cast(D38)
         )
-    drop = ["__pid", "__lrn", "__off_cnt"] + [
+    drop = ["__b", "__lrn", "__off_cnt"] + [
         x for c in sum_cols for x in (f"__lrun_{c}", f"__off_{c}")
     ]
     return out.drop(*drop)

@@ -451,11 +451,21 @@ def test_r10_stats_family_plans(spark, sf_dir):
         plan = plan_of(parity.QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
-    for q in ("profile_gini_customer_revenue", "stats_mann_whitney_events",
-              "skyline_parts"):
+    # r11: distributed-rank queries ride sampler-free arithmetic
+    # buckets (__b from a broadcast 1-row bounds frame) — NO range
+    # exchange anywhere in their plans, so an AQE exchange-reuse miss
+    # cannot re-sample boundaries under the broadcast offsets subtree
+    # (ADVICE r10: 14851/20000 ranks corrupted with reuse off).
+    for q in ("profile_gini_customer_revenue", "stats_mann_whitney_events"):
         plan = plan_of(parity.QUERIES[q](spark, sf_dir))
-        assert "Exchange rangepartitioning" in plan, q
-        assert "__pid" in plan, q
+        assert "Exchange rangepartitioning" not in plan, q
+        assert "__b" in plan, q
+    # skyline keeps the range exchange: its __pid never crosses a
+    # lineage branch (local dominance is valid under ANY partitioning),
+    # so sampled boundaries affect pruning efficiency, not correctness.
+    plan = plan_of(parity.QUERIES["skyline_parts"](spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan
+    assert "__pid" in plan
     # weighted quantiles: deterministic bucket windows (keyed by the
     # arithmetic __b bucket, never a bare per-group or global sort);
     # the only single-partition frame is the 1-row (min, max) bounds
@@ -483,8 +493,8 @@ def test_r10_auc_ks_quality_plans(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
     for q in ("stats_auc_doc_length", "stats_ks_test_events"):
         plan = plan_of(parity.QUERIES[q](spark, sf_dir))
-        assert "Exchange rangepartitioning" in plan, q
-        assert "__pid" in plan, q
+        assert "Exchange rangepartitioning" not in plan, q  # r11 sampler-free
+        assert "__b" in plan, q
     plan = plan_of(parity.QUERIES["quality_key_candidates"](spark, sf_dir))
     assert "Expand" in plan
 
@@ -518,7 +528,7 @@ def test_r10_batch_e_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
     plan = plan_of(parity.QUERIES["stats_rank_normalize_prices"](spark, sf_dir))
-    assert "Exchange rangepartitioning" in plan and "__pid" in plan
+    assert "Exchange rangepartitioning" not in plan and "__b" in plan  # r11
     plan = plan_of(parity.QUERIES["diff_revenue_drivers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "partial_sum" in plan  # sides reduce before the join
@@ -545,6 +555,6 @@ def test_r10_twap_pareto_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan, q
     plan = plan_of(parity.QUERIES["profile_pareto_customers"](spark, sf_dir))
-    assert "Exchange rangepartitioning" in plan and "__pid" in plan
+    assert "Exchange rangepartitioning" not in plan and "__b" in plan  # r11
     plan = plan_of(parity.QUERIES["ts_time_weighted_events"](spark, sf_dir))
     assert "partial_sum" in plan or "partial_count" in plan

@@ -52,13 +52,49 @@ def test_global_ranked_partition_invariant(spark):
 
 def test_global_ranked_no_single_partition_data_window(spark):
     # the point of the operator: every window over the DATA is keyed by
-    # the range-partition id; only the <= num_partitions offset frame
-    # may sort globally.
+    # the deterministic arithmetic bucket; only the <= n_buckets offset
+    # frame may sort globally. r11: NO range sampler anywhere — a
+    # sampled boundary under the broadcast offsets branch silently
+    # misaligns ranks on an exchange-reuse miss.
     plan = (
         S.global_ranked(_units(spark), ["v", "k"], ["v"])
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "__pid" in plan  # windows are pid-partitioned
+    assert "__b" in plan  # windows are bucket-partitioned
+    assert "rangepartitioning" not in plan
+
+
+def test_global_ranked_correct_without_exchange_reuse(spark):
+    # ADVICE r10 regression: with spark.sql.exchange.reuse=false the
+    # r10 repartitionByRange form re-sampled boundaries in the offsets
+    # subtree and corrupted 14851/20000 ranks. The arithmetic bucket is
+    # a pure row function — ranks must be exact with reuse disabled.
+    key = "spark.sql.exchange.reuse"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = _units(spark, 400).repartition(11)
+        got = {
+            r.k: (r.rank, int(r.run_v))
+            for r in S.global_ranked(df, ["v", "k"], sum_cols=["v"]).collect()
+        }
+        cum = 0
+        for i, (v, k) in enumerate(
+            sorted((r.v, r.k) for r in df.collect()), 1
+        ):
+            cum += v
+            assert got[k] == (i, cum)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_global_ranked_nulls_first(spark):
+    # null first-key rows bucket to -1 and rank first (ASC NULLS FIRST)
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 5), (4, None), (5, 2)], "k int, v int"
+    )
+    got = sorted((r.k, r.rank) for r in S.global_ranked(df, ["v", "k"]).collect())
+    assert got == [(1, 1), (2, 4), (3, 5), (4, 2), (5, 3)]
 
 
 # ------------------------------------------------------------------------ gini
