@@ -839,19 +839,25 @@ def basket_pair_lift(
     bug, not a workload). Item margins and the basket total are
     map-side-combined aggregates broadcast onto the bounded pair
     frame. The items frame feeds FOUR consumers (two join sides, the
-    margins, the basket total) — it is persisted (the dedup.py
-    multi-consumer precedent) so the scan+dedup lineage runs once,
-    not once per broadcast subtree: unpersisted, the sf1 measurement
-    was 64.6 s vs 7.7 s for the pair join alone.
+    margins, the basket total) — it is locally checkpointed (the
+    dedup.py multi-consumer precedent, minus persist()'s
+    session-lifetime CacheManager pin) so the scan+dedup lineage runs
+    once, not once per broadcast subtree: unshared, the sf1
+    measurement was 64.6 s vs 7.7 s for the pair join alone.
     """
     from notion_spark.functions.exactmath import D38, guarded
     from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
 
+    # localCheckpoint, not persist: persist() pins a CacheManager entry
+    # for the SESSION lifetime on every call (ADVICE r10 leak) — the
+    # lazy local checkpoint materializes the same blocks once on first
+    # use, all four consumers reuse them within the job, and the
+    # ContextCleaner frees them when the result frame is GC'd.
     items = (
         baskets.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     wb = Window.partitionBy("__bk")
     gwide = guarded(

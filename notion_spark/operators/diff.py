@@ -117,18 +117,42 @@ def delta_drivers(
     Scale shape: two map-side-combined aggregates, one key-aligned
     full-outer join on the REDUCED frames (never raw rows), and a
     TakeOrdered top-k — no global sort.
+
+    Per-key sums accumulate in DECIMAL(38,0) with an in-plan guard on
+    the int64 bound before the long cast (the repo convention): a
+    plain LONG sum wraps silently in Spark while the DuckDB mirror's
+    HUGEINT-sum-cast-to-BIGINT errors — out-of-range mass must raise
+    on both engines, not diverge (ADVICE r10).
     """
+    from notion_spark.functions.exactmath import D38, guarded
+
+    i64 = 9_223_372_036_854_775_807
     a = df_a.groupBy(F.col(key_col).alias("key")).agg(
-        F.sum(F.col(value_col).cast("long")).cast("long").alias("value_a")
+        F.sum(F.col(value_col).cast(D38)).cast(D38).alias("value_a")
     )
     b = df_b.groupBy(F.col(key_col).alias("key")).agg(
-        F.sum(F.col(value_col).cast("long")).cast("long").alias("value_b")
+        F.sum(F.col(value_col).cast(D38)).cast(D38).alias("value_b")
     )
     joined = (
         a.join(b, "key", "full_outer")
-        .withColumn("value_a", F.coalesce(F.col("value_a"), F.lit(0).cast("long")))
-        .withColumn("value_b", F.coalesce(F.col("value_b"), F.lit(0).cast("long")))
-        .withColumn("delta", (F.col("value_b") - F.col("value_a")).cast("long"))
+        .withColumn("value_a", F.coalesce(F.col("value_a"), F.lit(0).cast(D38)))
+        .withColumn("value_b", F.coalesce(F.col("value_b"), F.lit(0).cast(D38)))
+    )
+    joined = joined.withColumn(
+        "delta", (F.col("value_b") - F.col("value_a")).cast(D38)
+    )
+    gmag = guarded(
+        (F.abs(F.col("value_a")) > F.lit(i64))
+        | (F.abs(F.col("value_b")) > F.lit(i64))
+        | (F.abs(F.col("delta")) > F.lit(i64)),
+        "delta_drivers: a per-key sum or delta exceeds int64 — the long"
+        " output would wrap; pre-scale the value column",
+    )
+    joined = joined.select(
+        gmag(F.col("key")).alias("key"),
+        gmag(F.col("value_a"), "long").alias("value_a"),
+        gmag(F.col("value_b"), "long").alias("value_b"),
+        gmag(F.col("delta"), "long").alias("delta"),
     )
     return (
         joined.orderBy(

@@ -302,16 +302,18 @@ def dow_profile(
     """
     from notion_spark.functions.exactmath import halfup_micro_div_cols
 
+    # pmod, not %: Spark's % keeps the dividend sign, so pre-1970
+    # timestamps (negative days_since_epoch) would produce dows in
+    # -6..-1 that never match the 0..6 grid — counted in the series
+    # total yet silently absent from the 7-row shape (ADVICE r10).
     base = df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()).select(
         F.col(type_col).alias("series"),
-        (
-            (
-                F.datediff(
-                    F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
-                )
-                + 4
+        F.pmod(
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
             )
-            % 7
+            + 4,
+            F.lit(7),
         )
         .cast("int")
         .alias("dow"),

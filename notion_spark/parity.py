@@ -8757,8 +8757,10 @@ def behavior_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
         SELECT event_type AS series,
-               CAST(((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS INT)
-                   AS dow
+               -- pmod: (x % 7 + 7) % 7 — mirror Spark's pmod so
+               -- pre-1970 dates land in 0..6 on both engines
+               CAST(((((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7) + 7) % 7
+                    AS INT) AS dow
         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     counts AS (
@@ -9058,8 +9060,8 @@ def ts_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_tv_weekend_events",
     f"""
     WITH base AS (
-        SELECT CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7
-                         IN (0, 6)
+        SELECT CASE WHEN ((((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7)
+                          + 7) % 7 IN (0, 6)
                     THEN 'weekend' ELSE 'weekday' END AS g,
                event_type AS c
         FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -9097,14 +9099,12 @@ def profile_tv_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     ).select(
         F.when(
-            (
-                (
-                    F.datediff(
-                        F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
-                    )
-                    + 4
+            F.pmod(
+                F.datediff(
+                    F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
                 )
-                % 7
+                + 4,
+                F.lit(7),
             ).isin([0, 6]),
             F.lit("weekend"),
         )
@@ -9647,6 +9647,12 @@ PLAN_RECERT: tuple[str, ...] = (
     "stats_ks_test_events",
     "stats_rank_normalize_prices",
     "profile_pareto_customers",
+    # r11 ADVICE-low fixes: pmod dow (operator + oracle), D38+guard
+    # delta sums, basket items persist -> localCheckpoint.
+    "ts_dow_profile",
+    "profile_tv_weekend_events",
+    "diff_revenue_drivers",
+    "behavior_basket_lift",
 )
 
 

@@ -143,3 +143,31 @@ class TestDeltaDrivers:
         b = spark.createDataFrame([("x", 20), ("y", 10)], "key string, v int")
         out = [(r.key, r.delta) for r in delta_drivers(a, b, "key", "v").collect()]
         assert out == [("x", 10), ("y", -10)]  # |10| tie -> +delta first
+
+    def test_int64_overflow_raises_not_wraps(self, spark):
+        # ADVICE r10: plain LONG sums wrap silently in Spark while the
+        # DuckDB HUGEINT mirror errors. D38 accumulation + in-plan
+        # guard must raise on out-of-range mass — never diverge.
+        import pytest
+        from pyspark.sql.utils import AnalysisException
+        from py4j.protocol import Py4JJavaError
+        from notion_spark.operators.diff import delta_drivers
+
+        big = 9_000_000_000_000_000_000  # 9e18, two of them pass int64
+        a = spark.createDataFrame([("k", big), ("k", big)], "key string, v long")
+        b = spark.createDataFrame([("k", 1)], "key string, v long")
+        with pytest.raises(Exception) as ei:
+            delta_drivers(a, b, "key", "v").collect()
+        assert "exceeds int64" in str(ei.value)
+
+    def test_delta_overflow_raises_when_sides_fit(self, spark):
+        # b - a can exceed int64 even when each side fits
+        import pytest
+        from notion_spark.operators.diff import delta_drivers
+
+        big = 9_000_000_000_000_000_000
+        a = spark.createDataFrame([("k", -big)], "key string, v long")
+        b = spark.createDataFrame([("k", big)], "key string, v long")
+        with pytest.raises(Exception) as ei:
+            delta_drivers(a, b, "key", "v").collect()
+        assert "exceeds int64" in str(ei.value)

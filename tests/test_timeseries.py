@@ -193,6 +193,28 @@ class TestDowProfile:
         b = {r.dow: r for r in out.filter("series = 'b'").collect()}
         assert b[3].n == 1 and b[3].share_ppm == 1_000_000
 
+    def test_pre_1970_dates_land_in_grid(self, spark):
+        # ADVICE r10: Spark % keeps the dividend sign, so negative
+        # days-since-epoch produced dows in -6..-1 that vanished from
+        # the 0..6 grid while still inflating the series total. pmod
+        # fix: 1969-12-31 (day -1) was a Wednesday -> dow 3.
+        from datetime import datetime
+        from notion_spark.operators.timeseries import dow_profile
+
+        rows = [
+            ("e1", datetime(1969, 12, 31), "a"),  # Wed, day -1
+            ("e2", datetime(1969, 12, 28), "a"),  # Sun, day -4
+            ("e3", datetime(1970, 1, 1), "a"),    # Thu, day 0
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, event_type string"
+        )
+        out = {r.dow: r for r in dow_profile(df).collect()}
+        assert set(out) == set(range(7))
+        assert out[3].n == 1 and out[0].n == 1 and out[4].n == 1
+        assert sum(r.n for r in out.values()) == 3  # nothing vanishes
+        assert abs(sum(r.share_ppm for r in out.values()) - 1_000_000) <= 7
+
     def test_share_sums_near_million(self, spark):
         from datetime import datetime, timedelta
         from notion_spark.operators.timeseries import dow_profile
