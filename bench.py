@@ -14,12 +14,23 @@ whole-stage-codegen compilation (~2-4 s on the wide dedup aggregates),
 which single-shot timing conflated with plan cost — sub-second queries
 then tripped round-over-round ratio rules on pure noise. "value" is the
 sum of medians; per-query min/max spreads ride in "spread" for honesty.
+
+r11: the full set runs in FRESH-JVM CHUNKS of $SPARK_GRAFT_BENCH_CHUNK
+(default 25) queries, each chunk a subprocess with its own Spark JVM.
+One long-lived JVM ages its heap across ~130 queries and inflated late
+rows up to 9x (BENCH_LOCAL_r10.json: sim_ann_ivf_partitioned 17.9 s
+in-run vs 3.2 s isolated; the r10 driver artifact read 1.58x vs r9 on
+untouched code from exactly this) — per-chunk JVMs keep every row
+comparable to an isolated measurement. Explicit positional query names
+(the scale-slope harness) still run in-process; set
+SPARK_GRAFT_BENCH_CHUNK=0 to force the old single-JVM mode.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -195,22 +206,11 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    # optional positional args restrict the run to named queries (used by
-    # the sf0.1->sf1 scale-slope harness; the driver passes none)
-    selected = [q for q in sys.argv[1:] if not q.startswith("-")]
-    queries = selected or BENCH_QUERIES
-
+def _run_in_process(
+    queries: list[str], sf_dir: str, iters: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Time the named queries in THIS process's Spark session."""
     from notion_spark import parity
-
-    # fail a typo'd name in milliseconds, not with a bare KeyError after
-    # a full Spark startup + warmup
-    unknown = [q for q in queries if q not in parity.QUERIES]
-    if unknown:
-        sys.exit(f"unknown queries: {unknown} — see notion_spark.parity.QUERIES")
-
     from notion_spark.session import BENCH_DRIVER_MEMORY_CONF, get_spark
 
     spark = get_spark(
@@ -221,7 +221,6 @@ def main() -> None:
     # Warmup: JVM JIT + codegen + parquet footer caches.
     parity.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in queries:
@@ -246,6 +245,51 @@ def main() -> None:
         med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
         times[name] = round(med, 3)
         spread[name] = [runs[0], runs[-1]]
+    return times, spread
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    worker = "--worker" in sys.argv
+    # optional positional args restrict the run to named queries (used by
+    # the sf0.1->sf1 scale-slope harness; the driver passes none)
+    selected = [q for q in sys.argv[1:] if not q.startswith("-")]
+    queries = selected or BENCH_QUERIES
+
+    from notion_spark import parity
+
+    # fail a typo'd name in milliseconds, not with a bare KeyError after
+    # a full Spark startup + warmup
+    unknown = [q for q in queries if q not in parity.QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown} — see notion_spark.parity.QUERIES")
+
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "25"))
+
+    if worker or selected or chunk <= 0 or len(queries) <= chunk:
+        # explicit names / worker / chunking disabled: one JVM, in-process
+        times, spread = _run_in_process(queries, sf_dir, iters)
+    else:
+        # fresh-JVM chunks: each subprocess starts its own Spark JVM so
+        # no row pays a predecessor chunk's aged heap
+        times, spread = {}, {}
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", *part],
+                capture_output=True,
+                text=True,
+                env=os.environ,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                sys.exit(f"bench worker failed on chunk starting {part[0]}")
+            line = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()][-1]
+            out = json.loads(line)
+            times.update(out["queries"])
+            spread.update(out["spread"])
 
     total = round(sum(times.values()), 3)
     print(
