@@ -34,7 +34,9 @@ import json
 import re
 import sys
 
-PARITY = "notion_spark/parity.py"
+# r11: the registry split into a package; the rotation state lives in
+# the _window module now
+PARITY = "notion_spark/parity/_window.py"
 
 
 def green(row: dict) -> bool:
