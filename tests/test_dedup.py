@@ -563,3 +563,21 @@ class TestParagraphDedup:
             for r in strip_common_paragraphs(docs, max_docs=3).collect()
         }
         assert all("COMMON" not in v for v in stripped.values())
+
+
+def test_levenshtein_minhash_default_geometry():
+    """Operating-point pin (r11 recall sweep, SCALE.md): the default
+    geometry is num_hashes=64, bands=16 (r=4) — measured recall 0.907
+    at sf1 / 1.000 at sf0.1 with the selective 1-(1-j^4)^16 admission
+    that bounds candidate mass at scale. Changing the default changes
+    the documented recall curve: re-run the sweep and update SCALE.md
+    before touching this."""
+    import inspect
+
+    from notion_spark.pipeline.dedup import levenshtein_pairs_minhash
+
+    sig = inspect.signature(levenshtein_pairs_minhash)
+    assert sig.parameters["num_hashes"].default == 64
+    assert sig.parameters["bands"].default == 16
+    assert sig.parameters["ngram"].default == 3
+    assert sig.parameters["max_distance"].default == 20
