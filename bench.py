@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "ts_time_weighted_events",
     "profile_pareto_customers",
     "stats_srm_event_mix",
+    # r11, benched from birth
+    "streaming_drift_scores",
 ]
 
 

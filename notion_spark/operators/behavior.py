@@ -848,16 +848,21 @@ def basket_pair_lift(
     from notion_spark.functions.exactmath import D38, guarded
     from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
 
-    # localCheckpoint, not persist: persist() pins a CacheManager entry
-    # for the SESSION lifetime on every call (ADVICE r10 leak) — the
-    # lazy local checkpoint materializes the same blocks once on first
-    # use, all four consumers reuse them within the job, and the
-    # ContextCleaner frees them when the result frame is GC'd.
+    # EAGER localCheckpoint, not persist and not lazy: persist() pins a
+    # CacheManager entry for the SESSION lifetime on every call (ADVICE
+    # r10 leak); a LAZY checkpoint races at scale — the four consumer
+    # stages compute the marked RDD concurrently while the checkpoint
+    # transition unpersists blocks mid-flight (measured at sf10:
+    # "called remove() on block without a write lock" task failures).
+    # Eager materializes the blocks in one build-time job BEFORE any
+    # consumer exists, and the ContextCleaner frees them when the
+    # result frame is GC'd — the one other place (after auto_planes)
+    # the repo trades laziness for correctness of a shared frame.
     items = (
         baskets.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     wb = Window.partitionBy("__bk")
     gwide = guarded(

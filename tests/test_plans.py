@@ -558,3 +558,16 @@ def test_r10_twap_pareto_plans(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan and "__b" in plan  # r11
     plan = plan_of(parity.QUERIES["ts_time_weighted_events"](spark, sf_dir))
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_r11_drift_scores_plan(spark, sf_dir):
+    """r11: the drift scorer joins BOUNDED frames only (windows x
+    reference grid, per-window totals, 1-row reference total) — every
+    join a broadcast, no cartesian over data, no Python, and the only
+    data-sized work is the two map-side-combined groupBys over the
+    shared events scan."""
+    plan = plan_of(parity.QUERIES["streaming_drift_scores"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
