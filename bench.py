@@ -205,6 +205,10 @@ BENCH_QUERIES = [
     "stats_srm_event_mix",
     # r11, benched from birth
     "streaming_drift_scores",
+    "stats_cliffs_delta_events",
+    "stats_spearman_prices",
+    "stats_cramers_v_orders",
+    "stats_two_proportion_events",
 ]
 
 

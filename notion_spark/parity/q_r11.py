@@ -88,3 +88,234 @@ def streaming_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_window",
         "tv_micro",
     )
+
+
+@register(
+    "stats_cliffs_delta_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    counts AS (
+        SELECT v, CAST(COUNT(*) FILTER (g = 'purchase') AS HUGEINT) AS ca,
+               CAST(COUNT(*) FILTER (g <> 'purchase') AS HUGEINT) AS cb
+        FROM base GROUP BY 1
+    ),
+    cum AS (
+        SELECT *, ca + cb AS c,
+               CAST(SUM(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS run
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+               CAST(SUM(ca * (2 * (run - c) + c + 1)) AS HUGEINT) AS r2a
+        FROM cum
+    ),
+    d AS (
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CASE WHEN na >= 1 AND nb >= 1 THEN
+                   {_hu('(r2a - na * (na + 1)) - na * nb', 'na * nb')}
+               END AS delta_micro
+        FROM agg
+    )
+    SELECT n_a, n_b, delta_micro,
+           CASE WHEN delta_micro IS NULL THEN NULL
+                WHEN abs(delta_micro) < 147000 THEN 'negligible'
+                WHEN abs(delta_micro) < 330000 THEN 'small'
+                WHEN abs(delta_micro) < 474000 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+)
+def stats_cliffs_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between purchase and click values
+    (`pipeline.stats.cliffs_delta`): the MW-U machinery's doubled
+    midranks reduced to the exact (2U − n_a·n_b)/(n_a·n_b) half-up
+    micro division plus the pinned Romano magnitude label — the
+    "should anyone care" companion to stats_mann_whitney_events."""
+    from notion_spark.pipeline.stats import cliffs_delta
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("x"),
+    )
+    return cliffs_delta(e, "event_type", "x", "purchase", "click")
+
+
+@register(
+    "stats_spearman_prices",
+    """
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cx AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1),
+    rx AS (
+        SELECT x, CAST(2 * (SUM(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                     + c + 1 AS HUGEINT) AS r2x
+        FROM cx
+    ),
+    cy AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1),
+    ry AS (
+        SELECT y, CAST(2 * (SUM(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                     + c + 1 AS HUGEINT) AS r2y
+        FROM cy
+    ),
+    j AS (
+        SELECT rx.r2x, ry.r2y FROM base
+        JOIN rx ON rx.x = base.x JOIN ry ON ry.y = base.y
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(r2x) AS HUGEINT) AS sx,
+               CAST(SUM(r2y) AS HUGEINT) AS sy,
+               CAST(SUM(r2x * r2x) AS HUGEINT) AS sxx,
+               CAST(SUM(r2y * r2y) AS HUGEINT) AS syy,
+               CAST(SUM(r2x * r2y) AS HUGEINT) AS sxy
+        FROM j
+    ),
+    m AS (
+        SELECT n, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+        FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+               CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) END AS rho_sign,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+               (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+               / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END AS rho2
+    FROM m
+    """,
+)
+def stats_spearman_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (`pipeline.stats.spearman_rho`): doubled midranks per column from
+    the distributed rank machinery joined back by value, six exact
+    DECIMAL(38,0) moment sums, rho² via the identical-IEEE-ops
+    contract — the oracle ranks with flat windows, the hash proves the
+    distributed construction identical."""
+    from notion_spark.pipeline.stats import spearman_rho
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("y"),
+    )
+    return spearman_rho(li, "x", "y")
+
+
+@register(
+    "stats_cramers_v_orders",
+    f"""
+    WITH base AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS HUGEINT) AS o FROM base GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(COUNT(*) AS HUGEINT) AS r FROM base GROUP BY 1),
+    cb AS (SELECT b, CAST(COUNT(*) AS HUGEINT) AS c FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    grid AS (
+        SELECT ra.a, cb.b, ra.r, cb.c, tot.n,
+               CAST(COALESCE(cells.o, 0) AS HUGEINT) AS o
+        FROM ra CROSS JOIN cb CROSS JOIN tot
+        LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+    ),
+    contrib AS (
+        SELECT n, o,
+               {_hu('(n * o - r * c) * (n * o - r * c)', 'n * r * c')} AS cm
+        FROM grid
+    ),
+    agg AS (
+        SELECT CAST(MAX(n) AS HUGEINT) AS n,
+               CAST(SUM(o) AS HUGEINT) AS nsum,
+               CAST((SELECT COUNT(*) FROM ra) AS HUGEINT) AS r_cats,
+               CAST((SELECT COUNT(*) FROM cb) AS HUGEINT) AS c_cats,
+               CAST(SUM(cm) AS HUGEINT) AS chi2
+        FROM contrib
+    )
+    SELECT CAST(nsum AS BIGINT) AS n,
+           CAST(r_cats AS BIGINT) AS r_categories,
+           CAST(c_cats AS BIGINT) AS c_categories,
+           CAST(chi2 AS BIGINT) AS chi2_micro,
+           CASE WHEN least(r_cats, c_cats) >= 2 AND nsum > 0 THEN
+               {_hu('chi2', 'nsum * (least(r_cats, c_cats) - 1) * 1000000')}
+           END AS v2_micro
+    FROM agg
+    """,
+)
+def stats_cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V over the priority × status crosstab
+    (`pipeline.stats.cramers_v`): the chi-square grid reduced to the
+    normalized [0,1] effect size — V² as one exact half-up division of
+    the already-exact chi2_micro; the hashable surface is V² per the
+    numeric_correlations sqrt rule."""
+    from notion_spark.pipeline.stats import cramers_v
+
+    o = read_table(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "stats_two_proportion_events",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+               (event_type = 'purchase') AS s
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) FILTER (g = 'even') AS HUGEINT) AS na,
+               CAST(COUNT(*) FILTER (g = 'even' AND s) AS HUGEINT) AS xa,
+               CAST(COUNT(*) FILTER (g = 'odd') AS HUGEINT) AS nb,
+               CAST(COUNT(*) FILTER (g = 'odd' AND s) AS HUGEINT) AS xb
+        FROM base
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           CASE WHEN na > 0 THEN {_hu('xa', 'na')} END AS p_a_micro,
+           CASE WHEN nb > 0 THEN {_hu('xb', 'nb')} END AS p_b_micro,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST({_hu('xa', 'na')} - {_hu('xb', 'nb')} AS BIGINT)
+           END AS diff_micro,
+           CASE WHEN na > 0 AND nb > 0 AND
+                     (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                     * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                     * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)) > 0
+           THEN (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                / sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+           END AS z
+    FROM agg
+    """,
+)
+def stats_two_proportion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z readout of purchase share between the even and
+    odd user-id cohorts (`pipeline.stats.two_proportion_z`): exact
+    half-up micro shares and their difference; z via the pinned-IEEE
+    pooled-variance sequence — the conversion A/B primitive."""
+    from notion_spark.pipeline.stats import two_proportion_z
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("g"),
+        (F.col("event_type") == "purchase").alias("s"),
+    )
+    return two_proportion_z(e, "g", "s", "even", "odd")

@@ -42,6 +42,14 @@ __all__ = [
     "mann_whitney_u",
     "exact_auc",
     "ks_test",
+    "rank_normalize",
+    "pareto_concentration",
+    "chi_square_goodness_of_fit",
+    "halfup_micro_div_cols_expr",
+    "cliffs_delta",
+    "spearman_rho",
+    "cramers_v",
+    "two_proportion_z",
 ]
 
 
@@ -1033,4 +1041,264 @@ def chi_square_goodness_of_fit(
         ).alias("contrib_micro"),
         F.lit(len(expected_ppm) - 1).cast("long").alias("dof"),
         (~in_design).alias("off_design"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cliff's delta between two named cohorts — the EFFECT SIZE the
+    Mann–Whitney test omits: P(a > b) − P(a < b) over all cross-cohort
+    pairs, in [−1, 1]. A significance test says a shift exists; delta
+    says whether anyone should care. Single row:
+    (n_a, n_b, delta_micro, magnitude).
+
+    Entirely exact: delta = (2·U_a − n_a·n_b)/(n_a·n_b) with midrank
+    tie handling (each tied pair contributes 0 to the numerator), and
+    2·U_a is already an exact integer from the shared doubled-midrank
+    core — delta_micro is ONE half-up micro division. ``magnitude`` is
+    the standard Romano et al. label from pinned micro thresholds
+    (|d| < 147000 negligible, < 330000 small, < 474000 medium, else
+    large) — compared in exact integers, so the label can never flap
+    on float noise. Empty cohorts yield NULL delta.
+
+    Scale shape: identical to `mann_whitney_u` (one value-keyed
+    collapse, distributed rank over the distinct-value frame, one
+    reduce) — the two should be read together off one certification.
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).filter(
+        F.col(value_col).isNotNull()
+    )
+    agg = _doubled_midrank_moments(
+        base, F.col(group_col) == group_a, value_col, num_partitions
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    u2a = (F.col("__r2a") - na * (na + 1)).cast(D38)
+    gprod = guarded(
+        (na * nb).cast(D38) > F.lit(4_500_000_000_000_000_000).cast(D38),
+        "cliffs_delta: n_a*n_b > 4.5e18 — the doubled numerator would"
+        " leave BIGINT; test a uniform sample",
+    )
+    ok = (na >= 1) & (nb >= 1)
+    delta = F.when(
+        ok,
+        gprod(
+            halfup_micro_div_cols_expr(
+                (u2a - (na * nb).cast(D38)).cast(D38), (na * nb).cast(D38)
+            ),
+            "long",
+        ),
+    )
+    mag = F.when(delta.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.abs(delta) < 147_000, F.lit("negligible"))
+        .when(F.abs(delta) < 330_000, F.lit("small"))
+        .when(F.abs(delta) < 474_000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        delta.alias("delta_micro"),
+        mag.alias("magnitude"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    num_partitions: int | None = None,
+    max_rows: int = 1_500_000_000,
+) -> DataFrame:
+    """Spearman rank correlation structure between two integer-valued
+    columns — Pearson on midranks: the monotone-association number
+    that survives the skew and outliers that wreck raw-value Pearson.
+    Single row: (n, rho_sign, rho2) — the `numeric_correlations`
+    exact surface (rho itself needs a sqrt, so the hashable output is
+    its sign plus its square; rho = rho_sign * sqrt(rho2)).
+
+    Exactness: midranks per column come from the shared
+    doubled-midrank construction (2·midrank = 2P + c + 1 over the
+    distinct-value frame — ties exact, never a half), joined back to
+    the rows by value. Per-row rank products stay in LONG (the
+    numeric_correlations rule: whole-stage-codegen multiplies, one
+    long→decimal conversion per SUM term — the all-DECIMAL(38,0) form
+    measured 2x the whole query at sf1), widened to decimal(20,0)
+    only at the sum; exact because 2N+1 ≤ 3e9 keeps every product
+    under 9e18 — the in-plan guard raises past ``max_rows`` (1.5e9)
+    rows. num = n·Σxy − Σx·Σy and the two denominators are exact
+    integers CAST ONCE to double, and rho2 = num²/(den_x·den_y) is a
+    single IEEE multiply/divide of those identical doubles. Listwise
+    null handling; constant columns yield NULL rho2.
+
+    Scale shape: two value-keyed collapses (bounded by distinct
+    values), two distributed ranks over those collapsed frames, two
+    value-keyed join-backs to the rows, ONE global moment aggregate —
+    no data-sized window anywhere.
+    """
+    base = df.filter(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(
+        F.col(col_x).cast("long").alias("__x"),
+        F.col(col_y).cast("long").alias("__y"),
+    )
+
+    def ranks_of(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast(D38).alias("__c")
+        )
+        ranked = global_ranked(
+            counts, ["__v"], sum_cols=["__c"], num_partitions=num_partitions,
+            rank_col="__rk",
+        )
+        # LONG doubled midrank: exact under the max_rows guard (2N+1
+        # <= 3e9), and LONG products stay inside whole-stage codegen
+        two_mid = (
+            (F.col("run___c") - F.col("__c")) * 2 + F.col("__c") + 1
+        ).cast("long")
+        return ranked.select(F.col("__v").alias(col), two_mid.alias(out))
+
+    joined = base.join(ranks_of("__x", "__rx"), "__x").join(
+        ranks_of("__y", "__ry"), "__y"
+    )
+    d20 = "decimal(20,0)"
+    agg = joined.agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(F.col("__rx").cast(d20)).cast(D38).alias("__sx"),
+        F.sum(F.col("__ry").cast(d20)).cast(D38).alias("__sy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast(d20)).cast(D38).alias("__sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast(d20)).cast(D38).alias("__syy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast(d20)).cast(D38).alias("__sxy"),
+    )
+    gbig = guarded(
+        F.col("__n") > F.lit(max_rows),
+        f"spearman_rho: n > {max_rows} — doubled-rank LONG products"
+        " would wrap past 2N+1 = 3e9; rank-correlate a uniform sample",
+    )
+    n_ = F.col("__n")
+    num = (n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(D38)
+    den_x = (n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(D38)
+    den_y = (n_ * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(D38)
+    num_d = num.cast("double")
+    ok = (n_ >= 2) & (den_x > 0) & (den_y > 0)
+    return agg.select(
+        gbig(n_, "long").alias("n"),
+        F.when(ok, F.signum(num_d).cast("long")).alias("rho_sign"),
+        F.when(
+            ok, (num_d * num_d) / (den_x.cast("double") * den_y.cast("double"))
+        ).alias("rho2"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_categories: int = 1_000,
+    max_rows: int = 200_000_000,
+) -> DataFrame:
+    """Cramér's V structure for two categoricals — the normalized
+    [0, 1] effect size on top of `chi_square_independence`: a 1e9-row
+    crosstab always "rejects independence"; V says whether the
+    association is furniture or signal. Single row:
+    (n, r_categories, c_categories, chi2_micro, v2_micro) where
+    V² = χ²/(N·(min(R,C)−1)) and v2_micro is one exact half-up
+    division of the already-exact chi2_micro (V itself needs a sqrt —
+    the hashable surface is V², the `numeric_correlations` rule).
+
+    Scale shape: the per-cell chi-square grid (bounded by
+    ``max_categories``² broadcastable rows) reduced by one aggregate;
+    all exactness bounds inherit from `chi_square_independence`.
+    Degenerate margins (R < 2 or C < 2) yield NULL v2_micro.
+    """
+    cells = chi_square_independence(
+        df, col_a, col_b, max_categories=max_categories, max_rows=max_rows
+    )
+    agg = cells.agg(
+        F.sum(F.col("observed").cast(D38)).cast(D38).alias("__n"),
+        F.countDistinct(F.col("a")).cast(D38).alias("__r"),
+        F.countDistinct(F.col("b")).cast(D38).alias("__c"),
+        F.sum(F.col("contrib_micro").cast(D38)).cast(D38).alias("__chi2"),
+    )
+    mind = (F.least(F.col("__r"), F.col("__c")) - 1).cast(D38)
+    ok = mind >= 1
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__r").cast("long").alias("r_categories"),
+        F.col("__c").cast("long").alias("c_categories"),
+        F.col("__chi2").cast("long").alias("chi2_micro"),
+        F.when(
+            ok & (F.col("__n") > 0),
+            halfup_micro_div_cols_expr(
+                F.col("__chi2"),
+                (F.col("__n") * mind * F.lit(1_000_000).cast(D38)).cast(D38),
+            ),
+        ).alias("v2_micro"),
+    )
+
+
+def two_proportion_z(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-proportion z structure between two named cohorts — the
+    conversion-rate A/B readout: success shares per cohort, their
+    difference, and the pooled z. Single row: (n_a, x_a, n_b, x_b,
+    p_a_micro, p_b_micro, diff_micro, z).
+
+    The proportions and their difference are exact half-up micro
+    divisions of exact counts; z follows the identical-IEEE-ops
+    contract (exact integers cast once to double, pinned op sequence
+    with one sqrt): z = (pa − pb)/sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with
+    the pooled p̂ = (x_a+x_b)/(n_a+n_b) — all four inputs to the
+    doubles are the exact counts. Degenerate pools (p̂ ∈ {0,1}) or an
+    empty cohort yield NULL z. ``success_col`` is any boolean-castable
+    column; NULL successes are excluded (they are neither success nor
+    failure — half-counting them would bias both shares).
+
+    Scale shape: ONE map-side-combined aggregate over the scan — four
+    conditional counts, no shuffle wider than one row.
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(success_col).isNotNull()
+    )
+    is_a = F.col(group_col) == group_a
+    s = F.col(success_col).cast("boolean")
+    agg = base.agg(
+        F.count(F.when(is_a, F.lit(1))).cast(D38).alias("__na"),
+        F.count(F.when(is_a & s, F.lit(1))).cast(D38).alias("__xa"),
+        F.count(F.when(~is_a, F.lit(1))).cast(D38).alias("__nb"),
+        F.count(F.when(~is_a & s, F.lit(1))).cast(D38).alias("__xb"),
+    )
+    na, xa, nb, xb = (F.col(c) for c in ("__na", "__xa", "__nb", "__xb"))
+    pa = F.when(na > 0, halfup_micro_div_cols_expr(xa.cast(D38), na.cast(D38)))
+    pb = F.when(nb > 0, halfup_micro_div_cols_expr(xb.cast(D38), nb.cast(D38)))
+    # pinned IEEE sequence (oracle mirrors op-for-op)
+    na_d, xa_d = na.cast("double"), xa.cast("double")
+    nb_d, xb_d = nb.cast("double"), xb.cast("double")
+    pool = (xa_d + xb_d) / (na_d + nb_d)
+    se2 = pool * (F.lit(1.0) - pool) * (
+        F.lit(1.0) / na_d + F.lit(1.0) / nb_d
+    )
+    ok = (na > 0) & (nb > 0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        xa.cast("long").alias("x_a"),
+        nb.cast("long").alias("n_b"),
+        xb.cast("long").alias("x_b"),
+        pa.alias("p_a_micro"),
+        pb.alias("p_b_micro"),
+        F.when(ok, pa - pb).cast("long").alias("diff_micro"),
+        F.when(ok & (se2 > 0), (xa_d / na_d - xb_d / nb_d) / F.sqrt(se2)).alias(
+            "z"
+        ),
     )

@@ -571,3 +571,23 @@ def test_r11_drift_scores_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_r11_stats_batch_plans(spark, sf_dir):
+    """r11 effect sizes: no cartesian / no Python anywhere; the
+    rank-based pair (cliffs delta, spearman) ride the sampler-free
+    bucket shape (__b, never a range exchange); spearman's join-backs
+    stay keyed; the scan-only pair (cramers V, two-proportion) reduce
+    map-side."""
+    for q in ("stats_cliffs_delta_events", "stats_spearman_prices",
+              "stats_cramers_v_orders", "stats_two_proportion_events"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    for q in ("stats_cliffs_delta_events", "stats_spearman_prices"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "Exchange rangepartitioning" not in plan, q
+        assert "__b" in plan, q
+    plan = plan_of(parity.QUERIES["stats_two_proportion_events"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "Join" not in plan  # one aggregate, no join anywhere

@@ -449,3 +449,110 @@ def test_gof_perfect_fit_zero(spark):
            for r in S.chi_square_goodness_of_fit(
                df, "c", {"x": 300_000, "y": 700_000}).collect()}
     assert out == {"x": 0, "y": 0}
+
+
+# ------------------------------------------------------------ r11 effect sizes
+
+def _halfup_signed(num: int, den: int) -> int:
+    return _halfup_micro(num, den)
+
+
+class TestCliffsDelta:
+    def _ev(self, spark, a_vals, b_vals):
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_hand_case_with_ties(self, spark):
+        # a = [1, 2, 2], b = [2, 3]: #(a>b)=0, #(a<b)=4, ties=2
+        # delta = (0 - 4) / 6 = -2/3
+        out = S.cliffs_delta(self._ev(spark, [1, 2, 2], [2, 3]), "g", "v",
+                             "a", "b").collect()[0]
+        assert out.n_a == 3 and out.n_b == 2
+        assert out.delta_micro == _halfup_signed(-4, 6)
+        assert out.magnitude == "large"
+
+    def test_disjoint_and_identical(self, spark):
+        hi = S.cliffs_delta(self._ev(spark, [10, 11], [1, 2]), "g", "v",
+                            "a", "b").collect()[0]
+        assert hi.delta_micro == 1_000_000 and hi.magnitude == "large"
+        same = S.cliffs_delta(self._ev(spark, [5, 5], [5, 5]), "g", "v",
+                              "a", "b").collect()[0]
+        assert same.delta_micro == 0 and same.magnitude == "negligible"
+
+    def test_matches_mwu_identity(self, spark):
+        # delta == (u_a_x2 - n_a*n_b) / (n_a*n_b) from the MW-U output
+        df = self._ev(spark, [3, 1, 4, 1, 5], [9, 2, 6])
+        mwu = S.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        d = S.cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+        assert d.delta_micro == _halfup_signed(
+            mwu.u_a_x2 - mwu.n_a * mwu.n_b, mwu.n_a * mwu.n_b)
+
+
+class TestSpearman:
+    def test_perfect_monotone(self, spark):
+        df = spark.createDataFrame(
+            [(i, i * i) for i in range(1, 20)], "x long, y long")
+        out = S.spearman_rho(df, "x", "y").collect()[0]
+        assert out.n == 19 and out.rho_sign == 1
+        assert abs(out.rho2 - 1.0) < 1e-12
+
+    def test_perfect_inverse_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [(1, 9), (2, 7), (3, 7), (4, 1)], "x long, y long")
+        out = S.spearman_rho(df, "x", "y").collect()[0]
+        assert out.rho_sign == -1
+        # Fraction reference: midranks x=[1,2,3,4], y=[4, 2.5, 2.5, 1]
+        from fractions import Fraction as Fr
+        rx = [Fr(2), Fr(4), Fr(6), Fr(8)]       # doubled
+        ry = [Fr(8), Fr(5), Fr(5), Fr(2)]
+        n = 4
+        num = n * sum(a * b for a, b in zip(rx, ry)) - sum(rx) * sum(ry)
+        dx = n * sum(a * a for a in rx) - sum(rx) ** 2
+        dy = n * sum(b * b for b in ry) - sum(ry) ** 2
+        assert abs(out.rho2 - float(num * num / (dx * dy))) < 1e-12
+
+    def test_constant_column_null(self, spark):
+        df = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+        assert S.spearman_rho(df, "x", "y").collect()[0].rho2 is None
+
+
+class TestCramersV:
+    def test_perfect_association_2x2(self, spark):
+        rows = [("p", "x")] * 5 + [("q", "y")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = S.cramers_v(df, "a", "b").collect()[0]
+        # chi2 = N for a perfect 2x2 -> V^2 = N/(N*1) = 1
+        assert out.n == 10 and out.r_categories == 2 and out.c_categories == 2
+        assert out.v2_micro == 1_000_000
+
+    def test_independent_uniform(self, spark):
+        rows = [(a, b) for a in "pq" for b in "xy" for _ in range(5)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = S.cramers_v(df, "a", "b").collect()[0]
+        assert out.chi2_micro == 0 and out.v2_micro == 0
+
+    def test_degenerate_margin_null(self, spark):
+        df = spark.createDataFrame([("p", "x"), ("p", "y")], "a string, b string")
+        assert S.cramers_v(df, "a", "b").collect()[0].v2_micro is None
+
+
+class TestTwoProportion:
+    def test_hand_case(self, spark):
+        rows = ([("a", True)] * 30 + [("a", False)] * 70
+                + [("b", True)] * 20 + [("b", False)] * 80)
+        df = spark.createDataFrame(rows, "g string, s boolean")
+        out = S.two_proportion_z(df, "g", "s", "a", "b").collect()[0]
+        assert (out.n_a, out.x_a, out.n_b, out.x_b) == (100, 30, 100, 20)
+        assert out.p_a_micro == 300_000 and out.p_b_micro == 200_000
+        assert out.diff_micro == 100_000
+        import math
+        pool = 50 / 200
+        se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+        assert abs(out.z - (0.3 - 0.2) / se) < 1e-12
+
+    def test_null_successes_excluded_and_degenerate(self, spark):
+        rows = [("a", True), ("a", None), ("b", True)]
+        df = spark.createDataFrame(rows, "g string, s boolean")
+        out = S.two_proportion_z(df, "g", "s", "a", "b").collect()[0]
+        assert out.n_a == 1 and out.n_b == 1
+        assert out.z is None  # pooled p = 1 -> se2 = 0
