@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "stats_spearman_prices",
     "stats_cramers_v_orders",
     "stats_two_proportion_events",
+    "agg_rollup_revenue",
+    "agg_cube_counts",
+    "agg_pivot_status",
 ]
 
 

@@ -319,3 +319,118 @@ def stats_two_proportion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("s"),
     )
     return two_proportion_z(e, "g", "s", "even", "odd")
+
+
+@register(
+    "agg_rollup_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation revenue ROLLUP — the OLAP subtotal ladder
+    (nation rows, per-region subtotals, grand total) in ONE pass:
+    Spark `rollup()` compiles to a single Expand + aggregate, exactly
+    the multi-granularity readout a dashboard refresh needs without
+    re-scanning per level. grouping_id disambiguates aggregate rows
+    from natural NULLs (Spark's grouping_id bit order matches
+    GROUPING(r)*2 + GROUPING(n)); revenue via the DECIMAL(18,2) exact
+    sum rule. Dims broadcast; one hash shuffle on the Expand output."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            _dec_sum("o_totalprice", "revenue"),
+        )
+        .select("region", "nation", "gid", "n_orders", "revenue")
+    )
+
+
+@register(
+    "agg_cube_counts",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status × priority CUBE — all four granularities (cells, two
+    one-way margins, grand total) from one Expand + aggregate, the
+    crosstab-with-margins a reporting layer otherwise runs as four
+    scans. grouping_id keys the granularity; map-side combine keeps
+    the shuffle at (4 × |status×priority|) rows."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("status", "priority", "gid", "n")
+    )
+
+
+@register(
+    "agg_pivot_status",
+    """
+    SELECT l_returnflag AS returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(COUNT(*) FILTER (l_linestatus = 'F') AS BIGINT) AS n_F,
+           CAST(COUNT(*) FILTER (l_linestatus = 'O') AS BIGINT) AS n_O
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide PIVOT of quantity by line status — Spark
+    `groupBy().pivot(values=...)` with the value list PINNED (['F',
+    'O']): with explicit values the pivot compiles to one pass of
+    conditional aggregates (no eager distinct scan to discover
+    columns, no second job), the exact shape the SQL mirror writes as
+    FILTER aggregates. Exact DECIMAL sums surfaced as double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return wide.select(
+        "returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )

@@ -591,3 +591,21 @@ def test_r11_stats_batch_plans(spark, sf_dir):
     plan = plan_of(parity.QUERIES["stats_two_proportion_events"](spark, sf_dir))
     assert "partial_count" in plan
     assert "Join" not in plan  # one aggregate, no join anywhere
+
+
+def test_r11_olap_shapes_plans(spark, sf_dir):
+    """r11 OLAP shapes: rollup/cube compile to ONE Expand + aggregate
+    (never one scan per granularity); the pinned-values pivot compiles
+    to one pass of conditional aggregates with NO second job and no
+    Expand at all; rollup's dims all broadcast."""
+    plan = plan_of(parity.QUERIES["agg_rollup_revenue"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    plan = plan_of(parity.QUERIES["agg_cube_counts"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert "partial_count" in plan
+    plan = plan_of(parity.QUERIES["agg_pivot_status"](spark, sf_dir))
+    assert "Expand" not in plan            # pinned values: no discovery pass
+    assert "partial_sum" in plan
+    assert "Join" not in plan
