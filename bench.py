@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "agg_rollup_revenue",
     "agg_cube_counts",
     "agg_pivot_status",
+    "behavior_markov_transitions",
+    "behavior_cohort_ltv",
+    "ts_gap_report",
 ]
 
 

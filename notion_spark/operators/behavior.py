@@ -907,3 +907,131 @@ def basket_pair_lift(
             (F.col("n_a").cast(D38) * F.col("n_b").cast(D38)).cast(D38),
         ).alias("lift_micro"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition structure of per-user event
+    sequences — the "what happens after X" matrix behind every journey
+    map: one row per observed (from_state, to_state) with its count
+    and the row-normalized transition probability. path_ngrams mines
+    popular exact paths; this is the full conditional distribution.
+
+    Output: (from_state, to_state, n, p_micro) where p_micro is the
+    exact half-up micro share of ``n`` within its from_state total —
+    shares per from_state sum to ~1e6 by construction. Transitions are
+    consecutive pairs under the (ts, tie_col) per-user total order;
+    each user's last event emits nothing. NULL states/users/timestamps
+    are excluded.
+
+    Scale shape: one user-keyed shuffle for the lead window (the
+    per-user frame is bounded by that user's events), one
+    map-side-combined groupBy on the ≤ |states|² pair frame, and a
+    broadcast join of the ≤ |states|-row from-state totals.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tie_col))
+    pairs = (
+        base.withColumn("__next", F.lead(F.col(state_col)).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("__next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum(F.col("n").cast(D38)).cast(D38).alias("__tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .filter(F.col("n") >= min_count)
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            halfup_micro_div_cols_expr(
+                F.col("n").cast(D38), F.col("__tot")
+            ).alias("p_micro"),
+        )
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curves — cumulative revenue per signup
+    cohort by month index: the "how do the Jan-2024 customers compare
+    to Dec-2023 at month 3" readout behind every LTV dashboard.
+    retention_cohort counts survivors; this follows the money.
+
+    Output: one row per (cohort_month, month_index) with
+    (n_active_customers, revenue_cents, cum_revenue_cents). The cohort
+    is the customer's FIRST order month; month_index is the exact
+    integer month delta (year*12 + month arithmetic — never an engine
+    months_between whose fractional conventions differ); revenue is
+    exact cents in DECIMAL(38,0), cumulated per cohort over the
+    bounded |cohorts| × |months| frame.
+
+    Scale shape: one customer-keyed min-aggregate for the cohort month
+    (map-side combined), joined back by customer key, one
+    map-side-combined groupBy to the bounded curve frame, and the
+    running sum as a per-cohort window over that bounded frame — the
+    only window in the plan rides ≤ |cohorts|·|months| rows, never the
+    orders.
+    """
+    from notion_spark.functions.exactmath import D38
+
+    base = orders.filter(
+        F.col(customer_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(customer_col).alias("__cust"),
+        (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("int").alias("__m"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__cents"),
+    )
+    first = base.groupBy("__cust").agg(F.min("__m").alias("__m0"))
+    curve = (
+        base.join(first, "__cust")
+        .groupBy(
+            F.col("__m0").alias("__cm"),
+            (F.col("__m") - F.col("__m0")).alias("month_index"),
+        )
+        .agg(
+            F.countDistinct("__cust").cast("long").alias("n_active_customers"),
+            F.sum(F.col("__cents").cast(D38)).cast(D38).alias("__rev"),
+        )
+    )
+    wc = Window.partitionBy("__cm").orderBy("month_index").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return curve.select(
+        F.concat_ws(
+            "-",
+            F.format_string("%04d", (F.col("__cm") / 12).cast("int")),
+            F.format_string("%02d", (F.col("__cm") % 12 + 1).cast("int")),
+        ).alias("cohort_month"),
+        F.col("month_index").cast("long").alias("month_index"),
+        "n_active_customers",
+        F.col("__rev").cast("long").alias("revenue_cents"),
+        F.sum("__rev").over(wc).cast("long").alias("cum_revenue_cents"),
+    )

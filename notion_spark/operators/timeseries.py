@@ -484,3 +484,69 @@ def time_weighted_avg(
             "twa_micro"
         ),
     )
+
+
+def gap_report(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    threshold_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Outage / silence audit per series: the inter-event gap profile
+    that answers "did this feed stall, and for how long". One row per
+    series: (series, n_events, span_us, max_gap_us, n_gaps_over,
+    mean_gap_micro_us).
+
+    All exact integers: gaps are epoch-microsecond differences under
+    the (ts, tie_col) per-series total order (the tiebreak makes
+    equal-timestamp runs contribute exact zero-gaps deterministically);
+    mean gap is one half-up micro division of span by (n−1) — and
+    span/(n−1) ≡ mean of gaps exactly, so no gap summation is even
+    needed. ``threshold_us`` counts gaps strictly over it (default one
+    day). Single-event series emit NULL max/mean.
+
+    Scale shape: one series-keyed shuffle for the lag window (the only
+    per-row op), then a map-side-combined groupBy to the |series|
+    frame. A single hot series serializes through one task's window —
+    inherent to an ordered per-series scan; shard upstream if one
+    series is the corpus.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("series"),
+        # NTZ -> TZ cast is an identity on the instant under the UTC
+        # session timezone (unix_micros rejects TIMESTAMP_NTZ)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(tie_col).alias("__tie"),
+    )
+    w = Window.partitionBy("series").orderBy(F.asc("__us"), F.asc("__tie"))
+    gapped = base.withColumn(
+        "__gap", F.col("__us") - F.lag("__us").over(w)
+    )
+    agg = gapped.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("__us") - F.min("__us")).cast("long").alias("span_us"),
+        F.max("__gap").cast("long").alias("max_gap_us"),
+        F.count(F.when(F.col("__gap") > threshold_us, F.lit(1)))
+        .cast("long")
+        .alias("n_gaps_over"),
+    )
+    return agg.select(
+        "series",
+        "n_events",
+        "span_us",
+        "max_gap_us",
+        "n_gaps_over",
+        F.when(
+            F.col("n_events") >= 2,
+            halfup_micro_div_cols_expr(
+                F.col("span_us").cast(D38),
+                (F.col("n_events") - 1).cast(D38),
+            ),
+        ).alias("mean_gap_micro_us"),
+    )

@@ -434,3 +434,116 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("n_F"),
         F.col("O_n").alias("n_O"),
     )
+
+
+@register(
+    "behavior_markov_transitions",
+    f"""
+    WITH seq AS (
+        SELECT event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+    ),
+    pairs AS (
+        SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT f, CAST(SUM(n) AS HUGEINT) AS tt FROM pairs GROUP BY 1)
+    SELECT pairs.f AS from_state, pairs.t AS to_state, n,
+           {_hu('n', 'tt')} AS p_micro
+    FROM pairs JOIN tot ON tot.f = pairs.f
+    """,
+)
+def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (`operators.behavior.markov_transitions`): consecutive per-user
+    state pairs under the (ts, event_id) total order, exact half-up
+    micro transition shares per from-state — path_ngrams mines popular
+    exact paths, this is the full conditional distribution."""
+    from notion_spark.operators.behavior import markov_transitions
+
+    e = read_table(spark, sf_dir, "events")
+    return markov_transitions(e)
+
+
+@register(
+    "behavior_cohort_ltv",
+    """
+    WITH base AS (
+        SELECT o_custkey AS c,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+    ),
+    firsts AS (SELECT c, MIN(m) AS m0 FROM base GROUP BY 1),
+    curve AS (
+        SELECT m0, m - m0 AS month_index,
+               CAST(COUNT(DISTINCT base.c) AS BIGINT) AS n_active_customers,
+               CAST(SUM(cents) AS HUGEINT) AS rev
+        FROM base JOIN firsts ON firsts.c = base.c
+        GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort_month,
+           CAST(month_index AS BIGINT) AS month_index,
+           n_active_customers,
+           CAST(rev AS BIGINT) AS revenue_cents,
+           CAST(SUM(rev) OVER (PARTITION BY m0 ORDER BY month_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents
+    FROM curve
+    """,
+)
+def behavior_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves over orders
+    (`operators.behavior.cohort_ltv`): first-order-month cohorts,
+    exact integer month indexes (year*12+month arithmetic), exact
+    cents cumulated per cohort over the bounded curve frame —
+    retention counts survivors, this follows the money."""
+    from notion_spark.operators.behavior import cohort_ltv
+
+    o = read_table(spark, sf_dir, "orders")
+    return cohort_ltv(o)
+
+
+@register(
+    "ts_gap_report",
+    f"""
+    WITH base AS (
+        SELECT event_type AS series, epoch_us(ts) AS us, event_id AS tie
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    g AS (
+        SELECT series,
+               us - LAG(us) OVER (PARTITION BY series ORDER BY us, tie)
+                   AS gap, us
+        FROM base
+    ),
+    agg AS (
+        SELECT series, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+               CAST(COUNT(*) FILTER (gap > 86400000000) AS BIGINT)
+                   AS n_gaps_over
+        FROM g GROUP BY 1
+    )
+    SELECT series, n_events, span_us, max_gap_us, n_gaps_over,
+           CASE WHEN n_events >= 2 THEN {_hu('span_us', 'n_events - 1')}
+                END AS mean_gap_micro_us
+    FROM agg
+    """,
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series outage audit (`operators.timeseries.gap_report`):
+    exact epoch-microsecond inter-event gaps under the (ts, event_id)
+    total order — max gap, day-plus gap count, and the span/(n−1)
+    exact mean — the "did this feed stall" readout."""
+    from notion_spark.operators.timeseries import gap_report
+
+    e = read_table(spark, sf_dir, "events")
+    return gap_report(e)

@@ -988,3 +988,70 @@ class TestBasketPairLift:
         df = spark.createDataFrame(rows, "bk int, it string")
         with pytest.raises(Exception, match="distinct items"):
             basket_pair_lift(df, "bk", "it", max_basket=10).collect()
+
+
+class TestMarkovTransitions:
+    def test_hand_sequence(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import markov_transitions
+
+        rows = [
+            (1, 1, datetime(2024, 1, 1, 0), "a"),
+            (2, 1, datetime(2024, 1, 1, 1), "b"),
+            (3, 1, datetime(2024, 1, 1, 2), "a"),
+            (4, 1, datetime(2024, 1, 1, 3), "b"),
+            (5, 2, datetime(2024, 1, 1, 0), "a"),
+            (6, 2, datetime(2024, 1, 1, 1), "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string")
+        out = {(r.from_state, r.to_state): (r.n, r.p_micro)
+               for r in markov_transitions(df).collect()}
+        # from a: a->b twice (user1), a->c once (user2) => 2/3, 1/3
+        assert out[("a", "b")] == (2, 666_667)
+        assert out[("a", "c")] == (1, 333_333)
+        assert out[("b", "a")] == (1, 1_000_000)
+        # last events emit nothing: no ("b", None), no ("c", *)
+        assert not any(k[0] == "c" for k in out)
+
+    def test_tie_order_deterministic(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import markov_transitions
+
+        t = datetime(2024, 1, 1)
+        rows = [(2, 1, t, "y"), (1, 1, t, "x")]  # same ts: id orders x->y
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string")
+        out = [(r.from_state, r.to_state) for r in markov_transitions(df).collect()]
+        assert out == [("x", "y")]
+
+
+class TestCohortLtv:
+    def test_hand_curve(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import cohort_ltv
+
+        rows = [
+            (1, datetime(2024, 1, 5), 10.00),   # cust 1: cohort 2024-01
+            (1, datetime(2024, 3, 2), 5.00),    # month_index 2
+            (2, datetime(2024, 1, 20), 7.00),   # cust 2: cohort 2024-01
+            (3, datetime(2024, 2, 1), 1.00),    # cust 3: cohort 2024-02
+        ]
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+        out = {(r.cohort_month, r.month_index):
+               (r.n_active_customers, r.revenue_cents, r.cum_revenue_cents)
+               for r in cohort_ltv(df).collect()}
+        assert out[("2024-01", 0)] == (2, 1700, 1700)
+        assert out[("2024-01", 2)] == (1, 500, 2200)
+        assert out[("2024-02", 0)] == (1, 100, 100)
+
+    def test_year_boundary_month_index(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import cohort_ltv
+
+        rows = [(1, datetime(2023, 12, 15), 1.00), (1, datetime(2024, 1, 3), 2.00)]
+        df = spark.createDataFrame(
+            rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+        out = {(r.cohort_month, r.month_index) for r in cohort_ltv(df).collect()}
+        assert out == {("2023-12", 0), ("2023-12", 1)}

@@ -609,3 +609,19 @@ def test_r11_olap_shapes_plans(spark, sf_dir):
     assert "Expand" not in plan            # pinned values: no discovery pass
     assert "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_r11_behavior_ts_batch_plans(spark, sf_dir):
+    """r11 batch C: markov/gap windows are series- or user-keyed
+    (never a bare global window over data); cohort LTV's only window
+    rides the bounded cohort-curve frame AFTER the aggregate; the
+    markov totals join-back broadcasts the bounded from-state frame."""
+    for q in ("behavior_markov_transitions", "behavior_cohort_ltv",
+              "ts_gap_report"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["behavior_markov_transitions"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(parity.QUERIES["behavior_cohort_ltv"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_min" in plan

@@ -309,3 +309,40 @@ class TestTimeWeightedAvg:
             [("u", "e", datetime(2024, 1, 1), 5)],
             "user_id string, event_id string, ts timestamp, v int")
         assert time_weighted_avg(df, "v").count() == 0  # zero span
+
+
+class TestGapReport:
+    def test_hand_gaps(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.timeseries import gap_report
+
+        rows = [
+            ("e1", datetime(2024, 1, 1, 0), "a"),
+            ("e2", datetime(2024, 1, 1, 1), "a"),    # gap 1h
+            ("e3", datetime(2024, 1, 3, 1), "a"),    # gap 48h (> 1 day)
+            ("e4", datetime(2024, 1, 1), "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, event_type string")
+        out = {r.series: r for r in gap_report(df).collect()}
+        a = out["a"]
+        assert a.n_events == 3
+        assert a.span_us == 49 * 3600 * 1_000_000
+        assert a.max_gap_us == 48 * 3600 * 1_000_000
+        assert a.n_gaps_over == 1
+        # mean gap = span/(n-1) half-up micro
+        assert a.mean_gap_micro_us == (49 * 3600 * 1_000_000 * 1_000_000) // 2
+        b = out["b"]
+        assert b.n_events == 1 and b.max_gap_us is None
+        assert b.mean_gap_micro_us is None and b.span_us == 0
+
+    def test_equal_timestamps_zero_gap(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.timeseries import gap_report
+
+        t = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("x", t, "s"), ("y", t, "s")],
+            "event_id string, ts timestamp, event_type string")
+        out = gap_report(df).collect()[0]
+        assert out.max_gap_us == 0 and out.n_gaps_over == 0
