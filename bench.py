@@ -215,6 +215,10 @@ BENCH_QUERIES = [
     "behavior_markov_transitions",
     "behavior_cohort_ltv",
     "ts_gap_report",
+    "profile_cardinalities",
+    "quality_iqr_outliers",
+    "curation_target_encode",
+    "curation_kfold_stats",
 ]
 
 

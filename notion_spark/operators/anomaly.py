@@ -365,3 +365,64 @@ def mad_outliers_sql(
               JOIN mad ON vals.{g} IS NOT DISTINCT FROM mad.xg
     WHERE abs(__v - m) > {t} * mad
     """
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey-fence outlier audit per group — the quartile-based
+    complement of `sigma_outliers` (robust to the heavy tails that
+    inflate a sigma fence): values outside [Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR] counted per group. One row per group:
+    (group, n, q1, q3, n_low, n_high).
+
+    Entirely exact integers: Q1/Q3 are the lower-quantile picks from
+    `weighted_quantiles` (unit weights — always observed values,
+    engine-identical), and the fences are compared DOUBLED so the
+    ×1.5 never produces a float: low when 2v < 2·q1 − 3·(q3−q1), high
+    when 2v > 2·q3 + 3·(q3−q1). NULL values are excluded.
+
+    Scale shape: the deterministic-bucket quantile plan (no range
+    sampler, no per-group data window) produces the bounded |groups|
+    fence frame, broadcast back onto the scan for one
+    map-side-combined count — two passes over the data, zero
+    data-sized windows.
+    """
+    from notion_spark.pipeline.stats import weighted_quantiles
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"), F.col(value_col).cast("long").alias("__v")
+    )
+    q = weighted_quantiles(
+        base.withColumn("__w", F.lit(1)), "group", "__v", "__w",
+        q_ppm=(250_000, 750_000),
+    )
+    # (group, q_ppm, value) rows -> one (group, q1, q3) fence row each
+    fences = q.groupBy("group").agg(
+        F.max(F.when(F.col("q_ppm") == 250_000, F.col("value"))).alias("__q1"),
+        F.max(F.when(F.col("q_ppm") == 750_000, F.col("value"))).alias("__q3"),
+    )
+    joined = base.join(F.broadcast(fences), "group")
+    iqr3 = (F.col("__q3") - F.col("__q1")) * 3
+    return (
+        joined.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("__q1").cast("long").alias("q1"),
+            F.max("__q3").cast("long").alias("q3"),
+            F.count(
+                F.when(F.col("__v") * 2 < F.col("__q1") * 2 - iqr3, F.lit(1))
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.count(
+                F.when(F.col("__v") * 2 > F.col("__q3") * 2 + iqr3, F.lit(1))
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+    )

@@ -547,3 +547,158 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return gap_report(e)
+
+
+@register(
+    "profile_cardinalities",
+    f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_doc,
+               CAST(COUNT(*) FILTER (doc_id IS NULL) AS BIGINT) AS z_doc,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+               CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT) AS z_lang,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS d_src,
+               CAST(COUNT(*) FILTER (source IS NULL) AS BIGINT) AS z_src,
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS d_nc,
+               CAST(COUNT(*) FILTER (n_chars IS NULL) AS BIGINT) AS z_nc
+        FROM documents
+    ),
+    melted AS (
+        SELECT 'doc_id' AS "column", n AS n_rows, d_doc AS n_distinct,
+               z_doc AS n_null FROM agg
+        UNION ALL SELECT 'lang', n, d_lang, z_lang FROM agg
+        UNION ALL SELECT 'source', n, d_src, z_src FROM agg
+        UNION ALL SELECT 'n_chars', n, d_nc, z_nc FROM agg
+    )
+    SELECT "column", n_rows, n_distinct, n_null,
+           CASE WHEN n_rows - n_null > 0
+                THEN {_hu('n_distinct', 'n_rows - n_null')}
+           END AS distinct_ratio_micro,
+           CASE WHEN n_rows > 0 THEN {_hu('n_null', 'n_rows')}
+           END AS null_ratio_micro
+    FROM melted
+    """,
+)
+def profile_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality / completeness card over the documents table
+    (`pipeline.profile.column_cardinalities`): exact distinct and null
+    counts per column through ONE Expand aggregate, ratios as exact
+    half-up micro divisions — key / category / constant at a glance."""
+    from notion_spark.pipeline.profile import column_cardinalities
+
+    d = read_table(spark, sf_dir, "documents")
+    return column_cardinalities(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "quality_iqr_outliers",
+    """
+    WITH base AS (
+        SELECT l_returnflag AS "group",
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cum AS (
+        SELECT "group", v,
+               CAST(SUM(1) OVER (PARTITION BY "group" ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS cw,
+               CAST(COUNT(*) OVER (PARTITION BY "group") AS HUGEINT) AS tw
+        FROM base
+    ),
+    fences AS (
+        SELECT "group",
+               MIN(CASE WHEN cw * 1000000 >= 250000 * tw THEN v END) AS q1,
+               MIN(CASE WHEN cw * 1000000 >= 750000 * tw THEN v END) AS q3
+        FROM cum GROUP BY 1
+    )
+    SELECT base."group", CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(q1) AS BIGINT) AS q1, CAST(MAX(q3) AS BIGINT) AS q3,
+           CAST(COUNT(*) FILTER (v * 2 < q1 * 2 - (q3 - q1) * 3) AS BIGINT)
+               AS n_low,
+           CAST(COUNT(*) FILTER (v * 2 > q3 * 2 + (q3 - q1) * 3) AS BIGINT)
+               AS n_high
+    FROM base JOIN fences ON fences."group" = base."group"
+    GROUP BY 1
+    """,
+)
+def quality_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of price cents per return flag
+    (`operators.anomaly.iqr_outliers`): exact lower-quantile Q1/Q3
+    from the deterministic-bucket quantile plan, doubled-integer fence
+    comparisons (the ×1.5 never floats), bounded fence frame broadcast
+    back for one map-side count."""
+    from notion_spark.operators.anomaly import iqr_outliers
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    return iqr_outliers(li, "l_returnflag", "cents")
+
+
+@register(
+    "curation_target_encode",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, lang AS category, CAST(n_chars AS BIGINT) AS y
+        FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    per_cat AS (
+        SELECT category, CAST(COUNT(*) AS BIGINT) AS n_category,
+               CAST(SUM(y) AS HUGEINT) AS s
+        FROM base GROUP BY 1
+    )
+    SELECT id, base.category, n_category,
+           CASE WHEN n_category >= 2
+                THEN {_hu('s - y', 'n_category - 1')}
+           END AS te_micro
+    FROM base JOIN per_cat ON per_cat.category = base.category
+    """,
+)
+def curation_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of document length by language
+    (`pipeline.curation.target_encode_loo`): (Σ_c y − y_i)/(n_c − 1)
+    as one exact half-up micro division per row — the leakage-free
+    category feature, as a category-keyed join, never a per-category
+    loop."""
+    from notion_spark.pipeline.curation import target_encode_loo
+
+    d = read_table(spark, sf_dir, "documents")
+    return target_encode_loo(d, "lang", "n_chars", "doc_id")
+
+
+@register(
+    "curation_kfold_stats",
+    """
+    WITH folds AS (
+        SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 5 AS INTEGER) AS fold,
+               n_chars
+        FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM folds GROUP BY 1
+    """,
+)
+def curation_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment audit over documents
+    (`pipeline.curation.kfold_assign`): fold = md5(doc_id) 8-hex
+    prefix mod k — a pure engine-portable row function (never Spark's
+    private hash() or rand()), certified here by per-fold counts and
+    char mass matching the DuckDB mirror byte-for-byte."""
+    from notion_spark.pipeline.curation import kfold_assign
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(d, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("total_chars"),
+        )
+    )

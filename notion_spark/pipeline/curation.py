@@ -1579,3 +1579,89 @@ def interleave_order(
             "position",
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding — the category feature a tabular
+    model trains on WITHOUT leaking each row's own label: row i of
+    category c encodes to (Σ_c target − target_i) / (n_c − 1). The
+    naive mean-encode memorizes singleton categories; LOO is the
+    standard fix, and at corpus scale it must be a join, not a
+    per-category loop.
+
+    Output: (id, category, n_category, te_micro) — te_micro is one
+    exact half-up micro division per row over exact integer sums;
+    singleton categories (n_c = 1, nothing to average after leaving
+    self out) yield NULL. Rows with NULL category/target/id are
+    excluded. Target must be integer-valued (pre-scale to cents).
+
+    Scale shape: one map-side-combined groupBy to the |categories|
+    frame, joined back BY CATEGORY KEY (broadcast when bounded, AQE
+    decides) — two passes, no window, no per-row Python.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(category_col).isNotNull()
+        & F.col(target_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(category_col).alias("category"),
+        F.col(target_col).cast("long").alias("__y"),
+    )
+    per_cat = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n_category"),
+        F.sum(F.col("__y").cast(D38)).cast(D38).alias("__s"),
+    )
+    return base.join(per_cat, "category").select(
+        "id",
+        "category",
+        "n_category",
+        F.when(
+            F.col("n_category") >= 2,
+            halfup_micro_div_cols_expr(
+                (F.col("__s") - F.col("__y")).cast(D38),
+                (F.col("n_category") - 1).cast(D38),
+            ),
+        ).alias("te_micro"),
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic, engine-portable k-fold assignment + fold audit:
+    fold = first 8 hex digits of md5(id) mod k — a pure function of
+    the row's own id, so the same row lands in the same fold on ANY
+    engine, partitioning, or rerun (Spark's hash()/rand() are
+    engine-private; a fold split you cannot reproduce in the serving
+    stack is a leakage bug waiting to happen).
+
+    Returns the input plus a ``fold`` column (int in [0, k)). Rows
+    with NULL id raise in-plan — silently folding them together would
+    put all null-keyed rows in one fold. Pure per-row projection:
+    zero shuffle, whole-stage codegen.
+    """
+    from notion_spark.functions.exactmath import guarded
+
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    gnull = guarded(
+        F.col(id_col).isNull(),
+        f"kfold_assign: NULL {id_col!r} — cannot assign a fold",
+    )
+    fold = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(k),
+    ).cast("int")
+    return df.withColumn("fold", gnull(fold, "int"))

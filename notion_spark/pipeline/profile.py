@@ -497,3 +497,63 @@ def tv_distance(
             ),
         ).alias("tv_micro"),
     )
+
+
+def column_cardinalities(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Cardinality / completeness card per column — the first question
+    a schema audit asks of every field: how many distinct values, how
+    many nulls, is this a key, a category, or a constant. One row per
+    profiled column: (column, n_rows, n_distinct, n_null,
+    distinct_ratio_micro, null_ratio_micro) — ratios are exact half-up
+    micro divisions over the non-null count / total.
+
+    Scale shape: ONE aggregate — Spark compiles the k count-distincts
+    into a single Expand read (k passes' worth of rows through one
+    scan, the quality_key_candidates shape), map-side partial
+    aggregation throughout; the per-column melt is a constant-size
+    explode of the single result row. Distinct counts are EXACT (this
+    is the audit surface — approx_count_distinct belongs in
+    sketches.py where the error bound is the contract).
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("column_cardinalities: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__d_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1)))
+            .cast("long")
+            .alias(f"__z_{c}")
+        )
+    agg = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__d_{c}").alias("n_distinct"),
+            F.col(f"__z_{c}").alias("n_null"),
+        )
+        for c in cols
+    ]
+    melted = agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    nn = (F.col("n_rows") - F.col("n_null")).cast(D38)
+    return melted.select(
+        "column",
+        "n_rows",
+        "n_distinct",
+        "n_null",
+        F.when(
+            nn > 0,
+            halfup_micro_div_cols_expr(F.col("n_distinct").cast(D38), nn),
+        ).alias("distinct_ratio_micro"),
+        F.when(
+            F.col("n_rows") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("n_null").cast(D38), F.col("n_rows").cast(D38)
+            ),
+        ).alias("null_ratio_micro"),
+    )

@@ -852,3 +852,53 @@ def test_systematic_sample_negative_weight_raises(spark):
         CU.systematic_sample(df, "wt", 3, key_col="doc_id").collect()
     with pytest.raises(ValueError, match="n_out"):
         CU.systematic_sample(df, "wt", 0, key_col="doc_id")
+
+
+class TestTargetEncodeLoo:
+    def test_hand_encoding(self, spark):
+        from notion_spark.pipeline.curation import target_encode_loo
+
+        rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5)]
+        df = spark.createDataFrame(rows, "id long, cat string, y long")
+        out = {r.id: r for r in target_encode_loo(df, "cat", "y", "id").collect()}
+        # row 1: (50-10)/2 = 25 -> 25e6 micro
+        assert out[1].te_micro == 25_000_000
+        assert out[2].te_micro == 20_000_000
+        assert out[3].te_micro == 15_000_000
+        assert out[4].te_micro is None and out[4].n_category == 1
+
+    def test_nulls_excluded(self, spark):
+        from notion_spark.pipeline.curation import target_encode_loo
+
+        rows = [(1, "a", 10), (2, None, 20), (3, "a", None)]
+        df = spark.createDataFrame(rows, "id long, cat string, y long")
+        out = target_encode_loo(df, "cat", "y", "id").collect()
+        assert [r.id for r in out] == [1]
+
+
+class TestKfoldAssign:
+    def test_deterministic_and_bounded(self, spark):
+        import hashlib
+        from notion_spark.pipeline.curation import kfold_assign
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        out = {r.id: r.fold for r in kfold_assign(df, "id", k=5).collect()}
+        assert set(out.values()) <= set(range(5))
+        # engine-portable definition: md5 prefix mod k, reproducible in
+        # pure python
+        for i in (0, 7, 199):
+            want = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+            assert out[i] == want
+        # rerun identical
+        out2 = {r.id: r.fold for r in kfold_assign(df, "id", k=5).collect()}
+        assert out == out2
+
+    def test_null_id_raises_and_k_validation(self, spark):
+        import pytest
+        from notion_spark.pipeline.curation import kfold_assign
+
+        df = spark.createDataFrame([(None,)], "id string")
+        with pytest.raises(Exception, match="NULL"):
+            kfold_assign(df, "id").collect()
+        with pytest.raises(ValueError):
+            kfold_assign(df, "id", k=1)

@@ -625,3 +625,23 @@ def test_r11_behavior_ts_batch_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     plan = plan_of(parity.QUERIES["behavior_cohort_ltv"](spark, sf_dir))
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_r11_quality_mlprep_plans(spark, sf_dir):
+    """r11 batch E/F: cardinalities is ONE Expand aggregate (the
+    multi-distinct shape); IQR inherits the deterministic-bucket
+    quantile plan (no range sampler) with the fence frame broadcast;
+    target-encode is a category-keyed join of a reduced frame; kfold
+    is a pure projection + map-side aggregate, no join, no Python."""
+    for q in ("profile_cardinalities", "quality_iqr_outliers",
+              "curation_target_encode", "curation_kfold_stats"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["profile_cardinalities"](spark, sf_dir))
+    assert "Expand" in plan
+    plan = plan_of(parity.QUERIES["quality_iqr_outliers"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan and "__b" in plan
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(parity.QUERIES["curation_kfold_stats"](spark, sf_dir))
+    assert "Join" not in plan and "partial_count" in plan

@@ -265,3 +265,28 @@ def test_numeric_correlations_by_group(spark):
     # flat path unchanged: no group column
     flat = numeric_correlations(df, ["x", "y"]).collect()[0]
     assert "group" not in flat.asDict()
+
+
+class TestColumnCardinalities:
+    def test_hand_card(self, spark):
+        from notion_spark.pipeline.profile import column_cardinalities
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (4, "b")], "k long, c string")
+        out = {r.column: r for r in column_cardinalities(df, ["k", "c"]).collect()}
+        assert out["k"].n_rows == 4 and out["k"].n_distinct == 4
+        assert out["k"].n_null == 0 and out["k"].distinct_ratio_micro == 1_000_000
+        assert out["c"].n_distinct == 2 and out["c"].n_null == 1
+        # distinct ratio over NON-NULL rows: 2/3
+        assert out["c"].distinct_ratio_micro == 666_667
+        assert out["c"].null_ratio_micro == 250_000
+
+    def test_empty_and_validation(self, spark):
+        import pytest
+        from notion_spark.pipeline.profile import column_cardinalities
+
+        df = spark.createDataFrame([], "k long")
+        out = column_cardinalities(df, ["k"]).collect()[0]
+        assert out.n_rows == 0 and out.distinct_ratio_micro is None
+        with pytest.raises(ValueError):
+            column_cardinalities(df, [])
