@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "quality_iqr_outliers",
     "curation_target_encode",
     "curation_kfold_stats",
+    "behavior_survival_hazard",
+    "ts_ewma_events",
 ]
 
 

@@ -1035,3 +1035,85 @@ def cohort_ltv(
         F.col("__rev").cast("long").alias("revenue_cents"),
         F.sum("__rev").over(wc).cast("long").alias("cum_revenue_cents"),
     )
+
+
+def survival_hazard(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+    unit: str = "day",
+) -> DataFrame:
+    """Discrete-time survival / hazard table over user lifetimes — the
+    churn readout behind every retention model: at each observed
+    lifetime t (days between a user's first and last event), how many
+    users were still at risk and what fraction "died" there. A user is
+    an observed DEATH when their last event is at least
+    ``censor_days`` before the corpus's last day (they had time to
+    come back and didn't); later users are right-CENSORED — counted at
+    risk through their observed lifetime but never as deaths (dropping
+    them instead is the classic churn-rate bias).
+
+    Output: one row per lifetime with ≥ 1 death:
+    (t_days, n_at_risk, n_events, hazard_micro) where n_at_risk =
+    users with observed lifetime ≥ t and hazard_micro is the exact
+    half-up micro fraction n_events/n_at_risk. The Kaplan–Meier curve
+    is the running product of (1 − hazard) — a per-step-rounded
+    recurrence, so the hashable surface is the hazard table itself.
+
+    ``unit`` picks the lifetime granularity: "day" (default) or
+    "hour" for short-span corpora where day-level censoring would
+    declare everyone alive (output column stays ``t_days`` — read it
+    as t_units; the censor window is in the same unit).
+
+    Scale shape: one user-keyed aggregate to the |users| lifespan
+    frame, one map-side-combined groupBy to the ≤ |distinct lifetimes|
+    frame, and the at-risk suffix sum as a window over that BOUNDED
+    frame (lifetimes are bounded by the corpus time span, never the
+    data).
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    if unit == "day":
+        bucket = F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        )
+    elif unit == "hour":
+        bucket = F.call_function(
+            "div",
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.lit(3_600_000_000),
+        )
+    else:
+        raise ValueError(f"survival_hazard: unit must be day|hour, got {unit!r}")
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("__u"), bucket.alias("__d"))
+    spans = base.groupBy("__u").agg(
+        F.min("__d").alias("__first"), F.max("__d").alias("__last")
+    )
+    gmax = base.agg(F.max("__d").alias("__gmax"))
+    lifes = spans.crossJoin(F.broadcast(gmax)).select(
+        (F.col("__last") - F.col("__first")).alias("__t"),
+        (F.col("__last") <= F.col("__gmax") - censor_days).alias("__death"),
+    )
+    per_t = lifes.groupBy("__t").agg(
+        F.count(F.lit(1)).cast(D38).alias("__n_t"),
+        F.count(F.when(F.col("__death"), F.lit(1))).cast(D38).alias("__d_t"),
+    )
+    # suffix sum over the bounded |distinct lifetimes| frame: at-risk
+    # at t = everyone whose observed lifetime reaches t
+    w = Window.orderBy(F.desc("__t")).rowsBetween(Window.unboundedPreceding, 0)
+    risked = per_t.withColumn("__risk", F.sum("__n_t").over(w))
+    return (
+        risked.filter(F.col("__d_t") > 0)
+        .select(
+            F.col("__t").cast("long").alias("t_days"),
+            F.col("__risk").cast("long").alias("n_at_risk"),
+            F.col("__d_t").cast("long").alias("n_events"),
+            halfup_micro_div_cols_expr(F.col("__d_t"), F.col("__risk")).alias(
+                "hazard_micro"
+            ),
+        )
+    )

@@ -550,3 +550,85 @@ def gap_report(
             ),
         ).alias("mean_gap_micro_us"),
     )
+
+
+# Pinned EWMA weight table: round(1e6 * 0.25 * 0.75^i) for i = 0..7 —
+# literal micro integers, identical in the DuckDB mirror, so the
+# weighted sum is exact on both engines (a float alpha recurrence
+# would drift per engine/order).
+EWMA_WEIGHTS_MICRO = (250000, 187500, 140625, 105469, 79102, 59326, 44495, 33371)
+
+
+def ewma_daily(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially-weighted daily event volume per series — the
+    smoothed load curve an alerting threshold rides. EWMA is a float
+    recurrence in every textbook; here the 8-term tail is PINNED as
+    literal micro-integer weights (alpha 0.25, see
+    ``EWMA_WEIGHTS_MICRO``), so the smoothed value is one exact
+    integer dot product per day plus one half-up division by the
+    (constant) weight mass — bit-identical anywhere, and truncating
+    the tail at 8 terms discards < 10% of the mass, renormalized away
+    by the division.
+
+    Output: one row per (series, day) from the 8th day of each series
+    onward (full-window days only — partial windows would mix
+    renormalization regimes): (series, day, n, ewma_micro). Days with
+    no events count 0 via the dense per-series day grid.
+
+    Scale shape: one map-side-combined groupBy to the (series, day)
+    frame, the dense grid via `sequence()` explode over the bounded
+    |series| span frame, and the 8 lags as ONE window per series over
+    the bounded days×series frame — never over raw events.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(type_col).alias("series"),
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        ).alias("__d"),
+    )
+    daily = base.groupBy("series", "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spans = base.groupBy("series").agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    dense = spans.select(
+        "series",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d"),
+    )
+    grid = dense.join(daily, ["series", "__d"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0).cast("long"))
+    )
+    w = Window.partitionBy("series").orderBy(F.asc("__d"))
+    terms = [
+        F.lag(F.col("n"), i).over(w) * F.lit(int(wt)).cast("long")
+        for i, wt in enumerate(EWMA_WEIGHTS_MICRO)
+    ]
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    mass = sum(EWMA_WEIGHTS_MICRO)
+    out = grid.withColumn("__num", num)
+    return (
+        out.filter(F.col("__num").isNotNull())  # full 8-day window only
+        .select(
+            "series",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("__d")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n",
+            halfup_micro_div_cols_expr(
+                F.col("__num").cast(D38), F.lit(mass).cast(D38)
+            ).alias("ewma_micro"),
+        )
+    )

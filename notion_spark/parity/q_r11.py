@@ -702,3 +702,95 @@ def curation_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "behavior_survival_hazard",
+    f"""
+    WITH base AS (
+        SELECT user_id AS u, epoch_us(ts) // 3600000000 AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    spans AS (SELECT u, MIN(d) AS f, MAX(d) AS l FROM base GROUP BY 1),
+    gmax AS (SELECT MAX(d) AS g FROM base),
+    lifes AS (SELECT l - f AS t, (l <= g - 24) AS death FROM spans, gmax),
+    per_t AS (
+        SELECT t, CAST(COUNT(*) AS HUGEINT) AS n_t,
+               CAST(COUNT(*) FILTER (death) AS HUGEINT) AS d_t
+        FROM lifes GROUP BY 1
+    ),
+    risked AS (
+        SELECT *, CAST(SUM(n_t) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS HUGEINT) AS risk
+        FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(risk AS BIGINT) AS n_at_risk,
+           CAST(d_t AS BIGINT) AS n_events,
+           {_hu('d_t', 'risk')} AS hazard_micro
+    FROM risked WHERE d_t > 0
+    """,
+)
+def behavior_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard table over user lifetimes
+    (`operators.behavior.survival_hazard`): right-censored users stay
+    at risk but never count as deaths (the classic churn-rate bias
+    fix); exact half-up micro hazards; the at-risk suffix sum rides
+    the bounded |distinct lifetimes| frame. HOUR granularity with a
+    24-hour censor — the synthetic corpus spans 30 days with every
+    user active in the final week, so day-level censoring would make
+    the table vacuously empty."""
+    from notion_spark.operators.behavior import survival_hazard
+
+    e = read_table(spark, sf_dir, "events")
+    return survival_hazard(e, censor_days=24, unit="hour")
+
+
+@register(
+    "ts_ewma_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS series, CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (
+        SELECT series, d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    spans AS (SELECT series, MIN(d) AS lo, MAX(d) AS hi FROM base GROUP BY 1),
+    dense AS (
+        SELECT series, UNNEST(generate_series(lo, hi)) AS d FROM spans
+    ),
+    grid AS (
+        SELECT dense.series, dense.d, COALESCE(daily.n, 0) AS n
+        FROM dense LEFT JOIN daily
+          ON daily.series = dense.series AND daily.d = dense.d
+    ),
+    lagd AS (
+        SELECT series, d, n,
+               n * 250000
+               + LAG(n, 1) OVER w * 187500
+               + LAG(n, 2) OVER w * 140625
+               + LAG(n, 3) OVER w * 105469
+               + LAG(n, 4) OVER w * 79102
+               + LAG(n, 5) OVER w * 59326
+               + LAG(n, 6) OVER w * 44495
+               + LAG(n, 7) OVER w * 33371 AS num
+        FROM grid WINDOW w AS (PARTITION BY series ORDER BY d)
+    )
+    SELECT series,
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d') AS day,
+           n, {_hu('num', '899888')} AS ewma_micro
+    FROM lagd WHERE num IS NOT NULL
+    """,
+)
+def ts_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily event volume per series
+    (`operators.timeseries.ewma_daily`): the 8-term alpha-0.25 tail
+    PINNED as literal micro-integer weights so the smoothed value is
+    one exact integer dot product + one half-up division — no float
+    recurrence; dense zero-filled day grid; full-window days only."""
+    from notion_spark.operators.timeseries import ewma_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return ewma_daily(e)

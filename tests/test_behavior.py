@@ -1055,3 +1055,40 @@ class TestCohortLtv:
             rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
         out = {(r.cohort_month, r.month_index) for r in cohort_ltv(df).collect()}
         assert out == {("2023-12", 0), ("2023-12", 1)}
+
+
+class TestSurvivalHazard:
+    def test_hand_table(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import survival_hazard
+
+        # corpus last day = Jan 30. censor_days=7 -> deaths are users
+        # whose last event <= Jan 23.
+        rows = [
+            # u1: Jan 1..3 -> lifespan 2, death
+            (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 3)),
+            # u2: Jan 1..1 -> lifespan 0, death
+            (2, datetime(2024, 1, 1)),
+            # u3: Jan 1..30 -> lifespan 29, censored (last = gmax)
+            (3, datetime(2024, 1, 1)), (3, datetime(2024, 1, 30)),
+            # u4: Jan 20..22 -> lifespan 2, death
+            (4, datetime(2024, 1, 20)), (4, datetime(2024, 1, 22)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {r.t_days: r for r in survival_hazard(df).collect()}
+        # t=0: at risk 4 (all lifetimes >= 0), deaths 1 (u2)
+        assert out[0].n_at_risk == 4 and out[0].n_events == 1
+        assert out[0].hazard_micro == 250_000
+        # t=2: at risk = lifetimes >= 2 -> u1,u3,u4 = 3; deaths 2
+        assert out[2].n_at_risk == 3 and out[2].n_events == 2
+        assert out[2].hazard_micro == 666_667
+        # censored-only lifetimes emit no row
+        assert 29 not in out
+
+    def test_all_censored_empty(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import survival_hazard
+
+        rows = [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        assert survival_hazard(df).count() == 0  # last day within censor

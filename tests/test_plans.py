@@ -645,3 +645,15 @@ def test_r11_quality_mlprep_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     plan = plan_of(parity.QUERIES["curation_kfold_stats"](spark, sf_dir))
     assert "Join" not in plan and "partial_count" in plan
+
+
+def test_r11_survival_ewma_plans(spark, sf_dir):
+    """r11 batch G: survival's suffix-sum window and ewma's lag
+    windows ride BOUNDED frames (lifespans / the dense day grid) after
+    map-side aggregation — no window over raw events, no cartesian,
+    no Python."""
+    for q in ("behavior_survival_hazard", "ts_ewma_events"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+        assert "partial_count" in plan or "partial_min" in plan, q

@@ -346,3 +346,42 @@ class TestGapReport:
             "event_id string, ts timestamp, event_type string")
         out = gap_report(df).collect()[0]
         assert out.max_gap_us == 0 and out.n_gaps_over == 0
+
+
+class TestEwmaDaily:
+    def test_constant_series_converges_to_rate(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import (
+            EWMA_WEIGHTS_MICRO, ewma_daily)
+
+        rows = [("e%d" % d, datetime(2024, 1, 1) + timedelta(days=d), "s")
+                for d in range(12)]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, event_type string")
+        out = sorted((r.day, r.n, r.ewma_micro) for r in ewma_daily(df).collect())
+        # 12 days, full 8-day windows start on day 8 (index 7) -> 5 rows
+        assert len(out) == 5
+        # constant 1/day: weighted sum = mass -> ewma exactly 1e6
+        assert all(e == 1_000_000 for _, _, e in out)
+
+    def test_spike_decay_matches_pinned_weights(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import (
+            EWMA_WEIGHTS_MICRO, ewma_daily)
+
+        # one spike of 10 on day 7 (first full-window day), zeros after
+        rows = [("e%d" % i, datetime(2024, 1, 8, i), "s") for i in range(10)]
+        rows += [("a", datetime(2024, 1, 1), "s"), ("b", datetime(2024, 1, 12), "s")]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, event_type string")
+        out = {r.day: r.ewma_micro for r in ewma_daily(df).collect()}
+        mass = sum(EWMA_WEIGHTS_MICRO)
+        # day 8 (spike is lag 0): 10*w0 / mass, half-up micro of counts
+        def hu(num, den):
+            return (2 * num * 1_000_000 + den) // (2 * den)
+        # day 8 window = days 1..8: spike (10) at lag 0 + the day-1
+        # event at lag 7
+        assert out["2024-01-08"] == hu(
+            10 * EWMA_WEIGHTS_MICRO[0] + EWMA_WEIGHTS_MICRO[7], mass)
+        # day 10 window = days 3..10: spike at lag 2 only
+        assert out["2024-01-10"] == hu(10 * EWMA_WEIGHTS_MICRO[2], mass)
