@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "curation_kfold_stats",
     "behavior_survival_hazard",
     "ts_ewma_events",
+    "ts_cross_correlation",
+    "quality_rate_drift",
 ]
 
 

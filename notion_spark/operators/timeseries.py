@@ -632,3 +632,98 @@ def ewma_daily(
             ).alias("ewma_micro"),
         )
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    series_a: str,
+    series_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: Sequence[int] = (0, 1, 2, 3),
+) -> DataFrame:
+    """Lagged cross-correlation structure between two named series'
+    daily volumes — "do purchases follow views by k days": Pearson of
+    (a_t, b_{t+k}) over the corpus's dense zero-filled day grid, one
+    row per lag: (lag, n_days, r_sign, r2). autocorrelation asks the
+    question of a series against itself; this asks it across two.
+
+    Exactness: daily counts are exact LONGs on a shared dense grid
+    (both series zero-filled over the FULL corpus span, so the pair
+    universe is deterministic); moments are LONG products widened to
+    decimal at the SUM (the numeric_correlations idiom, exact while
+    daily counts stay ≤ ~3e9); r_sign/r² follow the identical-IEEE-ops
+    contract — sign plus square, never the sqrt.
+
+    Scale shape: one map-side groupBy to the (series, day) frame, the
+    dense grid from a broadcast 1-row span frame, per-lag self-joins
+    of the two BOUNDED |days| vectors (day-keyed, broadcastable), one
+    moment aggregate per lag unioned — nothing data-sized after the
+    first aggregate.
+    """
+    lags = list(lags)
+    if not lags or any(k < 0 for k in lags):
+        raise ValueError(f"cross_correlation: lags must be >= 0, got {lags}")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isin([series_a, series_b])
+    ).select(
+        F.col(type_col).alias("__s"),
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+        ).alias("__d"),
+    )
+    daily = base.groupBy("__s", "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    span = base.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    days = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__d")
+    )
+
+    def grid_of(name: str, out: str) -> DataFrame:
+        side = daily.filter(F.col("__s") == name).select("__d", "__n")
+        return days.join(side, "__d", "left").select(
+            "__d", F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias(out)
+        )
+
+    ga, gb = grid_of(series_a, "__a"), grid_of(series_b, "__b2")
+    d20 = "decimal(20,0)"
+    outs = []
+    for k in lags:
+        pairs = ga.join(
+            gb.select((F.col("__d") - k).alias("__d"), "__b2"), "__d"
+        )
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(F.col("__a").cast(d20)).cast("decimal(38,0)").alias("__sx"),
+            F.sum(F.col("__b2").cast(d20)).cast("decimal(38,0)").alias("__sy"),
+            F.sum((F.col("__a") * F.col("__a")).cast(d20))
+            .cast("decimal(38,0)")
+            .alias("__sxx"),
+            F.sum((F.col("__b2") * F.col("__b2")).cast(d20))
+            .cast("decimal(38,0)")
+            .alias("__syy"),
+            F.sum((F.col("__a") * F.col("__b2")).cast(d20))
+            .cast("decimal(38,0)")
+            .alias("__sxy"),
+        )
+        n_ = F.col("__n")
+        num = (n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        dx = (n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        dy = (n_ * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+        num_d = num.cast("double")
+        ok = (n_ >= 2) & (dx > 0) & (dy > 0)
+        outs.append(
+            agg.select(
+                F.lit(k).cast("long").alias("lag"),
+                n_.cast("long").alias("n_days"),
+                F.when(ok, F.signum(num_d).cast("long")).alias("r_sign"),
+                F.when(
+                    ok, (num_d * num_d) / (dx.cast("double") * dy.cast("double"))
+                ).alias("r2"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -794,3 +794,97 @@ def ts_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return ewma_daily(e)
+
+
+_XCORR_LAG_SQL = """
+    SELECT CAST({lag} AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+               CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) END AS r_sign,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0 THEN
+               (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+               / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END AS r2
+    FROM (
+        SELECT n, n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+        FROM (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(a) AS HUGEINT) AS sx,
+                   CAST(SUM(b) AS HUGEINT) AS sy,
+                   CAST(SUM(a * a) AS HUGEINT) AS sxx,
+                   CAST(SUM(b * b) AS HUGEINT) AS syy,
+                   CAST(SUM(a * b) AS HUGEINT) AS sxy
+            FROM ga JOIN gb ON gb.d - {lag} = ga.d
+        )
+    )
+"""
+
+
+@register(
+    "ts_cross_correlation",
+    """
+    WITH base AS (
+        SELECT event_type AS s, CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    daily AS (SELECT s, d, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+    span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM base),
+    days AS (SELECT UNNEST(generate_series(lo, hi)) AS d FROM span),
+    ga AS (
+        SELECT days.d, COALESCE(daily.n, 0) AS a FROM days
+        LEFT JOIN daily ON daily.d = days.d AND daily.s = 'view'
+    ),
+    gb AS (
+        SELECT days.d, COALESCE(daily.n, 0) AS b FROM days
+        LEFT JOIN daily ON daily.d = days.d AND daily.s = 'purchase'
+    )
+    """
+    + _XCORR_LAG_SQL.format(lag=0)
+    + " UNION ALL " + _XCORR_LAG_SQL.format(lag=1)
+    + " UNION ALL " + _XCORR_LAG_SQL.format(lag=2)
+    + " UNION ALL " + _XCORR_LAG_SQL.format(lag=3),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of view vs purchase daily volumes
+    (`operators.timeseries.cross_correlation`): exact LONG moments
+    over the shared dense zero-filled day grid, (r_sign, r²) via the
+    identical-IEEE-ops contract — "do purchases follow views by k
+    days" at lags 0..3."""
+    from notion_spark.operators.timeseries import cross_correlation
+
+    e = read_table(spark, sf_dir, "events")
+    return cross_correlation(e, "view", "purchase")
+
+
+@register(
+    "quality_rate_drift",
+    f"""
+    WITH weekly AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS n_hits
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    rated AS (
+        SELECT week, n, n_hits, {_hu('n_hits', 'n')} AS rate_micro
+        FROM weekly
+    )
+    SELECT week, n, n_hits, rate_micro,
+           CAST(rate_micro - LAG(rate_micro) OVER (ORDER BY week)
+                AS BIGINT) AS delta_micro
+    FROM rated
+    """,
+)
+def quality_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly error-rate drift over the event stream
+    (`pipeline.expectations.rate_drift`): exact micro hit shares per
+    Monday-anchored week plus the week-over-week delta — the
+    quality-monitor readout; the lag window rides the bounded |weeks|
+    frame only."""
+    from notion_spark.pipeline.expectations import rate_drift
+
+    e = read_table(spark, sf_dir, "events")
+    return rate_drift(e, F.col("event_type") == "error")

@@ -277,3 +277,48 @@ def key_candidates(
         for c in cols
     ]
     return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def rate_drift(
+    df: DataFrame,
+    predicate: Column,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly hit-rate drift of a boolean condition — the quality
+    monitor behind "is the error rate creeping": per Monday-anchored
+    ISO week, the exact micro share of rows where ``predicate`` holds
+    and its delta against the previous OBSERVED week. One row per
+    week: (week, n, n_hits, rate_micro, delta_micro) — delta is NULL
+    on each series' first week. NULL predicate evaluations count as
+    misses (a predicate that cannot be evaluated did not fire); NULL
+    timestamps are excluded.
+
+    Scale shape: one map-side-combined groupBy to the |weeks| frame;
+    the lag rides a window over that BOUNDED frame — never the rows.
+    This window intentionally compares consecutive observed weeks; an
+    empty week is absent, not zero (wire through `resample_fill` for
+    the dense-grid variant).
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        F.date_format(
+            F.date_trunc("week", F.col(ts_col)), "yyyy-MM-dd"
+        ).alias("week"),
+        F.coalesce(predicate.cast("boolean"), F.lit(False)).alias("__hit"),
+    )
+    weekly = base.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("__hit"), F.lit(1))).cast("long").alias("n_hits"),
+    )
+    rate = halfup_micro_div_cols_expr(
+        F.col("n_hits").cast(D38), F.col("n").cast(D38)
+    )
+    w = Window.orderBy("week")  # bounded |weeks| frame, never the data
+    out = weekly.withColumn("rate_micro", rate)
+    return out.withColumn(
+        "delta_micro",
+        (F.col("rate_micro") - F.lag("rate_micro").over(w)).cast("long"),
+    )

@@ -657,3 +657,16 @@ def test_r11_survival_ewma_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
         assert "partial_count" in plan or "partial_min" in plan, q
+
+
+def test_r11_xcorr_ratedrift_plans(spark, sf_dir):
+    """r11: cross-correlation's per-lag joins ride the bounded |days|
+    vectors after one map-side aggregate; rate drift's lag window
+    rides the bounded |weeks| frame — no data-sized window, no
+    cartesian over data (the 1-row span frame's broadcast nested loop
+    is the only exception), no Python."""
+    for q in ("ts_cross_correlation", "quality_rate_drift"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+        assert "partial_count" in plan, q

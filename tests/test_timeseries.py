@@ -385,3 +385,35 @@ class TestEwmaDaily:
             10 * EWMA_WEIGHTS_MICRO[0] + EWMA_WEIGHTS_MICRO[7], mass)
         # day 10 window = days 3..10: spike at lag 2 only
         assert out["2024-01-10"] == hu(10 * EWMA_WEIGHTS_MICRO[2], mass)
+
+
+class TestCrossCorrelation:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id string, ts timestamp, event_type string")
+
+    def test_shifted_copy_perfect_at_lag(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.timeseries import cross_correlation
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # series a: volume d+1 on day d (0..9); series b: same shape
+        # shifted +2 days -> corr(a_t, b_{t+2}) perfect positive
+        for d in range(10):
+            rows += [("a%d_%d" % (d, i), t0 + timedelta(days=d), "A")
+                     for i in range(d + 1)]
+            rows += [("b%d_%d" % (d, i), t0 + timedelta(days=d + 2), "B")
+                     for i in range(d + 1)]
+        out = {r.lag: r for r in cross_correlation(
+            self._ev(spark, rows), "A", "B", lags=(0, 2)).collect()}
+        assert out[2].r_sign == 1 and abs(out[2].r2 - 1.0) < 1e-9
+        assert out[2].n_days == 10  # a-days 0..11 grid minus 2-day shift
+        assert out[0].r2 < 1.0  # unshifted alignment is not perfect
+
+    def test_lag_validation(self, spark):
+        import pytest
+        from notion_spark.operators.timeseries import cross_correlation
+
+        with pytest.raises(ValueError):
+            cross_correlation(self._ev(spark, []), "A", "B", lags=(-1,))
