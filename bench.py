@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "ts_ewma_events",
     "ts_cross_correlation",
     "quality_rate_drift",
+    "graph_link_prediction",
+    "curation_curriculum",
+    "dedup_containment",
 ]
 
 

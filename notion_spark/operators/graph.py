@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SCALE = 10**12
 
@@ -276,4 +277,78 @@ def k_core(
         alive.groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .select(F.col("s").alias("node"), "degree")
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_degree: int = 10_000,
+    k: int = 100,
+) -> DataFrame:
+    """Common-neighbor link prediction over a bipartite edge list —
+    "which two ``dst`` entities share the most ``src`` neighbors":
+    for every dst pair with ≥ 1 shared src, the common-neighbor count
+    and the exact Jaccard of their neighbor sets, top-k by
+    (cn desc, jaccard desc, pair asc). The classic recommender /
+    entity-resolution candidate generator.
+
+    Output: (node_a, node_b, cn, deg_a, deg_b, jaccard_micro) — CN is
+    exact (distinct edges), |N(a)∪N(b)| = deg_a + deg_b − cn, and
+    jaccard_micro is one half-up micro division of exact counts.
+
+    Scale shape: the wedge join — distinct edges self-joined ON THE
+    SRC KEY with dst_a < dst_b, fan-out C(deg(src), 2) bounded by an
+    in-plan ``max_degree`` guard (a hub src with 1e6 neighbors is
+    5e11 wedges from one key — cap or sample hubs upstream; the guard
+    raises rather than letting one key serialize the job); degree
+    frame broadcast onto the bounded pair frame; TakeOrdered top-k.
+    """
+    from notion_spark.functions.exactmath import D38, guarded
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    e = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .distinct()
+    )
+    wdeg = Window.partitionBy("__s")
+    gwide = guarded(
+        F.count(F.lit(1)).over(wdeg) > F.lit(max_degree),
+        f"link_prediction_scores: a {src_col!r} exceeds {max_degree}"
+        " distinct neighbors — C(deg,2) wedge fan-out from one key; cap"
+        " or sample hubs upstream",
+    )
+    checked = e.select(
+        gwide(F.col("__s")).alias("__s"), gwide(F.col("__d")).alias("__d")
+    )
+    left = checked.select("__s", F.col("__d").alias("node_a"))
+    right = checked.select("__s", F.col("__d").alias("node_b"))
+    cn = (
+        left.join(right, "__s")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    deg = e.groupBy("__d").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    da = deg.select(F.col("__d").alias("node_a"), F.col("__deg").alias("deg_a"))
+    db = deg.select(F.col("__d").alias("node_b"), F.col("__deg").alias("deg_b"))
+    scored = (
+        cn.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .withColumn(
+            "jaccard_micro",
+            halfup_micro_div_cols_expr(
+                F.col("cn").cast(D38),
+                (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast(D38),
+            ),
+        )
+    )
+    return (
+        scored.select("node_a", "node_b", "cn", "deg_a", "deg_b", "jaccard_micro")
+        .orderBy(
+            F.desc("cn"), F.desc("jaccard_micro"), F.asc("node_a"), F.asc("node_b")
+        )
+        .limit(k)
     )

@@ -888,3 +888,123 @@ def quality_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return rate_drift(e, F.col("event_type") == "error")
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    cn AS (
+        SELECT a.d AS node_a, b.d AS node_b, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM e a JOIN e b ON a.s = b.s AND a.d < b.d
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+    SELECT node_a, node_b, cn, da.deg AS deg_a, db.deg AS deg_b,
+           {_hu('cn', 'da.deg + db.deg - cn')} AS jaccard_micro
+    FROM cn JOIN deg da ON da.d = node_a JOIN deg db ON db.d = node_b
+    ORDER BY cn DESC, jaccard_micro DESC, node_a ASC, node_b ASC
+    LIMIT 100
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 supplier pairs by shared parts
+    (`operators.graph.link_prediction_scores`): the wedge join over
+    distinct (part, supplier) edges under the in-plan max-degree hub
+    guard, exact common-neighbor counts + half-up micro Jaccard of
+    neighbor sets, TakeOrdered under a pair-unique total order — the
+    link-prediction / entity-resolution candidate generator."""
+    from notion_spark.operators.graph import link_prediction_scores
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return link_prediction_scores(li, "l_partkey", "l_suppkey")
+
+
+@register(
+    "curation_curriculum",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    bounds AS (
+        SELECT MIN(v) AS lo,
+               greatest(CAST(floor((MAX(v) - MIN(v) + 10) / 10.0) AS BIGINT),
+                        1) AS w
+        FROM base
+    ),
+    b AS (
+        SELECT id, CAST((v - lo) // w AS INTEGER) AS bucket,
+               CAST('0x' || substring(
+                        md5('42|' || CAST(id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS shuf
+        FROM base, bounds
+    )
+    SELECT id, bucket,
+           CAST(ROW_NUMBER() OVER (ORDER BY bucket, shuf, id) AS BIGINT)
+               AS position
+    FROM b
+    """,
+)
+def curation_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order over documents by length
+    (`pipeline.curation.curriculum_order`): 10 equi-width difficulty
+    buckets easy-first, md5-keyed deterministic shuffle within each,
+    positions from ONE distributed rank over the combined
+    bucket·2⁶⁰+shuffle key (the oracle ranks with a flat window — the
+    hash proves the two-level construction identical)."""
+    from notion_spark.pipeline.curation import curriculum_order
+
+    d = read_table(spark, sf_dir, "documents")
+    return curriculum_order(d, "n_chars")
+
+
+@register(
+    "dedup_containment",
+    r"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                              for i in range(1, greatest(len(t) - 2, 0) + 1)])
+                   AS sh
+        FROM (SELECT *, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS size_a,
+               CAST(len(b.sh) AS BIGINT) AS size_b
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    ),
+    scored AS (
+        SELECT *,
+               CAST((2 * inter * 1000000 + size_a) // (2 * size_a) AS BIGINT)
+                   AS cont_a_micro,
+               CAST((2 * inter * 1000000 + size_b) // (2 * size_b) AS BIGINT)
+                   AS cont_b_micro
+        FROM pairs
+    )
+    SELECT id_a, id_b, inter, size_a, size_b, cont_a_micro, cont_b_micro
+    FROM scored
+    WHERE greatest(cont_a_micro, cont_b_micro) >= 900000
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs over the full corpus
+    (`pipeline.dedup.containment_pairs`): exact inter/size_x half-up
+    micro fractions per direction over MinHash-LSH candidates. The
+    oracle is the brute-force quadratic join (the dedup_minhash_lsh
+    precedent): equality holds because this corpus's qualifying pairs
+    all carry Jaccard ≥ 0.9 (measured at both cert SFs — P(miss) ≤
+    3e-8 at 16×4 banding); the documented recall limit is the
+    tiny-in-huge case, which belongs to duplicate_spans. The Spark
+    side never does the quadratic join."""
+    from notion_spark.pipeline.dedup import containment_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return containment_pairs(d)

@@ -1665,3 +1665,84 @@ def kfold_assign(
         F.lit(k),
     ).cast("int")
     return df.withColumn("fold", gnull(fold, "int"))
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum training order — easy buckets first, deterministic
+    pseudorandom shuffle WITHIN each bucket: the standard curriculum
+    schedule (feed short/clean documents before long/noisy ones)
+    with `shuffle_order`'s no-RNG reproducibility guarantee. Output:
+    (id, bucket, position) with position a contiguous global 1-based
+    order.
+
+    bucket = equi-WIDTH difficulty bin ((v − min) div width over a
+    broadcast 1-row bounds frame — the deterministic-bucket idiom;
+    use `equidepth_value_bins` upstream for equal-mass bins). The
+    within-bucket shuffle key is the md5 of (seed, id) — engine-exact,
+    rerun-stable. Positions come from ONE `global_ranked` call ordered
+    by (bucket·2⁶⁰ + shuffle_key, id) — the two keys COMBINED into one
+    DECIMAL(38,0) monotone key (shuffle_key < 16¹⁵ = 2⁶⁰, so the
+    lexicographic order is preserved exactly): with ~10 curriculum
+    buckets as the first order column alone, every bucket's rows would
+    tie into one of global_ranked's internal arithmetic buckets and
+    serialize through one window task; the combined key spreads
+    uniformly. No single-partition window over data.
+
+    NULL difficulty/id rows are excluded (a curriculum cannot place
+    what it cannot score).
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import global_ranked
+
+    base = df.filter(
+        F.col(difficulty_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(difficulty_col).cast("long").alias("__v"),
+    )
+    bounds = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    ).select(
+        "__lo",
+        F.greatest(
+            (F.col("__hi") - F.col("__lo") + n_buckets) / n_buckets, F.lit(1)
+        )
+        .cast("long")
+        .alias("__width"),
+    )
+    bucketed = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket", F.expr("CAST((__v - __lo) div __width AS INT)")
+        )
+        .withColumn(
+            "__shuf",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .drop("__lo", "__width", "__v")
+    )
+    keyed = bucketed.withColumn(
+        "__ckey",
+        (
+            F.col("bucket").cast(D38) * F.lit(2**60).cast(D38)
+            + F.col("__shuf").cast(D38)
+        ).cast(D38),
+    )
+    ranked = global_ranked(keyed, ["__ckey", "id"], rank_col="position")
+    return ranked.select(
+        "id", "bucket", F.col("position").cast("long").alias("position")
+    )

@@ -2307,3 +2307,75 @@ def group_overlap_matrix(
         F.col("n_b").cast("long").alias("n_b"),
         frac6_half_up(F.col("inter"), union).alias("jaccard"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 900_000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment pairs — "is A mostly inside B":
+    for candidate pairs, the exact fraction of each side's distinct
+    n-gram shingles shared with the other, kept when EITHER direction
+    reaches ``threshold_micro``. Jaccard misses the quote/boilerplate
+    case (a 50-shingle doc fully inside a 5000-shingle doc has
+    Jaccard 0.01 but containment 1.0 on the small side); this is the
+    direction-aware readout.
+
+    Output: (id_a, id_b, inter, size_a, size_b, cont_a_micro,
+    cont_b_micro) with id_a < id_b and cont_x = inter/size_x as exact
+    half-up micro divisions of exact set sizes.
+
+    Candidates come from MinHash-LSH banding, which admits by
+    JACCARD — so recall is high for near-size containment (the
+    template/near-dup case) and falls off as the size ratio grows (a
+    tiny-doc-in-huge-doc pair may never collide): for size-skewed
+    sub-document duplication use `duplicate_spans` (ExactSubstr),
+    which is built for exactly that. The trade is stated, not hidden.
+
+    Scale shape: banded candidates (bucket-capped), one shingle-set
+    join per side, per-pair intersection via `array_intersect` on
+    64-bit hash arrays — candidate-volume-bounded, never all-pairs.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, ngram, max_bucket
+    )
+    sets = shingle_hash_sets(df, text_col, id_col, ngram)
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
+    joined = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("__sh_a").cast("long").alias("size_a"),
+            F.size("__sh_b").cast("long").alias("size_b"),
+        )
+        .filter((F.col("size_a") > 0) & (F.col("size_b") > 0))
+    )
+    ca = halfup_micro_div_cols_expr(
+        F.col("inter").cast(D38), F.col("size_a").cast(D38)
+    )
+    cb = halfup_micro_div_cols_expr(
+        F.col("inter").cast(D38), F.col("size_b").cast(D38)
+    )
+    return (
+        joined.withColumn("cont_a_micro", ca)
+        .withColumn("cont_b_micro", cb)
+        .filter(
+            F.greatest(F.col("cont_a_micro"), F.col("cont_b_micro"))
+            >= threshold_micro
+        )
+    )

@@ -902,3 +902,33 @@ class TestKfoldAssign:
             kfold_assign(df, "id").collect()
         with pytest.raises(ValueError):
             kfold_assign(df, "id", k=1)
+
+
+class TestCurriculumOrder:
+    def test_buckets_ordered_positions_contiguous(self, spark):
+        from notion_spark.pipeline.curation import curriculum_order
+
+        rows = [(i, (i * 37) % 100) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, difficulty long")
+        out = curriculum_order(df, "difficulty", n_buckets=4).collect()
+        assert sorted(r.position for r in out) == list(range(1, 61))
+        # every bucket-b position precedes every bucket-(b+1) position
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.position)
+        buckets = sorted(by_bucket)
+        for lo, hi in zip(buckets, buckets[1:]):
+            assert max(by_bucket[lo]) < min(by_bucket[hi])
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from notion_spark.pipeline.curation import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, i % 7) for i in range(40)], "doc_id long, difficulty long")
+        a = {r.id: r.position for r in curriculum_order(df, "difficulty").collect()}
+        b = {r.id: r.position
+             for r in curriculum_order(df.repartition(9), "difficulty").collect()}
+        assert a == b  # partition + rerun invariant
+        c = {r.id: r.position
+             for r in curriculum_order(df, "difficulty", seed=7).collect()}
+        assert a != c  # different shuffle within buckets

@@ -581,3 +581,34 @@ def test_levenshtein_minhash_default_geometry():
     assert sig.parameters["bands"].default == 16
     assert sig.parameters["ngram"].default == 3
     assert sig.parameters["max_distance"].default == 20
+
+
+class TestContainmentPairs:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_prefix_contained_near_size(self, spark):
+        from notion_spark.pipeline.dedup import containment_pairs
+
+        # A's shingles all appear in B, B is slightly larger — the
+        # near-size containment case the LSH candidates DO admit
+        # (jaccard 10/12 ≈ 0.83, above the 16x4 banding knee; the
+        # tiny-in-huge case is documented as duplicate_spans territory)
+        words = "w%d" % 0
+        a_text = " ".join("w%d" % i for i in range(12))       # 10 shingles
+        b_text = a_text + " x1 x2"                            # 12 shingles
+        out = containment_pairs(
+            self._docs(spark, [(1, a_text), (2, b_text)]),
+            threshold_micro=900_000).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.cont_a_micro == 1_000_000      # A fully inside B
+        assert r.cont_b_micro == 833_333        # 10/12 half-up
+        assert r.size_a == 10 and r.size_b == 12 and r.inter == 10
+
+    def test_disjoint_emit_nothing(self, spark):
+        from notion_spark.pipeline.dedup import containment_pairs
+
+        out = containment_pairs(self._docs(spark, [
+            (1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")])).collect()
+        assert out == []

@@ -164,3 +164,33 @@ def test_kcore_peels_iteratively_not_once(spark):
     two = {r.node for r in k_core(df, k=2, iterations=2).collect()}
     assert one == {2, 3}
     assert two == set()
+
+
+class TestLinkPrediction:
+    def test_hand_bipartite(self, spark):
+        from notion_spark.operators.graph import link_prediction_scores
+
+        # parts p1..p3; suppliers A,B,C
+        # A: {p1,p2}; B: {p1,p2,p3}; C: {p3}
+        edges = spark.createDataFrame(
+            [("p1", "A"), ("p2", "A"), ("p1", "B"), ("p2", "B"),
+             ("p3", "B"), ("p3", "C"), ("p3", "C")],  # dup edge dedupes
+            "part string, supp string")
+        out = {(r.node_a, r.node_b): r for r in
+               link_prediction_scores(edges, "part", "supp").collect()}
+        ab = out[("A", "B")]
+        assert ab.cn == 2 and ab.deg_a == 2 and ab.deg_b == 3
+        # jaccard = 2/(2+3-2) = 2/3
+        assert ab.jaccard_micro == 666_667
+        bc = out[("B", "C")]
+        assert bc.cn == 1 and bc.jaccard_micro == 333_333
+        assert ("A", "C") not in out  # no shared neighbor
+
+    def test_hub_guard_raises(self, spark):
+        import pytest
+        from notion_spark.operators.graph import link_prediction_scores
+
+        edges = spark.createDataFrame(
+            [("hub", "s%d" % i) for i in range(20)], "part string, supp string")
+        with pytest.raises(Exception, match="neighbors"):
+            link_prediction_scores(edges, "part", "supp", max_degree=10).collect()

@@ -670,3 +670,31 @@ def test_r11_xcorr_ratedrift_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
         assert "partial_count" in plan, q
+
+
+def test_r11_linkpred_curriculum_plans(spark, sf_dir):
+    """r11 batch I: the wedge join keys on the src (never cartesian),
+    degrees broadcast, top-k via TakeOrdered; curriculum rides ONE
+    sampler-free distributed rank over the combined bucket+shuffle
+    key — no range exchange, no data-sized global window."""
+    plan = plan_of(parity.QUERIES["graph_link_prediction"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(parity.QUERIES["curation_curriculum"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    assert "__b" in plan and "CartesianProduct" not in plan
+    for q in ("graph_link_prediction", "curation_curriculum"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_r11_containment_plan(spark, sf_dir):
+    """r11: containment rides the banded LSH candidates (aggregate +
+    HOF expansion — no pair-generating join), then keyed set joins;
+    never cartesian, never nested-loop, no Python."""
+    plan = plan_of(parity.QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ObjectHashAggregate" in plan  # collect-based banding/sets
