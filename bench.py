@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "graph_link_prediction",
     "curation_curriculum",
     "dedup_containment",
+    "sort_topk_per_group",
+    "profile_price_deciles",
 ]
 
 

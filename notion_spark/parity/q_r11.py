@@ -1008,3 +1008,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return containment_pairs(d)
+
+
+@register(
+    "sort_topk_per_group",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                             o_orderkey ASC) AS INTEGER) AS rank
+        FROM orders
+    )
+    SELECT priority, o_orderkey, price_c, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def sort_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each priority
+    (`operators.sorts.top_k_per_group`): the per-entity leaderboard —
+    one hash shuffle on the group key, a group-bounded row_number
+    window with the orderkey tiebreak, never a global sort."""
+    from notion_spark.operators.sorts import top_k_per_group
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("price_c"),
+        F.col("o_totalprice").cast(DEC).alias("__p"),
+    )
+    out = top_k_per_group(
+        o, ["priority"], [F.desc("__p"), F.asc("o_orderkey")], k=3
+    )
+    return out.select("priority", "o_orderkey", "price_c", "rank")
+
+
+@register(
+    "profile_price_deciles",
+    """
+    WITH base AS (
+        SELECT 'all' AS "group",
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cum AS (
+        SELECT "group", v,
+               CAST(SUM(1) OVER (PARTITION BY "group" ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) AS cw,
+               CAST(COUNT(*) OVER (PARTITION BY "group") AS HUGEINT) AS tw
+        FROM base
+    ),
+    qs AS (SELECT * FROM (VALUES (100000), (200000), (300000), (400000),
+                                 (500000), (600000), (700000), (800000),
+                                 (900000)) AS q(q_ppm)),
+    picked AS (
+        SELECT cum."group", q.q_ppm,
+               MIN(CASE WHEN cw * 1000000 >= CAST(q.q_ppm AS HUGEINT) * tw
+                        THEN v END) AS value,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM cum CROSS JOIN qs q GROUP BY 1, 2
+    )
+    SELECT "group", CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(value AS BIGINT) AS value, total_weight
+    FROM picked WHERE total_weight > 0
+    """,
+)
+def profile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decile ladder of line-item prices
+    (`pipeline.stats.weighted_quantiles`, unit weights, q = 10%..90%):
+    the distribution card a data profile leads with — nine exact
+    lower-quantile picks from the deterministic-bucket plan, always
+    observed values, engine-identical."""
+    from notion_spark.pipeline.stats import weighted_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.lit("all").alias("g"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("cents"),
+        F.lit(1).alias("w"),
+    )
+    return weighted_quantiles(
+        li, "g", "cents", "w",
+        q_ppm=tuple(100_000 * i for i in range(1, 10)),
+    )

@@ -698,3 +698,15 @@ def test_r11_containment_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ObjectHashAggregate" in plan  # collect-based banding/sets
+
+
+def test_r11_topk_group_deciles_plans(spark, sf_dir):
+    """r11: per-group top-k is ONE hash shuffle + group-bounded window
+    (never a global sort, rank<=k pruned); deciles inherit the
+    deterministic-bucket quantile plan (no range sampler)."""
+    plan = plan_of(parity.QUERIES["sort_topk_per_group"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    plan = plan_of(parity.QUERIES["profile_price_deciles"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan and "__b" in plan
