@@ -1041,7 +1041,8 @@ def sort_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast(DEC).alias("__p"),
     )
     out = top_k_per_group(
-        o, ["priority"], [F.desc("__p"), F.asc("o_orderkey")], k=3
+        o, ["priority"], [F.desc("__p"), F.asc("o_orderkey")], k=3,
+        salt_on="o_orderkey",
     )
     return out.select("priority", "o_orderkey", "price_c", "rank")
 

@@ -704,8 +704,11 @@ def test_r11_topk_group_deciles_plans(spark, sf_dir):
     """r11: per-group top-k is ONE hash shuffle + group-bounded window
     (never a global sort, rank<=k pruned); deciles inherit the
     deterministic-bucket quantile plan (no range sampler)."""
+    # two-phase prune: (group, shard) local top-k then the tiny
+    # re-rank — exactly two hash exchanges, never a global sort
     plan = plan_of(parity.QUERIES["sort_topk_per_group"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "__shard" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     plan = plan_of(parity.QUERIES["profile_price_deciles"](spark, sf_dir))
