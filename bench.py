@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "sort_topk_per_group",
     "profile_price_deciles",
+    "quality_reconciliation",
 ]
 
 

@@ -1095,3 +1095,54 @@ def profile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "g", "cents", "w",
         q_ppm=tuple(100_000 * i for i in range(1, 10)),
     )
+
+
+@register(
+    "quality_reconciliation",
+    """
+    WITH p AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                   AS pt
+        FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    c AS (
+        SELECT l_orderkey AS k,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS ct
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+        SELECT p.k IS NOT NULL AS has_p, c.k IS NOT NULL AS has_c,
+               COALESCE(p.pt, 0) - COALESCE(c.ct, 0) AS diff
+        FROM p FULL OUTER JOIN c ON p.k = c.k
+    )
+    SELECT CAST(COUNT(*) FILTER (has_p) AS BIGINT) AS n_parents,
+           CAST(COUNT(*) FILTER (NOT has_p) AS BIGINT) AS n_children_only,
+           CAST(COUNT(*) FILTER (has_p AND NOT has_c) AS BIGINT)
+               AS n_parents_only,
+           CAST(COUNT(*) FILTER (abs(diff) > 0) AS BIGINT) AS n_mismatched,
+           CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff,
+           CAST(SUM(abs(diff)) AS BIGINT) AS total_abs_diff
+    FROM j
+    """,
+)
+def quality_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total vs line-item reconciliation
+    (`pipeline.expectations.reconciliation_audit`): does each order's
+    stored total equal the exact-cents sum of its line items — the
+    books-balance audit (referential_integrity says every child has a
+    parent; this says the amounts agree). One reduced full-outer join
+    + one global reduce; the synthetic corpus's mismatch mass is
+    itself the deterministic audit readout."""
+    from notion_spark.pipeline.expectations import reconciliation_audit
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return reconciliation_audit(
+        o.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        li.select(F.col("l_orderkey").alias("k"), "l_extendedprice"),
+        "k",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long"),
+    )

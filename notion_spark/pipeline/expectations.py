@@ -322,3 +322,64 @@ def rate_drift(
         "delta_micro",
         (F.col("rate_micro") - F.lag("rate_micro").over(w)).cast("long"),
     )
+
+
+def reconciliation_audit(
+    parent: DataFrame,
+    child: DataFrame,
+    key_col: str,
+    parent_total: Column,
+    child_amount: Column,
+    tolerance: int = 0,
+) -> DataFrame:
+    """Parent/child total reconciliation — the books-balance audit
+    behind every financial or billing pipeline: does each parent's
+    stored total equal the sum of its child rows, within an integer
+    ``tolerance``? referential_integrity says every child HAS a
+    parent; this says the AMOUNTS agree.
+
+    ``parent_total`` and ``child_amount`` are integer-valued Column
+    expressions (pre-scale to cents — the caller owns the fixed-point
+    contract). Output is the one-row audit card: (n_parents,
+    n_children_only, n_parents_only, n_mismatched, max_abs_diff,
+    total_abs_diff) — children-only keys are parents missing entirely
+    (their mass counts into the diffs with parent total 0), and
+    parents with no children reconcile against 0.
+
+    Scale shape: one map-side-combined child aggregate, one key-keyed
+    full-outer join of REDUCED frames, one global reduce — no window,
+    no data-sized broadcast. Sums ride DECIMAL(38,0).
+    """
+    from notion_spark.functions.exactmath import D38
+
+    p = parent.select(
+        F.col(key_col).alias("__k"), parent_total.cast(D38).alias("__pt")
+    ).filter(F.col("__k").isNotNull())
+    c = (
+        child.select(F.col(key_col).alias("__k"), child_amount.alias("__ca"))
+        .filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.sum(F.col("__ca").cast(D38)).cast(D38).alias("__ct"))
+    )
+    j = p.join(c, "__k", "full_outer").select(
+        F.col("__pt").isNotNull().alias("__has_p"),
+        F.col("__ct").isNotNull().alias("__has_c"),
+        (
+            F.coalesce(F.col("__pt"), F.lit(0).cast(D38))
+            - F.coalesce(F.col("__ct"), F.lit(0).cast(D38))
+        ).alias("__diff"),
+    )
+    return j.agg(
+        F.count(F.when(F.col("__has_p"), F.lit(1))).cast("long").alias("n_parents"),
+        F.count(F.when(~F.col("__has_p"), F.lit(1)))
+        .cast("long")
+        .alias("n_children_only"),
+        F.count(F.when(F.col("__has_p") & ~F.col("__has_c"), F.lit(1)))
+        .cast("long")
+        .alias("n_parents_only"),
+        F.count(F.when(F.abs(F.col("__diff")) > tolerance, F.lit(1)))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.abs(F.col("__diff"))).cast("long").alias("max_abs_diff"),
+        F.sum(F.abs(F.col("__diff")).cast(D38)).cast("long").alias("total_abs_diff"),
+    )

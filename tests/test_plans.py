@@ -713,3 +713,14 @@ def test_r11_topk_group_deciles_plans(spark, sf_dir):
     assert "CartesianProduct" not in plan
     plan = plan_of(parity.QUERIES["profile_price_deciles"](spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan and "__b" in plan
+
+
+def test_r11_reconciliation_plan(spark, sf_dir):
+    """r11: reconciliation joins REDUCED frames (child pre-aggregated
+    map-side) full-outer on the key, one global reduce — no window,
+    no cartesian, no Python."""
+    plan = plan_of(parity.QUERIES["quality_reconciliation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "FullOuter" in plan
