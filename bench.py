@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "sort_topk_per_group",
     "profile_price_deciles",
     "quality_reconciliation",
+    "stats_eta_squared_events",
+    "behavior_stickiness",
 ]
 
 

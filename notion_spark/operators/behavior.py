@@ -1117,3 +1117,68 @@ def survival_hazard(
             ),
         )
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement-depth
+    ratio every growth dashboard leads with: of the users active this
+    month, what fraction shows up on an average day. One row per
+    month: (month, mau, n_days, dau_sum, avg_dau_micro,
+    stickiness_micro) where avg_dau = Σ daily-distinct / observed
+    days and stickiness = avg_dau / mau, both exact half-up micro
+    divisions of exact distinct counts. ``n_days`` counts OBSERVED
+    days (a day with zero events is absent — the no-traffic calendar
+    variant divides by the calendar length instead; both are standard,
+    this one never invents zero days for a partial month).
+
+    Scale shape: two distinct-count aggregates over one scan lineage
+    — (month, day) DAU and month MAU — joined on the bounded |months|
+    frame; distinct counts are exact (the audit surface), map-side
+    partial throughout.
+    """
+    from notion_spark.functions.exactmath import D38
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM").alias(
+            "month"
+        ),
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.col(user_col).alias("__u"),
+    )
+    dau = (
+        base.groupBy("month", "__day")
+        .agg(F.countDistinct("__u").cast("long").alias("__dau"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.col("__dau").cast(D38)).cast("long").alias("dau_sum"),
+        )
+    )
+    mau = base.groupBy("month").agg(
+        F.countDistinct("__u").cast("long").alias("mau")
+    )
+    avg_dau = halfup_micro_div_cols_expr(
+        F.col("dau_sum").cast(D38), F.col("n_days").cast(D38)
+    )
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            "mau",
+            "n_days",
+            "dau_sum",
+            avg_dau.alias("avg_dau_micro"),
+            # stickiness = (dau_sum / n_days) / mau == dau_sum / (n_days*mau)
+            halfup_micro_div_cols_expr(
+                F.col("dau_sum").cast(D38),
+                (F.col("n_days") * F.col("mau")).cast(D38),
+            ).alias("stickiness_micro"),
+        )
+    )

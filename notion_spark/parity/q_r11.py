@@ -1146,3 +1146,90 @@ def quality_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast(DEC) * 100).cast("long"),
         (F.col("l_extendedprice").cast(DEC) * 100).cast("long"),
     )
+
+
+@register(
+    "stats_eta_squared_events",
+    f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    per_g AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(x * x) AS HUGEINT) AS ss
+        FROM base GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(s) AS HUGEINT) AS stot,
+               CAST(SUM(ss) AS HUGEINT) AS sstot,
+               CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM({_hu('s * s', 'n')}) AS HUGEINT) AS sb_micro
+        FROM per_g
+    ),
+    m AS (
+        SELECT nn, k_groups,
+               greatest(sb_micro - {_hu('stot * stot', 'nn')}, 0) AS sb,
+               sstot * 1000000 - {_hu('stot * stot', 'nn')} AS st
+        FROM agg
+    )
+    SELECT CAST(nn AS BIGINT) AS n, k_groups,
+           CASE WHEN nn >= 2 AND st > 0 THEN {_hu('sb', 'st')}
+                END AS eta2_micro
+    FROM m
+    """,
+)
+def stats_eta_squared_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size of event value by event type
+    (`pipeline.stats.eta_squared`): η² from per-term half-up micro
+    divisions of exact integer moments (|error| ≤ (k+1)/2 micro,
+    documented micro-unit semantics) — one map-side groupBy + one
+    reduce, the "does the grouping matter at all" score."""
+    from notion_spark.pipeline.stats import eta_squared
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("x"),
+    )
+    return eta_squared(e, "event_type", "x")
+
+
+@register(
+    "behavior_stickiness",
+    f"""
+    WITH base AS (
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day, user_id AS u
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    dau AS (
+        SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(d) AS BIGINT) AS dau_sum
+        FROM (SELECT month, day, CAST(COUNT(DISTINCT u) AS HUGEINT) AS d
+              FROM base GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    mau AS (
+        SELECT month, CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+        FROM base GROUP BY 1
+    )
+    SELECT dau.month, mau, n_days, dau_sum,
+           {_hu('dau_sum', 'n_days')} AS avg_dau_micro,
+           {_hu('dau_sum', 'n_days * mau')} AS stickiness_micro
+    FROM dau JOIN mau ON mau.month = dau.month
+    """,
+)
+def behavior_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month
+    (`operators.behavior.stickiness`): exact distinct counts, exact
+    half-up micro ratios (stickiness = dau_sum/(n_days·mau)) — the
+    engagement-depth readout; observed-day convention documented."""
+    from notion_spark.operators.behavior import stickiness
+
+    e = read_table(spark, sf_dir, "events")
+    return stickiness(e)

@@ -48,6 +48,7 @@ __all__ = [
     "halfup_micro_div_cols_expr",
     "cliffs_delta",
     "spearman_rho",
+    "eta_squared",
     "cramers_v",
     "two_proportion_z",
 ]
@@ -1301,4 +1302,93 @@ def two_proportion_z(
         F.when(ok & (se2 > 0), (xa_d / na_d - xb_d / nb_d) / F.sqrt(se2)).alias(
             "z"
         ),
+    )
+
+
+def eta_squared(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_rows: int = 200_000_000,
+) -> DataFrame:
+    """One-way ANOVA effect size η² — how much of an integer measure's
+    variance the grouping explains: the "does source/language/segment
+    matter AT ALL" number behind every crosstab deep-dive (Welch t
+    compares two named cohorts; this scores the whole partition).
+    Single row: (n, k_groups, eta2_micro).
+
+    η² = SS_between/SS_total with SS_between = Σ_g S_g²/n_g − S²/N
+    and SS_total = Σx² − S²/N — rational terms with per-group
+    denominators, so the exact surface is built from per-term half-up
+    MICRO divisions (each S_g²/n_g and S²/N rounded half-up to micro
+    units, then summed): deterministic on any engine and partitioning
+    by construction, with |error| ≤ (k+1)/2 micro-units — documented
+    micro-unit semantics, the dow-profile/share precedent, never a
+    float accumulation. Degenerate inputs (constant values, n < 2)
+    yield NULL eta2. The S_g² numerators bound exactness:
+    N·max|x| ≤ ~1e16 under the ``max_rows``/1e7-value guard pair
+    (|x| ≤ 1e7, the numeric_correlations contract).
+
+    Scale shape: ONE map-side-combined groupBy to the |groups| frame
+    + one reduce over it — no join, no window, no second scan.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    gmag = guarded(
+        F.abs(F.col("__x")) > F.lit(10_000_000),
+        "eta_squared: |value| > 1e7 — per-row squares would outgrow"
+        " exact LONG arithmetic; rescale the fixed-point input",
+    )
+    per_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(gmag(F.col("__x"), "long").cast("decimal(20,0)"))
+        .cast(D38)
+        .alias("__s"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(20,0)"))
+        .cast(D38)
+        .alias("__ss"),
+    )
+    grow = guarded(
+        F.sum("__n").cast(D38) > F.lit(max_rows),
+        f"eta_squared: N > {max_rows} — S² would leave DECIMAL(38,0);"
+        " score a uniform sample",
+    )
+    agg = per_g.agg(
+        grow(F.sum("__n").cast(D38)).alias("__N"),
+        F.sum("__s").cast(D38).alias("__S"),
+        F.sum("__ss").cast(D38).alias("__SS"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        # Σ_g halfup_micro(S_g², n_g): per-term micro division summed —
+        # exact integers all the way
+        F.sum(
+            halfup_micro_div_cols_expr(
+                (F.col("__s") * F.col("__s")).cast(D38), F.col("__n")
+            ).cast(D38)
+        )
+        .cast(D38)
+        .alias("__sb_micro"),
+    )
+    grand_micro = halfup_micro_div_cols_expr(
+        (F.col("__S") * F.col("__S")).cast(D38), F.col("__N")
+    ).cast(D38)
+    ss_total_micro = (
+        F.col("__SS") * F.lit(1_000_000).cast(D38) - grand_micro
+    ).cast(D38)
+    # per-term rounding can leave a tiny negative between-mass on a
+    # zero-effect partition — clamp (identically on both engines)
+    ss_between_micro = F.greatest(
+        (F.col("__sb_micro") - grand_micro).cast(D38), F.lit(0).cast(D38)
+    )
+    ok = (F.col("__N") >= 2) & (ss_total_micro > 0)
+    return agg.select(
+        F.col("__N").cast("long").alias("n"),
+        "k_groups",
+        F.when(
+            ok,
+            halfup_micro_div_cols_expr(ss_between_micro, ss_total_micro),
+        ).alias("eta2_micro"),
     )

@@ -1092,3 +1092,36 @@ class TestSurvivalHazard:
         rows = [(1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2))]
         df = spark.createDataFrame(rows, "user_id long, ts timestamp")
         assert survival_hazard(df).count() == 0  # last day within censor
+
+
+class TestStickiness:
+    def test_hand_months(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import stickiness
+
+        rows = [
+            # Jan: users 1,2 on day1; user 1 on day2 -> dau_sum 3,
+            # n_days 2, mau 2
+            (1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 1)),
+            (1, datetime(2024, 1, 2)),
+            # Feb: user 3 once
+            (3, datetime(2024, 2, 10)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {r.month: r for r in stickiness(df).collect()}
+        jan = out["2024-01"]
+        assert (jan.mau, jan.n_days, jan.dau_sum) == (2, 2, 3)
+        assert jan.avg_dau_micro == 1_500_000
+        assert jan.stickiness_micro == 750_000  # 1.5 / 2
+        feb = out["2024-02"]
+        assert feb.stickiness_micro == 1_000_000
+
+    def test_duplicate_events_one_dau(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import stickiness
+
+        rows = [(1, datetime(2024, 1, 1, h)) for h in range(5)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = stickiness(df).collect()[0]
+        assert out.dau_sum == 1 and out.mau == 1
+        assert out.stickiness_micro == 1_000_000

@@ -724,3 +724,14 @@ def test_r11_reconciliation_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "partial_sum" in plan
     assert "FullOuter" in plan
+
+
+def test_r11_eta_stickiness_plans(spark, sf_dir):
+    """r11: eta² is one map-side groupBy + one reduce (no join);
+    stickiness joins two bounded month frames after distinct
+    aggregates — no cartesian, no Python."""
+    plan = plan_of(parity.QUERIES["stats_eta_squared_events"](spark, sf_dir))
+    assert "Join" not in plan and "partial_count" in plan
+    plan = plan_of(parity.QUERIES["behavior_stickiness"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

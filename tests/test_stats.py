@@ -556,3 +556,39 @@ class TestTwoProportion:
         out = S.two_proportion_z(df, "g", "s", "a", "b").collect()[0]
         assert out.n_a == 1 and out.n_b == 1
         assert out.z is None  # pooled p = 1 -> se2 = 0
+
+
+class TestEtaSquared:
+    def test_perfect_separation(self, spark):
+        # groups fully explain the variance -> eta2 ~ 1
+        rows = [("a", 10)] * 5 + [("b", 20)] * 5
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = S.eta_squared(df, "g", "v").collect()[0]
+        assert out.n == 10 and out.k_groups == 2
+        assert abs(out.eta2_micro - 1_000_000) <= 2  # micro rounding
+
+    def test_no_effect(self, spark):
+        # identical distributions per group -> eta2 ~ 0
+        rows = [(g, v) for g in "ab" for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = S.eta_squared(df, "g", "v").collect()[0]
+        assert out.eta2_micro <= 2  # clamped near zero
+
+    def test_matches_fraction_reference(self, spark):
+        from fractions import Fraction as Fr
+
+        rows = [("a", 1), ("a", 3), ("b", 6), ("b", 8), ("b", 10)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = S.eta_squared(df, "g", "v").collect()[0]
+        # micro-unit semantics reference: per-term half-up micro sums
+        def hu(num, den):
+            return (2 * num * 1_000_000 + den) // (2 * den)
+        sb = hu(4 * 4, 2) + hu(24 * 24, 3)          # Σ S_g²/n_g micro
+        grand = hu(28 * 28, 5)                       # S²/N micro
+        ss_tot = (1 + 9 + 36 + 64 + 100) * 1_000_000 - grand
+        want = hu(max(sb - grand, 0), ss_tot)
+        assert out.eta2_micro == want
+
+    def test_constant_values_null(self, spark):
+        df = spark.createDataFrame([("a", 5), ("b", 5)], "g string, v long")
+        assert S.eta_squared(df, "g", "v").collect()[0].eta2_micro is None
