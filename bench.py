@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "quality_reconciliation",
     "stats_eta_squared_events",
     "behavior_stickiness",
+    "behavior_funnel_within",
 ]
 
 

@@ -1182,3 +1182,88 @@ def stickiness(
             ).alias("stickiness_micro"),
         )
     )
+
+
+def funnel_within(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """TIME-BOUNDED funnel summary — `funnel_counts` with the product
+    convention every analytics tool defaults to: steps only count if
+    they land within ``window_us`` microseconds of the user's FIRST
+    step-1 event (first-touch anchoring — "converted within 7 days of
+    first view", not "ever"). One row per step: (step, step_name,
+    n_users), non-increasing.
+
+    Semantics pinned to an SQL-expressible form: s1 = the user's
+    earliest step-1 event; each later step k is the earliest step-k
+    event STRICTLY after s_{k-1} (strict on the timestamp, so
+    same-instant events never double-count a stage) and within
+    window_us of s1. The greedy in-order scan computes exactly that
+    (the earliest-match argument from `funnel_max_stage`, with the
+    anchor fixed at first touch).
+
+    Scale shape: identical to funnel_counts — filter to step events,
+    ONE user-keyed shuffle, an `aggregate` HOF whose state is
+    (stage, anchor_ts, last_ts), suffix-sum over the |steps|-row
+    frame.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if window_us <= 0:
+        raise ValueError(f"window_us must be > 0, got {window_us}")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+                F.col(tie_col).alias("tie"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(0).cast("long").alias("t0"),
+        F.lit(0).cast("long").alias("ls"),
+    )
+
+    def step_fn(acc, x):
+        matches = x["et"] == F.get(steps_lit, acc["stage"])
+        in_window = (x["us"] > acc["ls"]) & (
+            x["us"] - acc["t0"] <= F.lit(window_us)
+        )
+        advance = matches & ((acc["stage"] == 0) | in_window)
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                F.when(acc["stage"] == 0, x["us"]).otherwise(acc["t0"]).alias("t0"),
+                x["us"].alias("ls"),
+            ),
+        ).otherwise(acc)
+
+    staged = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(seq.alias("seq"))
+        .select("user", F.aggregate("seq", init, step_fn)["stage"].alias("stage"))
+    )
+    per_stage = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    joined = steps_df.join(
+        per_stage, steps_df["step"] == per_stage["stage"], "left"
+    ).select("step", "step_name", F.coalesce("n", F.lit(0)).alias("n"))
+    w = Window.orderBy(F.desc("step")).rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "step", "step_name", F.sum("n").over(w).cast("long").alias("n_users")
+    )

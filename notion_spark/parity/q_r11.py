@@ -1233,3 +1233,50 @@ def behavior_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return stickiness(e)
+
+
+@register(
+    "behavior_funnel_within",
+    """
+    WITH s1 AS (
+        SELECT user_id AS u, MIN(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+        GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON s1.u = e.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+          AND epoch_us(e.ts) - s1.t1 <= 604800000000
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON s2.u = e.user_id JOIN s1 ON s1.u = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+          AND epoch_us(e.ts) - s1.t1 <= 604800000000
+        GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def behavior_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion WITHIN 7 days of first view
+    (`operators.behavior.funnel_within`): first-touch anchored window
+    funnel — the Spark side is one user-keyed HOF scan with
+    (stage, anchor, last) state; the oracle derives the same pinned
+    semantics through correlated step joins (s_k = earliest step-k
+    strictly after s_{k-1} and within the window of s1), so the two
+    derivations are structurally independent."""
+    from notion_spark.operators.behavior import funnel_within
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_within(
+        e, ["view", "click", "purchase"], window_us=7 * 24 * 3_600_000_000
+    )

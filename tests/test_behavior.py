@@ -1125,3 +1125,51 @@ class TestStickiness:
         out = stickiness(df).collect()[0]
         assert out.dau_sum == 1 and out.mau == 1
         assert out.stickiness_micro == 1_000_000
+
+
+class TestFunnelWithin:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string")
+
+    def test_window_cuts_late_conversion(self, spark):
+        from datetime import datetime, timedelta
+        from notion_spark.operators.behavior import funnel_within
+
+        t0 = datetime(2024, 1, 1)
+        H = 3_600_000_000  # 1h in us
+        rows = [
+            # u1 converts within 2h of first view
+            (1, t0, 1, "view"), (1, t0 + timedelta(hours=1), 2, "click"),
+            (1, t0 + timedelta(hours=2), 3, "purchase"),
+            # u2's purchase is 30h after first view -> cut by 24h window
+            (2, t0, 4, "view"), (2, t0 + timedelta(hours=1), 5, "click"),
+            (2, t0 + timedelta(hours=30), 6, "purchase"),
+            # u3: anchored at FIRST view; a later view does not re-anchor
+            (3, t0, 7, "view"), (3, t0 + timedelta(hours=40), 8, "view"),
+            (3, t0 + timedelta(hours=41), 9, "click"),
+        ]
+        out = {r.step_name: r.n_users for r in funnel_within(
+            self._ev(spark, rows), ["view", "click", "purchase"],
+            window_us=24 * H).collect()}
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_same_instant_never_double_counts(self, spark):
+        from datetime import datetime
+        from notion_spark.operators.behavior import funnel_within
+
+        t = datetime(2024, 1, 1)
+        rows = [(1, t, 1, "view"), (1, t, 2, "click")]  # same instant
+        out = {r.step_name: r.n_users for r in funnel_within(
+            self._ev(spark, rows), ["view", "click"],
+            window_us=10**9).collect()}
+        assert out == {"view": 1, "click": 0}  # strict > on timestamps
+
+    def test_validation(self, spark):
+        import pytest
+        from notion_spark.operators.behavior import funnel_within
+
+        with pytest.raises(ValueError):
+            funnel_within(self._ev(spark, []), [], 1)
+        with pytest.raises(ValueError):
+            funnel_within(self._ev(spark, []), ["a"], 0)

@@ -735,3 +735,13 @@ def test_r11_eta_stickiness_plans(spark, sf_dir):
     plan = plan_of(parity.QUERIES["behavior_stickiness"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r11_funnel_within_plan(spark, sf_dir):
+    """r11: the windowed funnel keeps the funnel shape — step events
+    shuffle once on the user key into the HOF scan; no step
+    self-joins, no Python."""
+    plan = plan_of(parity.QUERIES["behavior_funnel_within"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert "BatchEvalPython" not in plan
