@@ -395,6 +395,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship for the driver smoke check."""
+    # cross-module after the r11 package split (q1 lives in q_agg)
+    from notion_spark.parity.q_agg import q1_pricing_summary
+
     return q1_pricing_summary(spark, sf_dir)
 
 

@@ -133,3 +133,18 @@ def test_repetition_stats_frac_is_exact_integer_math(spark):
     assert rows[1].dup_line_frac == 0.833333
     # 1 duplicate of 6 -> 1/6 = 0.16666... -> 0.166667, NOT 0.166666
     assert rows[2].dup_line_frac == 0.166667
+
+
+def test_driver_entry_contract(spark):
+    """The driver's FIRST action: entry(spark) must run end-to-end and
+    return rows with a stable schema, and queries()/oracle_sql() must
+    be importable and aligned. Pins the r11 package-split regression
+    (entry_query referenced q1 across module boundaries and NameError'd
+    only at call time — no unit touched it)."""
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.schema.fields) > 0
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs) and len(qs) >= 258
