@@ -210,7 +210,7 @@ BENCH_QUERIES = [
     "stats_cramers_v_orders",
     "stats_two_proportion_events",
     "agg_rollup_revenue",
-    "agg_cube_counts",
+    "agg_cube_margins",
     "agg_pivot_status",
     "behavior_markov_transitions",
     "behavior_cohort_ltv",

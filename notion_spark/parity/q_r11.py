@@ -368,7 +368,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_cube_counts",
+    "agg_cube_margins",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
@@ -378,12 +378,16 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def agg_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Status × priority CUBE — all four granularities (cells, two
-    one-way margins, grand total) from one Expand + aggregate, the
-    crosstab-with-margins a reporting layer otherwise runs as four
-    scans. grouping_id keys the granularity; map-side combine keeps
-    the shuffle at (4 × |status×priority|) rows."""
+def agg_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status × priority CUBE keyed by a single grouping_id — the
+    crosstab-with-margins readout in the gid-keyed shape downstream
+    code switches on (the pre-existing agg_cube_counts keeps the
+    COALESCE'd '(all)' label form with per-column GROUPING flags; this
+    r11 variant was originally registered under that name and renamed
+    after it silently shadowed the certified original — the rotation
+    treats same-name re-registrations as already-checked, so new
+    queries MUST take new names). One Expand + map-side-combined
+    aggregate."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.cube(

@@ -602,7 +602,7 @@ def test_r11_olap_shapes_plans(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    plan = plan_of(parity.QUERIES["agg_cube_counts"](spark, sf_dir))
+    plan = plan_of(parity.QUERIES["agg_cube_margins"](spark, sf_dir))
     assert plan.count("Expand") == 1
     assert "partial_count" in plan
     plan = plan_of(parity.QUERIES["agg_pivot_status"](spark, sf_dir))
