@@ -33,6 +33,16 @@ DEC = "decimal(18,2)"
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # refuse silent shadowing: a re-used name OVERWRITES the dict
+        # key, and the driver-window rotation then treats the brand-new
+        # code as already certified (the r11 agg_cube_counts collision
+        # — caught only because the fresh window head came up short)
+        if name in QUERIES:
+            raise ValueError(
+                f"register: query name {name!r} is already registered "
+                "— shadowing a certified name silently skips driver "
+                "re-certification; pick a new name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

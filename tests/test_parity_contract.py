@@ -148,3 +148,14 @@ def test_driver_entry_contract(spark):
     assert len(rows) >= 0 and len(df.schema.fields) > 0
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_) <= set(qs) and len(qs) >= 258
+
+
+def test_register_refuses_duplicate_names():
+    """r11 regression: register() overwrote same-name entries and the
+    rotation treated the new code as driver-checked. It must raise."""
+    import pytest
+
+    from notion_spark.parity._base import register
+
+    with pytest.raises(ValueError, match="already registered"):
+        register("q1_pricing_summary")(lambda s, d: None)
