@@ -21,10 +21,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # --- r03 (47 driver-checked this round) ---
     # --- r04 (50 driver-checked this round) ---
     # --- r05 (50 driver-checked this round) ---
-    "text_quantile_rank", "text_bpe_merges",
-    "text_cooccurrence", "curation_split_leakage", "agg_avg_completion_days", "agg_crosstab_status_priority",
-    "agg_union_pie", "filter_tag_overlap", "filter_active_items", "filter_immediate_action",
-    "filter_window_anti", "filter_backlog_topk", "filter_not_in", "filter_substring_count",
+    "filter_not_in", "filter_substring_count",
     "filter_goals_overflow", "join_parent_name", "join_multi_hop_revenue", "join_semi_customers",
     "join_anti_customers", "merge_keep_last", "incr_changed_rows", "topk_oldest_pending",
     "window_group_boundaries", "proj_status_priority_scores", "proj_json_extract", "text_truncate",
@@ -77,16 +74,30 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "dedup_levenshtein_incremental", "dedup_levenshtein_minhash", "curation_systematic_sample", "dedup_paragraphs",
     "profile_numeric_correlations", "behavior_path_trigrams", "behavior_rfm_segments", "ts_autocorrelation",
     "text_readability", "quality_referential_integrity", "profile_benford_prices", "stats_chi_square_orders",
-    "profile_gini_customer_revenue", "stats_hhi_nation_revenue", "stats_weighted_quantiles_returnflag", "stats_welch_ttest_events",
-    "stats_mann_whitney_events", "skyline_parts", "behavior_activity_streaks", "ts_dow_profile",
-    "stats_auc_doc_length", "stats_ks_test_events", "quality_functional_dependency", "quality_key_candidates",
-    "ts_changepoint_events", "profile_tv_weekend_events", "behavior_conversion_latency", "agg_mode_status",
-    "stats_rank_normalize_prices", "diff_revenue_drivers", "profile_correlations_by_flag", "behavior_basket_lift",
-    "ts_time_weighted_events", "profile_pareto_customers", "stats_srm_event_mix", "dedup_ngram_jaccard",
+    "stats_hhi_nation_revenue", "stats_weighted_quantiles_returnflag", "stats_welch_ttest_events",
+    "skyline_parts", "behavior_activity_streaks",
+    "quality_functional_dependency", "quality_key_candidates",
+    "ts_changepoint_events", "behavior_conversion_latency", "agg_mode_status",
+    "profile_correlations_by_flag",
+    "ts_time_weighted_events", "stats_srm_event_mix", "dedup_ngram_jaccard",
     "dedup_embedding_pairs", "dedup_levenshtein_pairs", "dedup_levenshtein_qgram", "curation_ccnet_buckets",
     "curation_quota_mix", "curation_equidepth_bins", "profile_diversity_by_lang", "dedup_group_overlap",
     "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
     "anomaly_rolling_sigma", "curation_winsorize",
+    # --- r11 (50 driver-checked this round) ---
+    "streaming_drift_scores", "stats_cliffs_delta_events", "stats_spearman_prices", "stats_cramers_v_orders",
+    "stats_two_proportion_events", "agg_rollup_revenue", "agg_cube_margins", "agg_pivot_status",
+    "behavior_markov_transitions", "behavior_cohort_ltv", "ts_gap_report", "profile_cardinalities",
+    "quality_iqr_outliers", "curation_target_encode", "curation_kfold_stats", "behavior_survival_hazard",
+    "ts_ewma_events", "ts_cross_correlation", "quality_rate_drift", "graph_link_prediction",
+    "curation_curriculum", "dedup_containment", "sort_topk_per_group", "profile_price_deciles",
+    "quality_reconciliation", "stats_eta_squared_events", "behavior_stickiness", "behavior_funnel_within",
+    "profile_gini_customer_revenue", "stats_mann_whitney_events", "stats_auc_doc_length", "stats_ks_test_events",
+    "stats_rank_normalize_prices", "profile_pareto_customers", "ts_dow_profile", "profile_tv_weekend_events",
+    "diff_revenue_drivers", "behavior_basket_lift", "text_quantile_rank", "text_bpe_merges",
+    "text_cooccurrence", "curation_split_leakage", "agg_avg_completion_days", "agg_crosstab_status_priority",
+    "agg_union_pie", "filter_tag_overlap", "filter_active_items", "filter_immediate_action",
+    "filter_window_anti", "filter_backlog_topk",
 )
 
 
@@ -119,16 +130,6 @@ PLAN_RECERT: tuple[str, ...] = (
     # delta sums, basket items persist -> localCheckpoint.
     # (Restored after an accidental second fold run of the r10 artifact
     # cleared them — r10's green rows certified the PRE-swap plans.)
-    "profile_gini_customer_revenue",
-    "stats_mann_whitney_events",
-    "stats_auc_doc_length",
-    "stats_ks_test_events",
-    "stats_rank_normalize_prices",
-    "profile_pareto_customers",
-    "ts_dow_profile",
-    "profile_tv_weekend_events",
-    "diff_revenue_drivers",
-    "behavior_basket_lift",
 )
 
 

@@ -2,13 +2,15 @@
 """Round-close gate: run BEFORE the end-of-round snapshot commit.
 
 Exists because the last substantive commit of a round broke the suite
-twice in a row without anyone re-running it: r8's final commit broke
-tests/test_api_doc.py (doc drift), r9's final commit broke
+three rounds in a row without anyone re-running it: r8's final commit
+broke tests/test_api_doc.py (doc drift), r9's final commit broke
 tests/test_plans.py (the max_candidates guard added a 1-row
-BroadcastNestedLoopJoin that the round's own plan pin rejects). Both
-suites are fast (~2 min together) and pin exactly the two surfaces a
-late commit is most likely to silently break: physical-plan shape and
-the generated API doc.
+BroadcastNestedLoopJoin that the round's own plan pin rejects), and
+r11's final EXAMPLES.md commit broke tests/test_examples_doc.py
+(multi-line imports vs the lint's line parser). The gate now runs every
+doc/contract suite — the exact class a late doc/registration commit
+breaks: physical-plan shape, the generated API doc, the EXAMPLES.md
+lint, and the parity/driver-entry contracts. All are fast (~2 min).
 
 Usage (the round ritual, see BASELINE.md):
 
@@ -23,7 +25,12 @@ from __future__ import annotations
 import subprocess
 import sys
 
-HOT_SUITES = ["tests/test_plans.py", "tests/test_api_doc.py"]
+HOT_SUITES = [
+    "tests/test_plans.py",
+    "tests/test_api_doc.py",
+    "tests/test_examples_doc.py",
+    "tests/test_parity_contract.py",  # includes the driver-entry contract
+]
 
 
 def main() -> int:

@@ -16,12 +16,35 @@ def _code_blocks() -> list[str]:
     return re.findall(r"```python\n(.*?)```", EXAMPLES, re.S)
 
 
+def _logical_lines(block: str) -> list[str]:
+    """Join parenthesized multi-line statements (PEP-8 import style) into
+    one logical line so `from m import (\n  a, b)` parses like `from m
+    import a, b`."""
+    out: list[str] = []
+    buf = ""
+    for raw in block.splitlines():
+        ln = raw.strip()
+        if buf:
+            buf += " " + ln
+            if buf.count("(") <= buf.count(")"):
+                out.append(buf.replace("(", "").replace(")", "").strip().rstrip(","))
+                buf = ""
+            continue
+        if ln.startswith(("from ", "import ")) and ln.count("(") > ln.count(")"):
+            buf = ln
+        else:
+            out.append(ln)
+    if buf:
+        out.append(buf.replace("(", "").replace(")", "").strip().rstrip(","))
+    return out
+
+
 def test_every_import_line_resolves():
     lines = [
-        ln.strip()
+        ln
         for block in _code_blocks()
-        for ln in block.splitlines()
-        if ln.strip().startswith(("from notion_spark", "import notion_spark"))
+        for ln in _logical_lines(block)
+        if ln.startswith(("from notion_spark", "import notion_spark"))
     ]
     assert lines, "no notion_spark imports found in EXAMPLES.md"
     for ln in lines:
