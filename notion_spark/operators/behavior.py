@@ -29,6 +29,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _hot_user_checked(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    ts_col: str,
+    tie_col: str,
+    type_col: str,
+    max_user_events: int,
+    op_name: str,
+) -> DataFrame:
+    """Filter to step events and raise IN-PLAN when one user exceeds
+    ``max_user_events`` of them — the basket_pair_lift /
+    link_prediction guard convention (exactmath.guarded). The per-user
+    collect_list downstream is bounded by this cap, so the failure
+    mode for a bot user with millions of step events is a clean
+    guarded raise naming the remedy, never an executor OOM. The count
+    window shares the user-key exchange with the downstream groupBy
+    (same key), so the guard adds no extra shuffle."""
+    from notion_spark.functions.exactmath import guarded
+
+    filtered = df.filter(F.col(type_col).isin(list(steps)))
+    wu = Window.partitionBy(user_col)
+    ghot = guarded(
+        F.count(F.lit(1)).over(wu) > F.lit(max_user_events),
+        f"{op_name}: a {user_col!r} exceeds {max_user_events} step"
+        " events — the per-user sequence scan would materialize it on"
+        " one executor; pre-aggregate bots upstream (e.g. keep each"
+        " user's earliest event per step type) or raise"
+        " max_user_events",
+    )
+    return filtered.select(
+        ghot(F.col(user_col)).alias(user_col),
+        ghot(F.col(ts_col)).alias(ts_col),
+        F.col(tie_col).alias(tie_col),
+        F.col(type_col).alias(type_col),
+    )
+
+
 def funnel_max_stage(
     df: DataFrame,
     steps: Sequence[str],
@@ -36,6 +74,7 @@ def funnel_max_stage(
     ts_col: str = "ts",
     tie_col: str = "event_id",
     type_col: str = "event_type",
+    max_user_events: int = 1_000_000,
 ) -> DataFrame:
     """Per-user highest funnel stage reached, scanning each user's
     ordered step events exactly once.
@@ -48,10 +87,12 @@ def funnel_max_stage(
 
     Scale shape: filter to step events only, ONE shuffle on the user
     key, `array_sort` + `aggregate` HOF whose state is one int. The
-    collected array holds only this user's step-typed events — for a
-    user so hot that this overflows, pre-aggregate to (user, first ts
-    per stage transition) in windows; not needed until a single user
-    has millions of step events.
+    collected array holds only this user's step-typed events, and a
+    bot user with more than ``max_user_events`` of them raises the
+    in-plan guard (r12 — the basket/link-prediction convention; the
+    remedy is in the message: pre-aggregate to each user's earliest
+    event per step type upstream, which preserves greedy-subsequence
+    semantics for max-stage).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -72,9 +113,12 @@ def funnel_max_stage(
         F.lit(0),
         lambda acc, x: F.when(x["et"] == F.get(steps_lit, acc), acc + 1).otherwise(acc),
     )
+    checked = _hot_user_checked(
+        df, steps, user_col, ts_col, tie_col, type_col, max_user_events,
+        "funnel_max_stage",
+    )
     return (
-        df.filter(F.col(type_col).isin(list(steps)))
-        .groupBy(F.col(user_col).alias("user"))
+        checked.groupBy(F.col(user_col).alias("user"))
         .agg(seq.alias("seq"))
         .select("user", scan.alias("stage"))
     )
@@ -87,11 +131,14 @@ def funnel_counts(
     ts_col: str = "ts",
     tie_col: str = "event_id",
     type_col: str = "event_type",
+    max_user_events: int = 1_000_000,
 ) -> DataFrame:
     """Funnel summary: one row per step with the number of users whose
     max stage reached >= that step. Columns (step, step_name, n_users);
     n_users is non-increasing down the funnel."""
-    staged = funnel_max_stage(df, steps, user_col, ts_col, tie_col, type_col)
+    staged = funnel_max_stage(
+        df, steps, user_col, ts_col, tie_col, type_col, max_user_events
+    )
     per_stage = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
     spark = df.sparkSession
     steps_df = spark.createDataFrame(
@@ -1192,6 +1239,7 @@ def funnel_within(
     ts_col: str = "ts",
     tie_col: str = "event_id",
     type_col: str = "event_type",
+    max_user_events: int = 1_000_000,
 ) -> DataFrame:
     """TIME-BOUNDED funnel summary — `funnel_counts` with the product
     convention every analytics tool defaults to: steps only count if
@@ -1211,7 +1259,9 @@ def funnel_within(
     Scale shape: identical to funnel_counts — filter to step events,
     ONE user-keyed shuffle, an `aggregate` HOF whose state is
     (stage, anchor_ts, last_ts), suffix-sum over the |steps|-row
-    frame.
+    frame. A user past ``max_user_events`` step events raises the
+    in-plan guard (r12) instead of OOM-ing the executor that collects
+    their sequence.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -1248,10 +1298,13 @@ def funnel_within(
             ),
         ).otherwise(acc)
 
+    checked = _hot_user_checked(
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()),
+        steps, user_col, ts_col, tie_col, type_col, max_user_events,
+        "funnel_within",
+    )
     staged = (
-        df.filter(F.col(type_col).isin(list(steps)))
-        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
-        .groupBy(F.col(user_col).alias("user"))
+        checked.groupBy(F.col(user_col).alias("user"))
         .agg(seq.alias("seq"))
         .select("user", F.aggregate("seq", init, step_fn)["stage"].alias("stage"))
     )

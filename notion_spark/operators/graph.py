@@ -310,6 +310,15 @@ def link_prediction_scores(
     wall constant is shuffle-heavy because the pair frame is
     nearly-unique (dense-graph CN materializes a large share of the
     dst-pair matrix before top-k — phase-timed in SCALE.md r11).
+
+    The degree-frame joins carry NO broadcast hint (r12, VERDICT r11
+    #4): the frame is |distinct dst| rows — small at test SFs but
+    unbounded at corpus scale, and a forced ``F.broadcast`` is a
+    driver/executor OOM at 100× node counts. AQE converts the join to
+    broadcast at runtime when the measured size is under the
+    threshold, and falls back to a shuffle join keyed on the pair
+    frame when it isn't — exactly the decision we want made from
+    runtime statistics, not a hint.
     """
     from notion_spark.functions.exactmath import D38, guarded
     from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
@@ -341,8 +350,8 @@ def link_prediction_scores(
     da = deg.select(F.col("__d").alias("node_a"), F.col("__deg").alias("deg_a"))
     db = deg.select(F.col("__d").alias("node_b"), F.col("__deg").alias("deg_b"))
     scored = (
-        cn.join(F.broadcast(da), "node_a")
-        .join(F.broadcast(db), "node_b")
+        cn.join(da, "node_a")
+        .join(db, "node_b")
         .withColumn(
             "jaccard_micro",
             halfup_micro_div_cols_expr(

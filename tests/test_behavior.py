@@ -1173,3 +1173,37 @@ class TestFunnelWithin:
             funnel_within(self._ev(spark, []), [], 1)
         with pytest.raises(ValueError):
             funnel_within(self._ev(spark, []), ["a"], 0)
+
+    def test_hot_user_guard(self, spark):
+        """r12: a user past max_user_events step events raises the
+        in-plan guard (clean message with the pre-aggregation remedy)
+        instead of collecting an unbounded sequence; building the plan
+        stays lazy, a user AT the cap passes, and only STEP events
+        count toward it."""
+        from datetime import datetime, timedelta
+
+        import pytest
+
+        from notion_spark.operators.behavior import (
+            funnel_counts,
+            funnel_within,
+        )
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + timedelta(seconds=i), i, "view") for i in range(5)
+        ] + [(1, t0 + timedelta(seconds=99), 99, "noise")] * 3 + [
+            (2, t0, 200, "view"), (2, t0 + timedelta(seconds=1), 201, "click"),
+        ]
+        df = self._ev(spark, rows)
+        plan = funnel_within(df, ["view", "click"], window_us=10**9,
+                             max_user_events=4)  # lazy: must not raise
+        with pytest.raises(Exception, match="pre-aggregate"):
+            plan.collect()
+        with pytest.raises(Exception, match="step events"):
+            funnel_counts(df, ["view", "click"], max_user_events=4).collect()
+        # u1 has exactly 5 STEP events (noise excluded): cap=5 passes
+        out = {r.step_name: r.n_users for r in funnel_within(
+            df, ["view", "click"], window_us=10**9,
+            max_user_events=5).collect()}
+        assert out == {"view": 2, "click": 1}

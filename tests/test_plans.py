@@ -674,13 +674,21 @@ def test_r11_xcorr_ratedrift_plans(spark, sf_dir):
 
 def test_r11_linkpred_curriculum_plans(spark, sf_dir):
     """r11 batch I: the wedge join keys on the src (never cartesian),
-    degrees broadcast, top-k via TakeOrdered; curriculum rides ONE
-    sampler-free distributed rank over the combined bucket+shuffle
-    key — no range exchange, no data-sized global window."""
+    top-k via TakeOrdered; curriculum rides ONE sampler-free
+    distributed rank over the combined bucket+shuffle key — no range
+    exchange, no data-sized global window. r12: the degree-frame
+    joins carry NO broadcast hint (unbounded at corpus scale — AQE
+    converts to broadcast at runtime when small), so the static plan
+    must show NO ResolvedHint/broadcast on them and the joins must
+    still be equi-joins (never nested-loop/cartesian)."""
     plan = plan_of(parity.QUERIES["graph_link_prediction"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    # the wedge self-join equi-keys on src; degree joins are hint-free
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
     plan = plan_of(parity.QUERIES["curation_curriculum"](spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan
     assert "__b" in plan and "CartesianProduct" not in plan
