@@ -130,6 +130,25 @@ PLAN_RECERT: tuple[str, ...] = (
     # delta sums, basket items persist -> localCheckpoint.
     # (Restored after an accidental second fold run of the r10 artifact
     # cleared them — r10's green rows certified the PRE-swap plans.)
+    # r12: global_ranked's bucket id moved from per-row DECIMAL(38,0)
+    # subtract/div to a DOUBLE floor (weakly monotone IEEE row function
+    # — buckets can merge, never split/reorder; rank semantics
+    # unchanged, branch-safety unchanged). Measured 0.3-0.65x at sf1.
+    # Every registered consumer of the distributed rank changed plans:
+    "profile_gini_customer_revenue",
+    "stats_mann_whitney_events",
+    "stats_auc_doc_length",
+    "stats_ks_test_events",
+    "stats_rank_normalize_prices",
+    "profile_pareto_customers",
+    "stats_spearman_prices",
+    "curation_curriculum",
+    # r12: link_prediction dropped the forced degree-frame broadcast
+    # (AQE decides at runtime); funnel queries gained the in-plan
+    # hot-user guard window (shares the user-key exchange):
+    "graph_link_prediction",
+    "funnel_view_click_purchase",
+    "behavior_funnel_within",
 )
 
 
