@@ -1320,3 +1320,306 @@ def funnel_within(
     return joined.select(
         "step", "step_name", F.sum("n").over(w).cast("long").alias("n_users")
     )
+
+
+def attribution_last_touch(
+    df: DataFrame,
+    revenue_type: str = "purchase",
+    channel_types: Sequence[str] = ("view", "click"),
+    window_us: int = 7 * 24 * 3_600_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch marketing attribution: each ``revenue_type`` event's
+    value (exact cents) is credited to the type of the user's latest
+    ``channel_types`` event at-or-before it (in (ts, tie) order) and
+    within ``window_us`` — else to the literal channel ``'direct'``.
+    One row per channel: (channel, n_conversions, revenue_cents),
+    including 'direct'.
+
+    Scale shape: filter to channel+revenue events, ONE user-keyed
+    window (running `last` over channel rows with ignorenulls — no
+    self-join, no as-of range join), then a channel-keyed map-side
+    aggregate. The window state is one struct; nothing collects a
+    user's history.
+
+    Exactness: value → DECIMAL(18,2) → cents LONG (the repo's float
+    route-around); timestamps compared as unix micros (exact longs
+    under the pinned UTC session zone).
+    """
+    if revenue_type in set(channel_types):
+        raise ValueError("revenue_type must not be a channel type")
+    if window_us <= 0:
+        raise ValueError(f"window_us must be > 0, got {window_us}")
+    kinds = [*channel_types, revenue_type]
+    base = (
+        df.filter(F.col(type_col).isin(kinds))
+        .filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+            F.col(tie_col).alias("__tie"),
+            F.col(type_col).alias("__et"),
+            (F.col(value_col).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("__cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("__u")
+        .orderBy(F.asc("__us"), F.asc("__tie"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_touch = F.last(
+        F.when(
+            F.col("__et").isin(list(channel_types)),
+            F.struct(F.col("__us").alias("us"), F.col("__et").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    rev = (
+        base.withColumn("__lt", last_touch)
+        .filter(F.col("__et") == revenue_type)
+        .select(
+            F.when(
+                F.col("__lt").isNotNull()
+                & (F.col("__us") - F.col("__lt.us") <= F.lit(window_us)),
+                F.col("__lt.et"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.coalesce(F.col("__cents"), F.lit(0)).alias("__cents"),
+        )
+    )
+    return rev.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("__cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def retention_days(
+    df: DataFrame,
+    day_offsets: Sequence[int] = (1, 7, 30),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-grain bounded-window retention — the product D1/D7/D30 card
+    (`retention_cohort` is the unbounded weekly triangle; this is the
+    "came back within k days" readout). Cohort day = the user's first
+    event date; for each offset k, a user is retained iff they have
+    ANY event 1..k days after day 0. One row per cohort day:
+    (cohort_day, n_users, n_d<k>..., r_d<k>_micro...) with exact
+    half-up micro rates.
+
+    Scale shape: one per-user window min (no join back), one per-user
+    flag aggregate riding the SAME user-keyed exchange, one cohort-day
+    aggregate — map-side combined throughout; no self-join of the
+    events table.
+    """
+    offs = sorted(set(int(k) for k in day_offsets))
+    if not offs or offs[0] < 1:
+        raise ValueError("day_offsets must be positive ints")
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("__d"),
+    )
+    w = Window.partitionBy("__u")
+    withd0 = base.withColumn("__d0", F.min("__d").over(w)).withColumn(
+        "__diff", F.datediff(F.col("__d"), F.col("__d0"))
+    )
+    flags = [
+        F.max(
+            F.when((F.col("__diff") >= 1) & (F.col("__diff") <= k), 1).otherwise(0)
+        ).alias(f"__f{k}")
+        for k in offs
+    ]
+    per_user = withd0.groupBy("__u", "__d0").agg(*flags)
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")] + [
+        F.sum(f"__f{k}").cast("long").alias(f"n_d{k}") for k in offs
+    ]
+    out = per_user.groupBy(F.col("__d0").alias("cohort_day")).agg(*aggs)
+    for k in offs:
+        out = out.withColumn(
+            f"r_d{k}_micro",
+            halfup_micro_div_cols_expr(
+                F.col(f"n_d{k}").cast("decimal(38,0)"),
+                F.col("n_users").cast("decimal(38,0)"),
+            ),
+        )
+    return out
+
+
+def bounce_rate(
+    df: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day session bounce rate: share of sessions (gap-based,
+    ``gap_minutes`` timeout — the `sessionize_batch` boundary rule)
+    containing exactly one event, keyed by the session's start day.
+    One row per day: (day, n_sessions, n_bounces, bounce_micro).
+
+    Scale shape: the sessionizer's one user-keyed window, a
+    (user, session) aggregate riding the same exchange, then a
+    day-keyed map-side aggregate.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+    from notion_spark.streaming.sessions import sessionize_batch
+
+    s = sessionize_batch(
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()),
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_minutes=gap_minutes,
+    )
+    per_session = s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.to_date(F.min(F.col(ts_col).cast("timestamp"))).alias("__day"),
+    )
+    return (
+        per_session.groupBy(F.col("__day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_micro",
+            halfup_micro_div_cols_expr(
+                F.col("n_bounces").cast("decimal(38,0)"),
+                F.col("n_sessions").cast("decimal(38,0)"),
+            ),
+        )
+    )
+
+
+def power_user_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Engagement-depth distribution ("the smile curve"): how many
+    users were active on exactly N distinct days. One row per observed
+    depth: (n_active_days, n_users) — the shape that tells a product
+    team whether usage is habitual or drive-by, and a training-data
+    team how concentrated an event corpus is on its heavy users.
+
+    Scale shape: per-user exact distinct-day count (one map-side
+    combined aggregate on the user key), then a bounded second
+    aggregate (≤ observation-range-days rows). No window, no join.
+    """
+    per_user = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col))
+        .agg(
+            F.countDistinct(
+                F.to_date(F.col(ts_col).cast("timestamp"))
+            ).alias("n_active_days")
+        )
+    )
+    return per_user.groupBy("n_active_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting — the canonical new / retained /
+    resurrected / churned decomposition of an active-user count
+    (Social Capital's "accounting for growth" card): for each
+    Monday-anchored week,
+
+        new         = users whose FIRST-ever active week this is
+        retained    = users active this week AND the previous week
+        resurrected = users active this week, not last week, not new
+        churned     = users active the PREVIOUS week but not this one
+                      (reported against the week they went missing)
+
+    One row per week: (week, n_active, n_new, n_retained,
+    n_resurrected, n_churned) with n_active = new + retained +
+    resurrected as an internal identity.
+
+    Scale shape: collapse to the distinct (user, week) frame (one
+    map-side-combined shuffle — the frame is bounded by
+    users × weeks, far under the event count), ONE user-keyed window
+    (lag week + first week), then a week-keyed aggregate; churned
+    rides the same lag frame shifted one week forward via a union, so
+    nothing self-joins the events table.
+    """
+    weeks = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+            .cast("date")
+            .alias("__w"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__u").orderBy("__w")
+    lagged = weeks.select(
+        "__u",
+        "__w",
+        F.lag("__w").over(w).alias("__prev"),
+        F.min("__w").over(
+            Window.partitionBy("__u").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__first"),
+    )
+    is_prev_week = F.col("__prev").isNotNull() & (
+        F.datediff(F.col("__w"), F.col("__prev")) == 7
+    )
+    active = lagged.select(
+        F.col("__w").alias("week"),
+        F.lit(1).alias("__active"),
+        F.when(F.col("__w") == F.col("__first"), 1).otherwise(0).alias("__new"),
+        F.when(is_prev_week, 1).otherwise(0).alias("__ret"),
+        F.when(
+            (F.col("__w") != F.col("__first")) & ~is_prev_week, 1
+        ).otherwise(0).alias("__res"),
+        F.lit(0).alias("__chu"),
+    )
+    # churn: a user active in week W and not in W+7 churns FROM W+7's
+    # row. Emit (W+7, churned=1) unless the next active week is W+7.
+    nxt = Window.partitionBy("__u").orderBy("__w")
+    churn = (
+        weeks.select(
+            "__u", "__w", F.lead("__w").over(nxt).alias("__next")
+        )
+        .filter(
+            F.col("__next").isNull()
+            | (F.datediff(F.col("__next"), F.col("__w")) > 7)
+        )
+        .select(
+            F.date_add(F.col("__w"), 7).alias("week"),
+            F.lit(0).alias("__active"),
+            F.lit(0).alias("__new"),
+            F.lit(0).alias("__ret"),
+            F.lit(0).alias("__res"),
+            F.lit(1).alias("__chu"),
+        )
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.sum("__active").cast("long").alias("n_active"),
+            F.sum("__new").cast("long").alias("n_new"),
+            F.sum("__ret").cast("long").alias("n_retained"),
+            F.sum("__res").cast("long").alias("n_resurrected"),
+            F.sum("__chu").cast("long").alias("n_churned"),
+        )
+    )

@@ -367,3 +367,69 @@ def link_prediction_scores(
         )
         .limit(k)
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_degree: int = 2_000_000_000,
+) -> DataFrame:
+    """Degree assortativity structure of a (bipartite or directed)
+    edge list — "do high-degree nodes attach to high-degree nodes?":
+    the Pearson correlation of (deg(src), deg(dst)) over distinct
+    edges, reported as the repo's hashable exact-moment form
+    (n_edges, rho_sign, rho2) — rho itself needs a sqrt, so the
+    compared surface is rho² plus the sign (the numeric_correlations
+    / spearman_rho rule). Positive sign = assortative (hubs with
+    hubs), negative = disassortative (hubs with leaves — the usual
+    shape of user-item graphs).
+
+    Scale shape: two map-side degree aggregates, two keyed joins of
+    the edge list against them (hint-free — AQE broadcasts the degree
+    frames when they are small, the link_prediction r12 rule), ONE
+    global moment aggregate. LONG degree products under an in-plan
+    guard (deg ≤ ~3e9 keeps x·y under 9.2e18), DECIMAL(38,0) sums.
+    """
+    from notion_spark.functions.exactmath import D38, guarded
+
+    e = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+        .distinct()
+    )
+    gdeg = guarded(
+        F.col("__deg") > F.lit(max_degree),
+        f"degree_assortativity: a node exceeds {max_degree} distinct"
+        " neighbors — LONG degree products would wrap; cap hubs"
+        " upstream",
+    )
+    ds = e.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).select("__s", gdeg(F.col("__deg"), "long").alias("__x"))
+    dd = e.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).select("__d", gdeg(F.col("__deg"), "long").alias("__y"))
+    pairs = e.join(ds, "__s").join(dd, "__d")
+    d20 = "decimal(20,0)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(F.col("__x").cast(d20)).cast(D38).alias("__sx"),
+        F.sum(F.col("__y").cast(d20)).cast(D38).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d20)).cast(D38).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(d20)).cast(D38).alias("__syy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d20)).cast(D38).alias("__sxy"),
+    )
+    n_ = F.col("__n")
+    num = (n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(D38)
+    den_x = (n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(D38)
+    den_y = (n_ * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(D38)
+    num_d = num.cast("double")
+    ok = (n_ >= 2) & (den_x > 0) & (den_y > 0)
+    return agg.select(
+        n_.cast("long").alias("n_edges"),
+        F.when(ok, F.signum(num_d).cast("long")).alias("rho_sign"),
+        F.when(
+            ok, (num_d * num_d) / (den_x.cast("double") * den_y.cast("double"))
+        ).alias("rho2"),
+    )

@@ -727,3 +727,47 @@ def cross_correlation(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def seasonality_index(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Month-of-year seasonality index of an exact integer measure:
+    each calendar month's share of the total, scaled so a perfectly
+    uniform year reads 1e6 per month — index_micro = 12·total_m /
+    total as ONE half-up micro division of DECIMAL(38,0) sums. One
+    row per observed month number: (month, cents, index_micro). The
+    demand-planning readout ("December runs 1.4× baseline") that the
+    dow_profile gives at day grain.
+
+    Scale shape: one 12-ary map-side aggregate + a broadcast 1-row
+    total — no window, no join wider than 12 rows.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.month(F.col(ts_col).cast("timestamp")).alias("month"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    per_m = base.groupBy("month").agg(
+        F.sum(F.col("__v").cast(D38)).cast(D38).alias("__c")
+    )
+    tot = per_m.agg(F.sum("__c").cast(D38).alias("__tot"))
+    return (
+        per_m.crossJoin(F.broadcast(tot))
+        .select(
+            "month",
+            F.col("__c").cast("long").alias("cents"),
+            F.when(
+                F.col("__tot") != 0,
+                halfup_micro_div_cols_expr(
+                    (F.lit(12).cast(D38) * F.col("__c")).cast(D38),
+                    F.col("__tot"),
+                ),
+            ).alias("index_micro"),
+        )
+    )

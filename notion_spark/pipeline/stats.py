@@ -51,6 +51,7 @@ __all__ = [
     "eta_squared",
     "cramers_v",
     "two_proportion_z",
+    "cohens_kappa",
 ]
 
 
@@ -1408,4 +1409,97 @@ def eta_squared(
             ok,
             halfup_micro_div_cols_expr(ss_between_micro, ss_total_micro),
         ).alias("eta2_micro"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_categories: int = 1_000,
+    max_rows: int = 200_000_000,
+) -> DataFrame:
+    """Cohen's kappa agreement between two categorical columns over a
+    shared label space — the inter-rater / model-vs-heuristic
+    agreement readout chance-corrected for marginal prevalence (raw
+    percent-agreement rewards majority-class collapse; kappa is the
+    honest number a labeling pipeline reports). Single row:
+
+        (n, n_agree, po_micro, pe_micro, kappa_micro)
+
+    with po = agree/n, pe = Σ_c ma_c·mb_c / n², and
+
+        kappa = (po − pe) / (1 − pe)
+              = (n·agree − Σ ma·mb) / (n² − Σ ma·mb)
+
+    — the algebraic form makes kappa ONE exact half-up micro division
+    of DECIMAL(38,0) integers (no float po/pe ever exists; po_micro /
+    pe_micro ride along as their own single divisions). Listwise null
+    handling. Degenerate case pe = 1 (both raters constant on the
+    same label) yields NULL kappa.
+
+    Exactness bound: Σ ma·mb ≤ n², so 2e6·n² must fit DECIMAL(38,0)
+    → the in-plan guard raises past ``max_rows`` (2e8 rows, same
+    budget as chi_square). ``max_categories`` bounds each margin
+    frame in-plan (the chi_square idiom), keeping the margin join a
+    broadcast of bounded rows.
+
+    Scale shape: three map-side-combined aggregates over a shared
+    scan (agree count + two margins) and one bounded-row margin join
+    on the category key — no shuffle wider than the category count.
+
+    Reference parity: extends the reference's descriptive crosstab
+    (generate_reports.py crosstab section) with the agreement
+    statistic it motivates; no reference analogue.
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gcat = guarded(
+        F.count(F.lit(1)).over(wa) > F.lit(max_categories),
+        f"cohens_kappa: more than {max_categories} categories — the"
+        " margin join is bounded in-plan; collapse the label space"
+        " upstream or raise max_categories",
+    )
+    grow = guarded(
+        F.col("__n") > max_rows,
+        f"cohens_kappa: more than {max_rows} rows — 2e6·n² must fit"
+        " DECIMAL(38,0); aggregate or sample upstream",
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast(D38)
+        .alias("__agree"),
+    ).select(grow(F.col("__n"), D38).alias("__n"), "__agree")
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).cast(D38).alias("__ma"))
+    # the guard window runs over the COLLAPSED margin frame (one row
+    # per category), so the single-partition frame it opens is bounded
+    # by the very cardinality it polices — the chi_square idiom.
+    ma = ma.select("a", gcat(F.col("__ma"), D38).alias("__ma"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).cast(D38).alias("__mb"))
+    chance = (
+        ma.join(mb, ma["a"] == mb["b"], "inner")
+        .select((F.col("__ma") * F.col("__mb")).cast(D38).alias("__p"))
+        .agg(F.coalesce(F.sum("__p"), F.lit(0)).cast(D38).alias("__sum_mm"))
+    )
+    agg = totals.crossJoin(F.broadcast(chance))
+    n2 = (F.col("__n") * F.col("__n")).cast(D38)
+    num = (F.col("__n") * F.col("__agree") - F.col("__sum_mm")).cast(D38)
+    den = (n2 - F.col("__sum_mm")).cast(D38)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("n_agree"),
+        F.when(
+            F.col("__n") > 0,
+            halfup_micro_div_cols_expr(F.col("__agree"), F.col("__n")),
+        ).alias("po_micro"),
+        F.when(
+            F.col("__n") > 0,
+            halfup_micro_div_cols_expr(F.col("__sum_mm"), n2),
+        ).alias("pe_micro"),
+        F.when(den != 0, halfup_micro_div_cols_expr(num, den)).alias(
+            "kappa_micro"
+        ),
     )

@@ -969,3 +969,54 @@ def readability_scores(
         .otherwise("very_confusing")
     )
     return scored.withColumn("band", band)
+
+
+def hapax_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hapax-legomena card for a corpus: vocabulary size, token count,
+    and the share of vocabulary occurring exactly once — the quick
+    Zipf-tail health check a tokenizer/dedup pipeline reads before and
+    after filtering (a collapsing hapax share is the signature of
+    boilerplate flooding; a ballooning one, of OCR noise). One row:
+
+        (n_tokens, n_vocab, n_hapax, hapax_micro)
+
+    with hapax_micro = n_hapax / n_vocab as the exact half-up micro
+    division. Tokens are the repo's standard whitespace split,
+    lowercased (the text_vocabulary convention).
+
+    Scale shape: one token explode + map-side-combined count per
+    token, one global aggregate over the vocabulary frame — the
+    text_vocabulary plan with a 4-column reduction on top.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    return vocab.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "n_tokens",
+        "n_vocab",
+        "n_hapax",
+        F.when(
+            F.col("n_vocab") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("n_hapax").cast("decimal(38,0)"),
+                F.col("n_vocab").cast("decimal(38,0)"),
+            ),
+        ).alias("hapax_micro"),
+    )
