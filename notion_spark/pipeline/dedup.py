@@ -2334,9 +2334,17 @@ def containment_pairs(
     Candidates come from MinHash-LSH banding, which admits by
     JACCARD — so recall is high for near-size containment (the
     template/near-dup case) and falls off as the size ratio grows (a
-    tiny-doc-in-huge-doc pair may never collide): for size-skewed
-    sub-document duplication use `duplicate_spans` (ExactSubstr),
-    which is built for exactly that. The trade is stated, not hidden.
+    tiny-doc-in-huge-doc pair may never collide). MEASURED (r12,
+    SCALE_r12_containment_recall.json — exact inverted-index ground
+    truth + planted containers): the default b16×r4 finds 100% of the
+    natural corpus's near-size pairs but 10%/0% of planted pairs at
+    size ratio 3/30; ``bands=num_hashes`` (r=1: per-band admission
+    1−(1−J)^H instead of J^r) holds 0.97/0.78 at ratio 10/30 at ~2-3×
+    the candidate volume (still bucket-capped). Operating guidance:
+    near-size template dedup → default; size-skewed quote/boilerplate
+    containment → r=1 banding, or `duplicate_spans` (ExactSubstr),
+    which is built for sub-document duplication. The trade is
+    measured, not hidden.
 
     Scale shape: banded candidates (bucket-capped), one shingle-set
     join per side, per-pair intersection via `array_intersect` on

@@ -612,3 +612,42 @@ class TestContainmentPairs:
         out = containment_pairs(self._docs(spark, [
             (1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")])).collect()
         assert out == []
+
+
+def test_containment_recall_operating_point(spark):
+    """r12 (SCALE_r12_containment_recall.json): the Jaccard-banded
+    candidate stage loses size-skewed containment pairs at the default
+    b16xr4 geometry, and bands=num_hashes (r=1) recovers them — pinned
+    here on a deterministic planted corpus: a ratio-10 container
+    (small doc fully inside a 10x-larger one, Jaccard ~0.09) and a
+    ratio-1 near-size pair. MinHash is a fixed hash function, so the
+    outcome is exact, not statistical."""
+    import random
+
+    from notion_spark.pipeline.dedup import containment_pairs
+
+    words = [f"w{i}" for i in range(3000)]
+
+    def doc(n, seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(words) for _ in range(n))
+
+    rows = [(i, doc(40, i)) for i in range(50)]
+    small = rows[0][1]
+    rows.append((1000, small + " " + " ".join(doc(40, 100 + j) for j in range(10))))
+    rows.append((1001, small + " " + doc(40, 200)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default_pairs = {
+        (r.id_a, r.id_b) for r in containment_pairs(df, bands=16).collect()
+    }
+    r1_pairs = {
+        (r.id_a, r.id_b) for r in containment_pairs(df, bands=64).collect()
+    }
+    assert (0, 1000) not in default_pairs  # the documented default gap
+    assert (0, 1000) in r1_pairs           # r=1 recovers the skewed pair
+    assert (0, 1001) in r1_pairs
+    # and the exact verify stage keeps both directions honest
+    row = [r for r in containment_pairs(df, bands=64).collect()
+           if (r.id_a, r.id_b) == (0, 1000)][0]
+    assert max(row.cont_a_micro, row.cont_b_micro) >= 900_000
+    assert min(row.size_a, row.size_b) < row.size_b
