@@ -232,6 +232,16 @@ BENCH_QUERIES = [
     "stats_eta_squared_events",
     "behavior_stickiness",
     "behavior_funnel_within",
+    # r12, benched from birth
+    "stats_cohens_kappa_orders",
+    "behavior_attribution",
+    "behavior_retention_days",
+    "behavior_bounce_rate",
+    "behavior_power_curve",
+    "behavior_growth_accounting",
+    "graph_degree_assortativity",
+    "ts_seasonality_index",
+    "text_hapax_ratio",
 ]
 
 

@@ -37,6 +37,7 @@ from notion_spark.parity import q_curation  # noqa: F401,E402
 from notion_spark.parity import q_reshape  # noqa: F401,E402
 from notion_spark.parity import q_ext  # noqa: F401,E402
 from notion_spark.parity import q_r11  # noqa: F401,E402
+from notion_spark.parity import q_r12  # noqa: F401,E402
 from notion_spark.parity import _window  # noqa: F401,E402
 from notion_spark.parity.q_curation import entry_query  # noqa: F401
 from notion_spark.parity._window import (  # noqa: F401

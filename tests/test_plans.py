@@ -753,3 +753,41 @@ def test_r11_funnel_within_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "ObjectHashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r12_batch_plans(spark, sf_dir):
+    """r12 batch: no cartesian / no Python anywhere; 1-row-broadcast
+    crossJoins (kappa's chance frame, seasonality's total) are the
+    only nested-loop joins allowed; the user-keyed behavior plans ride
+    windows + keyed aggregates, never a self-join of events; the
+    assortativity joins stay equi-keyed and hint-free."""
+    R12 = (
+        "stats_cohens_kappa_orders", "behavior_attribution",
+        "behavior_retention_days", "behavior_bounce_rate",
+        "behavior_power_curve", "behavior_growth_accounting",
+        "graph_degree_assortativity", "ts_seasonality_index",
+        "text_hapax_ratio",
+    )
+    for q in R12:
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    # 1-row broadcast totals only (the pareto convention)
+    for q, cap in (("stats_cohens_kappa_orders", 1),
+                   ("ts_seasonality_index", 1)):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert plan.count("BroadcastNestedLoopJoin") <= cap, q
+    # no join at all in the pure-aggregate shapes
+    for q in ("behavior_power_curve", "text_hapax_ratio"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "Join" not in plan, q
+        assert "partial_count" in plan or "HashAggregate" in plan, q
+    # behavior shapes: window + agg, no event self-join, no NLJ
+    for q in ("behavior_attribution", "behavior_retention_days",
+              "behavior_bounce_rate", "behavior_growth_accounting"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "Window" in plan, q
+    # assortativity: equi-joins only
+    plan = plan_of(parity.QUERIES["graph_degree_assortativity"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
