@@ -242,6 +242,13 @@ BENCH_QUERIES = [
     "graph_degree_assortativity",
     "ts_seasonality_index",
     "text_hapax_ratio",
+    "text_dup_ngrams",
+    "text_oov_rate",
+    "behavior_arpu",
+    "profile_gini_by_group",
+    "agg_grouping_sets_revenue",
+    "ts_burstiness_index",
+    "dedup_rate_card",
 ]
 
 

@@ -1623,3 +1623,72 @@ def growth_accounting(
             F.sum("__chu").cast("long").alias("n_churned"),
         )
     )
+
+
+def arpu_card(
+    df: DataFrame,
+    revenue_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """ARPU / ARPPU / payer-conversion card over an event stream: one
+    row with total revenue in exact cents, distinct active users,
+    distinct paying users, and the three exact half-up micro ratios a
+    monetization review opens with:
+
+        (revenue_cents, n_users, n_payers,
+         arpu_micro_cents, arppu_micro_cents, payer_share_micro)
+
+    where arpu = revenue/users and arppu = revenue/payers, both in
+    micro-CENTS (cents·1e6 — the ratio of two exact integers), and
+    payer_share = payers/users.
+
+    Scale shape: ONE aggregate over the scan (exact distinct counts
+    compile into a shared Expand read, the column_cardinalities
+    shape); no join, no window.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(F.col(user_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__et"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__cents"),
+    )
+    is_rev = F.col("__et") == revenue_type
+    agg = base.agg(
+        F.coalesce(
+            F.sum(F.when(is_rev, F.coalesce(F.col("__cents"), F.lit(0)))),
+            F.lit(0),
+        ).cast("long").alias("revenue_cents"),
+        F.countDistinct("__u").cast("long").alias("n_users"),
+        F.countDistinct(F.when(is_rev, F.col("__u"))).cast("long").alias(
+            "n_payers"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    return agg.select(
+        "revenue_cents",
+        "n_users",
+        "n_payers",
+        F.when(
+            F.col("n_users") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("revenue_cents").cast(d38), F.col("n_users").cast(d38)
+            ),
+        ).alias("arpu_micro_cents"),
+        F.when(
+            F.col("n_payers") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("revenue_cents").cast(d38), F.col("n_payers").cast(d38)
+            ),
+        ).alias("arppu_micro_cents"),
+        F.when(
+            F.col("n_users") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("n_payers").cast(d38), F.col("n_users").cast(d38)
+            ),
+        ).alias("payer_share_micro"),
+    )

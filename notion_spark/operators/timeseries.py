@@ -771,3 +771,52 @@ def seasonality_index(
             ).alias("index_micro"),
         )
     )
+
+
+def burstiness_index(
+    df: DataFrame,
+    ts_col: str,
+) -> DataFrame:
+    """Traffic burstiness card over the observed daily counts: the
+    Fano factor (variance-to-mean ratio — 1e6 for a Poisson-like
+    process, higher = bursty) and the peak-to-mean ratio, both as ONE
+    exact half-up micro division each:
+
+        (n_days, n_events, fano_micro, peak_micro)
+
+    with fano = (n·Σx² − (Σx)²) / (n·Σx) and peak = n·max(x) / Σx
+    over the per-observed-day counts x. The capacity-planning readout
+    ("p99 day is 3.2× mean") a feed ingester sizes against.
+
+    Scale shape: one day-keyed map-side count (bounded by the
+    observation range), one reduce over the bounded day frame.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col).cast("timestamp")).alias("__d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+    agg = days.agg(
+        F.count(F.lit(1)).cast(D38).alias("__n"),
+        F.sum(F.col("__x").cast(D38)).cast(D38).alias("__sx"),
+        F.sum((F.col("__x") * F.col("__x")).cast(D38)).cast(D38).alias("__sxx"),
+        F.max("__x").cast(D38).alias("__mx"),
+    )
+    fano_num = (F.col("__n") * F.col("__sxx")
+                - F.col("__sx") * F.col("__sx")).cast(D38)
+    den = (F.col("__n") * F.col("__sx")).cast(D38)
+    return agg.select(
+        F.col("__n").cast("long").alias("n_days"),
+        F.col("__sx").cast("long").alias("n_events"),
+        F.when(
+            F.col("__sx") > 0, halfup_micro_div_cols_expr(fano_num, den)
+        ).alias("fano_micro"),
+        F.when(
+            F.col("__sx") > 0,
+            halfup_micro_div_cols_expr(
+                (F.col("__n") * F.col("__mx")).cast(D38), F.col("__sx")
+            ),
+        ).alias("peak_micro"),
+    )

@@ -401,3 +401,271 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return hapax_stats(docs)
+
+
+@register(
+    "text_dup_ngrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, unnest(
+            [array_to_string(t[i:i+7], ' ')
+             for i in generate_series(1, greatest(len(t) - 7, 0))]
+        ) AS g
+        FROM toks
+    ),
+    per AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM grams GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS n_grams,
+               CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+                    AS HUGEINT) AS n_dup
+        FROM per
+    ),
+    d AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs FROM toks)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup_grams,
+           CASE WHEN n_grams > 0 THEN {_hu('n_dup', 'n_grams')} END
+               AS dup_micro
+    FROM agg CROSS JOIN d
+    """,
+)
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate 8-gram share
+    (`pipeline.text_analysis.dup_ngram_stats`): the Spark side builds
+    grams with a slice HOF, the oracle with a list comprehension —
+    structurally independent derivations of the same card."""
+    from notion_spark.pipeline.text_analysis import dup_ngram_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=8)
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS HUGEINT) AS c FROM toks GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+        FROM counts
+    ),
+    agg AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS n_total,
+               CAST(COALESCE(SUM(CASE WHEN rn <= 1000 THEN c ELSE 0 END), 0)
+                    AS HUGEINT) AS n_covered
+        FROM ranked
+    )
+    SELECT CAST(1000 AS BIGINT) AS vocab_k,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           CASE WHEN n_total > 0
+                THEN {_hu('(n_total - n_covered)', 'n_total')} END
+               AS oov_micro
+    FROM agg
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1000-vocabulary coverage / OOV share
+    (`pipeline.text_analysis.oov_rate`); deterministic top-k under
+    (count desc, token asc)."""
+    from notion_spark.pipeline.text_analysis import oov_rate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_k=1_000)
+
+
+@register(
+    "behavior_arpu",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN COALESCE(cents, 0) END), 0)
+                    AS HUGEINT) AS rev,
+               CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS HUGEINT) AS np
+        FROM base
+    )
+    SELECT CAST(rev AS BIGINT) AS revenue_cents,
+           CAST(nu AS BIGINT) AS n_users,
+           CAST(np AS BIGINT) AS n_payers,
+           CASE WHEN nu > 0 THEN {_hu('rev', 'nu')} END AS arpu_micro_cents,
+           CASE WHEN np > 0 THEN {_hu('rev', 'np')} END AS arppu_micro_cents,
+           CASE WHEN nu > 0 THEN {_hu('np', 'nu')} END AS payer_share_micro
+    FROM agg
+    """,
+)
+def behavior_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARPU/ARPPU/payer-share monetization card
+    (`operators.behavior.arpu_card`)."""
+    from notion_spark.operators.behavior import arpu_card
+
+    ev = read_table(spark, sf_dir, "events")
+    return arpu_card(ev)
+
+
+@register(
+    "profile_gini_by_group",
+    f"""
+    WITH u AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x,
+               l_orderkey * 10 + l_linenumber AS k
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    r AS (
+        SELECT g, x,
+               row_number() OVER (PARTITION BY g ORDER BY x, k) AS rn
+        FROM u
+    ),
+    a AS (
+        SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(rn AS HUGEINT) * CAST(x AS HUGEINT))
+                    AS HUGEINT) AS srx
+        FROM r GROUP BY 1
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS total,
+           CASE WHEN sx > 0
+                THEN {_hu('(2 * srx - (n + 1) * sx)', '(n * sx)')} END
+               AS gini_micro
+    FROM a
+    """,
+)
+def profile_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag revenue Gini (`pipeline.stats.gini_by_group`):
+    within-group ranks from ONE sampler-free distributed rank over the
+    combined gidx·2⁶⁰+value key minus broadcast group offsets — never
+    a per-group single-task window; the oracle ranks with flat
+    partitioned windows."""
+    from notion_spark.pipeline.stats import gini_by_group
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    ).filter(F.col("l_returnflag").isNotNull() & F.col("cents").isNotNull())
+    return gini_by_group(li, "l_returnflag", "cents", "k")
+
+
+@register(
+    "agg_grouping_sets_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((region), (nation), ()) revenue — the
+    OLAP shape rollup/cube can't express (disjoint axes + grand total
+    in ONE Expand, no union of scans). Spark side runs the SQL form
+    over temp views; grouping_id disambiguates aggregate NULLs from
+    data NULLs, exact cents throughout."""
+    for t in ("orders", "customer", "nation", "region"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"__gs_{t}")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT)
+                   AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM __gs_orders
+        JOIN __gs_customer ON o_custkey = c_custkey
+        JOIN __gs_nation   ON c_nationkey = n_nationkey
+        JOIN __gs_region   ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@register(
+    "ts_burstiness_index",
+    f"""
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx,
+               CAST(MAX(x) AS HUGEINT) AS mx
+        FROM days
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(sx AS BIGINT) AS n_events,
+           CASE WHEN sx > 0
+                THEN {_hu('(n * sxx - sx * sx)', '(n * sx)')} END
+               AS fano_micro,
+           CASE WHEN sx > 0 THEN {_hu('(n * mx)', 'sx')} END AS peak_micro
+    FROM agg
+    """,
+)
+def ts_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count Fano factor + peak-to-mean card
+    (`operators.timeseries.burstiness_index`)."""
+    from notion_spark.operators.timeseries import burstiness_index
+
+    ev = read_table(spark, sf_dir, "events")
+    return burstiness_index(ev, "ts")
+
+
+@register(
+    "dedup_rate_card",
+    f"""
+    WITH base AS (
+        SELECT md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS nd,
+               CAST(COUNT(DISTINCT h) AS HUGEINT) AS nu
+        FROM base
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(nu AS BIGINT) AS n_unique,
+           CAST(nd - nu AS BIGINT) AS n_dups,
+           CASE WHEN nd > 0 THEN {_hu('(nd - nu)', 'nd')} END AS dup_micro
+    FROM agg
+    """,
+)
+def dedup_rate_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate card (`pipeline.dedup.dedup_rate_card`)."""
+    from notion_spark.pipeline.dedup import dedup_rate_card as card
+
+    docs = read_table(spark, sf_dir, "documents")
+    return card(docs)

@@ -2387,3 +2387,41 @@ def containment_pairs(
             >= threshold_micro
         )
     )
+
+
+def dedup_rate_card(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate rate card — the one-row summary a curation run
+    reports before/after `drop_exact_dups`:
+
+        (n_docs, n_unique, n_dups, dup_micro)
+
+    over non-null-text docs, with n_unique = distinct content hashes
+    and dup_micro = n_dups / n_docs as the exact half-up micro share.
+
+    Scale shape: ONE aggregate (count + exact distinct over the
+    content hash — a shared Expand read); no join, no window.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.md5(F.col(text_col)).alias("__h")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__h").cast("long").alias("n_unique"),
+    )
+    d38 = "decimal(38,0)"
+    return agg.select(
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).cast("long").alias("n_dups"),
+        F.when(
+            F.col("n_docs") > 0,
+            halfup_micro_div_cols_expr(
+                (F.col("n_docs") - F.col("n_unique")).cast(d38),
+                F.col("n_docs").cast(d38),
+            ),
+        ).alias("dup_micro"),
+    )

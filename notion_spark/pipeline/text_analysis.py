@@ -1020,3 +1020,129 @@ def hapax_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).alias("hapax_micro"),
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Within-document duplicate n-gram card — the RefinedWeb/C4-style
+    repetition metric at corpus grain: across all docs, what share of
+    word n-gram OCCURRENCES are excess repeats inside their own
+    document (a doc that repeats one 8-gram five times contributes 4
+    excess occurrences). High shares flag boilerplate loops and
+    degenerate generations before they hit a training mix. One row:
+
+        (n_docs, n_grams, n_dup_grams, dup_micro)
+
+    where n_grams counts all n-gram occurrences, n_dup_grams = Σ (c−1)
+    over per-(doc, gram) counts c > 1, and dup_micro is the exact
+    half-up micro share.
+
+    Scale shape: tokens → in-doc n-grams via a slice HOF (no explode
+    until the (doc, gram) count), ONE map-side-combined count on the
+    (doc, gram) key, one global reduce. The gram key includes the doc
+    id, so the shuffle is as skewed as the documents, never the
+    corpus-global gram frequencies.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    kept = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    toks = kept.select(
+        F.col(id_col).alias("__doc"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("__t"),
+    )
+    # sequence(1, 0) DESCENDS through 0 (invalid slice start): docs
+    # shorter than n grams get an explicit empty index array.
+    idx = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "__doc",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__t", i, n)))
+        ).alias("__g"),
+    )
+    per = grams.groupBy("__doc", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    # doc count rides its own lazy branch (never an eager .count() at
+    # call time — the guarded() rule), 1-row broadcast cross.
+    docs = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = per.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c") - 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_dup_grams"),
+    )
+    return agg.crossJoin(F.broadcast(docs)).select(
+        "n_docs",
+        "n_grams",
+        "n_dup_grams",
+        F.when(
+            F.col("n_grams") > 0,
+            halfup_micro_div_cols_expr(
+                F.col("n_dup_grams").cast("decimal(38,0)"),
+                F.col("n_grams").cast("decimal(38,0)"),
+            ),
+        ).alias("dup_micro"),
+    )
+
+
+def oov_rate(
+    df: DataFrame, text_col: str = "text", vocab_k: int = 1_000
+) -> DataFrame:
+    """Top-k vocabulary coverage / out-of-vocabulary card: build the
+    corpus token counts, keep the top ``vocab_k`` tokens under the
+    deterministic order (count desc, token asc), and report what share
+    of ALL token occurrences falls outside that vocabulary — the
+    first-order sizing question for a fixed-vocab tokenizer. One row:
+
+        (vocab_k, n_total, n_covered, oov_micro)
+
+    Scale shape: one map-side-combined token count, a TakeOrdered
+    top-k over the vocabulary frame (bounded result, never a global
+    sort), one reduce over the broadcast-sized top-k, one 1-row cross.
+    """
+    from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
+
+    if vocab_k < 1:
+        raise ValueError(f"vocab_k must be >= 1, got {vocab_k}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(F.desc("__c"), F.asc("tok")).limit(vocab_k)
+    covered = top.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_covered")
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_total")
+    )
+    return (
+        total.crossJoin(F.broadcast(covered))
+        .select(
+            F.lit(vocab_k).cast("long").alias("vocab_k"),
+            "n_total",
+            "n_covered",
+            F.when(
+                F.col("n_total") > 0,
+                halfup_micro_div_cols_expr(
+                    (F.col("n_total") - F.col("n_covered")).cast(
+                        "decimal(38,0)"
+                    ),
+                    F.col("n_total").cast("decimal(38,0)"),
+                ),
+            ).alias("oov_micro"),
+        )
+    )

@@ -791,3 +791,39 @@ def test_r12_batch_plans(spark, sf_dir):
     # assortativity: equi-joins only
     plan = plan_of(parity.QUERIES["graph_degree_assortativity"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r12_batch2_plans(spark, sf_dir):
+    """r12 batch 2: dup-ngram/oov/arpu are pure aggregate shapes (no
+    Python, no cartesian; oov's top-k is TakeOrdered, never a global
+    sort); gini_by_group rides the sampler-free distributed rank over
+    the combined key — no range exchange, no data-sized window (its
+    only single-partition windows run on the collapsed ≤max_groups
+    frame)."""
+    for q in ("text_dup_ngrams", "text_oov_rate", "behavior_arpu",
+              "profile_gini_by_group"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+    plan = plan_of(parity.QUERIES["text_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(parity.QUERIES["profile_gini_by_group"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    assert "__b" in plan
+    plan = plan_of(parity.QUERIES["behavior_arpu"](spark, sf_dir))
+    assert "Join" not in plan  # one Expand aggregate, no join
+
+
+def test_r12_batch3_plans(spark, sf_dir):
+    """r12 batch 3: GROUPING SETS compiles to ONE Expand over the
+    broadcast-dim join (never a union of scans); burstiness and the
+    dedup-rate card are pure aggregates."""
+    plan = plan_of(parity.QUERIES["agg_grouping_sets_revenue"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
+    for q in ("ts_burstiness_index", "dedup_rate_card"):
+        plan = plan_of(parity.QUERIES[q](spark, sf_dir))
+        assert "Join" not in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan, q

@@ -260,3 +260,142 @@ class TestHapaxStats:
         out = hapax_stats(df).collect()[0]
         assert (out.n_tokens, out.n_vocab, out.n_hapax) == (4, 3, 2)
         assert out.hapax_micro == 666_667
+
+
+class TestDupNgramStats:
+    def test_hand_corpus(self, spark):
+        from notion_spark.pipeline.text_analysis import dup_ngram_stats
+
+        rows = [
+            (1, "a b a b a"),   # bigrams: 'a b'x2, 'b a'x2 -> 2 excess of 4
+            (2, "x y"),         # 1 bigram, unique
+            (3, "z"),           # too short: 0 bigrams
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dup_ngram_stats(df, n=2).collect()[0]
+        assert (out.n_docs, out.n_grams, out.n_dup_grams) == (3, 5, 2)
+        assert out.dup_micro == 400_000
+
+    def test_cross_doc_not_counted(self, spark):
+        from notion_spark.pipeline.text_analysis import dup_ngram_stats
+
+        # the same bigram in two DIFFERENT docs is not a within-doc dup
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string"
+        )
+        out = dup_ngram_stats(df, n=2).collect()[0]
+        assert out.n_dup_grams == 0 and out.n_grams == 2
+
+
+class TestOovRate:
+    def test_hand_vocab(self, spark):
+        from notion_spark.pipeline.text_analysis import oov_rate
+
+        df = spark.createDataFrame(
+            [("a a a b b c",)], "text string"
+        )
+        out = oov_rate(df, vocab_k=2).collect()[0]
+        # top-2 = a(3), b(2) -> covered 5 of 6, oov = 1/6
+        assert (out.n_total, out.n_covered) == (6, 5)
+        assert out.oov_micro == 166_667
+
+    def test_tie_breaks_token_asc(self, spark):
+        from notion_spark.pipeline.text_analysis import oov_rate
+
+        df = spark.createDataFrame([("b a b a c",)], "text string")
+        # a(2) b(2) c(1); k=1 -> 'a' by token asc -> covered 2
+        out = oov_rate(df, vocab_k=1).collect()[0]
+        assert out.n_covered == 2
+
+
+class TestArpuCard:
+    def test_hand_card(self, spark):
+        from notion_spark.operators.behavior import arpu_card
+
+        t = datetime(2024, 1, 1)
+        rows = [
+            (1, t, 1, "view", None),
+            (1, t, 2, "purchase", 10.0),
+            (2, t, 3, "view", None),
+            (3, t, 4, "purchase", 5.0),
+            (3, t, 5, "purchase", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, event_type string,"
+            " value double",
+        )
+        out = arpu_card(df).collect()[0]
+        assert (out.revenue_cents, out.n_users, out.n_payers) == (1700, 3, 2)
+        # arpu = 1700/3 cents in micro-cents, half-up
+        assert out.arpu_micro_cents == 566_666_667
+        assert out.arppu_micro_cents == 850_000_000
+        assert out.payer_share_micro == 666_667
+
+
+class TestGiniByGroup:
+    def test_matches_global_per_group(self, spark):
+        from notion_spark.pipeline.stats import gini_by_group, gini_coefficient
+
+        rows = [
+            ("g1", 10, 1), ("g1", 20, 2), ("g1", 70, 3),
+            ("g2", 25, 4), ("g2", 25, 5), ("g2", 25, 6), ("g2", 25, 7),
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, k long")
+        out = {r.g: (r.n, r.total, r.gini_micro)
+               for r in gini_by_group(df, "g", "x", "k").collect()}
+        for g in ("g1", "g2"):
+            ref = gini_coefficient(
+                df.filter(F.col("g") == g), "x", "k"
+            ).collect()[0]
+            assert out[g] == (ref.n, ref.total, ref.gini_micro), g
+        assert out["g2"][2] == 0  # perfectly even split
+
+    def test_negative_raises(self, spark):
+        import pytest
+
+        from notion_spark.pipeline.stats import gini_by_group
+
+        df = spark.createDataFrame([("g", -1, 1)], "g string, x long, k long")
+        with pytest.raises(Exception, match="non-negative"):
+            gini_by_group(df, "g", "x", "k").collect()
+
+
+class TestBurstinessIndex:
+    def test_hand_days(self, spark):
+        from notion_spark.operators.timeseries import burstiness_index
+
+        rows = (
+            [(datetime(2024, 1, 1, h),) for h in range(1)]     # day1: 1
+            + [(datetime(2024, 1, 2, h),) for h in range(3)]   # day2: 3
+            + [(datetime(2024, 1, 3, h),) for h in range(8)]   # day3: 8
+        )
+        df = spark.createDataFrame(rows, "ts timestamp")
+        out = burstiness_index(df, "ts").collect()[0]
+        # x=(1,3,8): n=3 sx=12 sxx=74; fano=(3*74-144)/(3*12)=78/36
+        assert (out.n_days, out.n_events) == (3, 12)
+        assert out.fano_micro == 2_166_667
+        assert out.peak_micro == 2_000_000  # 3*8/12
+
+    def test_constant_rate_poisson_floor(self, spark):
+        from notion_spark.operators.timeseries import burstiness_index
+
+        rows = [(datetime(2024, 1, d, h),) for d in (1, 2) for h in (1, 2)]
+        out = burstiness_index(
+            spark.createDataFrame(rows, "ts timestamp"), "ts"
+        ).collect()[0]
+        assert out.fano_micro == 0 and out.peak_micro == 1_000_000
+
+
+class TestDedupRateCard:
+    def test_hand_corpus(self, spark):
+        from notion_spark.pipeline.dedup import dedup_rate_card
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = dedup_rate_card(df).collect()[0]
+        assert (out.n_docs, out.n_unique, out.n_dups) == (3, 2, 1)
+        assert out.dup_micro == 333_333
