@@ -631,7 +631,7 @@ def _assign_cells_scaled(
     ties), this computes the SAME elementwise (v−c)² sum in int64 —
     exact, so literal and numpy paths agree on every input, ties
     included (np.argmin takes the first minimum = lowest index)."""
-    if len(centroids) <= IVF_LITERAL_MAX_K:
+    if len(centroids) <= _scaled_literal_max_k():
         return df.withColumn(out_col, _nearest_centroid_int(F.col(svec_col), centroids))
     import numpy as np
 
@@ -700,21 +700,32 @@ def train_ivf_centroids_scaled(
         F.col(id_col).alias("__id"),
         scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=dim).alias("__v"),
     )
-    for _ in range(iterations):
-        assigned = _assign_cells_scaled(df, cents, "__v", "__c").select("__c", "__v")
-        rows = (
-            assigned.groupBy("__c")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("__v", d + 1)).alias(f"s{d}") for d in range(dim)],
+    # r12: the loop re-reads the corpus once per iteration — persist the
+    # scaled frame for the duration of training (guide §5: reuse inside
+    # one computation; this is intra-query, not a cross-run cache). At
+    # 100 TB this converts `iterations` full parquet scans + per-row
+    # rescaling into one.
+    if iterations > 1:
+        df = df.persist()
+    try:
+        for _ in range(iterations):
+            assigned = _assign_cells_scaled(df, cents, "__v", "__c").select("__c", "__v")
+            rows = (
+                assigned.groupBy("__c")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.element_at("__v", d + 1)).alias(f"s{d}") for d in range(dim)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = {
-            r["__c"]: [(2 * r[f"s{d}"] + r["n"]) // (2 * r["n"]) for d in range(dim)]
-            for r in rows
-        }
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+            new = {
+                r["__c"]: [(2 * r[f"s{d}"] + r["n"]) // (2 * r["n"]) for d in range(dim)]
+                for r in rows
+            }
+            cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    finally:
+        if iterations > 1:
+            df.unpersist()
     return cents
 
 
@@ -732,7 +743,7 @@ def _probe_cells_scaled(
     exact-distance ties keep ascending cell. ``keep`` columns (must
     include ``qid``) are carried through; output is keep + (cell,)."""
     keep = list(keep)
-    if len(centroids) <= IVF_LITERAL_MAX_K:
+    if len(centroids) <= _scaled_literal_max_k():
         dists = F.array(
             *[
                 F.aggregate(
@@ -847,8 +858,31 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
 # Above this K, the unrolled argmin/probe expressions (K x dim literal
 # nodes, K aggregate folds) blow up analysis and codegen; the pandas
 # paths below take over. 32 x 64 dims ~ 2k literal nodes is comfortably
-# inside codegen limits; 256 x 64 ~ 16k is not.
+# inside codegen limits; 256 x 64 ~ 16k is not. Applies as-is to the
+# FLOAT paths (assign_cells / probe_cells), whose numpy branch uses the
+# norm-expansion formulation — NOT bit-identical to the literal fold on
+# rounding edges, so their routing must not move for registered queries.
 IVF_LITERAL_MAX_K = 32
+
+# The SCALED-INT paths (_assign_cells_scaled / _probe_cells_scaled and
+# the r12 fused encoders) route numpy much earlier: their numpy branch
+# is EXACT int64 — unit-pinned bit-identical to the literal expression,
+# ties included — and being inside codegen limits is not being cheap:
+# each literal call builds a fresh expression tree (fresh centroid
+# literals), so Catalyst re-analyzes and Janino re-compiles ~K·dim
+# literal nodes per job. Measured at sf0.1 (2000×64-dim rows, K=8):
+# literal assign ≈ 2.0 s per call steady-state (all compile, no
+# compute) vs 0.44 s for the numpy mapInPandas path; at cluster scale
+# the numpy path is also the right shape (guide §4.2: vectorized
+# batches over Arrow). Tiny K stays literal — one small fold beats an
+# Arrow round-trip. The effective scaled threshold is
+# min(IVF_LITERAL_MAX_K, SCALED_LITERAL_MAX_K) so the test suite's
+# IVF_LITERAL_MAX_K=0 monkeypatch still forces numpy everywhere.
+SCALED_LITERAL_MAX_K = 4
+
+
+def _scaled_literal_max_k() -> int:
+    return min(IVF_LITERAL_MAX_K, SCALED_LITERAL_MAX_K)
 
 
 def assign_cells(
@@ -1155,9 +1189,11 @@ def train_pq_codebooks(
     """Product-quantization codebooks (Jégou et al. 2011): the vector
     splits into ``n_subspaces`` contiguous sub-vectors and each
     subspace trains its OWN k-means codebook — ``n_centroids^M``
-    effective cells from only M·K stored centroids. Every subspace
-    trains with `train_ivf_centroids_scaled` (offset-shifted
-    fixed-point Lloyd), so the whole PQ pipeline inherits its
+    effective cells from only M·K stored centroids. Every subspace runs
+    the `train_ivf_centroids_scaled` recurrence (offset-shifted
+    fixed-point Lloyd; since r12 all subspaces advance together in one
+    fused job per iteration — same integer recurrence, see the inline
+    note), so the whole PQ pipeline inherits its
     engine-exactness: codebooks, codes, and ADC distances are
     bit-identical on any engine/partitioning and hash-check against a
     DuckDB oracle (sim_ann_pq). Returns books[m][cid] = scaled-int
@@ -1165,17 +1201,97 @@ def train_pq_codebooks(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     dsub = dim // n_subspaces
-    books = []
-    for m in range(n_subspaces):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), m * dsub + 1, dsub).alias(vec_col),
+    # r12: FUSED trainer. The r6–r11 shape trained each subspace with its
+    # own `train_ivf_centroids_scaled` call — M·(1 + iterations) Spark
+    # jobs, each a fresh corpus scan plus a fresh unrolled-literal argmin
+    # compile (measured at sf0.1: 7.5–11 s for M=4, K=8, 2 iterations —
+    # nearly all per-job overhead). The subspace recurrences are
+    # independent, so one pass per iteration can assign ALL subspaces
+    # (exact int64 numpy argmin, ties → lowest index — the proven
+    # `_assign_cells_scaled` arithmetic) and one groupBy((m, cell))
+    # computes every per-cell per-dim integer sum. Integer sums are
+    # order-independent and each subspace's recurrence is untouched, so
+    # the books are bit-identical to the per-subspace trainer
+    # (tests/test_similarity.py pins PQ results; the sim_ann_pq oracle
+    # re-derives all four trainings). 1 + iterations jobs total, corpus
+    # persisted across them (guide §2.4/§5: fewer passes, reuse).
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    df = corpus.select(
+        F.col(id_col).alias("__id"),
+        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=dsub).alias("__v"),
+    )
+    if iterations > 0:
+        df = df.persist()
+    try:
+        seed_rows = (
+            df.select("__id", "__v").orderBy(F.col("__id").asc()).limit(n_centroids).collect()
         )
-        books.append(
-            train_ivf_centroids_scaled(
-                sub, n_centroids, id_col, vec_col, iterations, scale, offset
+        books = [
+            [
+                [int(x) for x in r["__v"][m * dsub : (m + 1) * dsub]]
+                for r in seed_rows
+            ]
+            for m in range(n_subspaces)
+        ]
+        schema = StructType(
+            [
+                StructField("m", IntegerType()),
+                StructField("c", IntegerType()),
+                *[StructField(f"e{d}", LongType()) for d in range(dsub)],
+            ]
+        )
+        for _ in range(iterations):
+            bks = [np.asarray(b, dtype=np.int64) for b in books]
+
+            def assign(batches, _bks=bks):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    vecs = np.stack(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["__v"]]
+                    )
+                    outs = []
+                    for m, cent in enumerate(_bks):
+                        sub = vecs[:, m * dsub : (m + 1) * dsub]
+                        diff = sub[:, None, :] - cent[None, :, :]
+                        cells = np.argmin((diff * diff).sum(axis=2), axis=1)
+                        o = pd.DataFrame(
+                            {
+                                "m": np.full(len(sub), m, dtype="int32"),
+                                "c": cells.astype("int32"),
+                            }
+                        )
+                        for d in range(dsub):
+                            o[f"e{d}"] = sub[:, d]
+                        outs.append(o)
+                    yield pd.concat(outs, ignore_index=True)
+
+            rows = (
+                df.mapInPandas(assign, schema=schema)
+                .groupBy("m", "c")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(f"e{d}").alias(f"s{d}") for d in range(dsub)],
+                )
+                .collect()
             )
-        )
+            new = {
+                (r["m"], r["c"]): [
+                    (2 * r[f"s{d}"] + r["n"]) // (2 * r["n"]) for d in range(dsub)
+                ]
+                for r in rows
+            }
+            books = [
+                [new.get((m, j), books[m][j]) for j in range(n_centroids)]
+                for m in range(n_subspaces)
+            ]
+    finally:
+        if iterations > 0:
+            df.unpersist()
     return books
 
 
@@ -1192,19 +1308,127 @@ def pq_encode(
     memory story: a 64-dim float32 vector is 256 bytes; its M=4 codes
     fit in 4 bytes — a 64× smaller scan for every subsequent search.
     Scaling commutes with slicing, so the full vector scales once and
-    slices feed each subspace's assignment."""
+    slices feed each subspace's assignment.
+
+    r12: all M argmins run in ONE Arrow-batched numpy stage (exact
+    int64 squared distances, np.argmin ties → first minimum = lowest
+    index — the `_assign_cells_scaled` arithmetic, unit-pinned
+    identical to the literal expression path). The r6–r11 shape built M
+    unrolled `_nearest_centroid_int` expressions (M·K·dsub literal
+    nodes) that dominated wall time as Catalyst analysis + Janino
+    compile on every call. The scaling map floor((v + offset)·scale)
+    runs in numpy on the same IEEE doubles — identical values — with
+    the same in-contract guard, raised eagerly per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     dsub = len(books[0][0])
     full_dim = dsub * len(books)
-    out = corpus.select(
-        F.col(id_col),
-        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__sv"),
+    n_sub = len(books)
+    bks = [np.asarray(b, dtype=np.int64) for b in books]
+    bound = scaled_int_safe_abs(full_dim, scale, offset)
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    schema = StructType(
+        [
+            src.schema[id_col],
+            *[StructField(f"code_{m}", IntegerType()) for m in range(n_sub)],
+        ]
     )
-    for m, book in enumerate(books):
-        out = out.withColumn(
-            f"code_{m}",
-            _nearest_centroid_int(F.slice(F.col("__sv"), m * dsub + 1, dsub), book),
-        )
-    return out.drop("__sv")
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vd = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if ((vd <= -offset) | (np.abs(vd) > bound)).any():
+                raise ValueError(
+                    "pq_encode: element out of the fixed-point contract "
+                    f"(need -{offset} < v and |v| <= {bound:.3f} for "
+                    f"dim={full_dim}; int64 squared-distance sums would "
+                    "wrap silently)"
+                )
+            vecs = np.floor((vd + offset) * scale).astype(np.int64)
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for m, cent in enumerate(bks):
+                sub = vecs[:, m * dsub : (m + 1) * dsub]
+                diff = sub[:, None, :] - cent[None, :, :]
+                out[f"code_{m}"] = np.argmin(
+                    (diff * diff).sum(axis=2), axis=1
+                ).astype("int32")
+            yield out
+
+    return src.mapInPandas(encode, schema=schema)
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    query_id_col: str,
+    vec_col: str,
+    scale: int,
+    offset: float,
+    coarse: list[list[int]] | None = None,
+    nprobe: int = 0,
+) -> DataFrame:
+    """Driver-built broadcast frame of per-query ADC lookup tables:
+    (qid, __lut_0..__lut_{M-1}) with __lut_m[j] = Σ_d (q_m[d] −
+    books[m][j][d])² in exact int64-range integers — the same values
+    the r6–r11 per-row zip_with folds produced, computed once per
+    (query, subspace, code) instead of once per corpus row. With
+    ``coarse``/``nprobe`` set, also resolves probe selection
+    driver-side: one output row per (query, probed cell), ties on
+    exact coarse distance → ascending cell (the `_probe_cells_scaled`
+    order). Queries are collected — they are broadcast-small by the
+    ANN contract (the previous plans broadcast the same frame); the
+    scaling map floor((v + offset)·scale) runs on IEEE doubles exactly
+    as `scaled_int_vector`, with the same magnitude guard."""
+    n_sub = len(books)
+    dsub = len(books[0][0])
+    full_dim = len(coarse[0]) if coarse is not None else n_sub * dsub
+    bound = scaled_int_safe_abs(full_dim, scale, offset)
+    rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    ).collect()
+    data = []
+    for r in rows:
+        sv = []
+        for v in r["__qv"]:
+            vd = float(v)
+            if vd <= -offset or abs(vd) > bound:
+                raise ValueError(
+                    "_pq_query_luts: query element out of the fixed-point "
+                    f"contract (need -{offset} < v and |v| <= {bound:.3f} "
+                    f"for dim={full_dim})"
+                )
+            sv.append(math.floor((vd + offset) * scale))
+        luts = [
+            [
+                sum((a - b) * (a - b) for a, b in zip(sv[m * dsub : (m + 1) * dsub], c))
+                for c in book
+            ]
+            for m, book in enumerate(books)
+        ]
+        if coarse is None:
+            data.append((r["qid"], *luts))
+        else:
+            cd = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(sv, cen)), ci)
+                for ci, cen in enumerate(coarse)
+            )
+            for _, cell in cd[: min(nprobe, len(coarse))]:
+                data.append((r["qid"], cell, *luts))
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    fields = [StructField("qid", queries.schema[query_id_col].dataType)]
+    if coarse is not None:
+        fields.append(StructField("cell", IntegerType(), False))
+    fields += [
+        StructField(f"__lut_{m}", ArrayType(LongType(), False), False)
+        for m in range(n_sub)
+    ]
+    return queries.sparkSession.createDataFrame(data, StructType(fields))
 
 
 def pq_adc_topk(
@@ -1241,28 +1465,23 @@ def pq_adc_topk(
     codes = codes.select(
         F.col(id_col).alias("vid"), *[f"code_{m}" for m in range(n_sub)]
     )
-    q = queries.select(
-        F.col(query_id_col).alias("qid"),
-        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=n_sub * dsub).alias(
-            "__qv"
-        ),
-    )
+    # r12: ADC via per-query LOOKUP TABLES. d²(q_m, c_{m,j}) depends
+    # only on (query, subspace, code) — K values per (query, subspace)
+    # — so the M per-row zip_with/aggregate folds over M·K·dsub book
+    # literals (the whole codebook re-inlined into the plan, Janino
+    # compile per call) collapse to M element_at lookups on a
+    # |queries|-row broadcast frame carrying the precomputed tables.
+    # The table entries are the SAME exact int64 sums (queries are
+    # collected — they are broadcast-small by contract — scaled with
+    # the identical IEEE floor((v+offset)·scale) map, guard enforced,
+    # and squared-summed in exact Python ints), so adc values and
+    # ranks are bit-identical; per corpus row the scoring stage now
+    # does M array lookups + M−1 adds.
+    q = _pq_query_luts(queries, books, query_id_col, vec_col, scale, offset)
     joined = codes.join(F.broadcast(q))
     adc = None
-    for m, book in enumerate(books):
-        book_lit = F.array(
-            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in book]
-        )
-        recon = F.element_at(book_lit, F.col(f"code_{m}") + 1)
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__qv"), m * dsub + 1, dsub),
-                recon,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    for m in range(n_sub):
+        d2 = F.element_at(F.col(f"__lut_{m}"), F.col(f"code_{m}") + 1)
         adc = d2 if adc is None else (adc + d2)
     from pyspark.sql.window import Window
 
@@ -1308,46 +1527,70 @@ def ivfpq_topk(
     the vectors. Ties: probe selection and ADC ranks both break to the
     lowest index / id. Output: (query_id, vec_id, adc, rank).
 
-    Past IVF_LITERAL_MAX_K coarse cells, corpus assignment
-    (`_assign_cells_scaled`) and query probe selection
-    (`_probe_cells_scaled`) both switch to the exact-int64 Arrow/numpy
-    paths — same arithmetic, same ties — so a production-sized coarse
-    codebook (hundreds to thousands of cells) works unchanged."""
+    r12: corpus routing + all M code argmins run in ONE Arrow-batched
+    numpy stage (exact int64, np.argmin ties → lowest index — the
+    `_assign_cells_scaled` arithmetic, unit-pinned identical to the
+    literal path), replacing 1 + M unrolled-literal expression trees
+    whose Catalyst/Janino cost dominated the row. Query probe selection
+    and the ADC tables are computed driver-side from the collected
+    queries (broadcast-small by contract) with the same exact integer
+    arithmetic and the same (distance, cell) tie order, then attached
+    as a broadcast (qid, cell, lut_m...) frame: scoring is M element_at
+    lookups per probed row — see `pq_adc_topk` for the LUT argument."""
     n_sub = len(books)
     dsub = len(books[0][0])
     full_dim = len(coarse[0])
-    c = corpus.select(
-        F.col(id_col).alias("vid"),
-        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__sv"),
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    bks = [np.asarray(b, dtype=np.int64) for b in books]
+    coarse_np = np.asarray(coarse, dtype=np.int64)
+    bound = scaled_int_safe_abs(full_dim, scale, offset)
+    src = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col))
+    cschema = StructType(
+        [
+            src.schema["vid"],
+            StructField("cell", IntegerType()),
+            *[StructField(f"code_{m}", IntegerType()) for m in range(n_sub)],
+        ]
     )
-    c = _assign_cells_scaled(c, coarse, "__sv", "cell")
-    for m, book in enumerate(books):
-        c = c.withColumn(
-            f"code_{m}",
-            _nearest_centroid_int(F.slice(F.col("__sv"), m * dsub + 1, dsub), book),
-        )
-    codes = c.select("vid", "cell", *[f"code_{m}" for m in range(n_sub)])
-    qbase = queries.select(
-        F.col(query_id_col).alias("qid"),
-        scaled_int_vector(F.col(vec_col), scale, offset, guard_dim=full_dim).alias("__qv"),
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vd = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if ((vd <= -offset) | (np.abs(vd) > bound)).any():
+                raise ValueError(
+                    "ivfpq_topk: element out of the fixed-point contract "
+                    f"(need -{offset} < v and |v| <= {bound:.3f} for "
+                    f"dim={full_dim}; int64 sums would wrap silently)"
+                )
+            vecs = np.floor((vd + offset) * scale).astype(np.int64)
+            out = pd.DataFrame({"vid": pdf["vid"]})
+            diff = vecs[:, None, :] - coarse_np[None, :, :]
+            out["cell"] = np.argmin((diff * diff).sum(axis=2), axis=1).astype(
+                "int32"
+            )
+            for m, cent in enumerate(bks):
+                sub = vecs[:, m * dsub : (m + 1) * dsub]
+                d = sub[:, None, :] - cent[None, :, :]
+                out[f"code_{m}"] = np.argmin((d * d).sum(axis=2), axis=1).astype(
+                    "int32"
+                )
+            yield out
+
+    codes = src.mapInPandas(encode, schema=cschema)
+    q = _pq_query_luts(
+        queries, books, query_id_col, vec_col, scale, offset,
+        coarse=coarse, nprobe=nprobe,
     )
-    q = _probe_cells_scaled(qbase, coarse, nprobe, "__qv", keep=("qid", "__qv"))
     joined = codes.join(F.broadcast(q), "cell")
     adc = None
-    for m, book in enumerate(books):
-        book_lit = F.array(
-            *[F.array(*[F.lit(int(x)).cast("long") for x in cc]) for cc in book]
-        )
-        recon = F.element_at(book_lit, F.col(f"code_{m}") + 1)
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__qv"), m * dsub + 1, dsub),
-                recon,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    for m in range(n_sub):
+        d2 = F.element_at(F.col(f"__lut_{m}"), F.col(f"code_{m}") + 1)
         adc = d2 if adc is None else (adc + d2)
     w = Window.partitionBy("qid").orderBy(F.asc("__adc"), F.asc("vid"))
     return (
