@@ -462,11 +462,16 @@ def covisitation_counts(
     if cap < 2:
         raise ValueError(f"cap must be >= 2, got {cap}")
     w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_by])
+    # r12 OPT (guide §2.4/§5): both pair sides consume the capped frame —
+    # persisted, the scan + window + distinct lineage runs once and the
+    # self-join reads the cache (unpersist/clearCache between batches in
+    # a long-running loop).
     capped = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__item"))
         .distinct()
+        .persist()
     )
     a = capped.select("__u", F.col("__item").alias("item_a"))
     b = capped.select(F.col("__u").alias("__u2"), F.col("__item").alias("item_b"))
@@ -509,6 +514,10 @@ def covisitation_lift(
         .filter(F.col("__rn") <= cap)
         .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__item"))
         .distinct()
+        # r12 OPT (guide §2.4/§5): four consumers (item counts, user
+        # total, both pair sides) — persisted, the JSON-extract + window
+        # + distinct lineage runs once instead of four times.
+        .persist()
     )
     item_users = capped.groupBy("__item").agg(F.count(F.lit(1)).alias("__nu"))
     total = capped.select(F.countDistinct("__u").alias("__nt"))

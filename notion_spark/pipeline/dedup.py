@@ -712,8 +712,17 @@ def levenshtein_pairs_qgram(
     members = docs.withColumn("rep", F.min("id").over(wrep)).withColumn(
         "__grp_n", F.count(F.lit(1)).over(wrep)
     )
-    docs = members.filter(F.col("id") == F.col("rep")).drop("rep", "__grp_n")
-    mem = members.select("id", "rep", "__grp_n")
+    # r12 OPT (guide §2.4/§5): the collapse window's output fans out to
+    # ~8 consumers (gram index, pool, verify texts, member expansion) —
+    # unpersisted, Spark recomputed the whole scan+window lineage per
+    # consumer (the sf0.1 profile measured the gram explode 4x and the
+    # prefix window 4x, ~7.5 s of serial single-task recomputation in a
+    # 12.6 s query). Lazy persists populate on the caller's first
+    # action and every later subtree reads the cache; clearCache() or
+    # unpersist between batches in a long-running loop (the
+    # cross_minhash_pairs convention).
+    docs = members.filter(F.col("id") == F.col("rep")).drop("rep", "__grp_n").persist()
+    mem = members.select("id", "rep", "__grp_n").persist()
     band_w = max(max_distance, 1)
     banded_docs = docs.withColumn(
         "band", F.call_function("div", F.col("len"), F.lit(band_w))
@@ -731,7 +740,7 @@ def levenshtein_pairs_qgram(
                 )
             )
         ).alias("gram"),
-    )
+    ).persist()  # r12 OPT: feeds freq, the prefix join AND ndist — one explode
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
     wdoc = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("gram"))
     pref = (
@@ -753,7 +762,11 @@ def levenshtein_pairs_qgram(
     # normalized — exactly the two-pass construction levenshtein_pairs
     # uses, applied to the prefix index.
     wg = Window.partitionBy("gram", "band", *blk)
-    pref = pref.withColumn("__g_n", F.count(F.lit(1)).over(wg))
+    # r12 OPT: __g_n folded into the persisted frame so the bucket-size
+    # window runs once, not once per join side; pref then feeds the a/b
+    # candidate sides and the mass-guard sizes from the cache (3 reads,
+    # 1 compute of the join+prefix-window lineage).
+    pref = pref.withColumn("__g_n", F.count(F.lit(1)).over(wg)).persist()
     guard = guarded(
         F.col("__g_n") > F.lit(max_gram_bucket),
         f"levenshtein_pairs_qgram: prefix gram bucket exceeds {max_gram_bucket}"
