@@ -462,16 +462,18 @@ def covisitation_counts(
     if cap < 2:
         raise ValueError(f"cap must be >= 2, got {cap}")
     w = Window.partitionBy(user_col).orderBy(*[F.asc(c) for c in order_by])
-    # r12 OPT (guide §2.4/§5): both pair sides consume the capped frame —
-    # persisted, the scan + window + distinct lineage runs once and the
-    # self-join reads the cache (unpersist/clearCache between batches in
-    # a long-running loop).
+    # Deliberately NOT persisted (r12 opt measured): this frame feeds the
+    # iterative graph consumers (k_core, label_propagation), whose
+    # unrolled round plans re-reference the pair subplan many times —
+    # AQE's ReusedExchange already dedups those at execution, and an
+    # InMemoryRelation in the middle BLOCKS that reuse (measured:
+    # graph_kcore 5.2 s -> 35.5 s with a persist here). The terminal
+    # covisitation_lift wrapper persists its own capped frame instead.
     capped = (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .select(F.col(user_col).alias("__u"), F.col(item_col).alias("__item"))
         .distinct()
-        .persist()
     )
     a = capped.select("__u", F.col("__item").alias("item_a"))
     b = capped.select(F.col("__u").alias("__u2"), F.col("__item").alias("item_b"))
