@@ -206,7 +206,6 @@ def semantic_split_leakage_bucketed(
         auto_planes,
         dot_unrolled,
         norm_unrolled,
-        random_hyperplane_bucket,
     )
 
     if n_planes == "auto":
@@ -215,24 +214,23 @@ def semantic_split_leakage_bucketed(
         n_planes = auto_planes(df.count(), occupancy_target)
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                random_hyperplane_bucket(
-                    F.col(vec_col), n_planes=n_planes, seed=42 + 7 * t, dim=dim
-                ).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
+    # r12 OPT (guide §4.2/§7.3): ONE Arrow-batched UDF computes all
+    # n_tables bucket ids bit-exactly (hyperplane_table_buckets)
+    # instead of n_tables fold trees inlined per join side and
+    # re-analyzed by the driver at every AQE stage; posexplode's pos is
+    # the table index in the same order the struct array carried it.
+    from notion_spark.pipeline.similarity import hyperplane_table_buckets
+
+    buckets = hyperplane_table_buckets(
+        F.col(vec_col), n_tables=n_tables, n_planes=n_planes, dim=dim
     )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(split_col).alias("__split"),
         F.col(vec_col).alias("__v"),
         norm_unrolled(F.col(vec_col), dim).alias("__n"),
-        F.explode(buckets).alias("tb"),
-    ).select("__id", "__split", "__v", "__n", "tb.tbl", "tb.bkt")
+        F.posexplode(buckets).alias("tbl", "bkt"),
+    ).select("__id", "__split", "__v", "__n", "tbl", "bkt")
     tr = base.filter(F.col("__split") == train_split).select(
         "tbl", "bkt", "__id", F.col("__v").alias("__tv"), F.col("__n").alias("__tn")
     )

@@ -1928,7 +1928,6 @@ def embedding_dup_pairs(
     from notion_spark.pipeline.similarity import (
         dot_unrolled,
         norm_unrolled,
-        random_hyperplane_bucket,
     )
 
     multi_table = False
@@ -1977,28 +1976,27 @@ def embedding_dup_pairs(
     sim = F.round(F.when(denom > 0, dotu / denom), 6)
     if multi_table:
         # (table, bucket) rows per vector; pairs collide in >= 1 table.
-        # Seeds differ per table -> independent hyperplane sets.
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    random_hyperplane_bucket(
-                        F.col(vec_col), n_planes=n_planes, seed=42 + 7 * t, dim=dim
-                    ).alias("bkt"),
-                )
-                for t in range(n_tables)
-            ]
+        # Seeds differ per table -> independent hyperplane sets. r12 OPT
+        # (guide §4.2/§7.3): all n_tables bucket ids come from ONE
+        # Arrow-batched UDF (bit-exact vs the fold form — see
+        # hyperplane_table_buckets) instead of n_tables inlined fold
+        # trees re-analyzed per AQE stage; posexplode's pos IS the
+        # table index, in the same order the struct array carried it.
+        from notion_spark.pipeline.similarity import hyperplane_table_buckets
+
+        buckets = hyperplane_table_buckets(
+            F.col(vec_col), n_tables=n_tables, n_planes=n_planes, dim=dim
         )
         xb = ["xb"] if extra_block is not None else []
         v_cols = [
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             norm_unrolled(F.col(vec_col), dim).alias("nrm"),
-            F.explode(buckets).alias("tb"),
+            F.posexplode(buckets).alias("tbl", "bkt"),
         ]
         if extra_block is not None:
             v_cols.insert(0, extra_block.alias("xb"))
-        v = df.select(*v_cols).select(*xb, "id", "v", "nrm", "tb.tbl", "tb.bkt")
+        v = df.select(*v_cols).select(*xb, "id", "v", "nrm", "tbl", "bkt")
         if max_bucket is not None:
             # spilling cap per (extra_block, table, bucket): a degenerate
             # bucket contributes at most max_bucket rows per table to the

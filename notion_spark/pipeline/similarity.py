@@ -439,6 +439,88 @@ def random_hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim
     return bucket
 
 
+def hyperplane_table_buckets(
+    vec: Column,
+    n_tables: int,
+    n_planes: int,
+    dim: int = 64,
+    seed_base: int = 42,
+    seed_step: int = 7,
+) -> Column:
+    """Array of per-table sign-LSH bucket ids: element ``t`` equals
+    ``random_hyperplane_bucket(vec, n_planes, seed_base + seed_step*t,
+    dim)`` BIT-EXACTLY, computed in ONE Arrow-batched pandas UDF
+    instead of ``n_tables`` inlined copies of the fold tree.
+
+    Why (r12 opt, guide §4.2/§7.3): the fold form is already the
+    compact tree (see random_hyperplane_bucket — the unrolled form sent
+    Catalyst superlinear in r9), but a multi-table caller still inlines
+    n_tables copies per join side, and every AQE stage materialization
+    re-analyzes them on the driver. The sf0.1 leakage-audit profile
+    read 8-10 s wall against ~0.4 s of ideal executor compute — the
+    cost was driver planning + codegen compile, not execution. One
+    ArrowEvalPython node carrying a (tables × planes × dim) closure
+    matrix replaces every copy.
+
+    EXACTNESS: the fold computes acc = acc + coalesce(v[d], 0.0)·c[d]
+    left-to-right from +0.0; replicated here as a sequential-in-d,
+    vectorized-across-rows float64 accumulation — numpy float64 ops are
+    the same IEEE-754 binary64 ops the JVM executes, so identical order
+    ⇒ identical bits ⇒ identical signs and buckets (pinned against the
+    expression form on the real corpus in tests/test_similarity.py).
+    Vectors longer than ``dim`` truncate, shorter zero-pad, exactly as
+    the fold's slice+coalesce does. A NULL vector yields a NULL array
+    where the expression form yields NULL buckets — either way the row
+    survives to no equi-join candidate. Assumes dense numeric arrays
+    (no NULL elements inside a vector — Arrow folds element-nulls into
+    NaN, which the expression form would coalesce to 0.0 instead; no
+    caller stores sparse embeddings)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mats = np.array(
+        [
+            [_plane_coeffs(p, seed_base + seed_step * t, dim) for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (T, P, D)
+
+    def _buckets_fn(vs):
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        m = np.zeros((n, dim), dtype=np.float64)
+        is_null = np.zeros(n, dtype=bool)
+        for r, v in enumerate(vs):
+            if v is None:
+                is_null[r] = True
+                continue
+            a = np.asarray(v, dtype=np.float64)[:dim]
+            m[r, : a.shape[0]] = a
+        buckets = np.zeros((n, n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                c = mats[t, p]
+                for d in range(dim):
+                    # sequential in d = the fold's IEEE op order, exactly
+                    acc = acc + m[:, d] * c[d]
+                buckets[:, t] += (acc > 0).astype(np.int32) << p
+        return pd.Series(
+            [None if is_null[r] else buckets[r].tolist() for r in range(n)],
+            dtype=object,
+        )
+
+    # annotations set as real objects (pandas is imported lazily, so a
+    # `vs: pd.Series` hint would not resolve from module globals when
+    # pandas_udf infers the eval type)
+    _buckets_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _buckets = F.pandas_udf(_buckets_fn, ArrayType(IntegerType()))
+    return _buckets(vec)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

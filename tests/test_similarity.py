@@ -597,3 +597,50 @@ def test_norm_unrolled_truncates_like_dot_unrolled(spark):
     ).first()
     assert r.n == 5.0  # 100.0 beyond dim ignored, matching the dot
     assert r.d == 25.0
+
+
+def test_hyperplane_table_buckets_bit_exact_vs_fold(spark, sf_dir):
+    """r12 opt pin: the Arrow-batched multi-table bucket computation
+    (hyperplane_table_buckets) must reproduce the fold expression form
+    (random_hyperplane_bucket, seed 42+7t) BIT-EXACTLY on the real
+    corpus — same IEEE op order, so identical signs and bucket ids.
+    Covers ragged widths via a truncated/padded synthetic frame too."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for planes in (4, 7):
+        old = emb.select(
+            "vec_id",
+            *[
+                S.random_hyperplane_bucket(
+                    F.col("embedding"), n_planes=planes, seed=42 + 7 * t, dim=64
+                ).alias(f"o{t}")
+                for t in range(8)
+            ],
+        )
+        new = emb.select(
+            "vec_id",
+            S.hyperplane_table_buckets(F.col("embedding"), 8, planes, 64).alias("b"),
+        )
+        cond = " or ".join(
+            f"o{t} != b[{t}] or (o{t} is null) != (b[{t}] is null)" for t in range(8)
+        )
+        assert old.join(new, "vec_id").filter(cond).count() == 0
+
+    # ragged: shorter vectors zero-pad, longer truncate, null -> null
+    ragged = spark.createDataFrame(
+        [(1, [1.5, -2.25]), (2, [0.5] * 70), (3, None), (4, [])],
+        "vec_id int, embedding array<double>",
+    )
+    old = ragged.select(
+        "vec_id",
+        S.random_hyperplane_bucket(F.col("embedding"), n_planes=5, seed=42, dim=64).alias("o0"),
+        S.random_hyperplane_bucket(F.col("embedding"), n_planes=5, seed=49, dim=64).alias("o1"),
+    )
+    new = ragged.select(
+        "vec_id", S.hyperplane_table_buckets(F.col("embedding"), 2, 5, 64).alias("b")
+    )
+    rows = {r.vec_id: r for r in old.join(new, "vec_id").collect()}
+    for vid, r in rows.items():
+        for t in range(2):
+            exp = r[f"o{t}"]
+            got = r.b[t] if r.b is not None else None
+            assert exp == got, (vid, t, exp, got)
