@@ -131,24 +131,25 @@ def semantic_split_leakage(
     small/single-file inputs to insert one train-side repartition;
     leave None at cluster scale — results identical either way.
 
-    ``dim``: the embedding width — the per-pair score is the UNROLLED
-    codegen dot product over precomputed per-row norms
-    (`similarity.dot_unrolled`: ~1000x cheaper per pair than the
-    interpreted HOF fold measured in r8), so each of the
+    ``dim``: the embedding width — the per-pair score is a
+    truncate/zero-pad dot product over precomputed per-row norms
+    (`similarity.dot_fold`: on Spark 4.1 the fold evaluates at least
+    as fast as the r8 unrolled chain while keeping the expression tree
+    ~30x smaller — see dot_fold's docstring), so each of the
     |train|·|eval| evaluations is dim multiply-adds, nothing more."""
-    from notion_spark.pipeline.similarity import dot_unrolled, norm_unrolled
+    from notion_spark.pipeline.similarity import dot_fold, norm_fold
 
     ev = F.broadcast(
         df.filter(F.col(split_col) != train_split).select(
             F.col(id_col).alias("__eid"),
             F.col(split_col).alias("__esplit"),
             F.col(vec_col).alias("__ev"),
-            norm_unrolled(F.col(vec_col), dim).alias("__en"),
+            norm_fold(F.col(vec_col), dim).alias("__en"),
         )
     )
     tr = df.filter(F.col(split_col) == train_split).select(
         F.col(vec_col).alias("__tv"),
-        norm_unrolled(F.col(vec_col), dim).alias("__tn"),
+        norm_fold(F.col(vec_col), dim).alias("__tn"),
     )
     if score_partitions is not None:
         tr = tr.repartition(score_partitions)
@@ -156,7 +157,7 @@ def semantic_split_leakage(
     scored = tr.crossJoin(ev).select(
         "__eid",
         "__esplit",
-        F.when(denom > 0, dot_unrolled(F.col("__ev"), F.col("__tv"), dim) / denom)
+        F.when(denom > 0, dot_fold(F.col("__ev"), F.col("__tv"), dim) / denom)
         .alias("__cos"),
     )
     return (
@@ -204,8 +205,8 @@ def semantic_split_leakage_bucketed(
     from notion_spark.pipeline.dedup import _pair_join
     from notion_spark.pipeline.similarity import (
         auto_planes,
-        dot_unrolled,
-        norm_unrolled,
+        dot_fold,
+        norm_fold,
     )
 
     if n_planes == "auto":
@@ -228,7 +229,7 @@ def semantic_split_leakage_bucketed(
         F.col(id_col).alias("__id"),
         F.col(split_col).alias("__split"),
         F.col(vec_col).alias("__v"),
-        norm_unrolled(F.col(vec_col), dim).alias("__n"),
+        norm_fold(F.col(vec_col), dim).alias("__n"),
         F.posexplode(buckets).alias("tbl", "bkt"),
     ).select("__id", "__split", "__v", "__n", "tbl", "bkt")
     tr = base.filter(F.col("__split") == train_split).select(
@@ -257,7 +258,7 @@ def semantic_split_leakage_bucketed(
     scored = pairs.select(
         "__eid",
         "__esplit",
-        F.when(denom > 0, dot_unrolled(F.col("__ev"), F.col("__tv"), dim) / denom)
+        F.when(denom > 0, dot_fold(F.col("__ev"), F.col("__tv"), dim) / denom)
         .alias("__cos"),
     )
     return (

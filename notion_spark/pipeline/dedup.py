@@ -1926,8 +1926,8 @@ def embedding_dup_pairs(
     degrades RECALL on pathological buckets instead of letting the
     join go quadratic. None disables."""
     from notion_spark.pipeline.similarity import (
-        dot_unrolled,
-        norm_unrolled,
+        dot_fold,
+        norm_fold,
     )
 
     multi_table = False
@@ -1971,7 +1971,7 @@ def embedding_dup_pairs(
     #   to the fold and to the oracle's range(1, dim+1) list_sum.
     #   (dot_unrolled's contract: elements past `dim` ignored, shorter
     #   vectors zero-padded — the fixed-dim oracles' own semantics).
-    dotu = dot_unrolled(F.col("v_a"), F.col("v_b"), dim)
+    dotu = dot_fold(F.col("v_a"), F.col("v_b"), dim)
     denom = F.col("n_a") * F.col("n_b")
     sim = F.round(F.when(denom > 0, dotu / denom), 6)
     if multi_table:
@@ -1991,7 +1991,7 @@ def embedding_dup_pairs(
         v_cols = [
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm_unrolled(F.col(vec_col), dim).alias("nrm"),
+            norm_fold(F.col(vec_col), dim).alias("nrm"),
             F.posexplode(buckets).alias("tbl", "bkt"),
         ]
         if extra_block is not None:
@@ -2047,7 +2047,7 @@ def embedding_dup_pairs(
     cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm_unrolled(F.col(vec_col), dim).alias("nrm"),
+        norm_fold(F.col(vec_col), dim).alias("nrm"),
     ]
     if block_key is not None:
         cols.append(block_key.alias("block"))

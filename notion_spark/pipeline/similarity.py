@@ -77,6 +77,48 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def dot_fold(a: Column, b: Column, dim: int) -> Column:
+    """`dot_unrolled`'s EXACT contract (elements past ``dim`` ignored,
+    shorter vectors zero-padded per element, +0.0 seed, left-to-right
+    IEEE order) as a zip_with/aggregate fold — bit-identical output,
+    ~30x smaller expression tree.
+
+    r12 opt (supersedes the r8 unroll finding ON SPARK 4.1): the
+    unrolled form measured ~4 µs/pair SLOWER than the fold on the
+    754k-pair micro-bench (3.13 s vs 0.84 s incl. the join), i.e. the
+    engine now evaluates the fold at least as fast as the unrolled
+    chain, while the unroll still pays its giant-tree planning/codegen
+    cost per AQE stage (the r9 Catalyst-superlinear hazard). Keep
+    `dot_unrolled` only as the reference form its bit-exactness tests
+    pin against."""
+    sa = F.slice(a, 1, dim)
+    sb = F.slice(b, 1, dim)
+    return F.aggregate(
+        F.zip_with(
+            sa,
+            sb,
+            lambda x, y: F.coalesce(x.cast("double"), F.lit(0.0))
+            * F.coalesce(y.cast("double"), F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_fold(a: Column, dim: int) -> Column:
+    """`norm_unrolled`'s exact contract as a fold — see `dot_fold`."""
+    sa = F.slice(a, 1, dim)
+    return F.sqrt(
+        F.aggregate(
+            sa,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.coalesce(x.cast("double"), F.lit(0.0))
+            * F.coalesce(x.cast("double"), F.lit(0.0)),
+        )
+    )
+
+
 def auto_planes(n_rows: int, occupancy_target: int = 16) -> int:
     """Occupancy-targeted sign-LSH table size: ``ceil(log2(N /
     occupancy_target))`` planes, clamped to [2, 24] — the bucket count

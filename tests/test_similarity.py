@@ -644,3 +644,37 @@ def test_hyperplane_table_buckets_bit_exact_vs_fold(spark, sf_dir):
             exp = r[f"o{t}"]
             got = r.b[t] if r.b is not None else None
             assert exp == got, (vid, t, exp, got)
+
+
+def test_dot_fold_bit_exact_vs_unrolled(spark, sf_dir):
+    """r12 opt pin: dot_fold/norm_fold must reproduce dot_unrolled/
+    norm_unrolled bit-exactly (same truncate/zero-pad contract, same
+    IEEE op order) — on the real corpus and on ragged widths."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") % 17 == F.col("ib") % 17)
+    diff = pairs.select(
+        (S.dot_unrolled(F.col("va"), F.col("vb"), 64)
+         != S.dot_fold(F.col("va"), F.col("vb"), 64)).alias("dd"),
+        (S.norm_unrolled(F.col("va"), 64) != S.norm_fold(F.col("va"), 64)).alias("nd"),
+    )
+    assert diff.filter("dd or nd").count() == 0
+
+    ragged = spark.createDataFrame(
+        [(1, [1.5, -2.25], [0.5] * 70),
+         (2, [0.5] * 70, [1.0, 2.0, 3.0]),
+         (3, [], [1.0]),
+         (4, [float("nan"), 1.0], [2.0, 3.0])],
+        "i int, x array<double>, y array<double>",
+    )
+    rows = ragged.select(
+        S.dot_unrolled(F.col("x"), F.col("y"), 64).alias("du"),
+        S.dot_fold(F.col("x"), F.col("y"), 64).alias("df"),
+        S.norm_unrolled(F.col("x"), 64).alias("nu"),
+        S.norm_fold(F.col("x"), 64).alias("nf"),
+    ).collect()
+    import math as _m
+    for r in rows:
+        assert (r.du == r.df) or (_m.isnan(r.du) and _m.isnan(r.df)), r
+        assert (r.nu == r.nf) or (_m.isnan(r.nu) and _m.isnan(r.nf)), r
