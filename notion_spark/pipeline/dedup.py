@@ -110,15 +110,23 @@ def shingle_hashes(
 
 
 def shingle_hash_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sorted distinct shingle-hash array) — the compact set form for
-    exact Jaccard. One map-side-combined shuffle on id."""
-    return (
-        shingle_hashes(df, text_col, id_col, n)
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_set("h")).alias("sh"))
-    )
+    exact Jaccard. One map-side-combined shuffle on id.
+
+    ``hashes`` (r12 opt): a precomputed `shingle_hashes` frame to
+    aggregate instead of re-exploding ``df`` — lets a pipeline that
+    needs BOTH signatures and verify sets share one (persisted)
+    exploded pass (minhash_dedup_pairs measured 6.3 s -> 3.9 s at
+    sf0.1 from exactly this). Caller guarantees it came from the same
+    rows/ngram."""
+    ex = hashes if hashes is not None else shingle_hashes(df, text_col, id_col, n)
+    return ex.groupBy("id").agg(F.array_sort(F.collect_set("h")).alias("sh"))
 
 
 # ------------------------------------------------------------ exact dedup
@@ -380,7 +388,11 @@ def jaccard_pairs_prefix(
         docs = docs.join(
             df.select(F.col(id_col).alias("id"), block_key.alias("blk")), "id"
         )
-    docs = docs.withColumn("sz", F.size("sh"))
+    # r12 OPT (guide §2.4/§5): the set frame feeds the prefix index
+    # (via toks) AND both verify sides — persisted, the shingle explode
+    # + collect_set shuffle runs once instead of ~4x (the
+    # levenshtein_pairs_qgram treatment; consumers are terminal).
+    docs = docs.withColumn("sz", F.size("sh")).persist()
     toks = docs.select("id", *blk, "sz", F.explode("sh").alias("h"))
     freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("__f"))
     wdoc = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("h"))
@@ -398,7 +410,9 @@ def jaccard_pairs_prefix(
         .select("id", *blk, "sz", "h")
     )
     wtok = Window.partitionBy("h", *blk)
-    pref = pref.withColumn("__t_n", F.count(F.lit(1)).over(wtok))
+    # r12 OPT: bucket-size window folded into the persisted prefix frame
+    # (one compute; both candidate sides read the cache)
+    pref = pref.withColumn("__t_n", F.count(F.lit(1)).over(wtok)).persist()
     guard = guarded(
         F.col("__t_n") > F.lit(max_token_bucket),
         f"jaccard_pairs_prefix: prefix shingle bucket exceeds {max_token_bucket}"
@@ -1020,6 +1034,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     ngram: int = 3,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{num_hashes-1}) MinHash signature columns.
 
@@ -1031,9 +1046,12 @@ def minhash_signatures(
 
     The affine maps rely on wrap-around long arithmetic; ANSI mode would
     raise ARITHMETIC_OVERFLOW on them, so it is disabled for the session
-    (runtime-settable; get_spark already defaults it off)."""
+    (runtime-settable; get_spark already defaults it off).
+
+    ``hashes`` (r12 opt): precomputed `shingle_hashes` frame — see
+    shingle_hash_sets."""
     df.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
-    ex = shingle_hashes(df, text_col, id_col, ngram)
+    ex = hashes if hashes is not None else shingle_hashes(df, text_col, id_col, ngram)
     return ex.groupBy("id").agg(*_sig_min_aggs(num_hashes))
 
 
@@ -1202,6 +1220,7 @@ def minhash_lsh_candidates(
     ngram: int = 3,
     max_bucket: int | None = 1000,
     guard_impl: str = "agg",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: each signature splits into ``bands`` rows keyed by
     (band_idx, xxhash64 of its rows); docs sharing any band bucket become
@@ -1211,9 +1230,10 @@ def minhash_lsh_candidates(
     around the bucket minimum (see _banded_candidates) so a degenerate
     bucket can never go quadratic. ``guard_impl="window"`` selects the
     spilling formulation for corpora whose buckets outgrow a collected
-    array (see _banded_candidates)."""
+    array (see _banded_candidates). ``hashes``: precomputed
+    `shingle_hashes` frame (see shingle_hash_sets)."""
     assert num_hashes % bands == 0
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram, hashes=hashes)
     banded = _minhash_banded(sig, num_hashes, bands)
     return (
         _banded_candidates(banded, max_bucket, impl=guard_impl)
@@ -1277,22 +1297,28 @@ def minhash_dedup_pairs(
     ~1.6x SLOWER cold at sf0.1 — building the columnar cache of the wide
     (64 longs + hash-array) rows costs more than the second shingle pass
     it saves, and column pruning already keeps the two separate passes
-    narrow."""
+    narrow. What DOES pay (r12 opt, measured 6.3 s -> 3.9 s at sf0.1):
+    persisting the NARROW exploded (id, h) hash frame and deriving the
+    signature aggregate AND the verify-set aggregate from that one
+    cache — the explode runs once and the cached rows are 16 bytes+id,
+    not the wide combined row the dead end cached."""
+    ex = shingle_hashes(df, text_col, id_col, ngram).persist()
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, ngram, max_bucket, guard_impl
+        df, text_col, id_col, num_hashes, bands, ngram, max_bucket, guard_impl,
+        hashes=ex,
     )
     if verify_scope == "candidates":
         cands = cands.persist()
         cands.count()
         cand_ids = (
-            cands.select(F.col("id_a").alias(id_col))
-            .unionByName(cands.select(F.col("id_b").alias(id_col)))
+            cands.select(F.col("id_a").alias("id"))
+            .unionByName(cands.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        scope = df.join(cand_ids, id_col, "left_semi")
+        scope_hashes = ex.join(cand_ids, "id", "left_semi")
     else:
-        scope = df
-    sets_ = shingle_hash_sets(scope, text_col, id_col, ngram)
+        scope_hashes = ex
+    sets_ = shingle_hash_sets(df, text_col, id_col, ngram, hashes=scope_hashes)
     j = (
         cands.join(sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -1389,6 +1415,8 @@ def cross_minhash_candidates(
     bands: int = 16,
     ngram: int = 3,
     max_bucket: int = 1000,
+    hashes_new: DataFrame | None = None,
+    hashes_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-side-only LSH candidate stage shared by the incremental
     verifiers (`cross_minhash_pairs`, `cross_levenshtein_pairs`):
@@ -1397,9 +1425,14 @@ def cross_minhash_candidates(
     representatives per bucket through the spilling row_number window
     (same representatives as array_sort(collect_list)[:max_bucket],
     but no executor ever buffers a full mega-bucket). Within-side
-    pairs are structurally impossible."""
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, ngram)
-    sig_n = minhash_signatures(new, text_col, id_col, num_hashes, ngram)
+    pairs are structurally impossible. ``hashes_new``/``hashes_corpus``:
+    precomputed `shingle_hashes` frames (see shingle_hash_sets)."""
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, ngram, hashes=hashes_corpus
+    )
+    sig_n = minhash_signatures(
+        new, text_col, id_col, num_hashes, ngram, hashes=hashes_new
+    )
     banded_c = _minhash_banded(sig_c, num_hashes, bands)
     banded_n = _minhash_banded(sig_n, num_hashes, bands)
     wb = Window.partitionBy("band", "bucket").orderBy("id")
@@ -1501,8 +1534,15 @@ def cross_minhash_pairs(
     semantics on both sides). In a real deployment the corpus bucket
     frame is computed once and reused across batches — persist it or
     write it out partitioned by (band, bucket)."""
+    # r12 OPT: one persisted exploded hash pass PER SIDE, shared by the
+    # signature aggregate and the candidate-scoped verify-set aggregate
+    # (see minhash_dedup_pairs — measured 6.3 s -> 3.9 s on the
+    # single-corpus sibling)
+    ex_n = shingle_hashes(new, text_col, id_col, ngram).persist()
+    ex_c = shingle_hashes(corpus, text_col, id_col, ngram).persist()
     cands = cross_minhash_candidates(
-        new, corpus, text_col, id_col, num_hashes, bands, ngram, max_bucket
+        new, corpus, text_col, id_col, num_hashes, bands, ngram, max_bucket,
+        hashes_new=ex_n, hashes_corpus=ex_c,
     )
     if persist_candidates:
         # lazy persist: the frame feeds three consumers below, and the
@@ -1512,14 +1552,16 @@ def cross_minhash_pairs(
         # persist_candidates=False) — a persisted frame outlives the call.
         cands = cands.persist()
     sets_n = shingle_hash_sets(
-        new.join(cands.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_semi"),
-        text_col, id_col, ngram,
+        new, text_col, id_col, ngram,
+        hashes=ex_n.join(
+            cands.select(F.col("id_new").alias("id")).distinct(), "id", "left_semi"
+        ),
     )
     sets_c = shingle_hash_sets(
-        corpus.join(
-            cands.select(F.col("id_corpus").alias(id_col)).distinct(), id_col, "left_semi"
+        corpus, text_col, id_col, ngram,
+        hashes=ex_c.join(
+            cands.select(F.col("id_corpus").alias("id")).distinct(), "id", "left_semi"
         ),
-        text_col, id_col, ngram,
     )
     j = (
         cands.join(sets_n.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a")), "id_new")
@@ -2364,10 +2406,13 @@ def containment_pairs(
     from notion_spark.functions.exactmath import D38
     from notion_spark.pipeline.stats import halfup_micro_div_cols_expr
 
+    # r12 OPT: one persisted exploded hash pass shared by the signature
+    # and set aggregates (see minhash_dedup_pairs)
+    ex = shingle_hashes(df, text_col, id_col, ngram).persist()
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, ngram, max_bucket
+        df, text_col, id_col, num_hashes, bands, ngram, max_bucket, hashes=ex
     )
-    sets = shingle_hash_sets(df, text_col, id_col, ngram)
+    sets = shingle_hash_sets(df, text_col, id_col, ngram, hashes=ex)
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__sh_b"))
     joined = (
