@@ -3720,7 +3720,18 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_spark.pipeline.curation import grouped_score_buckets
 
     d = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    fam = TA.bigram_familiarity(d).join(d.select("doc_id", "lang"), "doc_id")
+    # r13 OPT (guide §2.4/§5, the levenshtein_qgram treatment): the fam
+    # frame — tokenize + bigram explode + three aggregations + two
+    # joins, the profiled cost of this query — feeds BOTH the bucket
+    # boundary computation and the final probe side; unpersisted, the
+    # whole lineage executed twice per run. Both consumers are terminal
+    # (an aggregate and a broadcast-probe join — no iterative plan
+    # downstream), so the persist cannot block AQE ReusedExchange the
+    # way the covisitation_counts persist did. clearCache()/unpersist
+    # between batches in a long-running loop.
+    fam = (
+        TA.bigram_familiarity(d).join(d.select("doc_id", "lang"), "doc_id").persist()
+    )
     buckets = grouped_score_buckets(fam, "familiarity_micro", "lang", n_bins=3)
     bounds = buckets.groupBy("lang").agg(
         F.min(F.when(F.col("bucket") == 0, F.col("familiarity_micro"))).alias("__lo0"),
@@ -4188,22 +4199,29 @@ def _ri_oracle() -> str:
 @register("quality_referential_integrity", _ri_oracle())
 def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of every FK edge in the star schema
-    (`expectations.referential_integrity`): per edge, child rows, null
-    FKs, orphaned non-null FKs (left-anti against the distinct parent
-    keys — broadcast when small, keyed shuffle at scale), and the
-    half-up orphan ppm — the cross-table gate the single-table
-    expectation suite cannot express."""
-    from notion_spark.pipeline.expectations import referential_integrity
+    (`expectations.referential_integrity_edges`): per edge, child rows,
+    null FKs, orphaned non-null FKs (1:≤1 left join against the
+    distinct parent keys — broadcast when small, keyed shuffle at
+    scale), and the half-up orphan ppm — the cross-table gate the
+    single-table expectation suite cannot express.
 
-    frames = []
+    r13 OPT (guide §2.4: remove redundant passes): edges are grouped
+    by child table and audited through the multi-edge single-scan form
+    — lineitem (the biggest table, three FK edges) is scanned ONCE for
+    all three constraints instead of six times (the r12 per-edge form
+    paid two child scans per edge: a totals aggregate plus a separate
+    anti-join count). 14 child scans → 5, identical rows."""
+    from notion_spark.pipeline.expectations import referential_integrity_edges
+
+    by_child: dict[str, list] = {}
     for c, fk, p, pk in _RI_EDGES:
-        frames.append(
-            referential_integrity(
-                read_table(spark, sf_dir, c),
-                read_table(spark, sf_dir, p),
-                fk, pk, name=f"{c}.{fk}->{p}.{pk}",
-            )
+        by_child.setdefault(c, []).append(
+            (fk, read_table(spark, sf_dir, p), pk, f"{c}.{fk}->{p}.{pk}")
         )
+    frames = [
+        referential_integrity_edges(read_table(spark, sf_dir, c), edges)
+        for c, edges in by_child.items()
+    ]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -133,39 +133,101 @@ def referential_integrity(
     rows (0 when there are none — absent references are reported in
     n_null_fk, not punished twice).
 
-    Scale shape: the parent side collapses to distinct keys first
-    (map-side combined), then ONE left-anti join keyed on the FK —
-    broadcast when the key set is small, keyed shuffle otherwise (AQE
-    decides); the three counts are map-side-combined aggregates and
-    the final row assembles from 1-row frames. Integer arithmetic end
-    to end, same as the single-table suite."""
+    Scale shape (r13: ONE child scan, was two): the parent side
+    collapses to distinct keys first (map-side combined), then one
+    1:≤1 left join keyed on the FK — broadcast when the key set is
+    small, keyed shuffle otherwise (AQE decides) — and a single
+    conditional aggregate reads all three counts off the joined rows
+    (a NULL fk never equi-matches; a non-null fk matches at most the
+    one distinct key, so row count is preserved exactly). The r12
+    shape scanned the child twice (a totals aggregate plus a separate
+    left-anti + count); folding the anti-join into a match-marker
+    column halves the child passes with the identical counts. Integer
+    arithmetic end to end, same as the single-table suite."""
+    return referential_integrity_edges(
+        child, [(fk, parent, pk, name or f"{fk}->{pk}")]
+    )
+
+
+def referential_integrity_edges(
+    child: DataFrame,
+    edges: "list[tuple[str, DataFrame, str, str]]",
+) -> DataFrame:
+    """`referential_integrity` for SEVERAL FK edges of one child table
+    in a single child scan — the audit-suite form (a fact table like
+    lineitem carries many FKs; auditing them edge-by-edge re-scans the
+    biggest table in the schema once per edge, r12's #1 cost in the
+    referential-integrity query). Each edge is (fk, parent, pk, label);
+    output is one row per edge, same schema and identical values as
+    the single-edge form, rows in the given edge order.
+
+    Scale shape: one pass over the child with one 1:≤1 left join per
+    edge (each keyed on its own FK against the parent's distinct keys
+    — chained joins, so small parents broadcast and large ones shuffle
+    exactly as the per-edge form would), then ONE aggregate computing
+    every edge's (n_child, n_null_fk, n_orphans) map-side-combined,
+    reshaped to rows from the single aggregate row (driver-free: a
+    union of 1-row projections). The join-to-distinct-keys is row-
+    preserving, so every edge's counts are exact."""
     from notion_spark.functions.exactmath import halfup_micro_div_cols
 
-    label = name or f"{fk}->{pk}"
-    fkc = child.select(F.col(fk).alias("__fk"))
-    totals = fkc.agg(
-        F.count(F.lit(1)).cast("long").alias("n_child"),
-        _count_if(F.col("__fk").isNull()).cast("long").alias("n_null_fk"),
+    if not edges:
+        raise ValueError("referential_integrity_edges: no edges given")
+    fks = [fk for fk, _, _, _ in edges]
+    joined = child.select(
+        *[F.col(fk).alias(f"__fk{i}") for i, fk in enumerate(fks)]
     )
-    keys = parent.select(F.col(pk).alias("__fk")).distinct()
-    orphans = (
-        fkc.filter(F.col("__fk").isNotNull())
-        .join(keys, "__fk", "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-    )
-    return (
-        totals.crossJoin(orphans)
-        .withColumn("__nn", F.col("n_child") - F.col("n_null_fk"))
-        .select(
-            F.lit(label).alias("constraint"),
-            "n_child",
-            "n_null_fk",
-            "n_orphans",
-            F.when(F.col("__nn") > 0, halfup_micro_div_cols("n_orphans", "__nn"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("orphan_ppm"),
+    for i, (_, parent, pk, _) in enumerate(edges):
+        keys = (
+            parent.select(F.col(pk).alias(f"__fk{i}"))
+            .distinct()
+            .withColumn(f"__hit{i}", F.lit(1))
         )
+        joined = joined.join(keys, f"__fk{i}", "left")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_child")]
+    for i in range(len(edges)):
+        aggs.append(
+            _count_if(F.col(f"__fk{i}").isNull())
+            .cast("long")
+            .alias(f"__null{i}")
+        )
+        aggs.append(
+            _count_if(
+                F.col(f"__fk{i}").isNotNull() & F.col(f"__hit{i}").isNull()
+            )
+            .cast("long")
+            .alias(f"__orph{i}")
+        )
+    one = joined.agg(*aggs)
+    # reshape the single aggregate row to one row per edge through ONE
+    # explode (a union of per-edge selects would reference — and without
+    # AQE exchange reuse, recompute — the aggregate subtree N times)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(label).alias("constraint"),
+                        F.col("__n_child").alias("n_child"),
+                        F.col(f"__null{i}").alias("n_null_fk"),
+                        F.col(f"__orph{i}").alias("n_orphans"),
+                    )
+                    for i, (_, _, _, label) in enumerate(edges)
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.*")
+    return rows.withColumn(
+        "__nn", F.col("n_child") - F.col("n_null_fk")
+    ).select(
+        "constraint",
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        F.when(F.col("__nn") > 0, halfup_micro_div_cols("n_orphans", "__nn"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("orphan_ppm"),
     )
 
 

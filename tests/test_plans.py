@@ -827,3 +827,27 @@ def test_r12_batch3_plans(spark, sf_dir):
         assert "Join" not in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan, q
+
+
+def test_r13_iterative_consumers_no_inmemory_reuse_pinned(spark, sf_dir):
+    """r13 pin of the r12 persist rule ("persist only frames whose
+    consumers are terminal"): the iterative graph consumers unroll
+    their rounds into ONE lazy plan that re-references the
+    covisitation pair subplan many times; AQE's ReusedExchange dedups
+    those at execution, and an InMemoryRelation in the middle BLOCKS
+    that reuse (measured r12: graph_kcore 5.2 s -> 35.5 s with a
+    persist inside covisitation_counts). This test fails if anyone
+    re-adds a persist upstream of the iterative consumers — the static
+    plan must be cache-free, and the executed adaptive plan must show
+    the exchange reuse actually firing."""
+    for q in ("graph_kcore", "graph_label_propagation"):
+        df = parity.QUERIES[q](spark, sf_dir)
+        static = plan_of(df)
+        assert "InMemoryRelation" not in static, q
+        assert "InMemoryTableScan" not in static, q
+        df.count()
+        final = plan_of(df)
+        assert "ReusedExchange" in final, (
+            f"{q}: executed adaptive plan shows no exchange reuse — the "
+            "unrolled rounds are recomputing the pair subplan"
+        )
