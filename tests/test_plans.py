@@ -845,9 +845,34 @@ def test_r13_iterative_consumers_no_inmemory_reuse_pinned(spark, sf_dir):
         static = plan_of(df)
         assert "InMemoryRelation" not in static, q
         assert "InMemoryTableScan" not in static, q
-        df.count()
-        final = plan_of(df)
-        assert "ReusedExchange" in final, (
-            f"{q}: executed adaptive plan shows no exchange reuse — the "
-            "unrolled rounds are recomputing the pair subplan"
-        )
+    # ReusedExchange evidence: the registered queries checkpoint their
+    # last round (lineage truncates to Scan ExistingRDD, hiding the
+    # reuse from the final plan string), so probe the same operator
+    # shape checkpoint-free — two unrolled k_core rounds over the same
+    # covisitation pair subplan. collect() executes THIS dataframe's
+    # own query execution (count() would plan a separate one), after
+    # which the adaptive plan must show the pair subplan deduped.
+    from pyspark.sql import functions as F
+
+    from notion_spark.operators.behavior import covisitation_counts
+    from notion_spark.operators.graph import k_core
+    from notion_spark.parity._base import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object("props", "$.k").cast("int")
+    )
+    pairs = covisitation_counts(
+        ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
+    )
+    probe = k_core(
+        pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        k=3,
+        iterations=2,
+    )
+    probe.collect()
+    final = plan_of(probe)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, (
+        "k_core probe: executed adaptive plan shows no exchange reuse — "
+        "the unrolled rounds are recomputing the pair subplan"
+    )
