@@ -21,13 +21,6 @@ DRIVER_CHECKED: tuple[str, ...] = (
     # --- r03 (47 driver-checked this round) ---
     # --- r04 (50 driver-checked this round) ---
     # --- r05 (50 driver-checked this round) ---
-    "filter_not_in", "filter_substring_count",
-    "filter_goals_overflow", "join_parent_name", "join_multi_hop_revenue", "join_semi_customers",
-    "join_anti_customers", "merge_keep_last", "incr_changed_rows", "topk_oldest_pending",
-    "window_group_boundaries", "proj_status_priority_scores", "proj_json_extract", "text_truncate",
-    "text_sanitize_filename", "text_line_slice", "text_week_label", "dedup_exact",
-    "dedup_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_cosine", "dedup_cluster_collapse",
     # --- r06 (50 driver-checked this round) ---
     "sim_ann_ivfpq", "sim_ann_pq", "text_cooccurrence_pruned", "curation_temperature_mix",
     "curation_class_weights", "text_token_runs", "curation_semantic_decontam", "curation_token_budget",
@@ -54,7 +47,7 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "curation_decontam", "curation_pii_redact", "curation_stratified_sample", "curation_quality_rules",
     "curation_ngram_coverage", "curation_source_rebalance", "text_repetition_stats", "multimodal_image_features",
     "multimodal_audio_features", "text_tfidf_top_terms", "scd2_status_intervals", "chunk_token_windows",
-    "pack_sequence_offsets", "sketch_kmv_users", "sketch_hll_users", "funnel_view_click_purchase",
+    "pack_sequence_offsets", "sketch_kmv_users", "sketch_hll_users",
     "retention_weekly_cohorts", "forward_fill_values",
     # --- r09 (50 driver-checked this round) ---
     "curation_semantic_split_leakage_lsh", "sim_ann_ivf_partitioned", "curation_corpus_e2e", "join_salted_skew",
@@ -85,19 +78,32 @@ DRIVER_CHECKED: tuple[str, ...] = (
     "sim_knn_disagreement", "behavior_inter_arrival", "behavior_trending_topk", "profile_drift_documents",
     "anomaly_rolling_sigma", "curation_winsorize",
     # --- r11 (50 driver-checked this round) ---
-    "streaming_drift_scores", "stats_cliffs_delta_events", "stats_spearman_prices", "stats_cramers_v_orders",
+    "streaming_drift_scores", "stats_cliffs_delta_events", "stats_cramers_v_orders",
     "stats_two_proportion_events", "agg_rollup_revenue", "agg_cube_margins", "agg_pivot_status",
     "behavior_markov_transitions", "behavior_cohort_ltv", "ts_gap_report", "profile_cardinalities",
     "quality_iqr_outliers", "curation_target_encode", "curation_kfold_stats", "behavior_survival_hazard",
-    "ts_ewma_events", "ts_cross_correlation", "quality_rate_drift", "graph_link_prediction",
-    "curation_curriculum", "dedup_containment", "sort_topk_per_group", "profile_price_deciles",
-    "quality_reconciliation", "stats_eta_squared_events", "behavior_stickiness", "behavior_funnel_within",
-    "profile_gini_customer_revenue", "stats_mann_whitney_events", "stats_auc_doc_length", "stats_ks_test_events",
-    "stats_rank_normalize_prices", "profile_pareto_customers", "ts_dow_profile", "profile_tv_weekend_events",
+    "ts_ewma_events", "ts_cross_correlation", "quality_rate_drift",
+    "dedup_containment", "sort_topk_per_group", "profile_price_deciles",
+    "quality_reconciliation", "stats_eta_squared_events", "behavior_stickiness",
+    "ts_dow_profile", "profile_tv_weekend_events",
     "diff_revenue_drivers", "behavior_basket_lift", "text_quantile_rank", "text_bpe_merges",
     "text_cooccurrence", "curation_split_leakage", "agg_avg_completion_days", "agg_crosstab_status_priority",
     "agg_union_pie", "filter_tag_overlap", "filter_active_items", "filter_immediate_action",
     "filter_window_anti", "filter_backlog_topk",
+    # --- r12 (50 driver-checked this round) ---
+    "stats_cohens_kappa_orders", "behavior_attribution", "behavior_retention_days", "behavior_bounce_rate",
+    "behavior_power_curve", "behavior_growth_accounting", "graph_degree_assortativity", "ts_seasonality_index",
+    "text_hapax_ratio", "text_dup_ngrams", "text_oov_rate", "behavior_arpu",
+    "profile_gini_by_group", "agg_grouping_sets_revenue", "ts_burstiness_index", "dedup_rate_card",
+    "profile_gini_customer_revenue", "stats_mann_whitney_events", "stats_auc_doc_length", "stats_ks_test_events",
+    "stats_rank_normalize_prices", "profile_pareto_customers", "stats_spearman_prices", "curation_curriculum",
+    "graph_link_prediction", "funnel_view_click_purchase", "behavior_funnel_within", "filter_not_in",
+    "filter_substring_count", "filter_goals_overflow", "join_parent_name", "join_multi_hop_revenue",
+    "join_semi_customers", "join_anti_customers", "merge_keep_last", "incr_changed_rows",
+    "topk_oldest_pending", "window_group_boundaries", "proj_status_priority_scores", "proj_json_extract",
+    "text_truncate", "text_sanitize_filename", "text_line_slice", "text_week_label",
+    "dedup_exact", "dedup_fingerprint", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk_cosine", "dedup_cluster_collapse",
 )
 
 
@@ -112,6 +118,12 @@ DRIVER_CHECKED: tuple[str, ...] = (
 # scripts/update_driver_checked.py removes a name once a green driver
 # row lands for the new plan.
 PLAN_RECERT: tuple[str, ...] = (
+    # r13: referential integrity restructured to one scan per child
+    # table (multi-edge left-join + conditional aggregate, explode
+    # reshape); ccnet buckets persist the shared familiarity frame
+    # (plan gains InMemoryTableScan reads):
+    "quality_referential_integrity",
+    "curation_ccnet_buckets",
     # r9 plan swaps the r9 driver window missed (certified old plans):
     # r10 plan swaps: representative collapse + scalar-subquery mass
     # guard in levenshtein_pairs_qgram (both registered consumers).
@@ -135,20 +147,9 @@ PLAN_RECERT: tuple[str, ...] = (
     # — buckets can merge, never split/reorder; rank semantics
     # unchanged, branch-safety unchanged). Measured 0.3-0.65x at sf1.
     # Every registered consumer of the distributed rank changed plans:
-    "profile_gini_customer_revenue",
-    "stats_mann_whitney_events",
-    "stats_auc_doc_length",
-    "stats_ks_test_events",
-    "stats_rank_normalize_prices",
-    "profile_pareto_customers",
-    "stats_spearman_prices",
-    "curation_curriculum",
     # r12: link_prediction dropped the forced degree-frame broadcast
     # (AQE decides at runtime); funnel queries gained the in-plan
     # hot-user guard window (shares the user-key exchange):
-    "graph_link_prediction",
-    "funnel_view_click_purchase",
-    "behavior_funnel_within",
 )
 
 
