@@ -124,6 +124,11 @@ PLAN_RECERT: tuple[str, ...] = (
     # (plan gains InMemoryTableScan reads):
     "quality_referential_integrity",
     "curation_ccnet_buckets",
+    # r13: adaptive Ed-Join prefix (location-based mismatch filter) in
+    # levenshtein_pairs_qgram — prefix selection gained a locate() pos
+    # column, a per-doc cutoff aggregate and an ArrowEvalPython node:
+    "dedup_levenshtein_pairs",
+    "dedup_levenshtein_qgram",
     # r9 plan swaps the r9 driver window missed (certified old plans):
     # r10 plan swaps: representative collapse + scalar-subquery mass
     # guard in levenshtein_pairs_qgram (both registered consumers).

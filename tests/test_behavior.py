@@ -1207,3 +1207,38 @@ class TestFunnelWithin:
             df, ["view", "click"], window_us=10**9,
             max_user_events=5).collect()}
         assert out == {"view": 2, "click": 1}
+
+
+def test_qgram_adaptive_prefix_cutoff_udf(spark):
+    """r13 adaptive-prefix cutoff (_qgram_prefix_len_udf): spread-out
+    first-occurrence positions certify d+1 edits after exactly d+1
+    grams; fully-overlapping positions fall back to the q*d+1 count
+    bound; fewer than q*d+1 grams keep the whole set (the pool owns
+    exactness there); and the greedy must not double-count spans closer
+    than q."""
+    from pyspark.sql import functions as F
+
+    from notion_spark.pipeline.dedup import _qgram_prefix_len_udf
+
+    q, d = 3, 2  # cap = 7, need 3 non-overlapping spans
+    kstar = _qgram_prefix_len_udf(q, d)
+    rows = [
+        # spread: 0, 10, 20 are the first three — k* = need = 3
+        (1, list(range(0, 100, 10))),
+        # first 6 all inside one span window (<q apart), 7th far: the
+        # greedy needs positions >= q apart; only the cap certifies
+        (2, [0, 1, 2, 1, 2, 0, 50]),
+        # n < cap: whole set (pool case)
+        (3, [0, 1]),
+        # n = 4 < cap = 7: still the whole-set pool branch, even though
+        # 0, 3, 6 would certify — below q*d grams the pool owns the
+        # pair, so the code never shortens
+        (4, [0, 3, 6, 9]),
+        # shuffled rarity order: MIS of first 4 = {40, 0, 1, 80} -> 3
+        # non-overlapping (40, 0, 80) already at k=3? first 3 = 40,0,1:
+        # MIS=2 (40 and 0); adding 80 at k=4 gives 3 -> k* = 4
+        (5, [40, 0, 1, 80, 200, 300, 400]),
+    ]
+    df = spark.createDataFrame(rows, "id long, pos array<int>")
+    got = {r.id: r.k for r in df.select("id", kstar("pos").alias("k")).collect()}
+    assert got == {1: 3, 2: 7, 3: 2, 4: 4, 5: 4}
