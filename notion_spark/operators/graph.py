@@ -241,6 +241,7 @@ def k_core(
     edges: DataFrame,
     k: int = 2,
     iterations: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, degree) for nodes surviving ``iterations`` rounds of
     k-core peeling (Seidman 1983 coreness, the Batagelj–Zaveršnik
@@ -256,8 +257,22 @@ def k_core(
 
     Scale shape: per round, one groupBy for degrees and two semi-joins
     (both edge endpoints against the survivor set) — all keyed on node
-    id, linear in |E|; lineage cut with localCheckpoint every few
-    rounds like the other iterative operators here."""
+    id, linear in |E|; lineage cut with localCheckpoint every
+    ``checkpoint_every`` rounds.
+
+    r13: ``checkpoint_every`` defaults to EVERY round, not every 3.
+    Each round references the previous round's frame THREE times (the
+    degree aggregate plus both semi-join survivor sets), so an
+    uncheckpointed unroll grows the lazy plan 3^i-fold and the driver
+    pays Catalyst analysis per copy — the benched query's profile read
+    1.0 s of total executor time against a 6 s wall (pure driver
+    planning, c8/c32 ratio 0.99). Per-round checkpoints keep the plan
+    linear: measured 6.0 -> 3.1 s on graph_kcore at sf0.1 (A/B,
+    interleaved). Within one round AQE ReusedExchange still dedups the
+    three references (pinned in tests/test_plans.py). The same cadence
+    measured SLOWER on label_propagation (3.7 -> 5.8 s warm), whose
+    rounds reference the previous frame once — linear growth, so the
+    checkpoint job overhead buys nothing; its default stays 5."""
     e = edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
     und = (
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -271,7 +286,7 @@ def k_core(
         alive = alive.join(keep, "s", "left_semi").join(
             keep.select(F.col("s").alias("d")), "d", "left_semi"
         )
-        if (i + 1) % 3 == 0:
+        if (i + 1) % checkpoint_every == 0:
             alive = alive.localCheckpoint(eager=False)
     return (
         alive.groupBy("s")

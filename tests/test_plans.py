@@ -864,10 +864,15 @@ def test_r13_iterative_consumers_no_inmemory_reuse_pinned(spark, sf_dir):
     pairs = covisitation_counts(
         ev, "user_id", "item", ("ts", "event_id"), cap=50, min_count=2
     )
+    # checkpoint_every=5 > iterations: no lineage cut, so the reuse is
+    # visible in THIS dataframe's final plan (the registered query
+    # checkpoints every round since r13 — its reuse lives inside the
+    # round-1 checkpoint job, invisible from the returned plan string)
     probe = k_core(
         pairs.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
         k=3,
         iterations=2,
+        checkpoint_every=5,
     )
     probe.collect()
     final = plan_of(probe)
