@@ -129,6 +129,10 @@ PLAN_RECERT: tuple[str, ...] = (
     # column, a per-doc cutoff aggregate and an ArrowEvalPython node:
     "dedup_levenshtein_pairs",
     "dedup_levenshtein_qgram",
+    # r13: k_core checkpoints every peel round (linear plan instead of
+    # the 3^i unroll; final-stage plan unchanged but execution
+    # restructured):
+    "graph_kcore",
     # r9 plan swaps the r9 driver window missed (certified old plans):
     # r10 plan swaps: representative collapse + scalar-subquery mass
     # guard in levenshtein_pairs_qgram (both registered consumers).
