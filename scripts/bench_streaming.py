@@ -99,17 +99,24 @@ def main() -> int:
     docs_schema = docs.schema
 
     def reader(glob_path: str, schema):
-        return (
+        df = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(glob_path)
         )
+        # parquet-written naive timestamps arrive TIMESTAMP_NTZ, which
+        # watermarks/state ops reject; session tz is UTC so the cast is
+        # value-preserving (the sessionize_batch convention)
+        if "ts" in df.columns:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
 
-    def run_noop(make_df) -> None:
+    def run_noop(make_df, mode: str = "append") -> None:
         ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=work)
         q = (
             make_df()
             .writeStream.format("noop")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -160,7 +167,8 @@ def main() -> int:
     bench(
         "streaming_heavy_hitters",
         lambda: run_noop(
-            lambda: heavy_hitters_stream(reader(ev_glob, ev_schema), "user_id")
+            lambda: heavy_hitters_stream(reader(ev_glob, ev_schema), "user_id"),
+            mode="update",
         ),
     )
 
