@@ -36,6 +36,17 @@ from pyspark.sql import functions as F
 
 
 # ------------------------------------------------------------ shingling
+
+def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
+    """Per-invocation lazy persist with an opt-out (the
+    persist_candidates convention, extended r13 per ADVICE r12): the
+    fan-out frames these operators cache are invaluable inside one
+    call but outlive it — a long-lived session looping over batches
+    should pass persist_intermediates=False (or clearCache between
+    batches) so executor storage does not accrete."""
+    return df.persist() if flag else df
+
+
 def _raw_shingles(tokens: Column, n: int = 3) -> Column:
     """n-gram shingles (space-joined, duplicates kept) over an ALREADY
     BOUND token-array attribute. Callers must project the token array into
@@ -339,6 +350,7 @@ def jaccard_pairs_prefix(
     threshold: float = 0.8,
     block_key: Column | None = None,
     max_token_bucket: int = 100_000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """BLOCKING-FREE exact n-gram Jaccard near-dup pairs via prefix
     filtering (AllPairs, Bayardo/Ma/Srikant WWW 2007; the PPJoin
@@ -392,7 +404,7 @@ def jaccard_pairs_prefix(
     # (via toks) AND both verify sides — persisted, the shingle explode
     # + collect_set shuffle runs once instead of ~4x (the
     # levenshtein_pairs_qgram treatment; consumers are terminal).
-    docs = docs.withColumn("sz", F.size("sh")).persist()
+    docs = _maybe_persist(docs.withColumn("sz", F.size("sh")), persist_intermediates)
     toks = docs.select("id", *blk, "sz", F.explode("sh").alias("h"))
     freq = toks.groupBy("h").agg(F.count(F.lit(1)).alias("__f"))
     wdoc = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("h"))
@@ -412,7 +424,9 @@ def jaccard_pairs_prefix(
     wtok = Window.partitionBy("h", *blk)
     # r12 OPT: bucket-size window folded into the persisted prefix frame
     # (one compute; both candidate sides read the cache)
-    pref = pref.withColumn("__t_n", F.count(F.lit(1)).over(wtok)).persist()
+    pref = _maybe_persist(
+        pref.withColumn("__t_n", F.count(F.lit(1)).over(wtok)), persist_intermediates
+    )
     guard = guarded(
         F.col("__t_n") > F.lit(max_token_bucket),
         f"jaccard_pairs_prefix: prefix shingle bucket exceeds {max_token_bucket}"
@@ -683,6 +697,7 @@ def levenshtein_pairs_qgram(
     max_gram_bucket: int = 100_000,
     block_key: Column | None = None,
     max_candidates: int | None = 200_000_000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """BLOCKING-FREE exact edit-distance near-dup pairs via q-gram
     prefix filtering (Ed-Join, Xiao/Wang/Lin VLDB 2008): no blocking
@@ -818,8 +833,11 @@ def levenshtein_pairs_qgram(
     # action and every later subtree reads the cache; clearCache() or
     # unpersist between batches in a long-running loop (the
     # cross_minhash_pairs convention).
-    docs = members.filter(F.col("id") == F.col("rep")).drop("rep", "__grp_n").persist()
-    mem = members.select("id", "rep", "__grp_n").persist()
+    docs = _maybe_persist(
+        members.filter(F.col("id") == F.col("rep")).drop("rep", "__grp_n"),
+        persist_intermediates,
+    )
+    mem = _maybe_persist(members.select("id", "rep", "__grp_n"), persist_intermediates)
     band_w = max(max_distance, 1)
     banded_docs = docs.withColumn(
         "band", F.call_function("div", F.col("len"), F.lit(band_w))
@@ -863,7 +881,9 @@ def levenshtein_pairs_qgram(
         *blk,
         "gram",
         (F.expr("locate(gram, txt)") - F.lit(1)).alias("__pos"),
-    ).persist()  # r12 OPT: feeds freq, the prefix join AND ndist — one explode
+    )
+    # r12 OPT: feeds freq, the prefix join AND ndist — one explode
+    grams = _maybe_persist(grams, persist_intermediates)
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f"))
     wdoc = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("gram"))
     pre_cap = (
@@ -904,7 +924,9 @@ def levenshtein_pairs_qgram(
     # window runs once, not once per join side; pref then feeds the a/b
     # candidate sides and the mass-guard sizes from the cache (3 reads,
     # 1 compute of the join+prefix-window lineage).
-    pref = pref.withColumn("__g_n", F.count(F.lit(1)).over(wg)).persist()
+    pref = _maybe_persist(
+        pref.withColumn("__g_n", F.count(F.lit(1)).over(wg)), persist_intermediates
+    )
     guard = guarded(
         F.col("__g_n") > F.lit(max_gram_bucket),
         f"levenshtein_pairs_qgram: prefix gram bucket exceeds {max_gram_bucket}"
@@ -1403,6 +1425,7 @@ def minhash_dedup_pairs(
     verify_scope: str = "all",
     max_bucket: int | None = 1000,
     guard_impl: str = "agg",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify over
     shingle-hash sets. Output matches `jaccard_pairs` (id_a, id_b,
@@ -1426,7 +1449,9 @@ def minhash_dedup_pairs(
     signature aggregate AND the verify-set aggregate from that one
     cache — the explode runs once and the cached rows are 16 bytes+id,
     not the wide combined row the dead end cached."""
-    ex = shingle_hashes(df, text_col, id_col, ngram).persist()
+    ex = _maybe_persist(
+        shingle_hashes(df, text_col, id_col, ngram), persist_intermediates
+    )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, ngram, max_bucket, guard_impl,
         hashes=ex,
@@ -1662,8 +1687,12 @@ def cross_minhash_pairs(
     # signature aggregate and the candidate-scoped verify-set aggregate
     # (see minhash_dedup_pairs — measured 6.3 s -> 3.9 s on the
     # single-corpus sibling)
-    ex_n = shingle_hashes(new, text_col, id_col, ngram).persist()
-    ex_c = shingle_hashes(corpus, text_col, id_col, ngram).persist()
+    ex_n = _maybe_persist(
+        shingle_hashes(new, text_col, id_col, ngram), persist_candidates
+    )
+    ex_c = _maybe_persist(
+        shingle_hashes(corpus, text_col, id_col, ngram), persist_candidates
+    )
     cands = cross_minhash_candidates(
         new, corpus, text_col, id_col, num_hashes, bands, ngram, max_bucket,
         hashes_new=ex_n, hashes_corpus=ex_c,
@@ -2495,6 +2524,7 @@ def containment_pairs(
     bands: int = 16,
     ngram: int = 3,
     max_bucket: int | None = 1000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment pairs — "is A mostly inside B":
     for candidate pairs, the exact fraction of each side's distinct
@@ -2532,7 +2562,9 @@ def containment_pairs(
 
     # r12 OPT: one persisted exploded hash pass shared by the signature
     # and set aggregates (see minhash_dedup_pairs)
-    ex = shingle_hashes(df, text_col, id_col, ngram).persist()
+    ex = _maybe_persist(
+        shingle_hashes(df, text_col, id_col, ngram), persist_intermediates
+    )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, ngram, max_bucket, hashes=ex
     )

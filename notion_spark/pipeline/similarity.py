@@ -90,7 +90,15 @@ def dot_fold(a: Column, b: Column, dim: int) -> Column:
     chain, while the unroll still pays its giant-tree planning/codegen
     cost per AQE stage (the r9 Catalyst-superlinear hazard). Keep
     `dot_unrolled` only as the reference form its bit-exactness tests
-    pin against."""
+    pin against.
+
+    ONE contract divergence (r13, ADVICE r12): a WHOLE-NULL vector
+    yields NULL here (slice of NULL is NULL, so the aggregate is NULL)
+    where dot_unrolled's per-element F.get + coalesce yields 0.0.
+    Every current caller guards the result behind when(denom > 0), so
+    outputs are unchanged — but a new caller relying on the 0.0
+    contract for null VECTORS (not null elements) must coalesce the
+    fold itself. Pinned with a None-vector row in test_similarity."""
     sa = F.slice(a, 1, dim)
     sb = F.slice(b, 1, dim)
     return F.aggregate(
@@ -106,7 +114,9 @@ def dot_fold(a: Column, b: Column, dim: int) -> Column:
 
 
 def norm_fold(a: Column, dim: int) -> Column:
-    """`norm_unrolled`'s exact contract as a fold — see `dot_fold`."""
+    """`norm_unrolled`'s exact contract as a fold — see `dot_fold`
+    (including its whole-NULL-vector divergence: NULL here, 0.0 in the
+    unrolled form; all callers guard behind when(denom > 0))."""
     sa = F.slice(a, 1, dim)
     return F.sqrt(
         F.aggregate(
@@ -513,10 +523,13 @@ def hyperplane_table_buckets(
     Vectors longer than ``dim`` truncate, shorter zero-pad, exactly as
     the fold's slice+coalesce does. A NULL vector yields a NULL array
     where the expression form yields NULL buckets — either way the row
-    survives to no equi-join candidate. Assumes dense numeric arrays
-    (no NULL elements inside a vector — Arrow folds element-nulls into
-    NaN, which the expression form would coalesce to 0.0 instead; no
-    caller stores sparse embeddings)."""
+    survives to no equi-join candidate. Dense numeric arrays are
+    ENFORCED (r13, ADVICE r12): an element-NULL arrives through Arrow
+    as NaN, whose sign bits would silently diverge from the expression
+    form's coalesce-to-0.0 and lose candidates — the UDF raises on any
+    non-finite element instead, so a sparse-embedding caller fails
+    loudly (fix: coalesce element nulls to 0.0 upstream, which IS the
+    expression form's semantics)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
@@ -541,6 +554,13 @@ def hyperplane_table_buckets(
                 continue
             a = np.asarray(v, dtype=np.float64)[:dim]
             m[r, : a.shape[0]] = a
+        if not np.isfinite(m).all():
+            raise ValueError(
+                "hyperplane_table_buckets: non-finite vector element "
+                "(element-NULL arrives as NaN through Arrow and would "
+                "silently bucket differently from the expression form) "
+                "— coalesce element nulls to 0.0 upstream"
+            )
         buckets = np.zeros((n, n_tables), dtype=np.int32)
         for t in range(n_tables):
             for p in range(n_planes):

@@ -101,14 +101,7 @@ def main() -> None:
             last = max(execs, key=lambda e: e["id"])
             detail = get(f"/sql/{last['id']}")
             print(f"\nSQL execution {last['id']} nodes (duration-ish metrics only):")
-            nodes = detail.get("nodes", []);
-            import re as _re
-            def _msum(m):
-                v = m["value"].splitlines()[-1] if "\n" in m["value"] else m["value"]
-                mt = _re.match(r"([\d.,]+) *(ms|s|m)?", v.replace(",", ""))
-                if not mt: return 0.0
-                x = float(mt.group(1)); u = mt.group(2)
-                return x if u == "ms" else x*1000 if u == "s" else x*60000 if u == "m" else 0.0
+            nodes = detail.get("nodes", [])
             for node in nodes:
                 interesting = {
                     m["name"]: m["value"]

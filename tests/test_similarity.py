@@ -678,3 +678,35 @@ def test_dot_fold_bit_exact_vs_unrolled(spark, sf_dir):
     for r in rows:
         assert (r.du == r.df) or (_m.isnan(r.du) and _m.isnan(r.df)), r
         assert (r.nu == r.nf) or (_m.isnan(r.nu) and _m.isnan(r.nf)), r
+
+    # r13 (ADVICE r12): the ONE documented contract divergence — a
+    # whole-NULL vector folds to NULL where the unrolled form coalesces
+    # each element and yields 0.0; every caller guards behind
+    # when(denom > 0), and this row pins the divergence as documented
+    # behavior rather than letting it drift silently.
+    nullvec = spark.createDataFrame(
+        [(1, None, [1.0, 2.0])], "i int, x array<double>, y array<double>"
+    )
+    r = nullvec.select(
+        S.dot_unrolled(F.col("x"), F.col("y"), 64).alias("du"),
+        S.dot_fold(F.col("x"), F.col("y"), 64).alias("df"),
+        S.norm_unrolled(F.col("x"), 64).alias("nu"),
+        S.norm_fold(F.col("x"), 64).alias("nf"),
+    ).collect()[0]
+    assert r.du == 0.0 and r.nu == 0.0      # unrolled: coalesce-to-0.0
+    assert r.df is None and r.nf is None    # fold: NULL (documented)
+
+
+def test_hyperplane_table_buckets_rejects_nonfinite_elements(spark):
+    """r13 (ADVICE r12): an element-NULL reaches the Arrow UDF as NaN
+    and would silently bucket differently from the expression form's
+    coalesce-to-0.0 — the UDF must fail loudly instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        df.select(
+            S.hyperplane_table_buckets(F.col("embedding"), 2, 4, 64)
+        ).collect()
